@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Central SparkSession factory for the graft engine.
+  *
+  * Every entry point (Verify, Bench, tests) builds its session here so the
+  * scale-oriented defaults are applied uniformly:
+  *
+  *  - AQE on (runtime coalescing + skew-join splitting) — the 100 TB design
+  *    point assumes plans are re-optimized with real statistics.
+  *  - `spark.sql.shuffle.partitions` sized for the local harness (32 threads);
+  *    on a real cluster this is overridden per-deploy, and AQE coalesces.
+  *  - nanosecond parquet timestamps read as BIGINT nanos
+  *    (`events.ts` is INT64 TIMESTAMP(NANOS) — Spark 4 rejects it otherwise).
+  *  - UTC session time zone so timestamp arithmetic is deployment-independent.
+  */
+object GraftSession {
+
+  def builder(appName: String = "graft", cores: String = "32"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+
+  /** Local session for tests / CLI mains. */
+  def local(appName: String = "graft", cores: String = "32"): SparkSession = {
+    val spark = builder(appName, cores).master(s"local[$cores]").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Functions.register(spark)
+    spark
+  }
+}
+
+/** Loaders for the driver-provided parquet fixtures (TESTDATA.md). */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

@@ -1,13 +1,600 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+import graft.ingest.FastIngest
+
+/** Driver contract (see SURVEY.md §7 + the builder prompt): one `queries`
+  * entry per implemented operator from SURVEY.md §2, each with a DuckDB
+  * oracle in `oracleSql` producing identical column names / values.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---------------------------------------------------------------- helpers
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Synthetic NT corpus derived deterministically from the `part` table —
+    * exercises the full reference dataflow (P1/P2/A1/A2/J1/A4 and the agent
+    * path P4/J2/K4) against a relational DuckDB oracle. Line families:
+    *  - every part: prefLabel = p_name, altLabel = p_brand
+    *  - p%2=0: sameAs → viaf URI (id = 7·p)
+    *  - p%3=0: sameAs → id.loc.gov URI (id = "lc"+p)
+    *  - p%4=0: external rdfs:label on the viaf URI (label = p_type) — feeds J1
+    *  - p%10=0: malformed line (dropped by the parser)
+    *  - p%25=0: /fast/NaN line (dropped by P2)
+    */
+  private def ntFromPart(part: DataFrame): DataFrame = {
+    val p = col("p_partkey")
+    def fastSubj: Column = concat(lit("<http://id.worldcat.org/fast/"), p, lit("> "))
+    val pref = part.select(concat(fastSubj,
+      lit("<http://www.w3.org/2004/02/skos/core#prefLabel> \""), col("p_name"), lit("\" .")).as("line"))
+    val alt = part.select(concat(fastSubj,
+      lit("<http://www.w3.org/2004/02/skos/core#altLabel> \""), col("p_brand"), lit("\" .")).as("line"))
+    val viaf = part.where(p % 2 === 0).select(concat(fastSubj,
+      lit("<http://schema.org/sameAs> <http://viaf.org/viaf/"), p * 7, lit("> .")).as("line"))
+    val lc = part.where(p % 3 === 0).select(concat(fastSubj,
+      lit("<http://schema.org/sameAs> <http://id.loc.gov/authorities/names/lc"), p, lit("> .")).as("line"))
+    val ext = part.where(p % 4 === 0).select(concat(
+      lit("<http://viaf.org/viaf/"), p * 7,
+      lit("> <http://www.w3.org/2000/01/rdf-schema#label> \""), col("p_type"), lit("\" .")).as("line"))
+    val junk = part.where(p % 10 === 0).select(concat(lit("junk line "), p).as("line"))
+    val nan = part.where(p % 25 === 0).select(
+      lit("<http://id.worldcat.org/fast/NaN> <http://www.w3.org/2004/02/skos/core#prefLabel> \"Bad\" .").as("line"))
+    pref.union(alt).union(viaf).union(lc).union(ext).union(junk).union(nan)
+  }
+
+  /** DuckDB spelling of [[graft.functions.Normalize.normalize]]. */
+  private def normSql(x: String): String =
+    s"trim(regexp_replace(regexp_replace(lower(strip_accents($x)), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** DuckDB spelling of [[graft.functions.Normalize.singularize]] (same rule
+    * chain, regex-for-regex). `$n` must be a pure expression (re-evaluated).
+    */
+  private def singSql(n: String): String =
+    s"""(CASE WHEN regexp_matches($n, '[a-z]ies$$') THEN regexp_replace($n, 'ies$$', 'y')
+       | WHEN regexp_matches($n, '(sses|ches|shes|xes|zes)$$') THEN regexp_replace($n, 'es$$', '')
+       | WHEN regexp_matches($n, '(ss|us|is)$$') THEN $n
+       | WHEN regexp_matches($n, '[a-z0-9]s$$') THEN regexp_replace($n, 's$$', '')
+       | ELSE $n END)""".stripMargin.replace("\n", " ")
+
+  private def nsSql(x: String): String = singSql(normSql(x))
+
+  private val stopEn = Seq("the", "a", "and", "of", "to")
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Cosine similarity between two float-array columns, computed in double
+    * precision with a sequential left fold — bit-compatible with DuckDB's
+    * `list_dot_product` over `DOUBLE[]` casts.
+    */
+  private def cosineSql(a: String, b: String): Column = expr(
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)
+       | / (sqrt(aggregate($a, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE)*CAST(v AS DOUBLE)))
+       |    * sqrt(aggregate($b, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+       |""".stripMargin.replace("\n", " "))
+
+  private def duckCosine(a: String, b: String): String =
+    s"""(list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
+       | / (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))
+       |    * sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))))""".stripMargin.replace("\n", " ")
+
+  // ---------------------------------------------------------------- entry
+
+  /** Flagship: the reference's whole term-ingest dataflow (parse → project →
+    * group → enrich) over an NT corpus generated from `part` at sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    FastIngest.ingestDocs(
+      ntFromPart(t(spark, "/root/testdata/sf0.001", "part")), lit("Topical"))
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- core relational surface (SURVEY.md §5.3) ----
+
+    "q1_filter_project" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .where(col("o_orderstatus") === "F" && col("o_totalprice") > 1000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    "q2_string_funcs" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        lower(col("p_name")).as("name_lower"),
+        length(col("p_name")).as("name_len"),
+        element_at(split(col("p_type"), " "), -1).as("type_last"))
+        .orderBy("p_partkey")),
+
+    "q3_cast_filter" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast(IntegerType).as("qty_int"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q4_groupby_collect" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          sort_array(collect_set(col("l_returnflag"))).as("flags"))
+        .orderBy("l_orderkey")),
+
+    "q5_first_nonnull" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+          min(col("o_orderdate").cast("date")).as("first_date"),
+          max(col("o_orderpriority")).as("max_priority"),
+          coalesce(
+            max(when(col("o_orderstatus") === "F", col("o_orderstatus"))),
+            min(col("o_orderstatus"))).as("pick_status"))
+        .orderBy("o_custkey")),
+
+    "q6_join_chain" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey", "n_name", "r_name")
+        .orderBy("c_custkey")),
+
+    // Disjunctive equi-join as a union of two hash joins (SURVEY.md §2.4 J2):
+    // both branches stay shuffle-hash/broadcast joinable at scale — no
+    // BroadcastNestedLoop from the OR predicate.
+    "q7_disjunctive_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val j1 = c.join(sup, col("c_nationkey") === col("s_nationkey"))
+      val j2 = c.join(sup, col("c_custkey") === col("s_suppkey"))
+      j1.select("c_custkey", "s_suppkey")
+        .union(j2.select("c_custkey", "s_suppkey"))
+        .distinct()
+        .orderBy("c_custkey", "s_suppkey")
+    }),
+
+    "q8_semi_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey").orderBy("c_custkey")),
+
+    "q8_anti_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey")),
+
+    // K3/A4 merge-dedup: union two conflicting projections, keep the
+    // "richest" (longest, then lexicographically greatest) name per key and
+    // set-union the brands — the deterministic form of the reference's
+    // error-driven merge (lib/ingest.js:134-165).
+    "q9_merge_dedup" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val proj1 = part.select(col("p_partkey"), col("p_name"), lit("Brand#A").as("p_brand"))
+      val proj2 = part.select(col("p_partkey"),
+        when(col("p_partkey") % 2 === 0, concat(col("p_name"), lit(" extended")))
+          .otherwise(substring(col("p_name"), 1, 4)).as("p_name"),
+        col("p_brand"))
+      proj1.union(proj2)
+        .groupBy("p_partkey")
+        .agg(
+          max_by(col("p_name"), struct(length(col("p_name")), col("p_name"))).as("name_kept"),
+          sort_array(collect_set(col("p_brand"))).as("brands"))
+        .orderBy("p_partkey")
+    }),
+
+    "q10_explode_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+        .where(length(col("token")) >= 2)
+        .orderBy("doc_id", "token")
+        .limit(1000)),
+
+    "q11_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)),
+
+    "q12_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("cnt"))
+        .orderBy("status", "priority")),
+
+    "q13_window" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          row_number().over(
+            Window.partitionBy("l_orderkey")
+              .orderBy(col("l_extendedprice").desc, col("l_linenumber"))).as("rn"))
+        .orderBy("l_orderkey", "l_linenumber", "rn")),
+
+    // events.ts is INT64 nanos (read as BIGINT via nanosAsLong); 1-hour
+    // tumbling window in pure integer arithmetic — the batch twin of the
+    // Structured Streaming window (graft.streaming).
+    "q14_event_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(
+          (col("ts") - (col("ts") % 3600000000000L)).as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_val"))
+        .orderBy("window_start", "event_type")),
+
+    "q15_normalize" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Functions.normalizeSingular(col("text")).as("norm_text"))
+        .orderBy("doc_id")),
+
+    // ---- reference dataflow, end-to-end (SURVEY.md §2.1-2.4) ----
+
+    "nt_parse" -> ((s, dir) =>
+      FastIngest.parse(ntFromPart(t(s, dir, "part")))
+        .select(col("subject"), col("predicate"), col("obj"))
+        .orderBy("subject", "predicate", "obj")),
+
+    "fast_docs" -> ((s, dir) =>
+      FastIngest.ingestDocs(ntFromPart(t(s, dir, "part")), lit("Topical"))
+        .orderBy("_id")),
+
+    "viaf_update" -> ((s, dir) => {
+      val fragments = FastIngest.project(FastIngest.parse(ntFromPart(t(s, dir, "part"))))
+      val sup = t(s, dir, "supplier")
+      val viaf = sup.select(
+        concat(lit("v"), col("s_suppkey")).as("_id"),
+        (col("s_suppkey") * 7).cast("string").as("viaf"),
+        concat(lit("lc"), col("s_suppkey")).as("lcId"),
+        when(col("s_suppkey") % 5 === 0, array(lit(9999))).as("fast"))
+      FastIngest.viafUpdate(FastIngest.agentOtherIds(fragments), viaf)
+        .orderBy("_id")
+    }),
+
+    // ---- dedup / similarity / text analysis (LLM-pipeline ops) ----
+
+    "dedup_exact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
+        .orderBy("keep_id")),
+
+    "text_tokens" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).as("n_distinct"))
+        .orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        md5(Functions.normalizeLabel(col("text"))).as("fp"))
+        .orderBy("doc_id")),
+
+    "text_quality" -> ((s, dir) => {
+      val tokens = split(col("text"), " ")
+      val stopHits = expr(
+        s"size(filter(split(text, ' '), t -> t in ${inList(stopEn)}))")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("n_char"),
+        size(tokens).as("n_tok"),
+        stopHits.as("stop_hits"),
+        round(stopHits.cast("double") / size(tokens), 4).as("stop_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    "text_langid" -> ((s, dir) => {
+      def hits(ws: Seq[String]) =
+        expr(s"size(filter(split(lower(text), ' '), t -> t in ${inList(ws)}))")
+      val en = hits(stopEn)
+      val es = hits(Seq("el", "la", "de", "y", "que"))
+      val de = hits(Seq("der", "die", "und", "das", "ist"))
+      val fr = hits(Seq("le", "et", "les", "des", "une"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        when(en > 0 && en >= es && en >= de && en >= fr, "en")
+          .when(es > 0 && es >= de && es >= fr, "es")
+          .when(de > 0 && de >= fr, "de")
+          .when(fr > 0, "fr")
+          .otherwise("und").as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    "ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val scored = emb.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          cosineSql("q_emb", "embedding").as("cos"))
+      scored
+        .select(col("q_id"), col("neighbor_id"), col("cos"),
+          row_number().over(
+            Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))).as("rank"))
+        .where(col("rank") <= 5)
+        .select(col("q_id"), col("neighbor_id"), round(col("cos"), 4).as("cos_sim"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // Near-dup pairs within the same `label` partition — label stands in for
+    // an IVF/cluster assignment, i.e. the candidate-pruned scale path:
+    // at 100 TB the quadratic blowup is bounded per-cluster, not global.
+    "embed_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val b = e.select(col("label"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      a.join(b, Seq("label"))
+        .where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), cosineSql("a_emb", "b_emb").as("cos"))
+        .where(col("cos") >= 0.35)
+        .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Word-3-gram Jaccard near-dup via an inverted shingle index self-join
+    // (the exact form of MinHash-LSH's candidate generation).
+    "dedup_ngram" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), expr(
+          """CASE WHEN size(split(text,' ')) < 3 THEN array()
+            | ELSE array_distinct(transform(sequence(1, size(split(text,' ')) - 2),
+            |   i -> concat_ws(' ', element_at(split(text,' '), i),
+            |                       element_at(split(text,' '), i+1),
+            |                       element_at(split(text,' '), i+2)))) END""".stripMargin.replace("\n", " "))
+          .as("shingles"))
+        .select(col("doc_id"), size(col("shingles")).as("n_sh"), explode(col("shingles")).as("sh"))
+      val a = sh.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"), col("sh"))
+      val b = sh.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"), col("sh"))
+      a.join(b, Seq("sh"))
+        .where(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id", "a_n", "b_n")
+        .agg(count(lit(1)).as("inter"))
+        .select(col("a_id"), col("b_id"),
+          round(col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")), 4)
+            .as("jaccard"))
+        .where(col("jaccard") >= 0.5)
+        .orderBy("a_id", "b_id")
+    }),
+
+    "mm_meta" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        lit("text/plain").as("media_type"))
+        .orderBy("doc_id"))
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q1_filter_project" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        | WHERE o_orderstatus = 'F' AND o_totalprice > 1000 ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
+
+    "q2_string_funcs" ->
+      """SELECT p_partkey, lower(p_name) AS name_lower, length(p_name) AS name_len,
+        | string_split(p_type, ' ')[-1] AS type_last FROM part ORDER BY p_partkey""".stripMargin.replace("\n", " "),
+
+    "q3_cast_filter" ->
+      """SELECT l_orderkey, l_linenumber, CAST(trunc(l_quantity) AS INTEGER) AS qty_int
+        | FROM lineitem WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", " "),
+
+    "q4_groupby_collect" ->
+      """SELECT l_orderkey, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
+        | list_sort(list_distinct(list(l_returnflag))) AS flags
+        | FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin.replace("\n", " "),
+
+    "q5_first_nonnull" ->
+      """SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS first_date,
+        | max(o_orderpriority) AS max_priority,
+        | coalesce(max(CASE WHEN o_orderstatus = 'F' THEN o_orderstatus END), min(o_orderstatus)) AS pick_status
+        | FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin.replace("\n", " "),
+
+    "q6_join_chain" ->
+      """SELECT c_custkey, n_name, r_name FROM customer
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey ORDER BY c_custkey""".stripMargin.replace("\n", " "),
+
+    "q7_disjunctive_join" ->
+      """SELECT DISTINCT c_custkey, s_suppkey FROM customer JOIN supplier
+        | ON c_nationkey = s_nationkey OR c_custkey = s_suppkey
+        | ORDER BY c_custkey, s_suppkey""".stripMargin.replace("\n", " "),
+
+    "q8_semi_join" ->
+      """SELECT c_custkey FROM customer WHERE EXISTS
+        | (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey""".stripMargin.replace("\n", " "),
+
+    "q8_anti_join" ->
+      """SELECT c_custkey FROM customer WHERE NOT EXISTS
+        | (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey""".stripMargin.replace("\n", " "),
+
+    "q9_merge_dedup" ->
+      """WITH u AS (
+        |   SELECT p_partkey, p_name, 'Brand#A' AS p_brand FROM part
+        |   UNION ALL
+        |   SELECT p_partkey,
+        |          CASE WHEN p_partkey % 2 = 0 THEN p_name || ' extended' ELSE substr(p_name, 1, 4) END,
+        |          p_brand FROM part),
+        | g AS (
+        |   SELECT p_partkey, max(length(p_name)) AS ml,
+        |          list_sort(list_distinct(list(p_brand))) AS brands
+        |   FROM u GROUP BY p_partkey)
+        | SELECT g.p_partkey,
+        |        (SELECT max(p_name) FROM u WHERE u.p_partkey = g.p_partkey AND length(u.p_name) = g.ml) AS name_kept,
+        |        g.brands
+        | FROM g ORDER BY g.p_partkey""".stripMargin.replace("\n", " "),
+
+    "q10_explode_tokens" ->
+      """SELECT doc_id, token FROM (
+        |   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+        | WHERE length(token) >= 2 ORDER BY doc_id, token LIMIT 1000""".stripMargin.replace("\n", " "),
+
+    "q11_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        | ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin.replace("\n", " "),
+
+    "q12_rollup" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |        coalesce(o_orderpriority, '(all)') AS priority, count(*) AS cnt
+        | FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        | ORDER BY status, priority""".stripMargin.replace("\n", " "),
+
+    "q13_window" ->
+      """SELECT l_orderkey, l_linenumber,
+        |        row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+        | FROM lineitem ORDER BY l_orderkey, l_linenumber, rn""".stripMargin.replace("\n", " "),
+
+    "q14_event_window" ->
+      """SELECT epoch_ns(ts) - (epoch_ns(ts) % 3600000000000) AS window_start, event_type,
+        |        count(*) AS cnt, round(sum(value), 2) AS sum_val
+        | FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin.replace("\n", " "),
+
+    "q15_normalize" ->
+      s"SELECT doc_id, ${nsSql("text")} AS norm_text FROM documents ORDER BY doc_id",
+
+    "nt_parse" -> ntParseOracle,
+    "fast_docs" -> fastDocsOracle,
+    "viaf_update" -> viafUpdateOracle,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_cnt
+        | FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin.replace("\n", " "),
+
+    "text_tokens" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |        len(list_distinct(string_split(text, ' '))) AS n_distinct
+        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "text_fingerprint" ->
+      s"SELECT doc_id, md5(${normSql("text")}) AS fp FROM documents ORDER BY doc_id",
+
+    "text_quality" ->
+      s"""SELECT doc_id, length(text) AS n_char, len(string_split(text, ' ')) AS n_tok,
+         | len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopEn)})) AS stop_hits,
+         | round(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopEn)}))::DOUBLE
+         |       / len(string_split(text, ' ')), 4) AS stop_ratio
+         | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "text_langid" -> textLangidOracle,
+
+    "ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+         | scored AS (
+         |   SELECT q.q_id, e.vec_id AS neighbor_id, ${duckCosine("q.q_emb", "e.embedding")} AS cos
+         |   FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id),
+         | ranked AS (
+         |   SELECT q_id, neighbor_id, cos,
+         |          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+         |   FROM scored)
+         | SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
+         | FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replace("\n", " "),
+
+    "embed_neardup" ->
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |        round(${duckCosine("a.embedding", "b.embedding")}, 4) AS cos_sim
+         | FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         | WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.35
+         | ORDER BY a_id, b_id""".stripMargin.replace("\n", " "),
+
+    "dedup_ngram" ->
+      """WITH sh AS (
+        |   SELECT doc_id,
+        |          list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                         for i in range(1, greatest(len(ws) - 1, 1))]) AS shingles
+        |   FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        | ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh)
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |        round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 4) AS jaccard
+        | FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        | GROUP BY a.doc_id, b.doc_id
+        | HAVING round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 4) >= 0.5
+        | ORDER BY a_id, b_id""".stripMargin.replace("\n", " "),
+
+    "mm_meta" ->
+      """SELECT doc_id, strlen(text) AS n_bytes, 'text/plain' AS media_type
+        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  )
+
+  private def textLangidOracle: String = {
+    def hits(ws: Seq[String]) =
+      s"len(list_filter(string_split(lower(text), ' '), t -> t IN ${inList(ws)}))"
+    val en = hits(stopEn)
+    val es = hits(Seq("el", "la", "de", "y", "que"))
+    val de = hits(Seq("der", "die", "und", "das", "ist"))
+    val fr = hits(Seq("le", "et", "les", "des", "une"))
+    s"""SELECT doc_id,
+       | CASE WHEN $en > 0 AND $en >= $es AND $en >= $de AND $en >= $fr THEN 'en'
+       |      WHEN $es > 0 AND $es >= $de AND $es >= $fr THEN 'es'
+       |      WHEN $de > 0 AND $de >= $fr THEN 'de'
+       |      WHEN $fr > 0 THEN 'fr'
+       |      ELSE 'und' END AS lang_pred
+       | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
+  /** Expected parse output reconstructed relationally (no string parsing). */
+  private def ntParseOracle: String =
+    """WITH lines AS (
+      |   SELECT 'http://id.worldcat.org/fast/' || p_partkey AS subject,
+      |          'http://www.w3.org/2004/02/skos/core#prefLabel' AS predicate,
+      |          '"' || p_name || '"' AS obj FROM part
+      |   UNION ALL
+      |   SELECT 'http://id.worldcat.org/fast/' || p_partkey,
+      |          'http://www.w3.org/2004/02/skos/core#altLabel',
+      |          '"' || p_brand || '"' FROM part
+      |   UNION ALL
+      |   SELECT 'http://id.worldcat.org/fast/' || p_partkey, 'http://schema.org/sameAs',
+      |          '<http://viaf.org/viaf/' || (p_partkey * 7) || '>' FROM part WHERE p_partkey % 2 = 0
+      |   UNION ALL
+      |   SELECT 'http://id.worldcat.org/fast/' || p_partkey, 'http://schema.org/sameAs',
+      |          '<http://id.loc.gov/authorities/names/lc' || p_partkey || '>' FROM part WHERE p_partkey % 3 = 0
+      |   UNION ALL
+      |   SELECT 'http://viaf.org/viaf/' || (p_partkey * 7),
+      |          'http://www.w3.org/2000/01/rdf-schema#label',
+      |          '"' || p_type || '"' FROM part WHERE p_partkey % 4 = 0
+      |   UNION ALL
+      |   SELECT 'http://id.worldcat.org/fast/NaN',
+      |          'http://www.w3.org/2004/02/skos/core#prefLabel', '"Bad"' FROM part WHERE p_partkey % 25 = 0)
+      | SELECT subject, predicate, obj FROM lines ORDER BY subject, predicate, obj""".stripMargin.replace("\n", " ")
+
+  /** The ingest pipeline's expected output, computed relationally. */
+  private def fastDocsOracle: String = {
+    val nName = nsSql("p_name")
+    val nBrand = nsSql("p_brand")
+    val nType = nsSql("p_type")
+    s"""SELECT CAST(p_partkey AS INTEGER) AS _id, CAST(p_partkey AS INTEGER) AS fast, 'Topical' AS type,
+       | p_name AS prefLabel,
+       | list_sort(list_distinct(CASE WHEN p_partkey % 4 = 0 THEN [p_brand, p_type] ELSE [p_brand] END)) AS altLabel,
+       | CASE WHEN p_partkey % 3 = 0
+       |      THEN list_sort(['http://id.loc.gov/authorities/names/lc' || p_partkey, 'lc' || p_partkey])
+       |      ELSE [] END AS sameAsLc,
+       | CASE WHEN p_partkey % 2 = 0
+       |      THEN list_sort(['http://viaf.org/viaf/' || (p_partkey * 7), CAST(p_partkey * 7 AS VARCHAR)])
+       |      ELSE [] END AS sameAsViaf,
+       | list_sort(list_distinct(CASE WHEN p_partkey % 4 = 0 THEN [$nName, $nBrand, $nType]
+       |                              ELSE [$nName, $nBrand] END)) AS normalized
+       | FROM part ORDER BY _id""".stripMargin.replace("\n", " ")
+  }
+
+  private def viafUpdateOracle: String =
+    """SELECT 'v' || s_suppkey AS _id, CAST(s_suppkey * 7 AS VARCHAR) AS viaf,
+      |        'lc' || s_suppkey AS lcId,
+      |        CASE WHEN s_suppkey % 2 = 0 OR s_suppkey % 3 = 0
+      |             THEN list_sort(list_distinct(
+      |                    (CASE WHEN s_suppkey % 5 = 0 THEN [CAST(9999 AS INTEGER)] ELSE [] END)
+      |                    || [CAST(s_suppkey AS INTEGER)]))
+      |             WHEN s_suppkey % 5 = 0 THEN [CAST(9999 AS INTEGER)]
+      |             ELSE NULL END AS fast
+      | FROM supplier ORDER BY _id""".stripMargin.replace("\n", " ")
 }

@@ -1,0 +1,205 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+import graft.Functions
+import graft.functions.Nt
+
+/** The reference's whole ETL dataflow (SURVEY.md §2-§3), re-expressed as a
+  * declarative Spark pipeline:
+  *
+  *   NT lines → parse (P1) → project/filter (P2/P3) →
+  *     ├─ term path: group by id (A1) + sameAs-label enrichment join (J1)
+  *     │             → merged docs (A4/K3 semantics) → overwrite sink (K1/K2)
+  *     └─ agent path: otherId extraction (P4) → disjunctive lookup join (J2)
+  *                    → array-union viaf update (K4)
+  *
+  * Deterministic deviations from the reference's order-dependent semantics
+  * (sanctioned in SURVEY.md §7.4; final-table-state compatible):
+  *   - `prefLabel` = min(prefLabel) else min(rdfs:label), instead of
+  *     last-write-wins (`lib/ingest.js:245-246`) — FAST carries one prefLabel
+  *     per id, so this only changes pathological inputs.
+  *   - all array columns are sorted sets (`lib/ingest.js:247` allows altLabel
+  *     duplicates; we de-duplicate everywhere `normalized` already did).
+  *
+  * All stages are narrow projections until the single `groupBy(id)` shuffle;
+  * the enrichment join broadcasts the (small) external-label side. At 100 TB
+  * the only wide ops are the two groupBys and the join — AQE handles skew,
+  * partial aggregation bounds map-side state, and per-group arrays are
+  * de-duplicated at partial-agg time via collect_set.
+  */
+object FastIngest {
+
+  private val PrefLabel = "http://www.w3.org/2004/02/skos/core#prefLabel"
+  private val AltLabel = "http://www.w3.org/2004/02/skos/core#altLabel"
+  private val RdfsLabel = "http://www.w3.org/2000/01/rdf-schema#label"
+  private val SameAs = "http://schema.org/sameAs"
+
+  /** P1 — NT text lines (column `line`, plus passthrough columns) to triples.
+    * Malformed lines are dropped (`test/fast_parse.test.js:8-13`).
+    */
+  def parse(lines: DataFrame): DataFrame = {
+    val passthrough = lines.columns.filterNot(_ == "line").map(col)
+    lines
+      .select(Seq(
+        Nt.subject(col("line")).as("subject"),
+        Nt.predicate(col("line")).as("predicate"),
+        Nt.objectTerm(col("line")).as("obj")) ++ passthrough: _*)
+      .where($"subject".isNotNull && $"predicate".isNotNull && $"obj".isNotNull)
+  }
+
+  /** P2/P3 — the predicate-driven projection (`lib/fast_parse.js:17-55`).
+    * Output: one row per *kept* triple with a `kind` discriminator:
+    * `fast` rows carry (id, prefLabel|altLabel|label|sameAsLc|sameAsViaf,
+    * normalized); `sameAsLabel` rows carry (subject, label, normalized).
+    */
+  def project(triples: DataFrame): DataFrame = {
+    val isFast = $"subject".contains("/fast/")
+    val isNaN = $"subject".contains("/fast/NaN") || $"obj".contains("/fast/NaN")
+    // parseInt-of-trailing-segment semantics (`lib/fast_parse.js:23`), made
+    // ANSI-safe: no digits after /fast/ → NULL (dropped later by P5).
+    val idStr = regexp_extract($"subject", "/fast/([0-9]+)", 1)
+    val id = when(idStr =!= "", idStr).cast(IntegerType)
+    val uri = Nt.objectUri($"obj")
+    val lit_ = Nt.literalValue($"obj")
+    val keptLiteral = when(length(lit_) >= 2, lit_) // length guard, fast_parse.js:33
+
+    val prefLabel = when($"predicate" === PrefLabel, keptLiteral)
+    val altLabel = when($"predicate" === AltLabel, keptLiteral)
+    val label = when($"predicate" === RdfsLabel, keptLiteral)
+    val sameAsLc = when($"predicate" === SameAs && uri.contains("id.loc.gov"), uri)
+    val sameAsViaf = when($"predicate" === SameAs && uri.contains("viaf.org"), uri)
+
+    val kind = when(isFast && !isNaN, lit("fast"))
+      .when(!isFast && $"predicate" === RdfsLabel && lit_.isNotNull, lit("sameAsLabel"))
+
+    val passthrough = triples.columns
+      .filterNot(Set("subject", "predicate", "obj")).map(col)
+
+    triples
+      .select(Seq(
+        kind.as("kind"),
+        when(isFast, id).as("id"),
+        prefLabel.as("prefLabel"),
+        altLabel.as("altLabel"),
+        label.as("label"),
+        sameAsLc.as("sameAsLc"),
+        sameAsViaf.as("sameAsViaf"),
+        when(isFast, Functions.normalizeSingular(coalesce(prefLabel, altLabel, label)))
+          .otherwise(Functions.normalizeSingular(lit_)).as("normalized"),
+        $"subject") ++ passthrough: _*)
+      .where($"kind".isNotNull)
+  }
+
+  /** A1 — group fast fragments into one document per id.
+    * `collect_set` gives bounded, de-duplicated partial-agg state; arrays are
+    * sorted for deterministic output. sameAs arrays carry both the full URI
+    * and its trailing path segment (`lib/ingest.js:248-255`).
+    */
+  def buildDocs(fragments: DataFrame, docType: Column): DataFrame = {
+    def withSegment(c: Column): Column =
+      when(c.isNotNull, array(c, Nt.lastSegment(c)))
+    fragments
+      .where($"kind" === "fast")
+      .groupBy($"id")
+      .agg(
+        min($"prefLabel").as("pref"),
+        min($"label").as("lbl"),
+        sort_array(collect_set($"altLabel")).as("altLabel"),
+        sort_array(array_distinct(flatten(collect_list(withSegment($"sameAsLc"))))).as("sameAsLc"),
+        sort_array(array_distinct(flatten(collect_list(withSegment($"sameAsViaf"))))).as("sameAsViaf"),
+        sort_array(collect_set($"normalized")).as("normalized"))
+      .where($"id".isNotNull) // P5 bad-record guard (lib/ingest.js:304-307)
+      .select(
+        $"id".as("_id"),
+        $"id".as("fast"),
+        docType.as("type"),
+        coalesce($"pref", $"lbl").as("prefLabel"), // label fills only if no prefLabel
+        $"altLabel", $"sameAsLc", $"sameAsViaf", $"normalized")
+  }
+
+  /** A2 — external-URI → labels lookup table from sameAsLabel fragments. */
+  def sameAsLabels(fragments: DataFrame): DataFrame =
+    fragments
+      .where($"kind" === "sameAsLabel")
+      .groupBy($"subject")
+      .agg(
+        sort_array(collect_set($"label")).as("extLabels"),
+        sort_array(collect_set($"normalized")).as("extNormalized"))
+
+  /** J1 — enrich docs with labels of their sameAs URIs
+    * (`lib/ingest.js:264-295`). Only full-URI elements can match — the
+    * bare-id segments never join (label table is keyed by full subject URI),
+    * which preserves the reference's observable behavior.
+    * The label side is small relative to the docs side → broadcast.
+    */
+  def enrich(docs: DataFrame, labels: DataFrame): DataFrame = {
+    val matches = docs
+      .select($"_id", explode(concat($"sameAsViaf", $"sameAsLc")).as("uri"))
+      .join(broadcast(labels), $"uri" === labels("subject"))
+      .groupBy($"_id")
+      .agg(
+        array_distinct(flatten(collect_list($"extLabels"))).as("matchedLabels"),
+        array_distinct(flatten(collect_list($"extNormalized"))).as("matchedNormalized"))
+    docs
+      .join(matches, Seq("_id"), "left")
+      .select(
+        $"_id", $"fast", $"type", $"prefLabel",
+        sort_array(array_distinct(concat($"altLabel", coalesce($"matchedLabels", array()))))
+          .as("altLabel"),
+        $"sameAsLc", $"sameAsViaf",
+        sort_array(array_distinct(concat($"normalized", coalesce($"matchedNormalized", array()))))
+          .as("normalized"))
+  }
+
+  /** Term path end-to-end: lines → enriched docs. */
+  def ingestDocs(lines: DataFrame, docType: Column): DataFrame = {
+    val fragments = project(parse(lines))
+    enrich(buildDocs(fragments, docType), sameAsLabels(fragments))
+  }
+
+  /** P4 — agent records: otherId = trailing segment of the sameAs link, LC
+    * link preferred (`lib/ingest.js:217-228`); linkless fragments dropped.
+    */
+  def agentOtherIds(fragments: DataFrame): DataFrame =
+    fragments
+      .where($"kind" === "fast" &&
+        ($"sameAsLc".isNotNull || $"sameAsViaf".isNotNull) && $"id".isNotNull)
+      .select($"id",
+        coalesce(Nt.lastSegment($"sameAsLc"), Nt.lastSegment($"sameAsViaf")).as("otherId"))
+
+  /** J2/K4 — the VIAF lookup-update, one declarative pass instead of a
+    * read-modify-write per triple (`lib/ingest.js:106-130,212-232`):
+    * group agent fast-ids per otherId, equi-join against `viaf` on either
+    * key (as a union of two hash joins — keeps both sides hash-joinable at
+    * scale, no BroadcastNestedLoop), keep the first match per otherId
+    * (min `_id`, the deterministic stand-in for Mongo's `results[0]`), then
+    * array-union the fast ids into the matched rows.
+    *
+    * `viaf` schema: _id STRING, viaf STRING, lcId STRING, fast ARRAY<INT>.
+    * Returns the full updated viaf table (unmatched rows unchanged).
+    */
+  def viafUpdate(agents: DataFrame, viaf: DataFrame): DataFrame = {
+    val byOther = agents.groupBy($"otherId").agg(collect_set($"id").as("newFast"))
+    val viafKeys = viaf.select($"_id".as("v_id"), $"viaf", $"lcId")
+    val m1 = byOther.join(viafKeys, $"otherId" === $"viaf")
+    val m2 = byOther.join(viafKeys, $"otherId" === $"lcId")
+    val firstMatch = m1.unionByName(m2)
+      .groupBy($"otherId").agg(min($"v_id").as("v_id"), first($"newFast").as("newFast"))
+    val perViaf = firstMatch
+      .groupBy($"v_id")
+      .agg(array_distinct(flatten(collect_list($"newFast"))).as("addFast"))
+    viaf
+      .join(perViaf, viaf("_id") === perViaf("v_id"), "left")
+      .select(viaf("_id"), $"viaf", $"lcId",
+        when($"addFast".isNotNull,
+          sort_array(array_distinct(concat(coalesce($"fast", array()), $"addFast"))))
+          .otherwise($"fast").as("fast"))
+  }
+
+  private implicit class Interp(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.parts.mkString)
+  }
+}
