@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Normalize
+
+/** Pins the normalization semantics asserted by the reference's tests
+  * (`test/fast_parse.test.js:50-72`) plus our own singularize goldens
+  * (SURVEY.md §1.4 — the upstream package is unvendored, so these goldens
+  * ARE the engine's definition).
+  */
+class NormalizeSpec extends AnyFunSuite {
+
+  test("reference golden: prefLabel normalization") {
+    assert(Normalize.normalizeSingular("Regional Farm Policy Conference")
+      === "regional farm policy conference")
+  }
+
+  test("reference golden: punctuation stripped, whitespace collapsed") {
+    assert(Normalize.normalizeSingular("Fiesta San Antonio (San Antonio, Tex.)")
+      === "fiesta san antonio san antonio tex")
+  }
+
+  test("reference golden: rdfs label") {
+    assert(Normalize.normalizeSingular("Carlsbad International Chess Tournament")
+      === "carlsbad international chess tournament")
+  }
+
+  test("diacritics folded") {
+    assert(Normalize.normalize("Café Zürich Señor") === "cafe zurich senor")
+    assert(Normalize.normalize("Dvořák, Antonín") === "dvorak antonin")
+  }
+
+  test("double-dash becomes single space") {
+    assert(Normalize.normalize("Aviation insurance--War risks")
+      === "aviation insurance war risks")
+  }
+
+  test("singularize rule chain") {
+    assert(Normalize.singularize("policies") === "policy")
+    assert(Normalize.singularize("churches") === "church")
+    assert(Normalize.singularize("boxes") === "box")
+    assert(Normalize.singularize("glasses") === "glass")
+    assert(Normalize.singularize("glass") === "glass")
+    assert(Normalize.singularize("virus") === "virus")
+    assert(Normalize.singularize("basis") === "basis")
+    assert(Normalize.singularize("widgets") === "widget")
+    assert(Normalize.singularize("s") === "s") // bare s: no preceding token char
+    assert(Normalize.singularize("farm policy conferences") === "farm policy conference")
+  }
+
+  private val rng = new scala.util.Random(42)
+  private def randomString(): String = {
+    val alphabet = "aA zZ09!?,.--()éüßñ\t\n\"'\\éÉ中日"
+    val n = rng.nextInt(40)
+    Seq.fill(n)(alphabet(rng.nextInt(alphabet.length))).mkString
+  }
+
+  test("normalize is idempotent (1000 random strings)") {
+    (1 to 1000).foreach { _ =>
+      val s = randomString()
+      val once = Normalize.normalize(s)
+      assert(Normalize.normalize(once) === once, s"input: $s")
+    }
+  }
+
+  test("normalize output alphabet is [a-z0-9 ], single-spaced, trimmed") {
+    (1 to 1000).foreach { _ =>
+      val n = Normalize.normalize(randomString())
+      assert(n.matches("([a-z0-9]+( [a-z0-9]+)*)?"), s"got: '$n'")
+    }
+  }
+}
