@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 
 import graft.ingest.FastIngest
+import graft.ops.{Dedup, Similarity}
 
 /** Driver contract (see SURVEY.md §7 + the builder prompt): one `queries`
   * entry per implemented operator from SURVEY.md §2, each with a DuckDB
@@ -66,17 +67,6 @@ object SparkEntry {
 
   private val stopEn = Seq("the", "a", "and", "of", "to")
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
-
-  /** Cosine similarity between two float-array columns, computed in double
-    * precision with a sequential left fold — bit-compatible with DuckDB's
-    * `list_dot_product` over `DOUBLE[]` casts.
-    */
-  private def cosineSql(a: String, b: String): Column = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-       |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)
-       | / (sqrt(aggregate($a, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE)*CAST(v AS DOUBLE)))
-       |    * sqrt(aggregate($b, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
-       |""".stripMargin.replace("\n", " "))
 
   private def duckCosine(a: String, b: String): String =
     s"""(list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
@@ -262,10 +252,22 @@ object SparkEntry {
     // ---- dedup / similarity / text analysis (LLM-pipeline ops) ----
 
     "dedup_exact" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .groupBy(md5(col("text")).as("h"))
-        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
+      Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("keep_id")),
+
+    "dedup_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignature(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashCandidates(
+        Dedup.minhashSignature(t(s, dir, "documents"), "text", "doc_id"),
+        "doc_id", threshold = 0.25)
+        .orderBy("a_id", "b_id")),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
 
     "text_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -314,15 +316,19 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val scored = emb.crossJoin(broadcast(q))
-        .where(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("neighbor_id"),
-          cosineSql("q_emb", "embedding").as("cos"))
-      scored
-        .select(col("q_id"), col("neighbor_id"), col("cos"),
-          row_number().over(
-            Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))).as("rank"))
-        .where(col("rank") <= 5)
+      Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", "q_id", "q_emb", 5)
+        .select(col("q_id"), col("neighbor_id"), round(col("cos"), 4).as("cos_sim"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // LSH-bucketed variant: candidates pruned to the query's sign-LSH
+    // bucket before exact scoring — the sublinear scale path.
+    "ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.lshTopK(emb, q, "vec_id", "embedding", "q_id", "q_emb",
+          dim = 64, k = 3, numPlanes = 6)
         .select(col("q_id"), col("neighbor_id"), round(col("cos"), 4).as("cos_sim"), col("rank"))
         .orderBy("q_id", "rank")
     }),
@@ -336,7 +342,7 @@ object SparkEntry {
       val b = e.select(col("label"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
       a.join(b, Seq("label"))
         .where(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"), cosineSql("a_emb", "b_emb").as("cos"))
+        .select(col("a_id"), col("b_id"), Similarity.cosine("a_emb", "b_emb").as("cos"))
         .where(col("cos") >= 0.35)
         .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
         .orderBy("a_id", "b_id")
@@ -472,6 +478,32 @@ object SparkEntry {
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_cnt
         | FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin.replace("\n", " "),
 
+    "dedup_minhash_sig" ->
+      s"WITH $minhashSigCte SELECT * FROM sig ORDER BY doc_id",
+
+    "dedup_minhash_pairs" -> {
+      val matches = (0 until 8).map(i => s"(a.s$i = b.s$i)::INT").mkString(" + ")
+      val bandsMatch = (0 until 4).map(b =>
+        s"(a.s${2 * b} = b.s${2 * b} AND a.s${2 * b + 1} = b.s${2 * b + 1})").mkString(" OR ")
+      s"""WITH $minhashSigCte
+         | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |        round(($matches) / 8.0, 4) AS est_jaccard
+         | FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandsMatch)
+         | WHERE round(($matches) / 8.0, 4) >= 0.25
+         | ORDER BY a_id, b_id""".stripMargin.replace("\n", " ")
+    },
+
+    "dedup_simhash" ->
+      """WITH t AS (
+        |   SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        |   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        | v AS (
+        |   SELECT doc_id, r.b AS b, sum(((h >> r.b) & 1) * 2 - 1) AS vote
+        |   FROM t CROSS JOIN (SELECT unnest(range(0, 60)) AS b) r GROUP BY doc_id, r.b)
+        | SELECT doc_id,
+        |        sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS simhash
+        | FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
     "text_tokens" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
         |        len(list_distinct(string_split(text, ' '))) AS n_distinct
@@ -501,6 +533,28 @@ object SparkEntry {
          | SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
          | FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replace("\n", " "),
 
+    "ann_lsh" ->
+      s"""WITH planes AS (
+         |   SELECT j, d, ('0x' || substr(md5(j || ':' || d), 1, 8))::BIGINT % 1001 - 500 AS w
+         |   FROM (SELECT unnest(range(0, 6)) AS j), (SELECT unnest(range(0, 64)) AS d)),
+         | dots AS (
+         |   SELECT vec_id, j, sum(CAST(embedding[d + 1] AS DOUBLE) * w) AS dot
+         |   FROM embeddings, planes GROUP BY vec_id, j),
+         | buckets AS (
+         |   SELECT vec_id, sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS bucket
+         |   FROM dots GROUP BY vec_id),
+         | e AS (SELECT em.vec_id, em.embedding, b.bucket FROM embeddings em JOIN buckets b USING (vec_id)),
+         | q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM e WHERE vec_id < 10),
+         | scored AS (
+         |   SELECT q.q_id, e.vec_id AS neighbor_id, ${duckCosine("q.q_emb", "e.embedding")} AS cos
+         |   FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id <> q.q_id),
+         | ranked AS (
+         |   SELECT q_id, neighbor_id, cos,
+         |          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+         |   FROM scored)
+         | SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
+         | FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin.replace("\n", " "),
+
     "embed_neardup" ->
       s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |        round(${duckCosine("a.embedding", "b.embedding")}, 4) AS cos_sim
@@ -526,6 +580,21 @@ object SparkEntry {
       """SELECT doc_id, strlen(text) AS n_bytes, 'text/plain' AS media_type
         | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
   )
+
+  /** Shared CTE computing 8-component minhash signatures in DuckDB —
+    * mirror of [[Dedup.minhashSignature]] (seeded `md5Int` minima over
+    * distinct word-3-shingles).
+    */
+  private def minhashSigCte: String = {
+    val mins = (0 until 8).map(i =>
+      s"min(('0x' || substr(md5('$i:' || sh), 1, 8))::BIGINT) AS s$i").mkString(", ")
+    s"""ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       | sh AS (SELECT doc_id,
+       |        unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |                              for i in range(1, greatest(len(ws) - 1, 1))])) AS sh
+       |        FROM ws),
+       | sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)""".stripMargin.replace("\n", " ")
+  }
 
   private def textLangidOracle: String = {
     def hits(ws: Seq[String]) =

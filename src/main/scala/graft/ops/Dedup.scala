@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * All hash functions are md5-derived so every operator is deterministic,
+  * engine-independent (mirrorable in the DuckDB oracle), and needs no
+  * stored random state. At 100 TB:
+  *   - exact dedup is one hash-shuffle on a 16-byte key;
+  *   - MinHash/LSH turns the O(n²) pair space into hash-joins on band
+  *     keys (candidates only where a full band collides);
+  *   - SimHash reduces each document to one 60-bit integer, and near-dup
+  *     detection to bucket joins on bit-prefixes.
+  */
+object Dedup {
+
+  /** First 8 hex chars of md5 as a BIGINT — the engine's portable hash.
+    * (DuckDB spelling: `('0x' || substr(md5(x),1,8))::BIGINT`.)
+    */
+  def md5Int(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** 60-bit variant (15 hex chars) — fits signed 64-bit on both engines. */
+  def md5Int60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Exact duplicate groups by content hash: one row per distinct content,
+    * keeping the smallest id (`keep_id`) and the group size.
+    */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Distinct word k-shingles of a text column. Documents with fewer than
+    * k tokens get an empty shingle set.
+    */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val ws = split(text, " ")
+    when(size(ws) < k, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(ws) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(off => element_at(ws, i + off)): _*))))
+  }
+
+  /** MinHash signature: explode shingles once, take `numHashes` seeded
+    * min-hashes in a single partial-aggregated groupBy — one shuffle, no
+    * per-seed pass. Output: (idCol, s0..s{k-1} BIGINT).
+    */
+  def minhashSignature(df: DataFrame, textCol: String, idCol: String,
+                       numHashes: Int = 8): DataFrame = {
+    val ex = df
+      .select(col(idCol), explode(shingles(col(textCol))).as("sh"))
+    val mins = (0 until numHashes).map(i =>
+      min(md5Int(concat(lit(i.toString), lit(":"), col("sh")))).as(s"s$i"))
+    ex.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs from minhash signatures: `bandSize` signature
+    * components per band; a pair is a candidate iff some band matches
+    * entirely. `est_jaccard` = fraction of matching signature components.
+    * Scale shape: explode(bands) → equi-join on (band, key) → distinct —
+    * never a cross join; band-key skew is AQE's skew-join case.
+    */
+  def minhashCandidates(sig: DataFrame, idCol: String,
+                        numHashes: Int = 8, bandSize: Int = 2,
+                        threshold: Double = 0.5): DataFrame = {
+    val nBands = numHashes / bandSize
+    val bandArr = array((0 until nBands).map(b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until bandSize).map(j => col(s"s${b * bandSize + j}")): _*)
+          .as("key"))): _*)
+    val withBands = sig
+      .select(col(idCol), explode(bandArr).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val left = withBands
+      .select(col(idCol).as("a_id"), col("band"), col("key"))
+    val right = withBands
+      .select(col(idCol).as("b_id"), col("band").as("band_r"), col("key").as("key_r"))
+    val cand = left.join(right,
+        col("band") === col("band_r") && col("key") === col("key_r") &&
+          col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val sa = sig.select(col(idCol).as("a_id") +:
+      (0 until numHashes).map(i => col(s"s$i").as(s"a_s$i")): _*)
+    val sb = sig.select(col(idCol).as("b_id") +:
+      (0 until numHashes).map(i => col(s"s$i").as(s"b_s$i")): _*)
+    val matchCnt = (0 until numHashes)
+      .map(i => when(col(s"a_s$i") === col(s"b_s$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(matchCnt.cast("double") / numHashes, 4).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+  }
+
+  /** 60-bit SimHash over the token multiset: per token a 60-bit md5 hash;
+    * each output bit is the sign of the per-bit vote sum. Linear in input
+    * (explode tokens × 60 bit positions), two partial-agg shuffles.
+    */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(split(col(textCol), " ")).as("tok"))
+      .select(col(idCol), md5Int60(col("tok")).as("h"))
+    val bits = toks
+      .select(col(idCol), explode(sequence(lit(0), lit(59))).as("b"), col("h"))
+      .groupBy(col(idCol), col("b"))
+      .agg(sum(expr("shiftright(h, CAST(b AS INT)) & 1") * 2 - 1).as("vote"))
+    bits.groupBy(col(idCol))
+      .agg(sum(when(col("vote") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(0L))
+        .as("simhash"))
+  }
+}
