@@ -19,35 +19,7 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Synthetic NT corpus derived deterministically from the `part` table —
-    * exercises the full reference dataflow (P1/P2/A1/A2/J1/A4 and the agent
-    * path P4/J2/K4) against a relational DuckDB oracle. Line families:
-    *  - every part: prefLabel = p_name, altLabel = p_brand
-    *  - p%2=0: sameAs → viaf URI (id = 7·p)
-    *  - p%3=0: sameAs → id.loc.gov URI (id = "lc"+p)
-    *  - p%4=0: external rdfs:label on the viaf URI (label = p_type) — feeds J1
-    *  - p%10=0: malformed line (dropped by the parser)
-    *  - p%25=0: /fast/NaN line (dropped by P2)
-    */
-  private def ntFromPart(part: DataFrame): DataFrame = {
-    val p = col("p_partkey")
-    def fastSubj: Column = concat(lit("<http://id.worldcat.org/fast/"), p, lit("> "))
-    val pref = part.select(concat(fastSubj,
-      lit("<http://www.w3.org/2004/02/skos/core#prefLabel> \""), col("p_name"), lit("\" .")).as("line"))
-    val alt = part.select(concat(fastSubj,
-      lit("<http://www.w3.org/2004/02/skos/core#altLabel> \""), col("p_brand"), lit("\" .")).as("line"))
-    val viaf = part.where(p % 2 === 0).select(concat(fastSubj,
-      lit("<http://schema.org/sameAs> <http://viaf.org/viaf/"), p * 7, lit("> .")).as("line"))
-    val lc = part.where(p % 3 === 0).select(concat(fastSubj,
-      lit("<http://schema.org/sameAs> <http://id.loc.gov/authorities/names/lc"), p, lit("> .")).as("line"))
-    val ext = part.where(p % 4 === 0).select(concat(
-      lit("<http://viaf.org/viaf/"), p * 7,
-      lit("> <http://www.w3.org/2000/01/rdf-schema#label> \""), col("p_type"), lit("\" .")).as("line"))
-    val junk = part.where(p % 10 === 0).select(concat(lit("junk line "), p).as("line"))
-    val nan = part.where(p % 25 === 0).select(
-      lit("<http://id.worldcat.org/fast/NaN> <http://www.w3.org/2004/02/skos/core#prefLabel> \"Bad\" .").as("line"))
-    pref.union(alt).union(viaf).union(lc).union(ext).union(junk).union(nan)
-  }
+  private def ntFromPart(part: DataFrame): DataFrame = DemoCorpus.ntFromPart(part)
 
   /** DuckDB spelling of [[graft.functions.Normalize.normalize]]. */
   private def normSql(x: String): String =
@@ -378,7 +350,43 @@ object SparkEntry {
         col("doc_id"),
         octet_length(col("text")).as("n_bytes"),
         lit("text/plain").as("media_type"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Typed-Aggregator merge (K3/A4): two conflicting doc projections of
+    // `part`, merged through graft.ingest.MergeFastDocs.
+    "merge_fast_docs" -> ((s, dir) => {
+      import s.implicits._
+      import graft.model.FastDoc
+      val part = t(s, dir, "part")
+      val d1 = part.select(
+        col("p_partkey").cast("int").as("_id"), col("p_partkey").cast("int").as("fast"),
+        lit("Topical").as("type"), col("p_name").as("prefLabel"),
+        array(col("p_brand")).as("altLabel"),
+        array().cast("array<string>").as("sameAsLc"),
+        array().cast("array<string>").as("sameAsViaf"),
+        array(Functions.normalizeSingular(col("p_name"))).as("normalized"))
+      val d2 = part.select(
+        col("p_partkey").cast("int").as("_id"), col("p_partkey").cast("int").as("fast"),
+        lit("Geographic").as("type"), lit(null).cast("string").as("prefLabel"),
+        array(col("p_type")).as("altLabel"),
+        array().cast("array<string>").as("sameAsLc"),
+        array().cast("array<string>").as("sameAsViaf"),
+        array(Functions.normalizeSingular(col("p_type"))).as("normalized"))
+      d1.unionByName(d2).as[FastDoc]
+        .groupByKey(_._id)
+        .agg(graft.ingest.MergeFastDocs.toColumn.name("doc"))
+        .map(_._2)
+        .toDF()
+        .orderBy("_id")
+    }),
+
+    // Multimodal plumbing: documents as binary payloads through the typed
+    // mapPartitions decode (stubbed, deterministic — see Multimodal).
+    "mm_decode" -> ((s, dir) =>
+      graft.ops.Multimodal.extractFeatures(
+        graft.ops.Multimodal.fromDocuments(t(s, dir, "documents")))
+        .toDF()
+        .orderBy("media_id"))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -578,8 +586,36 @@ object SparkEntry {
 
     "mm_meta" ->
       """SELECT doc_id, strlen(text) AS n_bytes, 'text/plain' AS media_type
-        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "merge_fast_docs" -> mergeFastDocsOracle,
+
+    "mm_decode" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS media_type,
+        |        strlen(text) AS n_bytes, md5(text) AS checksum,
+        |        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 640 + 1 AS INTEGER) AS width,
+        |        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 480 + 1 AS INTEGER) AS height
+        | FROM documents ORDER BY media_id""".stripMargin.replace("\n", " ")
   )
+
+  /** Relational mirror of the MergeFastDocs Aggregator over the two
+    * conflicting projections: richness = |prefLabel|+|type|+Σ|array elems|;
+    * richer doc's type wins (tie → lexicographically greater type).
+    */
+  private def mergeFastDocsOracle: String = {
+    val nName = nsSql("p_name")
+    val nType = nsSql("p_type")
+    s"""SELECT CAST(p_partkey AS INTEGER) AS _id, CAST(p_partkey AS INTEGER) AS fast,
+       | CASE WHEN length(p_name) + 7 + length(p_brand) + length($nName)
+       |           >= 10 + length(p_type) + length($nType)
+       |      THEN 'Topical' ELSE 'Geographic' END AS type,
+       | p_name AS prefLabel,
+       | list_sort(list_distinct([p_brand, p_type])) AS altLabel,
+       | CAST([] AS VARCHAR[]) AS sameAsLc,
+       | CAST([] AS VARCHAR[]) AS sameAsViaf,
+       | list_sort(list_distinct([$nName, $nType])) AS normalized
+       | FROM part ORDER BY _id""".stripMargin.replace("\n", " ")
+  }
 
   /** Shared CTE computing 8-component minhash signatures in DuckDB —
     * mirror of [[Dedup.minhashSignature]] (seeded `md5Int` minima over

@@ -1,0 +1,38 @@
+package graft.model
+
+/** Typed core of the data model (SURVEY.md §1.1-1.3). */
+
+/** One parsed N-Triples statement (`lib/ingest.js:194-198`). */
+case class Triple(subject: String, predicate: String, obj: String)
+
+/** One denormalized FAST document (`lib/ingest.js:244,290-291`).
+  * `prefLabel` nullable (the reference's `false` sentinel → null).
+  */
+case class FastDoc(
+    _id: Int,
+    fast: Int,
+    `type`: String,
+    prefLabel: String,
+    altLabel: Seq[String],
+    sameAsLc: Seq[String],
+    sameAsViaf: Seq[String],
+    normalized: Seq[String])
+
+/** One VIAF lookup row (`lib/ingest.js:110-118`). */
+case class ViafDoc(_id: String, viaf: String, lcId: String, fast: Seq[Int])
+
+/** Opaque multimodal payload with typed metadata (binary column pattern). */
+case class MediaRecord(
+    media_id: Long,
+    media_type: String,
+    payload: Array[Byte],
+    meta: Map[String, String])
+
+/** Output of the (stubbed) decode/feature-extract stage. */
+case class MediaFeatures(
+    media_id: Long,
+    media_type: String,
+    n_bytes: Long,
+    checksum: String,
+    width: Int,
+    height: Int)

