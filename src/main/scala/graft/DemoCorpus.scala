@@ -17,20 +17,22 @@ object DemoCorpus {
   def ntFromPart(part: DataFrame): DataFrame = {
     val p = col("p_partkey")
     def fastSubj: Column = concat(lit("<http://id.worldcat.org/fast/"), p, lit("> "))
-    val pref = part.select(concat(fastSubj,
-      lit("<http://www.w3.org/2004/02/skos/core#prefLabel> \""), col("p_name"), lit("\" .")).as("line"))
-    val alt = part.select(concat(fastSubj,
-      lit("<http://www.w3.org/2004/02/skos/core#altLabel> \""), col("p_brand"), lit("\" .")).as("line"))
-    val viaf = part.where(p % 2 === 0).select(concat(fastSubj,
-      lit("<http://schema.org/sameAs> <http://viaf.org/viaf/"), p * 7, lit("> .")).as("line"))
-    val lc = part.where(p % 3 === 0).select(concat(fastSubj,
-      lit("<http://schema.org/sameAs> <http://id.loc.gov/authorities/names/lc"), p, lit("> .")).as("line"))
-    val ext = part.where(p % 4 === 0).select(concat(
+    val pref = concat(fastSubj,
+      lit("<http://www.w3.org/2004/02/skos/core#prefLabel> \""), col("p_name"), lit("\" ."))
+    val alt = concat(fastSubj,
+      lit("<http://www.w3.org/2004/02/skos/core#altLabel> \""), col("p_brand"), lit("\" ."))
+    val viaf = when(p % 2 === 0, concat(fastSubj,
+      lit("<http://schema.org/sameAs> <http://viaf.org/viaf/"), p * 7, lit("> .")))
+    val lc = when(p % 3 === 0, concat(fastSubj,
+      lit("<http://schema.org/sameAs> <http://id.loc.gov/authorities/names/lc"), p, lit("> .")))
+    val ext = when(p % 4 === 0, concat(
       lit("<http://viaf.org/viaf/"), p * 7,
-      lit("> <http://www.w3.org/2000/01/rdf-schema#label> \""), col("p_type"), lit("\" .")).as("line"))
-    val junk = part.where(p % 10 === 0).select(concat(lit("junk line "), p).as("line"))
-    val nan = part.where(p % 25 === 0).select(
-      lit("<http://id.worldcat.org/fast/NaN> <http://www.w3.org/2004/02/skos/core#prefLabel> \"Bad\" .").as("line"))
-    pref.union(alt).union(viaf).union(lc).union(ext).union(junk).union(nan)
+      lit("> <http://www.w3.org/2000/01/rdf-schema#label> \""), col("p_type"), lit("\" .")))
+    val junk = when(p % 10 === 0, concat(lit("junk line "), p))
+    val nan = when(p % 25 === 0,
+      lit("<http://id.worldcat.org/fast/NaN> <http://www.w3.org/2004/02/skos/core#prefLabel> \"Bad\" ."))
+    // one parquet scan; null entries (inactive line families) filtered out
+    part.select(explode(filter(
+      array(pref, alt, viaf, lc, ext, junk, nan), x => x.isNotNull)).as("line"))
   }
 }

@@ -15,6 +15,14 @@ object Functions {
     spark.udf.register("normalize_label", (s: String) => Normalize.normalize(s))
     spark.udf.register("singularize", (s: String) => Normalize.singularize(s))
     spark.udf.register("normalize_singular", (s: String) => Normalize.normalizeSingular(s))
+    // native codegen expressions — usable from SQL / expr()
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => graft.functions.VecDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles", exprs => graft.functions.WordShingles(
+        exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "parse_nt", exprs => graft.functions.ParseNt(exprs(0)), "built-in")
   }
 
   /** `normalize_label` as a Column op — pure built-ins (codegen'd, no UDF):

