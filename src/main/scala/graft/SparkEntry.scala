@@ -198,6 +198,71 @@ object SparkEntry {
         .select(col("doc_id"), Functions.normalizeSingular(col("text")).as("norm_text"))
         .orderBy("doc_id")),
 
+    "q16_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k_val"))
+        .orderBy("event_id")),
+
+    "q17_datetime" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"))
+        .orderBy("o_orderkey")),
+
+    "q18_intersect" -> ((s, dir) =>
+      t(s, dir, "customer").where(col("c_nationkey") < 12).select(col("c_custkey"))
+        .intersect(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey")),
+
+    "q19_except" -> ((s, dir) =>
+      t(s, dir, "part").select(col("p_partkey"))
+        .except(t(s, dir, "lineitem").select(col("l_partkey").as("p_partkey")))
+        .orderBy("p_partkey")),
+
+    "q20_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("yr"), lit(-1)).as("yr"), col("cnt"))
+        .orderBy("status", "yr")),
+
+    "q21_window_analytics" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(lag("o_totalprice", 1).over(w), 2).as("prev_price"),
+          round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2)
+            .as("run_sum"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Range join: same-user event pairs within a 1-hour forward window.
+    // The user_id equality keeps this a hash/sort-merge join with a range
+    // filter — never a nested-loop cross product.
+    "q22_range_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val a = e.select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+      val b = e.select(col("user_id"), col("event_id").as("b_id"), col("ts").as("b_ts"))
+      a.join(b, col("a_id") =!= col("b_id") &&
+          a("user_id") === b("user_id") &&
+          col("b_ts") >= col("a_ts") && col("b_ts") <= col("a_ts") + 3600000000000L)
+        .groupBy(col("a_id"))
+        .agg(count(lit(1)).as("n_follow"))
+        .orderBy("a_id")
+    }),
+
+    "text_tokens_bpe" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe"))
+        .orderBy("doc_id")),
+
     // ---- reference dataflow, end-to-end (SURVEY.md §2.1-2.4) ----
 
     "nt_parse" -> ((s, dir) =>
@@ -478,6 +543,54 @@ object SparkEntry {
 
     "q15_normalize" ->
       s"SELECT doc_id, ${nsSql("text")} AS norm_text FROM documents ORDER BY doc_id",
+
+    "q16_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        | FROM events ORDER BY event_id""".stripMargin.replace("\n", " "),
+
+    "q17_datetime" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |        CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |        CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |        CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+        | FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
+
+    "q18_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_nationkey < 12
+        | INTERSECT SELECT o_custkey FROM orders
+        | ORDER BY c_custkey""".stripMargin.replace("\n", " "),
+
+    "q19_except" ->
+      """SELECT p_partkey FROM part
+        | EXCEPT SELECT l_partkey FROM lineitem
+        | ORDER BY p_partkey""".stripMargin.replace("\n", " "),
+
+    "q20_cube" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |        CAST(coalesce(year(o_orderdate), -1) AS INTEGER) AS yr, count(*) AS cnt
+        | FROM orders GROUP BY CUBE(o_orderstatus, year(o_orderdate))
+        | ORDER BY status, yr""".stripMargin.replace("\n", " "),
+
+    "q21_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+        |        round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        |        round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        | ORDER BY o_custkey, o_orderkey""".stripMargin.replace("\n", " "),
+
+    "q22_range_join" ->
+      """SELECT a.event_id AS a_id, count(*) AS n_follow
+        | FROM events a JOIN events b
+        |   ON a.user_id = b.user_id AND a.event_id <> b.event_id
+        |  AND epoch_ns(b.ts) >= epoch_ns(a.ts)
+        |  AND epoch_ns(b.ts) <= epoch_ns(a.ts) + 3600000000000
+        | GROUP BY a.event_id ORDER BY a_id""".stripMargin.replace("\n", " "),
+
+    "text_tokens_bpe" ->
+      """SELECT doc_id, len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe
+        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "nt_parse" -> ntParseOracle,
     "fast_docs" -> fastDocsOracle,
