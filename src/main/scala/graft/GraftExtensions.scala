@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{ParseNt, VecDot, WordShingles}
+
+/** Injectable extensions: makes the engine's native expressions available
+  * in ANY session via `spark.sql.extensions=graft.GraftExtensions` (e.g.
+  * spark-submit / thrift server / notebooks), without calling
+  * [[Functions.register]] programmatically.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two ARRAY<FLOAT> in double precision"),
+      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(text, k) - distinct word k-shingles"),
+      (exprs: Seq[Expression]) => WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("parse_nt"),
+      info("parse_nt", "parse_nt(line) - N-Triples line to STRUCT<subject,predicate,obj>"),
+      (exprs: Seq[Expression]) => ParseNt(exprs(0))))
+  }
+}

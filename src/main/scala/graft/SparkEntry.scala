@@ -31,7 +31,7 @@ object SparkEntry {
   private def singSql(n: String): String =
     s"""(CASE WHEN regexp_matches($n, '[a-z]ies$$') THEN regexp_replace($n, 'ies$$', 'y')
        | WHEN regexp_matches($n, '(sses|ches|shes|xes|zes)$$') THEN regexp_replace($n, 'es$$', '')
-       | WHEN regexp_matches($n, '(ss|us|is)$$') THEN $n
+       | WHEN regexp_matches($n, '(ss|[aiou]s)$$') THEN $n
        | WHEN regexp_matches($n, '[a-z0-9]s$$') THEN regexp_replace($n, 's$$', '')
        | ELSE $n END)""".stripMargin.replace("\n", " ")
 

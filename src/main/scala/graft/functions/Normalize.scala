@@ -67,16 +67,18 @@ object Normalize {
 
   /** English plural→singular of the FINAL token. Rule chain (anchored at
     * end-of-string, so it naturally applies to the last token only):
-    *   1. `[a-z]ies$`          → `y`   (policies → policy)
-    *   2. `(ss|ch|sh|x|z)es$`  → drop `es` (boxes → box, churches → church)
-    *   3. ends `ss`/`us`/`is`  → unchanged (glass, virus, basis)
-    *   4. `s$`                 → drop `s`
+    *   1. `[a-z]ies$`            → `y`   (policies → policy)
+    *   2. `(ss|ch|sh|x|z)es$`    → drop `es` (boxes → box, churches → church)
+    *   3. ends `ss`/`[aiou]s`    → unchanged (glass, virus, basis, alias, chaos)
+    *   4. `s$`                   → drop `s`
     * The reference's `singularize` comes from an unvendored package; these
-    * rules are our pinned deterministic definition (SURVEY.md §1.4).
+    * rules are our pinned deterministic definition (SURVEY.md §1.4), and
+    * they are mirrored regex-for-regex in the DuckDB oracle
+    * (SparkEntry.singSql).
     */
   private val Ies  = ".*[a-z]ies$".r.pattern
   private val Es   = ".*(sses|ches|shes|xes|zes)$".r.pattern
-  private val Keep = ".*(ss|us|is)$".r.pattern
+  private val Keep = ".*(ss|[aiou]s)$".r.pattern
   private val S    = ".*[a-z0-9]s$".r.pattern
 
   def singularize(s: String): String = {

@@ -45,6 +45,9 @@ class NormalizeSpec extends AnyFunSuite {
     assert(Normalize.singularize("virus") === "virus")
     assert(Normalize.singularize("basis") === "basis")
     assert(Normalize.singularize("widgets") === "widget")
+    assert(Normalize.singularize("alias") === "alias")
+    assert(Normalize.singularize("chaos") === "chaos")
+    assert(Normalize.singularize("conferences") === "conference")
     assert(Normalize.singularize("s") === "s") // bare s: no preceding token char
     assert(Normalize.singularize("farm policy conferences") === "farm policy conference")
   }
