@@ -12,17 +12,18 @@ object Functions {
 
   /** Register every custom scalar function on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
-    spark.udf.register("normalize_label", (s: String) => Normalize.normalize(s))
     spark.udf.register("singularize", (s: String) => Normalize.singularize(s))
-    spark.udf.register("normalize_singular", (s: String) => Normalize.normalizeSingular(s))
     // native codegen expressions — usable from SQL / expr()
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => graft.functions.VecDot(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_shingles", exprs => graft.functions.WordShingles(
-        exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "parse_nt", exprs => graft.functions.ParseNt(exprs(0)), "built-in")
+    def native(name: String, builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+        => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+    native("vec_dot", exprs => graft.functions.VecDot(exprs(0), exprs(1)))
+    native("word_shingles", exprs => graft.functions.WordShingles(
+      exprs(0), exprs(1).eval().asInstanceOf[Int]))
+    native("parse_nt", exprs => graft.functions.ParseNt(exprs(0)))
+    native("normalize_label", exprs => graft.functions.NormalizeLabelExpr(exprs(0)))
+    native("normalize_singular", exprs => graft.functions.NormalizeSingularExpr(exprs(0)))
+    native("rolling_hash", exprs => graft.functions.RollingHash(exprs(0)))
   }
 
   /** `normalize_label` as a Column op — pure built-ins (codegen'd, no UDF):
@@ -34,11 +35,10 @@ object Functions {
   def normalizeLabelAscii(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
 
-  private val normalizeUdf = udf((s: String) => Normalize.normalize(s))
-  private val normalizeSingularUdf = udf((s: String) => Normalize.normalizeSingular(s))
   private val singularizeUdf = udf((s: String) => Normalize.singularize(s))
 
-  def normalizeLabel(c: Column): Column = normalizeUdf(c)
-  def normalizeSingular(c: Column): Column = normalizeSingularUdf(c)
+  /** Native codegen expressions (see graft.functions.TextExprs). */
+  def normalizeLabel(c: Column): Column = call_function("normalize_label", c)
+  def normalizeSingular(c: Column): Column = call_function("normalize_singular", c)
   def singularize(c: Column): Column = singularizeUdf(c)
 }

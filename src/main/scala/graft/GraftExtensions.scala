@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ParseNt, VecDot, WordShingles}
+import graft.functions.{NormalizeLabelExpr, NormalizeSingularExpr, ParseNt, RollingHash, VecDot, WordShingles}
 
 /** Injectable extensions: makes the engine's native expressions available
   * in ANY session via `spark.sql.extensions=graft.GraftExtensions` (e.g.
@@ -29,5 +29,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("parse_nt"),
       info("parse_nt", "parse_nt(line) - N-Triples line to STRUCT<subject,predicate,obj>"),
       (exprs: Seq[Expression]) => ParseNt(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("normalize_label"),
+      info("normalize_label", "normalize_label(s) - lowercase, fold accents, strip punctuation"),
+      (exprs: Seq[Expression]) => NormalizeLabelExpr(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("normalize_singular"),
+      info("normalize_singular", "normalize_singular(s) - normalize_label + singularize final token"),
+      (exprs: Seq[Expression]) => NormalizeSingularExpr(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      info("rolling_hash", "rolling_hash(s) - polynomial rolling hash over code points"),
+      (exprs: Seq[Expression]) => RollingHash(exprs(0))))
   }
 }

@@ -319,6 +319,11 @@ object SparkEntry {
         md5(Functions.normalizeLabel(col("text"))).as("fp"))
         .orderBy("doc_id")),
 
+    "text_fingerprint_rolling" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), expr("rolling_hash(text)").as("rh"))
+        .orderBy("doc_id")),
+
     "text_quality" -> ((s, dir) => {
       val tokens = split(col("text"), " ")
       val stopHits = expr(
@@ -633,6 +638,13 @@ object SparkEntry {
 
     "text_fingerprint" ->
       s"SELECT doc_id, md5(${normSql("text")}) AS fp FROM documents ORDER BY doc_id",
+
+    "text_fingerprint_rolling" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(text) = 0 THEN 0
+        |       ELSE list_reduce([unicode(ch)::BIGINT for ch in string_split(text, '')],
+        |                        (a, b) -> (a * 31 + b) % 999999999999989) END AS rh
+        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "text_quality" ->
       s"""SELECT doc_id, length(text) AS n_char, len(string_split(text, ' ')) AS n_tok,

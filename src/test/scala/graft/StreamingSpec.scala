@@ -60,6 +60,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("FastIngest transforms run unchanged on a streaming source") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val lines = input.toDF().withColumnRenamed("value", "line")
+    // parse → project → per-id doc aggregation, in complete mode (the
+    // stateful A1 groupBy); enrichment would join against a STATIC label
+    // table (stream-static joins are supported; stream-stream agg joins
+    // are not — documented limitation of the streaming path).
+    val frags = graft.ingest.FastIngest.project(graft.ingest.FastIngest.parse(lines))
+    val docs = graft.ingest.FastIngest.buildDocs(frags, org.apache.spark.sql.functions.lit("Topical"))
+    val q = docs.writeStream.format("memory").queryName("ingest_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData("<http://id.worldcat.org/fast/9> <http://www.w3.org/2004/02/skos/core#prefLabel> \"First Label\" .")
+      q.processAllAvailable()
+      input.addData("<http://id.worldcat.org/fast/9> <http://www.w3.org/2004/02/skos/core#altLabel> \"Alt Label\" .")
+      q.processAllAvailable()
+      val rows = spark.table("ingest_stream").collect()
+      assert(rows.length === 1)
+      assert(rows.head.getAs[String]("prefLabel") === "First Label")
+      assert(rows.head.getAs[Seq[String]]("altLabel") === Seq("Alt Label"))
+    } finally q.stop()
+  }
+
   test("windowedCounts works identically on a batch DataFrame") {
     val batch = Seq(
       Event(1, 1, 10, "click", 1.0),
