@@ -416,6 +416,15 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
 
+    // Salted two-phase collect_set over a genuinely hot key (3 returnflag
+    // groups × 200k rows each at sf0.1) — the bounded-group-state pattern
+    // for holistic aggregates at scale.
+    "skew_salted_collect" -> ((s, dir) =>
+      graft.ops.Skew.saltedCollectSet(
+        t(s, dir, "lineitem"), "l_returnflag",
+        col("l_quantity").cast(IntegerType))
+        .orderBy("l_returnflag")),
+
     "mm_meta" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -710,6 +719,11 @@ object SparkEntry {
         | GROUP BY a.doc_id, b.doc_id
         | HAVING round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 4) >= 0.5
         | ORDER BY a_id, b_id""".stripMargin.replace("\n", " "),
+
+    "skew_salted_collect" ->
+      """SELECT l_returnflag,
+        |        list_sort(list_distinct(list(CAST(trunc(l_quantity) AS INTEGER)))) AS values
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
 
     "mm_meta" ->
       """SELECT doc_id, strlen(text) AS n_bytes, 'text/plain' AS media_type

@@ -40,4 +40,18 @@ object Sinks {
 
   def readTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bucketed + sorted managed table: joins between two tables bucketed on
+    * the same key with the same bucket count run WITHOUT a shuffle on
+    * either side (co-located sort-merge join) — the pre-partitioning story
+    * for repeated large-table joins at 100 TB. Requires `saveAsTable`
+    * (bucketing metadata lives in the session catalog).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int = 32): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }
