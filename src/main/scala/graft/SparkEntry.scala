@@ -256,6 +256,20 @@ object SparkEntry {
         .orderBy("a_id")
     }),
 
+    // As-of join: even events ("trades") pick up the value of the latest
+    // odd event ("quote") at-or-before their timestamp, per user.
+    "q23_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val trades = e.where(col("event_id") % 2 === 0)
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val quotes = e.where(col("event_id") % 2 === 1)
+        .select(col("user_id"), col("ts").as("q_ts"),
+          col("event_id").as("q_id"), round(col("value"), 2).as("q_val"))
+      graft.ops.AsOfJoin.asOf(trades, quotes, "user_id", "ts", "q_ts", Seq("q_id", "q_val"))
+        .select(col("event_id"), col("asof_q_id"), col("asof_q_val"))
+        .orderBy("event_id")
+    }),
+
     "text_tokens_bpe" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -601,6 +615,14 @@ object SparkEntry {
         |  AND epoch_ns(b.ts) >= epoch_ns(a.ts)
         |  AND epoch_ns(b.ts) <= epoch_ns(a.ts) + 3600000000000
         | GROUP BY a.event_id ORDER BY a_id""".stripMargin.replace("\n", " "),
+
+    "q23_asof_join" ->
+      """SELECT l.event_id, r.q_id AS asof_q_id, r.q_val AS asof_q_val
+        | FROM (SELECT user_id, event_id, ts FROM events WHERE event_id % 2 = 0) l
+        | ASOF LEFT JOIN (SELECT user_id, ts AS q_ts, event_id AS q_id,
+        |                        round(value, 2) AS q_val FROM events WHERE event_id % 2 = 1) r
+        |   ON l.user_id = r.user_id AND l.ts >= r.q_ts
+        | ORDER BY l.event_id""".stripMargin.replace("\n", " "),
 
     "text_tokens_bpe" ->
       """SELECT doc_id, len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe
