@@ -256,6 +256,23 @@ object SparkEntry {
         .orderBy("a_id")
     }),
 
+    "q24_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("median_price"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"))
+        .orderBy("l_returnflag")),
+
+    "q25_stats" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"))
+        .orderBy("l_returnflag")),
+
     // As-of join: even events ("trades") pick up the value of the latest
     // odd event ("quote") at-or-before their timestamp, per user.
     "q23_asof_join" -> ((s, dir) => {
@@ -386,6 +403,20 @@ object SparkEntry {
       Similarity.lshTopK(emb, q, "vec_id", "embedding", "q_id", "q_emb",
           dim = 64, k = 3, numPlanes = 6)
         .select(col("q_id"), col("neighbor_id"), round(col("cos"), 4).as("cos_sim"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // IVF-pruned ANN (nprobe=1): vectors assigned to the nearest of 8
+    // deterministic seed centroids; queries search only their own cluster.
+    "ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      Similarity.ivfTopK(emb,
+          a => a.where(col("vec_id") >= 10 && col("vec_id") < 20),
+          "vec_id", "embedding", cents, "c_id", "c_emb", k = 3)
+        .select(col("q_id"), col("neighbor_id"),
+          round(col("cos"), 4).as("cos_sim"), col("rank"))
         .orderBy("q_id", "rank")
     }),
 
@@ -616,6 +647,17 @@ object SparkEntry {
         |  AND epoch_ns(b.ts) <= epoch_ns(a.ts) + 3600000000000
         | GROUP BY a.event_id ORDER BY a_id""".stripMargin.replace("\n", " "),
 
+    "q24_percentile" ->
+      """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+        |        round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+
+    "q25_stats" ->
+      """SELECT l_returnflag, round(avg(l_quantity), 4) AS avg_qty,
+        |        round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |        round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+
     "q23_asof_join" ->
       """SELECT l.event_id, r.q_id AS asof_q_id, r.q_val AS asof_q_val
         | FROM (SELECT user_id, event_id, ts FROM events WHERE event_id % 2 = 0) l
@@ -713,6 +755,27 @@ object SparkEntry {
          | scored AS (
          |   SELECT q.q_id, e.vec_id AS neighbor_id, ${duckCosine("q.q_emb", "e.embedding")} AS cos
          |   FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id <> q.q_id),
+         | ranked AS (
+         |   SELECT q_id, neighbor_id, cos,
+         |          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+         |   FROM scored)
+         | SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
+         | FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin.replace("\n", " "),
+
+    "ann_ivf" ->
+      s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+         | assign AS (
+         |   SELECT e.vec_id, e.embedding, c.c_id,
+         |          row_number() OVER (PARTITION BY e.vec_id
+         |            ORDER BY ${duckCosine("c.c_emb", "e.embedding")} DESC, c.c_id) AS rk
+         |   FROM embeddings e CROSS JOIN cents c),
+         | a2 AS (SELECT vec_id, embedding, c_id AS cluster FROM assign WHERE rk = 1),
+         | q AS (SELECT vec_id AS q_id, embedding AS q_emb, cluster FROM a2
+         |       WHERE vec_id >= 10 AND vec_id < 20),
+         | scored AS (
+         |   SELECT q.q_id, e.vec_id AS neighbor_id,
+         |          ${duckCosine("q.q_emb", "e.embedding")} AS cos
+         |   FROM q JOIN a2 e ON q.cluster = e.cluster AND e.vec_id <> q.q_id),
          | ranked AS (
          |   SELECT q_id, neighbor_id, cos,
          |          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank

@@ -94,29 +94,57 @@ object FastIngest {
       .where($"kind".isNotNull)
   }
 
+  /** P7 — doc type from the source filename (`lib/ingest.js:201-210`):
+    * substring match on the 8 FAST file names; the virtual TermEvent pass
+    * maps to Event. Use with `input_file_name()` for multi-file reads.
+    */
+  def typeFromFilename(file: Column): Column =
+    when(file.contains("FASTCorporate"), "Corporate")
+      .when(file.contains("FASTTermEvent"), "Event")
+      .when(file.contains("FASTEvent"), "Event")
+      .when(file.contains("FASTPersonal"), "Personal")
+      .when(file.contains("FASTChronological"), "Chronological")
+      .when(file.contains("FASTGeographic"), "Geographic")
+      .when(file.contains("FASTTitle"), "Title")
+      .when(file.contains("FASTTopical"), "Topical")
+      .when(file.contains("FASTFormGenre"), "Form")
+
   /** A1 — group fast fragments into one document per id.
     * `collect_set` gives bounded, de-duplicated partial-agg state; arrays are
     * sorted for deterministic output. sameAs arrays carry both the full URI
     * and its trailing path segment (`lib/ingest.js:248-255`).
     */
-  def buildDocs(fragments: DataFrame, docType: Column): DataFrame = {
+  def buildDocs(fragments: DataFrame, docType: Column): DataFrame =
+    buildDocsWith(fragments, constantType = Some(docType))
+
+  /** A1 variant for multi-file ingest where fragments carry a per-row
+    * `doc_type` (from P7/`input_file_name`): a doc's type is the max over
+    * its contributing files' types — the deterministic stand-in for the
+    * reference's file-order-dependent overwrite (`lib/ingest.js:291`).
+    */
+  def buildDocsTagged(fragments: DataFrame): DataFrame =
+    buildDocsWith(fragments, constantType = None)
+
+  private def buildDocsWith(fragments: DataFrame, constantType: Option[Column]): DataFrame = {
     def withSegment(c: Column): Column =
       when(c.isNotNull, array(c, Nt.lastSegment(c)))
+    val aggs = Seq(
+      min($"prefLabel").as("pref"),
+      min($"label").as("lbl"),
+      sort_array(collect_set($"altLabel")).as("altLabel"),
+      sort_array(array_distinct(flatten(collect_list(withSegment($"sameAsLc"))))).as("sameAsLc"),
+      sort_array(array_distinct(flatten(collect_list(withSegment($"sameAsViaf"))))).as("sameAsViaf"),
+      sort_array(collect_set($"normalized")).as("normalized")) ++
+      (if (constantType.isEmpty) Seq(max($"doc_type").as("_type")) else Nil)
     fragments
       .where($"kind" === "fast")
       .groupBy($"id")
-      .agg(
-        min($"prefLabel").as("pref"),
-        min($"label").as("lbl"),
-        sort_array(collect_set($"altLabel")).as("altLabel"),
-        sort_array(array_distinct(flatten(collect_list(withSegment($"sameAsLc"))))).as("sameAsLc"),
-        sort_array(array_distinct(flatten(collect_list(withSegment($"sameAsViaf"))))).as("sameAsViaf"),
-        sort_array(collect_set($"normalized")).as("normalized"))
+      .agg(aggs.head, aggs.tail: _*)
       .where($"id".isNotNull) // P5 bad-record guard (lib/ingest.js:304-307)
       .select(
         $"id".as("_id"),
         $"id".as("fast"),
-        docType.as("type"),
+        constantType.getOrElse($"_type").as("type"),
         coalesce($"pref", $"lbl").as("prefLabel"), // label fills only if no prefLabel
         $"altLabel", $"sameAsLc", $"sameAsViaf", $"normalized")
   }

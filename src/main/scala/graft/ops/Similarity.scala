@@ -104,6 +104,49 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** IVF-style clustering: assign every vector to its nearest centroid
+    * (centroids = a small deterministic seed set, e.g. the first K corpus
+    * vectors — at deploy time, k-means centroids). Returns the input plus
+    * a `cluster` column. Assignment is a broadcast of K centroids against
+    * the corpus — one narrow pass, no shuffle.
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
+                embCol: String, cIdCol: String, cEmbCol: String): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(centroids))
+      .select(col("*"),
+        (dotFixed(cEmbCol, embCol) /
+          (sqrt(dotFixed(cEmbCol, cEmbCol)) * sqrt(dotFixed(embCol, embCol))))
+          .as("_c_cos"))
+    scored
+      .select(col(idCol), col(embCol), col(cIdCol), col("_c_cos"),
+        row_number().over(
+          Window.partitionBy(idCol).orderBy(col("_c_cos").desc, col(cIdCol))).as("_rk"))
+      .where(col("_rk") === 1)
+      .select(col(idCol), col(embCol), col(cIdCol).as("cluster"))
+  }
+
+  /** IVF-pruned top-k (nprobe=1): queries search only their own cluster's
+    * inverted list. Candidate set is |corpus|/K in expectation; at scale
+    * the cluster column doubles as the partition key of the stored index.
+    */
+  def ivfTopK(corpus: DataFrame, queryIds: DataFrame => DataFrame, idCol: String,
+              embCol: String, centroids: DataFrame, cIdCol: String, cEmbCol: String,
+              k: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids, idCol, embCol, cIdCol, cEmbCol)
+      .withColumn("_nrm", sqrt(dotFixed(embCol, embCol)))
+    val q = queryIds(assigned)
+      .select(col(idCol).as("q_id"), col(embCol).as("q_emb"),
+        col("cluster"), col("_nrm").as("_qnrm"))
+    val scored = assigned.join(broadcast(q), "cluster")
+      .where(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol).as("neighbor_id"),
+        (dotFixed("q_emb", embCol) / (col("_qnrm") * col("_nrm"))).as("cos"))
+    scored.select(col("q_id"), col("neighbor_id"), col("cos"),
+        row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))).as("rank"))
+      .where(col("rank") <= k)
+  }
+
   /** LSH-pruned top-k: only corpus rows sharing the query's bucket are
     * scored. Approximate (recall < 1), but the candidate set per query is
     * |corpus| / 2^numPlanes in expectation — the 100 TB path.

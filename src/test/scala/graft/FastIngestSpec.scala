@@ -96,6 +96,28 @@ class FastIngestSpec extends SparkSpec {
     assert(out.head.getAs[Seq[Int]]("fast") === Seq(20))
   }
 
+  test("P7: type from filename, TermEvent aliases Event") {
+    import org.apache.spark.sql.functions.lit
+    def typ(f: String): String =
+      Seq(f).toDF("f").select(FastIngest.typeFromFilename($"f")).head.getString(0)
+    assert(typ("/data/FASTCorporate.nt") === "Corporate")
+    assert(typ("/data/FASTTermEvent.nt") === "Event")
+    assert(typ("/data/FASTEvent.nt") === "Event")
+    assert(typ("/data/FASTFormGenre.nt") === "Form")
+    assert(typ("/data/FASTTopical.nt") === "Topical")
+  }
+
+  test("buildDocsTagged: per-file types survive to docs") {
+    val frags = FastIngest.project(FastIngest.parse(
+      Seq(
+        (fastLine(40, pref, "\"From Topical\""), "Topical"),
+        (fastLine(41, pref, "\"From Geo\""), "Geographic"))
+        .toDF("line", "doc_type")))
+    val docs = FastIngest.buildDocsTagged(frags).collect()
+      .map(r => r.getAs[Int]("_id") -> r.getAs[String]("type")).toMap
+    assert(docs === Map(40 -> "Topical", 41 -> "Geographic"))
+  }
+
   test("duplicate ids across files merge into one doc (A4)") {
     val fileA = Seq(fastLine(30, pref, "\"From A\""), fastLine(30, alt, "\"AltA\""))
     val fileB = Seq(fastLine(30, alt, "\"AltB\""))
