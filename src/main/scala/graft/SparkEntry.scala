@@ -256,6 +256,39 @@ object SparkEntry {
         .orderBy("a_id")
     }),
 
+    "q26_distinct_count" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag")),
+
+    "q27_pivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum("l_quantity"), 2))
+        .withColumnsRenamed(Map("A" -> "a_qty", "N" -> "n_qty", "R" -> "r_qty"))
+        .orderBy("l_linestatus")),
+
+    // Deterministic hash-based sampling/splitting (no RNG state — same
+    // selection at any cluster size; narrow filter, pushdown-friendly).
+    "sample_deterministic" -> ((s, dir) =>
+      graft.ops.Sampling.sample(t(s, dir, "orders"), "o_orderkey", 5)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    "sample_stratified" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 10, "de" -> 50, "fr" -> 50, "es" -> 50, "zh" -> 50))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    "split_train_test" -> ((s, dir) =>
+      graft.ops.Sampling.trainValTestSplit(t(s, dir, "documents"), "doc_id")
+        .groupBy("split").agg(count(lit(1)).as("cnt"))
+        .orderBy("split")),
+
     "q24_percentile" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
@@ -646,6 +679,36 @@ object SparkEntry {
         |  AND epoch_ns(b.ts) >= epoch_ns(a.ts)
         |  AND epoch_ns(b.ts) <= epoch_ns(a.ts) + 3600000000000
         | GROUP BY a.event_id ORDER BY a_id""".stripMargin.replace("\n", " "),
+
+    "q26_distinct_count" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |        count(DISTINCT l_suppkey) AS n_supps
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+
+    "q27_pivot" ->
+      """SELECT l_linestatus,
+        |        round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS a_qty,
+        |        round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS n_qty,
+        |        round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS r_qty
+        | FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin.replace("\n", " "),
+
+    "sample_deterministic" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        | WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 100 < 5
+        | ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        | WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        |       < (CASE lang WHEN 'en' THEN 10 ELSE 50 END)
+        | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "split_train_test" ->
+      """SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+        |        count(*) AS cnt
+        | FROM (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS h
+        |       FROM documents)
+        | GROUP BY 1 ORDER BY split""".stripMargin.replace("\n", " "),
 
     "q24_percentile" ->
       """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,

@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting for training pipelines.
+  *
+  * All selection is hash-based (md5 of a key column), never RNG-based:
+  * the same row lands in the same sample/split on every run, on every
+  * cluster size, with no seed state to coordinate across 1000 executors —
+  * and the oracle can reproduce the selection exactly. Selection is a
+  * narrow `filter` on the scan (no shuffle, pushdown-friendly).
+  */
+object Sampling {
+
+  /** Hash bucket in [0, 100) for percentage-based selection. */
+  def pctBucket(key: Column): Column =
+    pmod(Dedup.md5Int(key.cast("string")), lit(100))
+
+  /** Deterministic ~pct% sample by key hash. */
+  def sample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
+    df.where(pctBucket(col(keyCol)) < pct)
+
+  /** Stratified deterministic sample: per-stratum percentage map.
+    * Strata not in the map are excluded.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+                       pctByStratum: Map[String, Int]): DataFrame = {
+    val rate = pctByStratum.foldLeft(lit(0)) { case (acc, (s, p)) =>
+      when(col(stratumCol) === s, p).otherwise(acc)
+    }
+    df.where(pctBucket(col(keyCol)) < rate)
+  }
+
+  /** Train/validation/test assignment by hash range (e.g. 80/10/10).
+    * Adds a `split` column; the row set is unchanged.
+    */
+  def trainValTestSplit(df: DataFrame, keyCol: String,
+                        trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    df.withColumn("split",
+      when(pctBucket(col(keyCol)) < trainPct, "train")
+        .when(pctBucket(col(keyCol)) < trainPct + valPct, "val")
+        .otherwise("test"))
+}
