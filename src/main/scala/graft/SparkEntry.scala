@@ -256,6 +256,26 @@ object SparkEntry {
         .orderBy("a_id")
     }),
 
+    "profile_orders" -> ((s, dir) =>
+      graft.ops.Profile.profile(t(s, dir, "orders"),
+          Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+        .orderBy("column")),
+
+    "q28_levenshtein" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          levenshtein(col("p_name"), lower(col("p_type"))).as("name_type_dist"))
+        .orderBy("p_partkey")),
+
+    "q29_ranking" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          dense_rank().over(w).as("drk"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("o_orderkey")
+    }),
+
     "q26_distinct_count" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
@@ -679,6 +699,33 @@ object SparkEntry {
         |  AND epoch_ns(b.ts) >= epoch_ns(a.ts)
         |  AND epoch_ns(b.ts) <= epoch_ns(a.ts) + 3600000000000
         | GROUP BY a.event_id ORDER BY a_id""".stripMargin.replace("\n", " "),
+
+    "profile_orders" ->
+      """WITH s AS (SELECT count(*) AS total,
+        |   count(o_custkey) AS c1, count(DISTINCT o_custkey) AS d1,
+        |     CAST(min(o_custkey) AS VARCHAR) AS mn1, CAST(max(o_custkey) AS VARCHAR) AS mx1,
+        |   count(o_orderstatus) AS c2, count(DISTINCT o_orderstatus) AS d2,
+        |     CAST(min(o_orderstatus) AS VARCHAR) AS mn2, CAST(max(o_orderstatus) AS VARCHAR) AS mx2,
+        |   count(o_totalprice) AS c3, count(DISTINCT o_totalprice) AS d3,
+        |     CAST(min(o_totalprice) AS VARCHAR) AS mn3, CAST(max(o_totalprice) AS VARCHAR) AS mx3
+        |   FROM orders)
+        | SELECT 'o_custkey' AS "column", total - c1 AS n_null, d1 AS n_distinct, mn1 AS min_val, mx1 AS max_val FROM s
+        | UNION ALL
+        | SELECT 'o_orderstatus', total - c2, d2, mn2, mx2 FROM s
+        | UNION ALL
+        | SELECT 'o_totalprice', total - c3, d3, mn3, mx3 FROM s
+        | ORDER BY "column"""".stripMargin.replace("\n", " "),
+
+    "q28_levenshtein" ->
+      """SELECT p_partkey, levenshtein(p_name, lower(p_type)) AS name_type_dist
+        | FROM part ORDER BY p_partkey""".stripMargin.replace("\n", " "),
+
+    "q29_ranking" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |        dense_rank() OVER w AS drk, ntile(4) OVER w AS quartile
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+        | ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
 
     "q26_distinct_count" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
