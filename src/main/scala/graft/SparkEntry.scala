@@ -309,13 +309,20 @@ object SparkEntry {
         .groupBy("split").agg(count(lit(1)).as("cnt"))
         .orderBy("split")),
 
-    "q24_percentile" -> ((s, dir) =>
+    // Discrete (element-valued) quantiles via explicit rank index — exact
+    // cross-engine parity with no interpolation arithmetic to diverge on.
+    "q24_percentile" -> ((s, dir) => {
+      val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
       t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(Window.partitionBy("l_returnflag")).as("n"))
         .groupBy("l_returnflag")
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("median_price"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"))
-        .orderBy("l_returnflag")),
+          max(when(col("rn") === ceil(col("n") * 0.5), col("l_extendedprice"))).as("median_price"),
+          max(when(col("rn") === ceil(col("n") * 0.9), col("l_extendedprice"))).as("p90_price"))
+        .orderBy("l_returnflag")
+    }),
 
     "q25_stats" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -758,9 +765,15 @@ object SparkEntry {
         | GROUP BY 1 ORDER BY split""".stripMargin.replace("\n", " "),
 
     "q24_percentile" ->
-      """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
-        |        round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
-        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+      """WITH r AS (
+        |   SELECT l_returnflag, l_extendedprice,
+        |          row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |          count(*) OVER (PARTITION BY l_returnflag) AS n
+        |   FROM lineitem)
+        | SELECT l_returnflag,
+        |        max(CASE WHEN rn = ceil(n * 0.5) THEN l_extendedprice END) AS median_price,
+        |        max(CASE WHEN rn = ceil(n * 0.9) THEN l_extendedprice END) AS p90_price
+        | FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
 
     "q25_stats" ->
       """SELECT l_returnflag, round(avg(l_quantity), 4) AS avg_qty,

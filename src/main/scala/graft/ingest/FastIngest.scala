@@ -164,14 +164,36 @@ object FastIngest {
     * which preserves the reference's observable behavior.
     * The label side is small relative to the docs side → broadcast.
     */
-  def enrich(docs: DataFrame, labels: DataFrame): DataFrame = {
-    val matches = docs
+  def enrich(docs: DataFrame, labels: DataFrame): DataFrame =
+    applyMatches(docs, matchesFromDocs(docs, labels))
+
+  /** Matched external labels per id, probed from doc arrays. */
+  private def matchesFromDocs(docs: DataFrame, labels: DataFrame): DataFrame =
+    docs
       .select($"_id", explode(concat($"sameAsViaf", $"sameAsLc")).as("uri"))
       .join(broadcast(labels), $"uri" === labels("subject"))
       .groupBy($"_id")
       .agg(
         array_distinct(flatten(collect_list($"extLabels"))).as("matchedLabels"),
         array_distinct(flatten(collect_list($"extNormalized"))).as("matchedNormalized"))
+
+  /** Matched external labels per id, probed from *fragments* — equivalent
+    * to [[matchesFromDocs]] (only full URIs can ever match; the bare
+    * segments added at doc build never do), but avoids consuming the
+    * grouped docs twice: the probe runs pre-aggregation, so `docs` is
+    * evaluated exactly once in [[ingestDocs]].
+    */
+  private def matchesFromFragments(fragments: DataFrame, labels: DataFrame): DataFrame =
+    fragments
+      .where($"kind" === "fast" && ($"sameAsViaf".isNotNull || $"sameAsLc".isNotNull))
+      .select($"id".as("_id"), coalesce($"sameAsViaf", $"sameAsLc").as("uri"))
+      .join(broadcast(labels), $"uri" === labels("subject"))
+      .groupBy($"_id")
+      .agg(
+        array_distinct(flatten(collect_list($"extLabels"))).as("matchedLabels"),
+        array_distinct(flatten(collect_list($"extNormalized"))).as("matchedNormalized"))
+
+  private def applyMatches(docs: DataFrame, matches: DataFrame): DataFrame =
     docs
       .join(matches, Seq("_id"), "left")
       .select(
@@ -181,20 +203,20 @@ object FastIngest {
         $"sameAsLc", $"sameAsViaf",
         sort_array(array_distinct(concat($"normalized", coalesce($"matchedNormalized", array()))))
           .as("normalized"))
-  }
 
   /** Term path end-to-end: lines → enriched docs.
-    * `fragments` feeds two branches (docs + label table) and `docs` feeds
-    * two sides of the enrichment join — both are persisted so the
-    * parse/project scan and the groupBy shuffle run once, not 2-4×.
-    * (MEMORY_AND_DISK: at cluster scale these spill rather than OOM.)
+    * `fragments` feeds three branches (docs, label table, enrichment probe)
+    * and is persisted so the parse/project scan runs once; the enrichment
+    * probe joins at fragment level, so the grouped docs are consumed
+    * exactly once (no second materialization).
+    * (MEMORY_AND_DISK: at cluster scale the persist spills, not OOMs.)
     */
   def ingestDocs(lines: DataFrame, docType: Column): DataFrame = {
     val fragments = project(parse(lines))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val docs = buildDocs(fragments, docType)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    enrich(docs, sameAsLabels(fragments))
+    applyMatches(
+      buildDocs(fragments, docType),
+      matchesFromFragments(fragments, sameAsLabels(fragments)))
   }
 
   /** P4 — agent records: otherId = trailing segment of the sameAs link, LC
