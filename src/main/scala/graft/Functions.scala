@@ -24,6 +24,7 @@ object Functions {
     native("normalize_label", exprs => graft.functions.NormalizeLabelExpr(exprs(0)))
     native("normalize_singular", exprs => graft.functions.NormalizeSingularExpr(exprs(0)))
     native("rolling_hash", exprs => graft.functions.RollingHash(exprs(0)))
+    native("vec_sign_bits", exprs => graft.functions.VecSignBits(exprs(0)))
   }
 
   /** `normalize_label` as a Column op — pure built-ins (codegen'd, no UDF):

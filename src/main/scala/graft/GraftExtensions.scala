@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{NormalizeLabelExpr, NormalizeSingularExpr, ParseNt, RollingHash, VecDot, WordShingles}
+import graft.functions.{NormalizeLabelExpr, NormalizeSingularExpr, ParseNt, RollingHash, VecDot, VecSignBits, WordShingles}
 
 /** Injectable extensions: makes the engine's native expressions available
   * in ANY session via `spark.sql.extensions=graft.GraftExtensions` (e.g.
@@ -41,5 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rolling_hash"),
       info("rolling_hash", "rolling_hash(s) - polynomial rolling hash over code points"),
       (exprs: Seq[Expression]) => RollingHash(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_sign_bits"),
+      info("vec_sign_bits", "vec_sign_bits(v) - 1-bit sign quantization of ARRAY<FLOAT> (60 bits)"),
+      (exprs: Seq[Expression]) => VecSignBits(exprs(0))))
   }
 }

@@ -397,6 +397,17 @@ object SparkEntry {
       Dedup.simhash(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
 
+    // Full dedup endgame: LSH candidates → connected components → cluster
+    // ids (the doc each duplicate group canonicalizes to).
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashCandidates(
+        Dedup.minhashSignature(t(s, dir, "documents"), "text", "doc_id"),
+        "doc_id", threshold = 0.25)
+      Dedup.connectedComponents(pairs, "a_id", "b_id")
+        .withColumnsRenamed(Map("node" -> "doc_id"))
+        .orderBy("doc_id")
+    }),
+
     "text_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -478,6 +489,21 @@ object SparkEntry {
         .select(col("q_id"), col("neighbor_id"),
           round(col("cos"), 4).as("cos_sim"), col("rank"))
         .orderBy("q_id", "rank")
+    }),
+
+    // Binary-quantized similarity: 60-bit sign signatures, xor+popcount
+    // Hamming distance — 8 bytes/vector, one instruction per comparison.
+    "embed_hamming" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("label"), col("vec_id"), expr("vec_sign_bits(embedding)").as("bits"))
+      val a = e.select(col("label"), col("vec_id").as("a_id"), col("bits").as("a_bits"))
+      val b = e.select(col("label"), col("vec_id").as("b_id"), col("bits").as("b_bits"))
+      a.join(b, Seq("label"))
+        .where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          bit_count(col("a_bits").bitwiseXOR(col("b_bits"))).as("hamming"))
+        .where(col("hamming") <= 20)
+        .orderBy("a_id", "b_id")
     }),
 
     // Near-dup pairs within the same `label` partition — label stands in for
@@ -816,6 +842,25 @@ object SparkEntry {
          | ORDER BY a_id, b_id""".stripMargin.replace("\n", " ")
     },
 
+    "dedup_clusters" -> {
+      val matches = (0 until 8).map(i => s"(a.s$i = b.s$i)::INT").mkString(" + ")
+      val bandsMatch = (0 until 4).map(b =>
+        s"(a.s${2 * b} = b.s${2 * b} AND a.s${2 * b + 1} = b.s${2 * b + 1})").mkString(" OR ")
+      s"""WITH RECURSIVE $minhashSigCte,
+         | pairs AS (
+         |   SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |   FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandsMatch)
+         |   WHERE round(($matches) / 8.0, 4) >= 0.25),
+         | edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+         |           UNION SELECT b_id, a_id FROM pairs),
+         | reach(s, d) AS (
+         |   SELECT s, d FROM edges
+         |   UNION
+         |   SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+         | SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+         | FROM reach GROUP BY s ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+
     "dedup_simhash" ->
       """WITH t AS (
         |   SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
@@ -884,6 +929,18 @@ object SparkEntry {
          |   FROM scored)
          | SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
          | FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin.replace("\n", " "),
+
+    "embed_hamming" ->
+      """WITH bits AS (
+        |   SELECT label, vec_id,
+        |          list_sum([CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END
+        |                    for i in range(1, least(len(embedding), 60) + 1)])::BIGINT AS bits
+        |   FROM embeddings)
+        | SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |        CAST(bit_count(xor(a.bits, b.bits)) AS INTEGER) AS hamming
+        | FROM bits a JOIN bits b ON a.label = b.label AND a.vec_id < b.vec_id
+        | WHERE bit_count(xor(a.bits, b.bits)) <= 20
+        | ORDER BY a_id, b_id""".stripMargin.replace("\n", " "),
 
     "ann_ivf" ->
       s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),

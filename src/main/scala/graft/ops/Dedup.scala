@@ -110,6 +110,44 @@ object Dedup {
       .where(col("est_jaccard") >= threshold)
   }
 
+  /** Connected components over candidate-pair edges → duplicate clusters:
+    * every node gets the minimum id reachable in its component as
+    * `cluster_id` (nodes outside any edge are their own cluster and are
+    * not emitted — callers union singletons if needed).
+    *
+    * Iterative min-label propagation: each round joins labels to
+    * neighbors and takes the min (both edge directions), converging in
+    * O(component diameter) rounds — near-dup clusters are shallow, so
+    * `maxIterations` defaults well above any real diameter. Each round is
+    * one shuffle join + one aggregation; no driver-side graph state.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIterations: Int = 10): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node"))
+      .distinct()
+      .withColumn("cluster_id", col("node"))
+    var i = 0
+    while (i < maxIterations) {
+      val viaNeighbor = edges
+        .join(labels, edges("dst") === labels("node"))
+        .select(edges("src").as("node"), col("cluster_id"))
+      labels = labels.select(col("node"), col("cluster_id"))
+        .union(viaNeighbor)
+        .groupBy("node")
+        .agg(min("cluster_id").as("cluster_id"))
+        // checkpoint the lineage each round: without this the plan doubles
+        // per iteration and analysis time explodes
+        .localCheckpoint(true)
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("node"), col("cluster_id"))
+  }
+
   /** 60-bit SimHash over the token multiset: per token a 60-bit md5 hash;
     * each output bit is the sign of the per-bit vote sum. Linear in input
     * (explode tokens × 60 bit positions), two partial-agg shuffles.
