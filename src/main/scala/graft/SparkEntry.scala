@@ -256,6 +256,13 @@ object SparkEntry {
         .orderBy("a_id")
     }),
 
+    "q30_struct" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          struct(col("o_orderstatus").as("status"),
+            round(col("o_totalprice"), 2).as("price")).as("info"))
+        .orderBy("o_orderkey")),
+
     "profile_orders" -> ((s, dir) =>
       graft.ops.Profile.profile(t(s, dir, "orders"),
           Seq("o_custkey", "o_orderstatus", "o_totalprice"))
@@ -732,6 +739,11 @@ object SparkEntry {
         |  AND epoch_ns(b.ts) >= epoch_ns(a.ts)
         |  AND epoch_ns(b.ts) <= epoch_ns(a.ts) + 3600000000000
         | GROUP BY a.event_id ORDER BY a_id""".stripMargin.replace("\n", " "),
+
+    "q30_struct" ->
+      """SELECT o_orderkey,
+        |        {'status': o_orderstatus, 'price': round(o_totalprice, 2)} AS info
+        | FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
 
     "profile_orders" ->
       """WITH s AS (SELECT count(*) AS total,

@@ -122,7 +122,7 @@ object Dedup {
     * one shuffle join + one aggregation; no driver-side graph state.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIterations: Int = 10): DataFrame = {
+                          maxIterations: Int = 50): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
@@ -130,18 +130,26 @@ object Dedup {
     var labels = edges.select(col("src").as("node"))
       .distinct()
       .withColumn("cluster_id", col("node"))
+      .localCheckpoint(true)
     var i = 0
-    while (i < maxIterations) {
+    var converged = false
+    while (i < maxIterations && !converged) {
       val viaNeighbor = edges
         .join(labels, edges("dst") === labels("node"))
         .select(edges("src").as("node"), col("cluster_id"))
-      labels = labels.select(col("node"), col("cluster_id"))
+      val next = labels.select(col("node"), col("cluster_id"))
         .union(viaNeighbor)
         .groupBy("node")
         .agg(min("cluster_id").as("cluster_id"))
         // checkpoint the lineage each round: without this the plan doubles
         // per iteration and analysis time explodes
         .localCheckpoint(true)
+      // convergence check: one count per round (label sums are monotone
+      // decreasing, so an unchanged multiset means a fixed point)
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "node")
+        .where(col("cluster_id") =!= col("prev")).limit(1).count()
+      converged = changed == 0
+      labels = next
       i += 1
     }
     edges.unpersist()

@@ -147,6 +147,37 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Spherical k-means as pure DataFrame iterations: assign to nearest
+    * centroid by cosine (broadcast pass), recompute centroids as
+    * element-wise means via posexplode → (cluster, dim) aggregation —
+    * both stages are plain shuffles, no driver-side vectors beyond the K
+    * centroid rows. Seeds = the first K corpus vectors; deterministic.
+    * Returns (idCol, cluster) assignments after `iterations` rounds.
+    * (No DuckDB oracle: iterated float means accumulate cross-engine ulp
+    * drift; pinned by separable-cluster specs instead.)
+    */
+  def sphericalKMeans(corpus: DataFrame, idCol: String, embCol: String,
+                      k: Int, iterations: Int): DataFrame = {
+    var cents = corpus.where(col(idCol) < k)
+      .select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
+      .localCheckpoint(true)
+    var assigned = ivfAssign(corpus, cents, idCol, embCol, "c_id", "c_emb")
+    var i = 0
+    while (i < iterations) {
+      cents = assigned
+        .select(col("cluster").as("c_id"), posexplode(col(embCol)))
+        .groupBy(col("c_id"), col("pos"))
+        .agg(avg(col("col")).as("v"))
+        .groupBy(col("c_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, v))), s -> CAST(s.v AS FLOAT))")
+          .as("c_emb"))
+        .localCheckpoint(true)
+      assigned = ivfAssign(corpus, cents, idCol, embCol, "c_id", "c_emb")
+      i += 1
+    }
+    assigned.select(col(idCol), col("cluster"))
+  }
+
   /** LSH-pruned top-k: only corpus rows sharing the query's bucket are
     * scored. Approximate (recall < 1), but the candidate set per query is
     * |corpus| / 2^numPlanes in expectation — the 100 TB path.

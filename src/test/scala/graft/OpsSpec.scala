@@ -115,6 +115,24 @@ class OpsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("neighbor_id") === 2L)
   }
 
+  test("sphericalKMeans separates well-separated clusters") {
+    val rng = new scala.util.Random(7)
+    def noisy(base: Seq[Float]) = base.map(v => v + rng.nextFloat() * 0.01f)
+    val basis = Seq(
+      (0 until 16).map(d => if (d < 5) 1f else 0f),
+      (0 until 16).map(d => if (d >= 5 && d < 10) 1f else 0f),
+      (0 until 16).map(d => if (d >= 10) 1f else 0f))
+    // ids 0..2 are one point from each cluster (the seeds); rest follow
+    val rows = (0 until 30).map(i => (i.toLong, noisy(basis(i % 3))))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val out = Similarity.sphericalKMeans(corpus, "vec_id", "embedding", k = 3, iterations = 3)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    // all members of a ground-truth group share a cluster; groups differ
+    val byGroup = (0 until 3).map(g => (0 until 30).filter(_ % 3 == g).map(i => out(i.toLong)).distinct)
+    assert(byGroup.forall(_.size === 1), s"groups split: $byGroup")
+    assert(byGroup.flatten.distinct.size === 3)
+  }
+
   // ---------------------------------------------------------------- multimodal
 
   test("multimodal: binary payload round-trips through mapPartitions decode") {
