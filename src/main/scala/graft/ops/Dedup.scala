@@ -47,10 +47,6 @@ object Dedup {
       .select(col(idCol), size(col("_shingles")).as("n_sh"),
         explode(col("_shingles")).as("sh"))
 
-  /** MinHash signature: explode shingles once, take `numHashes` seeded
-    * min-hashes in a single partial-aggregated groupBy — one shuffle, no
-    * per-seed pass. Output: (idCol, s0..s{k-1} BIGINT).
-    */
   /** MinHash signature with the Kirsch-Mitzenmacher construction:
     * h_i(x) = h1(x) + i·h2(x) from two base md5 hashes — 2 hash
     * evaluations per shingle instead of `numHashes`, same collision
@@ -123,37 +119,60 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIterations: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("node"))
-      .distinct()
-      .withColumn("cluster_id", col("node"))
-      .localCheckpoint(true)
-    var i = 0
-    var converged = false
-    while (i < maxIterations && !converged) {
-      val viaNeighbor = edges
-        .join(labels, edges("dst") === labels("node"))
-        .select(edges("src").as("node"), col("cluster_id"))
-      val next = labels.select(col("node"), col("cluster_id"))
-        .union(viaNeighbor)
-        .groupBy("node")
-        .agg(min("cluster_id").as("cluster_id"))
-        // checkpoint the lineage each round: without this the plan doubles
-        // per iteration and analysis time explodes
+    // the loop's per-round cost is dominated by fixed per-shuffle task
+    // overhead, not data — size partitions to the edge count (≥1 per 100k
+    // edges), restore the session setting after
+    val nEdges = edges.count()
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopParts = math.max(4, math.min(prevParts.toInt, (nEdges / 100000L).toInt + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try {
+      var labels = edges.select(col("src").as("node"))
+        .distinct()
+        .withColumn("cluster_id", col("node"))
         .localCheckpoint(true)
-      // convergence check: one count per round (label sums are monotone
-      // decreasing, so an unchanged multiset means a fixed point)
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "node")
-        .where(col("cluster_id") =!= col("prev")).limit(1).count()
-      converged = changed == 0
-      labels = next
-      i += 1
+      var i = 0
+      var converged = false
+      while (i < maxIterations && !converged) {
+        // hop: take the min over neighbors' labels
+        val viaNeighbor = edges
+          .join(labels, edges("dst") === labels("node"))
+          .select(edges("src").as("node"), col("cluster_id"))
+        val hopped = labels.select(col("node"), col("cluster_id"))
+          .union(viaNeighbor)
+          .groupBy("node")
+          .agg(min("cluster_id").as("cluster_id"))
+        // pointer jump: follow the label to ITS label (labels are node ids,
+        // so this resolves chains in one join) — hop alone needs
+        // O(diameter) rounds; hop+jump converges in O(log n)
+        val resolver = hopped.select(col("node").as("_rn"), col("cluster_id").as("_rc"))
+        val next = hopped
+          .join(resolver, hopped("cluster_id") === col("_rn"), "left")
+          .select(hopped("node"), coalesce(col("_rc"), hopped("cluster_id")).as("cluster_id"))
+          // checkpoint the lineage each round: without this the plan doubles
+          // per iteration and analysis time explodes
+          .localCheckpoint(true)
+        // convergence check every 2nd round (labels only decrease, so an
+        // unchanged pass means a fixed point; checking late costs at most
+        // one extra cheap round)
+        if (i % 2 == 1 || i == maxIterations - 1) {
+          val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "node")
+            .where(col("cluster_id") =!= col("prev")).limit(1).count()
+          converged = changed == 0
+        }
+        labels = next
+        i += 1
+      }
+      labels.select(col("node"), col("cluster_id"))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      edges.unpersist()
     }
-    edges.unpersist()
-    labels.select(col("node"), col("cluster_id"))
   }
 
   /** 60-bit SimHash over the token multiset: per token a 60-bit md5 hash;
