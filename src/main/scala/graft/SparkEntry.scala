@@ -354,6 +354,15 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // PII-style scrubbing: pattern redaction + a count of replacements
+    // (the audit trail a redaction pipeline must emit).
+    "text_redact" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        regexp_replace(col("text"), "[0-9]+", "<NUM>").as("redacted"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_redacted"))
+        .orderBy("doc_id")),
+
     "text_tokens_bpe" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -826,6 +835,11 @@ object SparkEntry {
         |                        round(value, 2) AS q_val FROM events WHERE event_id % 2 = 1) r
         |   ON l.user_id = r.user_id AND l.ts >= r.q_ts
         | ORDER BY l.event_id""".stripMargin.replace("\n", " "),
+
+    "text_redact" ->
+      """SELECT doc_id, regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS redacted,
+        |        len(regexp_extract_all(text, '[0-9]+')) AS n_redacted
+        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "text_tokens_bpe" ->
       """SELECT doc_id, len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe

@@ -82,6 +82,12 @@ class NtParseSpec extends SparkSpec {
     assert(rows.head.getAs[String]("prefLabel") === null) // ...but label dropped
   }
 
+  test("unicode subjects and literals survive the parse") {
+    val rows = projectOne("<http://id.worldcat.org/fast/99> <http://www.w3.org/2004/02/skos/core#prefLabel> \"Dvořák, Antonín — 日本\" .")
+    assert(rows.head.getAs[String]("prefLabel") === "Dvořák, Antonín — 日本")
+    assert(rows.head.getAs[String]("normalized") === "dvorak antonin")
+  }
+
   test("language-tagged and typed literals unquote correctly") {
     val rows = projectOne("<http://id.worldcat.org/fast/7> <http://www.w3.org/2004/02/skos/core#prefLabel> \"Jazz\"@en .")
     assert(rows.head.getAs[String]("prefLabel") === "Jazz")
