@@ -283,6 +283,25 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q31_window_family" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          first("o_orderkey").over(w.rowsBetween(Window.unboundedPreceding, 0)).as("cheapest_key"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q32_conditional" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          greatest(col("o_totalprice"), lit(1000.0)).as("floor_price"),
+          least(col("o_totalprice"), lit(100000.0)).as("cap_price"),
+          nullif(col("o_orderstatus"), lit("F")).as("non_final"),
+          coalesce(nullif(col("o_orderstatus"), lit("F")), lit("DONE")).as("status_or_done"))
+        .orderBy("o_orderkey")),
+
     "q26_distinct_count" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
@@ -780,6 +799,24 @@ object SparkEntry {
         | FROM orders
         | WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
         | ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
+
+    "q31_window_family" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |        first_value(o_orderkey) OVER (PARTITION BY o_orderstatus
+        |          ORDER BY o_totalprice, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cheapest_key,
+        |        round(percent_rank() OVER w, 6) AS pr,
+        |        round(cume_dist() OVER w, 6) AS cd
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        | ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
+
+    "q32_conditional" ->
+      """SELECT o_orderkey, greatest(o_totalprice, 1000.0) AS floor_price,
+        |        least(o_totalprice, 100000.0) AS cap_price,
+        |        nullif(o_orderstatus, 'F') AS non_final,
+        |        coalesce(nullif(o_orderstatus, 'F'), 'DONE') AS status_or_done
+        | FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
 
     "q26_distinct_count" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
