@@ -283,6 +283,26 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // The engine's SQL surface (SURVEY §7.1 item 8): register the fixture
+    // tables as views and run plain Spark SQL — here a correlated scalar
+    // subquery, which Catalyst decorrelates into a left outer aggregate
+    // join (SURVEY §4: DecorrelateInnerQuery is built-in).
+    "q33_sql_surface" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("v_customer")
+      t(s, dir, "orders").createOrReplaceTempView("v_orders")
+      s.sql(
+        """SELECT c_custkey,
+          |       round((SELECT sum(o_totalprice) FROM v_orders
+          |              WHERE o_custkey = c_custkey), 2) AS spend
+          |FROM v_customer ORDER BY c_custkey""".stripMargin)
+    }),
+
+    "q34_multi_distinct" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select("c_nationkey", "c_mktsegment")
+        .distinct()
+        .orderBy("c_nationkey", "c_mktsegment")),
+
     "q31_window_family" -> ((s, dir) => {
       val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"), col("o_orderkey"))
       t(s, dir, "orders")
@@ -799,6 +819,15 @@ object SparkEntry {
         | FROM orders
         | WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
         | ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
+
+    "q33_sql_surface" ->
+      """SELECT c_custkey,
+        |        round((SELECT sum(o_totalprice) FROM orders WHERE o_custkey = c_custkey), 2) AS spend
+        | FROM customer ORDER BY c_custkey""".stripMargin.replace("\n", " "),
+
+    "q34_multi_distinct" ->
+      """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+        | ORDER BY c_nationkey, c_mktsegment""".stripMargin.replace("\n", " "),
 
     "q31_window_family" ->
       """SELECT o_orderkey, o_orderstatus,
