@@ -494,6 +494,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Character-bigram language ID (the n-gram heuristic variant of
+    // text_langid): score = frequency of language-typical bigrams.
+    "text_langid_ngram" -> ((s, dir) => {
+      def hits(pat: String) =
+        size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+      val en = hits("th|he|er|an")
+      val es = hits("qu|ci|os|la")
+      val de = hits("ch|ei|un|ge")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        when(en > 0 && en >= es && en >= de, "en")
+          .when(es > 0 && es >= de, "es")
+          .when(de > 0, "de")
+          .otherwise("und").as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
     "text_langid" -> ((s, dir) => {
       def hits(ws: Seq[String]) =
         expr(s"size(filter(split(lower(text), ' '), t -> t in ${inList(ws)}))")
@@ -987,6 +1004,19 @@ object SparkEntry {
          | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "text_langid" -> textLangidOracle,
+
+    "text_langid_ngram" -> {
+      def hits(pat: String) = s"len(regexp_extract_all(text, '$pat'))"
+      val en = hits("th|he|er|an")
+      val es = hits("qu|ci|os|la")
+      val de = hits("ch|ei|un|ge")
+      s"""SELECT doc_id,
+         | CASE WHEN $en > 0 AND $en >= $es AND $en >= $de THEN 'en'
+         |      WHEN $es > 0 AND $es >= $de THEN 'es'
+         |      WHEN $de > 0 THEN 'de'
+         |      ELSE 'und' END AS lang_pred
+         | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
 
     "ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),

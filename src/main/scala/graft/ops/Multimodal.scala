@@ -55,6 +55,21 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** STUB resize: deterministic byte-decimation standing in for a real
+    * image resampler (pick every `factor`-th byte). The plumbing — typed
+    * map, payload-in/payload-out schema, metadata update — is what a real
+    * codec slots into.
+    */
+  def resizeStub(records: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    records.map { r =>
+      val out = r.payload.zipWithIndex.collect { case (b, i) if i % factor == 0 => b }
+      r.copy(payload = out,
+        meta = r.meta + ("resize_factor" -> factor.toString,
+          "orig_bytes" -> r.payload.length.toString))
+    }
+  }
+
   /** Deterministic frame sampling for (pseudo) video payloads: split the
     * payload into `frameSize`-byte frames, keep every `stride`-th. Shows
     * the explode-shaped plumbing a real frame sampler needs.

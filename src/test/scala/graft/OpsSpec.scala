@@ -148,6 +148,15 @@ class OpsSpec extends SparkSpec {
     assert(f.height >= 1 && f.height <= 480)
   }
 
+  test("multimodal: resize stub decimates payload and records provenance") {
+    val recs = Seq(MediaRecord(1L, "image/fake", (0 until 100).map(_.toByte).toArray, Map()))
+      .toDS()
+    val out = Multimodal.resizeStub(recs, factor = 4).collect().head
+    assert(out.payload.length === 25)
+    assert(out.payload.take(3).toSeq === Seq(0.toByte, 4.toByte, 8.toByte))
+    assert(out.meta("orig_bytes") === "100")
+  }
+
   test("multimodal: frame sampling splits payload deterministically") {
     val recs = Seq(MediaRecord(1L, "video/fake", Array.fill[Byte](100)(7), Map()))
       .toDS()
