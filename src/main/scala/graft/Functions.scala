@@ -25,6 +25,8 @@ object Functions {
     native("normalize_singular", exprs => graft.functions.NormalizeSingularExpr(exprs(0)))
     native("rolling_hash", exprs => graft.functions.RollingHash(exprs(0)))
     native("vec_sign_bits", exprs => graft.functions.VecSignBits(exprs(0)))
+    native("md5_long", exprs => graft.functions.Md5Long(
+      exprs(0), exprs(1).eval().asInstanceOf[Int]))
   }
 
   /** `normalize_label` as a Column op — pure built-ins (codegen'd, no UDF):

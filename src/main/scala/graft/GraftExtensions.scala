@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{NormalizeLabelExpr, NormalizeSingularExpr, ParseNt, RollingHash, VecDot, VecSignBits, WordShingles}
+import graft.functions.{Md5Long, NormalizeLabelExpr, NormalizeSingularExpr, ParseNt, RollingHash, VecDot, VecSignBits, WordShingles}
 
 /** Injectable extensions: makes the engine's native expressions available
   * in ANY session via `spark.sql.extensions=graft.GraftExtensions` (e.g.
@@ -45,5 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_sign_bits"),
       info("vec_sign_bits", "vec_sign_bits(v) - 1-bit sign quantization of ARRAY<FLOAT> (60 bits)"),
       (exprs: Seq[Expression]) => VecSignBits(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("md5_long"),
+      info("md5_long", "md5_long(s, nibbles) - first hex digits of md5 as BIGINT"),
+      (exprs: Seq[Expression]) => Md5Long(exprs(0), exprs(1).eval().asInstanceOf[Int])))
   }
 }

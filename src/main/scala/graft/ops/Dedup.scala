@@ -17,14 +17,14 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** First 8 hex chars of md5 as a BIGINT — the engine's portable hash.
-    * (DuckDB spelling: `('0x' || substr(md5(x),1,8))::BIGINT`.)
+    * Native [[graft.functions.Md5Long]] expression (digest bytes → long,
+    * no hex-string round trip); bit-identical to DuckDB's
+    * `('0x' || substr(md5(x),1,8))::BIGINT`.
     */
-  def md5Int(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  def md5Int(c: Column): Column = call_function("md5_long", c, lit(8))
 
   /** 60-bit variant (15 hex chars) — fits signed 64-bit on both engines. */
-  def md5Int60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def md5Int60(c: Column): Column = call_function("md5_long", c, lit(15))
 
   /** Exact duplicate groups by content hash: one row per distinct content,
     * keeping the smallest id (`keep_id`) and the group size.
