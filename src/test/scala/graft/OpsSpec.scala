@@ -93,6 +93,19 @@ class OpsSpec extends SparkSpec {
     assert(hamming > 0 && hamming < 20, s"hamming=$hamming")
   }
 
+  test("md5_long matches the hex-string form bit for bit") {
+    val df = Seq("hello", "", "1:a b c", "Dvořák").toDF("s")
+    val out = df.select(
+      Dedup.md5Int($"s").as("fast8"),
+      expr("CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)").as("ref8"),
+      Dedup.md5Int60($"s").as("fast15"),
+      expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)").as("ref15")).collect()
+    out.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1))
+      assert(r.getLong(2) === r.getLong(3))
+    }
+  }
+
   // ---------------------------------------------------------------- similarity
 
   test("cosine: orthogonal → 0, identical → 1") {
