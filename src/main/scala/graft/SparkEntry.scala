@@ -628,6 +628,26 @@ object SparkEntry {
         col("l_quantity").cast(IntegerType))
         .orderBy("l_returnflag")),
 
+    // Capstone composition — a real curation pipeline: quality gate
+    // (stopword ratio + length) → exact-dedup keep-first → deterministic
+    // 50% sample → per-language counts. Every stage is one of the
+    // verified ops; this checks they compose.
+    "pipeline_curate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val quality = docs
+        .withColumn("stop_hits",
+          expr(s"size(filter(split(text, ' '), t -> t in ${inList(stopEn)}))"))
+        .withColumn("n_tok", size(split(col("text"), " ")))
+        .where(col("n_tok") >= 20 && col("stop_hits") > 0)
+      val keep = Dedup.exactGroups(quality, "text", "doc_id")
+        .select(col("keep_id").as("doc_id"))
+      val kept = quality.join(keep, "doc_id")
+      graft.ops.Sampling.sample(kept, "doc_id", 50)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), round(avg("n_tok"), 4).as("avg_tokens"))
+        .orderBy("lang")
+    }),
+
     "mm_meta" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -1111,6 +1131,20 @@ object SparkEntry {
       """SELECT l_returnflag,
         |        list_sort(list_distinct(list(CAST(trunc(l_quantity) AS INTEGER)))) AS values
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+
+    "pipeline_curate" ->
+      s"""WITH quality AS (
+         |   SELECT doc_id, lang, text,
+         |          len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopEn)})) AS stop_hits,
+         |          len(string_split(text, ' ')) AS n_tok
+         |   FROM documents),
+         | gated AS (SELECT * FROM quality WHERE n_tok >= 20 AND stop_hits > 0),
+         | keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+         | kept AS (SELECT g.* FROM gated g JOIN keep k USING (doc_id)),
+         | sampled AS (SELECT * FROM kept
+         |   WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 50)
+         | SELECT lang, count(*) AS n_docs, round(avg(n_tok), 4) AS avg_tokens
+         | FROM sampled GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " "),
 
     "mm_meta" ->
       """SELECT doc_id, strlen(text) AS n_bytes, 'text/plain' AS media_type
