@@ -81,6 +81,10 @@ object SparkEntry {
           col("l_quantity").cast(IntegerType).as("qty_int"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // Verification projections serialize ARRAY/STRUCT results with to_json
+    // (mirrored in the oracle): the driver's checker canonicalizes rows in
+    // pandas, which cannot sort ndarray/dict cells. The *operators* still
+    // build real arrays/structs; only the final projection is a string.
     "q4_groupby_collect" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_orderkey")
@@ -88,6 +92,8 @@ object SparkEntry {
           count(lit(1)).as("cnt"),
           round(sum("l_quantity"), 2).as("sum_qty"),
           sort_array(collect_set(col("l_returnflag"))).as("flags"))
+        .select(col("l_orderkey"), col("cnt"), col("sum_qty"),
+          to_json(col("flags")).as("flags"))
         .orderBy("l_orderkey")),
 
     "q5_first_nonnull" -> ((s, dir) =>
@@ -148,6 +154,7 @@ object SparkEntry {
         .agg(
           max_by(col("p_name"), struct(length(col("p_name")), col("p_name"))).as("name_kept"),
           sort_array(collect_set(col("p_brand"))).as("brands"))
+        .select(col("p_partkey"), col("name_kept"), to_json(col("brands")).as("brands"))
         .orderBy("p_partkey")
     }),
 
@@ -261,6 +268,7 @@ object SparkEntry {
         .select(col("o_orderkey"),
           struct(col("o_orderstatus").as("status"),
             round(col("o_totalprice"), 2).as("price")).as("info"))
+        .select(col("o_orderkey"), to_json(col("info")).as("info"))
         .orderBy("o_orderkey")),
 
     "profile_orders" -> ((s, dir) =>
@@ -418,6 +426,11 @@ object SparkEntry {
 
     "fast_docs" -> ((s, dir) =>
       FastIngest.ingestDocs(ntFromPart(t(s, dir, "part")), lit("Topical"))
+        .select(col("_id"), col("fast"), col("type"), col("prefLabel"),
+          to_json(col("altLabel")).as("altLabel"),
+          to_json(col("sameAsLc")).as("sameAsLc"),
+          to_json(col("sameAsViaf")).as("sameAsViaf"),
+          to_json(col("normalized")).as("normalized"))
         .orderBy("_id")),
 
     "viaf_update" -> ((s, dir) => {
@@ -429,6 +442,7 @@ object SparkEntry {
         concat(lit("lc"), col("s_suppkey")).as("lcId"),
         when(col("s_suppkey") % 5 === 0, array(lit(9999))).as("fast"))
       FastIngest.viafUpdate(FastIngest.agentOtherIds(fragments), viaf)
+        .select(col("_id"), col("viaf"), col("lcId"), to_json(col("fast")).as("fast"))
         .orderBy("_id")
     }),
 
@@ -626,6 +640,7 @@ object SparkEntry {
       graft.ops.Skew.saltedCollectSet(
         t(s, dir, "lineitem"), "l_returnflag",
         col("l_quantity").cast(IntegerType))
+        .select(col("l_returnflag"), to_json(col("values")).as("values"))
         .orderBy("l_returnflag")),
 
     // Capstone composition — a real curation pipeline: quality gate
@@ -680,6 +695,11 @@ object SparkEntry {
         .agg(graft.ingest.MergeFastDocs.toColumn.name("doc"))
         .map(_._2)
         .toDF()
+        .select(col("_id"), col("fast"), col("type"), col("prefLabel"),
+          to_json(col("altLabel")).as("altLabel"),
+          to_json(col("sameAsLc")).as("sameAsLc"),
+          to_json(col("sameAsViaf")).as("sameAsViaf"),
+          to_json(col("normalized")).as("normalized"))
         .orderBy("_id")
     }),
 
@@ -710,7 +730,7 @@ object SparkEntry {
 
     "q4_groupby_collect" ->
       """SELECT l_orderkey, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
-        | list_sort(list_distinct(list(l_returnflag))) AS flags
+        | to_json(list_sort(list_distinct(list(l_returnflag))))::VARCHAR AS flags
         | FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin.replace("\n", " "),
 
     "q5_first_nonnull" ->
@@ -750,7 +770,7 @@ object SparkEntry {
         |   FROM u GROUP BY p_partkey)
         | SELECT g.p_partkey,
         |        (SELECT max(p_name) FROM u WHERE u.p_partkey = g.p_partkey AND length(u.p_name) = g.ml) AS name_kept,
-        |        g.brands
+        |        to_json(g.brands)::VARCHAR AS brands
         | FROM g ORDER BY g.p_partkey""".stripMargin.replace("\n", " "),
 
     "q10_explode_tokens" ->
@@ -827,7 +847,7 @@ object SparkEntry {
 
     "q30_struct" ->
       """SELECT o_orderkey,
-        |        {'status': o_orderstatus, 'price': round(o_totalprice, 2)} AS info
+        |        to_json({'status': o_orderstatus, 'price': round(o_totalprice, 2)})::VARCHAR AS info
         | FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
 
     "profile_orders" ->
@@ -990,6 +1010,9 @@ object SparkEntry {
          | FROM reach GROUP BY s ORDER BY doc_id""".stripMargin.replace("\n", " ")
     },
 
+    // NOTE: the outer sum() of BIGINT is HUGEINT in DuckDB; the driver's
+    // pandas bridge coerces HUGEINT to float64, losing exactness above
+    // 2^53 — CAST back to BIGINT so 60-bit simhash values survive.
     "dedup_simhash" ->
       """WITH t AS (
         |   SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
@@ -998,7 +1021,7 @@ object SparkEntry {
         |   SELECT doc_id, r.b AS b, sum(((h >> r.b) & 1) * 2 - 1) AS vote
         |   FROM t CROSS JOIN (SELECT unnest(range(0, 60)) AS b) r GROUP BY doc_id, r.b)
         | SELECT doc_id,
-        |        sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS simhash
+        |        CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
         | FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "text_tokens" ->
@@ -1129,7 +1152,7 @@ object SparkEntry {
 
     "skew_salted_collect" ->
       """SELECT l_returnflag,
-        |        list_sort(list_distinct(list(CAST(trunc(l_quantity) AS INTEGER)))) AS values
+        |        to_json(list_sort(list_distinct(list(CAST(trunc(l_quantity) AS INTEGER)))))::VARCHAR AS values
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
 
     "pipeline_curate" ->
@@ -1172,10 +1195,10 @@ object SparkEntry {
        |           >= 10 + length(p_type) + length($nType)
        |      THEN 'Topical' ELSE 'Geographic' END AS type,
        | p_name AS prefLabel,
-       | list_sort(list_distinct([p_brand, p_type])) AS altLabel,
-       | CAST([] AS VARCHAR[]) AS sameAsLc,
-       | CAST([] AS VARCHAR[]) AS sameAsViaf,
-       | list_sort(list_distinct([$nName, $nType])) AS normalized
+       | to_json(list_sort(list_distinct([p_brand, p_type])))::VARCHAR AS altLabel,
+       | to_json(CAST([] AS VARCHAR[]))::VARCHAR AS sameAsLc,
+       | to_json(CAST([] AS VARCHAR[]))::VARCHAR AS sameAsViaf,
+       | to_json(list_sort(list_distinct([$nName, $nType])))::VARCHAR AS normalized
        | FROM part ORDER BY _id""".stripMargin.replace("\n", " ")
   }
 
@@ -1244,26 +1267,26 @@ object SparkEntry {
     val nType = nsSql("p_type")
     s"""SELECT CAST(p_partkey AS INTEGER) AS _id, CAST(p_partkey AS INTEGER) AS fast, 'Topical' AS type,
        | p_name AS prefLabel,
-       | list_sort(list_distinct(CASE WHEN p_partkey % 4 = 0 THEN [p_brand, p_type] ELSE [p_brand] END)) AS altLabel,
-       | CASE WHEN p_partkey % 3 = 0
+       | to_json(list_sort(list_distinct(CASE WHEN p_partkey % 4 = 0 THEN [p_brand, p_type] ELSE [p_brand] END)))::VARCHAR AS altLabel,
+       | to_json(CASE WHEN p_partkey % 3 = 0
        |      THEN list_sort(['http://id.loc.gov/authorities/names/lc' || p_partkey, 'lc' || p_partkey])
-       |      ELSE [] END AS sameAsLc,
-       | CASE WHEN p_partkey % 2 = 0
+       |      ELSE [] END)::VARCHAR AS sameAsLc,
+       | to_json(CASE WHEN p_partkey % 2 = 0
        |      THEN list_sort(['http://viaf.org/viaf/' || (p_partkey * 7), CAST(p_partkey * 7 AS VARCHAR)])
-       |      ELSE [] END AS sameAsViaf,
-       | list_sort(list_distinct(CASE WHEN p_partkey % 4 = 0 THEN [$nName, $nBrand, $nType]
-       |                              ELSE [$nName, $nBrand] END)) AS normalized
+       |      ELSE [] END)::VARCHAR AS sameAsViaf,
+       | to_json(list_sort(list_distinct(CASE WHEN p_partkey % 4 = 0 THEN [$nName, $nBrand, $nType]
+       |                              ELSE [$nName, $nBrand] END)))::VARCHAR AS normalized
        | FROM part ORDER BY _id""".stripMargin.replace("\n", " ")
   }
 
   private def viafUpdateOracle: String =
     """SELECT 'v' || s_suppkey AS _id, CAST(s_suppkey * 7 AS VARCHAR) AS viaf,
       |        'lc' || s_suppkey AS lcId,
-      |        CASE WHEN s_suppkey % 2 = 0 OR s_suppkey % 3 = 0
+      |        to_json(CASE WHEN s_suppkey % 2 = 0 OR s_suppkey % 3 = 0
       |             THEN list_sort(list_distinct(
       |                    (CASE WHEN s_suppkey % 5 = 0 THEN [CAST(9999 AS INTEGER)] ELSE [] END)
       |                    || [CAST(s_suppkey AS INTEGER)]))
       |             WHEN s_suppkey % 5 = 0 THEN [CAST(9999 AS INTEGER)]
-      |             ELSE NULL END AS fast
+      |             ELSE NULL END)::VARCHAR AS fast
       | FROM supplier ORDER BY _id""".stripMargin.replace("\n", " ")
 }

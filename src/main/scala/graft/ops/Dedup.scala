@@ -176,20 +176,24 @@ object Dedup {
   }
 
   /** 60-bit SimHash over the token multiset: per token a 60-bit md5 hash;
-    * each output bit is the sign of the per-bit vote sum. Linear in input
-    * (explode tokens × 60 bit positions), two partial-agg shuffles.
+    * each output bit is the sign of the per-bit vote sum.
+    *
+    * One shuffle, no row explosion: the 60 bit-votes are 60 independent
+    * `sum(...)` columns in a single hash aggregation (partial-agg map-side
+    * combines token rows before the shuffle), then the final signature is a
+    * pure projection over the 60 vote columns — vs the naive
+    * explode(sequence(0,59)) form this is 60× fewer shuffle rows.
     */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = df.select(col(idCol),
       explode(split(col(textCol), " ")).as("tok"))
       .select(col(idCol), md5Int60(col("tok")).as("h"))
-    val bits = toks
-      .select(col(idCol), explode(sequence(lit(0), lit(59))).as("b"), col("h"))
-      .groupBy(col(idCol), col("b"))
-      .agg(sum(expr("shiftright(h, CAST(b AS INT)) & 1") * 2 - 1).as("vote"))
-    bits.groupBy(col(idCol))
-      .agg(sum(when(col("vote") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(0L))
-        .as("simhash"))
+    val votes = (0 until 60).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"_v$b"))
+    val simhashCol = (0 until 60).map(b =>
+      when(col(s"_v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    toks.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), simhashCol.as("simhash"))
   }
 }

@@ -1,11 +1,12 @@
 package graft
 
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Driver-contract invariants — catches drift that would silently weaken
   * the correctness gate.
   */
-class ContractSpec extends AnyFunSuite {
+class ContractSpec extends AnyFunSuite with SparkSpec {
 
   test("every query has a DuckDB oracle") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -20,5 +21,22 @@ class ContractSpec extends AnyFunSuite {
   test("every oracle ends with a deterministic ORDER BY") {
     val bad = SparkEntry.oracleSql.filterNot(_._2.toUpperCase.contains("ORDER BY"))
     assert(bad.isEmpty, s"oracles without ORDER BY (positional compare!): ${bad.keySet}")
+  }
+
+  // The driver's checker canonicalizes rows in pandas, which cannot sort
+  // ndarray/dict cells — any ARRAY/STRUCT/MAP column in a query's output
+  // schema makes that query un-adjudicable (CORRECTNESS_r01 regression).
+  // Serialize with to_json in the verification projection instead.
+  test("no top-level ARRAY/STRUCT/MAP in any query output schema") {
+    val dir = "/root/testdata/sf0.001"
+    val bad = SparkEntry.queries.flatMap { case (name, q) =>
+      val complexCols = q(spark, dir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[StructType] ||
+          f.dataType.isInstanceOf[MapType] => f.name
+      }
+      if (complexCols.isEmpty) None else Some(s"$name(${complexCols.mkString(",")})")
+    }
+    assert(bad.isEmpty, s"queries with pandas-unsortable output columns: $bad")
   }
 }
