@@ -111,68 +111,87 @@ object Dedup {
     * `cluster_id` (nodes outside any edge are their own cluster and are
     * not emitted — callers union singletons if needed).
     *
-    * Iterative min-label propagation: each round joins labels to
-    * neighbors and takes the min (both edge directions), converging in
-    * O(component diameter) rounds — near-dup clusters are shallow, so
-    * `maxIterations` defaults well above any real diameter. Each round is
-    * one shuffle join + one aggregation; no driver-side graph state.
+    * Alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): each round
+    * REWRITES the edge set toward stars centered at component minima —
+    * large-star points every strictly-larger neighbor of u at
+    * m(u) = min(Γ(u) ∪ {u}); small-star folds each node and its smaller
+    * neighbors onto their minimum. Unlike plain min-label propagation
+    * (O(diameter) rounds when ids are scattered, the long-chain near-dup
+    * case), star contraction halves chain structure every round —
+    * O(log diameter) rounds on any id layout, and the edge set shrinks as
+    * components contract, so later rounds are cheaper, not just fewer.
+    *
+    * One action per round: the edge count + an order-independent xxhash64
+    * signature ride the materializing action via `observe()`; the fixed
+    * point (a star forest) is detected when both are unchanged. Rounds are
+    * lineage-cut and the previous round's storage freed
+    * ([[Iterate.materialize]]) — no session-global configuration, memory
+    * O(1) in round count. At 100 TB every step is a key-partitioned
+    * aggregation or equi-join on node id — AQE handles skew (a hot star
+    * center is the skew-join case) and coalesces the contracted tail.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIterations: Int = 50): DataFrame = {
-    val spark = pairs.sparkSession
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // canonical undirected edges, bigger endpoint first
+    val init = pairs
+      .where(col(aCol) =!= col(bCol))
+      .select(greatest(col(aCol), col(bCol)).as("src"),
+        least(col(aCol), col(bCol)).as("dst"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the loop's per-round cost is dominated by fixed per-shuffle task
-    // overhead, not data — size partitions to the edge count (≥1 per 100k
-    // edges), restore the session setting after
-    val nEdges = edges.count()
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val loopParts = math.max(4, math.min(prevParts.toInt, (nEdges / 100000L).toInt + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    try {
-      var labels = edges.select(col("src").as("node"))
+    var round = graft.ops.Iterate.materialize(init)
+    var i = 0
+    var converged = false
+    var prevCnt = -1L
+    var prevSig = 0L
+    while (i < maxIterations && !converged) {
+      val edges = round.df
+      // LARGE-STAR: for every node u, connect each strictly larger
+      // neighbor v to m(u) = min(Γ(u) ∪ {u}); m ≤ u < v keeps the
+      // (bigger, smaller) canonical form and forbids self-loops
+      val sym = edges.select(col("src").as("u"), col("dst").as("v"))
+        .union(edges.select(col("dst").as("u"), col("src").as("v")))
+      val mLarge = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // no distinct here: the min aggregations below are duplicate-
+      // insensitive and nextEdges dedups once at the end — saves a shuffle
+      val large = sym.join(mLarge, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+      // SMALL-STAR: for every node u, fold u and its smaller neighbors
+      // Γ⁻(u) onto m = min(Γ⁻(u)); canonical form means Γ⁻ is just `dst`
+      val sm = large.select(col("src").as("u"), col("dst").as("v"))
+      val mSmall = sm.groupBy("u").agg(min("v").as("m"))
+      val nextEdges = sm.join(mSmall, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .union(mSmall.select(col("u").as("src"), col("m").as("dst")))
         .distinct()
-        .withColumn("cluster_id", col("node"))
-        .localCheckpoint(true)
-      var i = 0
-      var converged = false
-      while (i < maxIterations && !converged) {
-        // hop: take the min over neighbors' labels
-        val viaNeighbor = edges
-          .join(labels, edges("dst") === labels("node"))
-          .select(edges("src").as("node"), col("cluster_id"))
-        val hopped = labels.select(col("node"), col("cluster_id"))
-          .union(viaNeighbor)
-          .groupBy("node")
-          .agg(min("cluster_id").as("cluster_id"))
-        // pointer jump: follow the label to ITS label (labels are node ids,
-        // so this resolves chains in one join) — hop alone needs
-        // O(diameter) rounds; hop+jump converges in O(log n)
-        val resolver = hopped.select(col("node").as("_rn"), col("cluster_id").as("_rc"))
-        val next = hopped
-          .join(resolver, hopped("cluster_id") === col("_rn"), "left")
-          .select(hopped("node"), coalesce(col("_rc"), hopped("cluster_id")).as("cluster_id"))
-          // checkpoint the lineage each round: without this the plan doubles
-          // per iteration and analysis time explodes
-          .localCheckpoint(true)
-        // convergence check every 2nd round (labels only decrease, so an
-        // unchanged pass means a fixed point; checking late costs at most
-        // one extra cheap round)
-        if (i % 2 == 1 || i == maxIterations - 1) {
-          val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "node")
-            .where(col("cluster_id") =!= col("prev")).limit(1).count()
-          converged = changed == 0
-        }
-        labels = next
-        i += 1
-      }
-      labels.select(col("node"), col("cluster_id"))
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      edges.unpersist()
+      val obs = org.apache.spark.sql.Observation()
+      // order-independent set signature: bit_xor of per-edge hashes (xor
+      // never overflows under ANSI arithmetic, unlike sum)
+      val observed = nextEdges.observe(obs,
+        count(lit(1)).as("cnt"),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)).as("sig"))
+      val t0 = System.nanoTime()
+      val materialized = graft.ops.Iterate.materialize(observed)
+      val cnt = obs.get("cnt").asInstanceOf[Long]
+      val sig = obs.get("sig").asInstanceOf[Long]
+      converged = cnt == prevCnt && sig == prevSig
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"[cc] round $i: ${(System.nanoTime() - t0) / 1e9}%.2f s edges=$cnt")
+      prevCnt = cnt
+      prevSig = sig
+      round.unpersist()
+      round = materialized
+      i += 1
     }
+    // fixed point is a star forest: every edge points leaf → component-min
+    // center; centers label themselves
+    val stars = round.df
+    stars.select(col("src").as("node"), col("dst").as("cluster_id"))
+      .union(stars.select(col("dst").as("node"), col("dst").as("cluster_id")))
+      .distinct()
   }
 
   /** 60-bit SimHash over the token multiset: per token a 60-bit md5 hash;

@@ -158,21 +158,25 @@ object Similarity {
     */
   def sphericalKMeans(corpus: DataFrame, idCol: String, embCol: String,
                       k: Int, iterations: Int): DataFrame = {
-    var cents = corpus.where(col(idCol) < k)
-      .select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
-      .localCheckpoint(true)
-    var assigned = ivfAssign(corpus, cents, idCol, embCol, "c_id", "c_emb")
+    // each round is lineage-cut and the previous round's K cached centroid
+    // rows are released (Iterate.materialize) — no localCheckpoint pinning,
+    // no storage growth with iteration count
+    var round = Iterate.materialize(corpus.where(col(idCol) < k)
+      .select(col(idCol).as("c_id"), col(embCol).as("c_emb")))
+    var assigned = ivfAssign(corpus, round.df, idCol, embCol, "c_id", "c_emb")
     var i = 0
     while (i < iterations) {
-      cents = assigned
+      val cents = assigned
         .select(col("cluster").as("c_id"), posexplode(col(embCol)))
         .groupBy(col("c_id"), col("pos"))
         .agg(avg(col("col")).as("v"))
         .groupBy(col("c_id"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, v))), s -> CAST(s.v AS FLOAT))")
           .as("c_emb"))
-        .localCheckpoint(true)
-      assigned = ivfAssign(corpus, cents, idCol, embCol, "c_id", "c_emb")
+      val materialized = Iterate.materialize(cents)
+      round.unpersist()
+      round = materialized
+      assigned = ivfAssign(corpus, round.df, idCol, embCol, "c_id", "c_emb")
       i += 1
     }
     assigned.select(col(idCol), col("cluster"))

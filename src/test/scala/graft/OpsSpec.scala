@@ -146,6 +146,34 @@ class OpsSpec extends SparkSpec {
     assert(byGroup.flatten.distinct.size === 3)
   }
 
+  // ---------------------------------------------------- iterative hygiene
+
+  test("connectedComponents: min-label clusters over chain + clique + isolate pair") {
+    // chain 1-2-3-4, clique {10,11,12}, pair {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L)).toDF("a", "b")
+    val out = Dedup.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("iterative ops release per-round storage (no block accumulation)") {
+    val sc = spark.sparkContext
+    def persisted = sc.getPersistentRDDs.size
+    val before = persisted
+    // a long chain forces several label-propagation rounds
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    Dedup.connectedComponents(pairs, "a", "b").collect()
+    // everything but the final round's labels must be freed
+    assert(persisted <= before + 1, s"CC leaked cached rounds: $before -> $persisted")
+    val mid = persisted
+    val corpus = (0 until 20).map(i => (i.toLong,
+      (0 until 8).map(d => if (d == i % 2) 1f else 0.1f))).toDF("vec_id", "embedding")
+    Similarity.sphericalKMeans(corpus, "vec_id", "embedding", k = 2, iterations = 5).collect()
+    assert(persisted <= mid + 1, s"kMeans leaked cached rounds: $mid -> $persisted")
+  }
+
   // ---------------------------------------------------------------- multimodal
 
   test("multimodal: binary payload round-trips through mapPartitions decode") {
