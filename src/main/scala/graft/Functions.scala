@@ -27,6 +27,7 @@ object Functions {
     native("vec_sign_bits", exprs => graft.functions.VecSignBits(exprs(0)))
     native("md5_long", exprs => graft.functions.Md5Long(
       exprs(0), exprs(1).eval().asInstanceOf[Int]))
+    native("nt_unescape", exprs => graft.functions.NtUnescape(exprs(0)))
   }
 
   /** `normalize_label` as a Column op — pure built-ins (codegen'd, no UDF):

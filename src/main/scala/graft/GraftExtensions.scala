@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Md5Long, NormalizeLabelExpr, NormalizeSingularExpr, ParseNt, RollingHash, VecDot, VecSignBits, WordShingles}
+import graft.functions.{Md5Long, NormalizeLabelExpr, NormalizeSingularExpr, NtUnescape, ParseNt, RollingHash, VecDot, VecSignBits, WordShingles}
 
 /** Injectable extensions: makes the engine's native expressions available
   * in ANY session via `spark.sql.extensions=graft.GraftExtensions` (e.g.
@@ -49,5 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("md5_long"),
       info("md5_long", "md5_long(s, nibbles) - first hex digits of md5 as BIGINT"),
       (exprs: Seq[Expression]) => Md5Long(exprs(0), exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("nt_unescape"),
+      info("nt_unescape", "nt_unescape(s) - decode N-Triples ECHAR/UCHAR escapes"),
+      (exprs: Seq[Expression]) => NtUnescape(exprs(0))))
   }
 }

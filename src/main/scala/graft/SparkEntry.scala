@@ -612,26 +612,12 @@ object SparkEntry {
     }),
 
     // Word-3-gram Jaccard near-dup via an inverted shingle index self-join
-    // (the exact form of MinHash-LSH's candidate generation).
-    "dedup_ngram" -> ((s, dir) => {
-      // join on a 60-bit hash of the shingle: fixed-width key shrinks the
-      // shuffle (collision odds ~1e-8 at this cardinality; the oracle
-      // hashes identically, so results stay comparable)
-      val sh = Dedup.shingleRows(t(s, dir, "documents"), "text", "doc_id")
-        .select(col("doc_id"), col("n_sh"), Dedup.md5Int60(col("sh")).as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val a = sh.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"), col("sh"))
-      val b = sh.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"), col("sh"))
-      a.join(b, Seq("sh"))
-        .where(col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id", "a_n", "b_n")
-        .agg(count(lit(1)).as("inter"))
-        .select(col("a_id"), col("b_id"),
-          round(col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")), 4)
-            .as("jaccard"))
-        .where(col("jaccard") >= 0.5)
-        .orderBy("a_id", "b_id")
-    }),
+    // with a document-frequency cap on shingles (see Dedup.ngramCandidates
+    // — the guard against the boilerplate-shingle k² blowup).
+    "dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramCandidates(t(s, dir, "documents"), "text", "doc_id",
+          k = 3, dfCap = 100, threshold = 0.5)
+        .orderBy("a_id", "b_id")),
 
     // Salted two-phase collect_set over a genuinely hot key (3 returnflag
     // groups × 200k rows each at sf0.1) — the bounded-group-state pattern
@@ -1142,10 +1128,12 @@ object SparkEntry {
         |                         for i in range(1, greatest(len(ws) - 1, 1))]) AS shingles
         |   FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
         | ex AS (SELECT doc_id, len(shingles) AS n_sh,
-        |        ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS sh FROM sh)
+        |        ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS sh FROM sh),
+        | rare AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= 100),
+        | exr AS (SELECT ex.* FROM ex JOIN rare USING (sh))
         | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |        round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 4) AS jaccard
-        | FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        | FROM exr a JOIN exr b ON a.sh = b.sh AND a.doc_id < b.doc_id
         | GROUP BY a.doc_id, b.doc_id
         | HAVING round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 4) >= 0.5
         | ORDER BY a_id, b_id""".stripMargin.replace("\n", " "),

@@ -28,10 +28,10 @@ case class Md5Long(child: Expression, nibbles: Int) extends UnaryExpression {
   override def prettyName: String = "md5_long"
 
   override protected def nullSafeEval(input: Any): Any =
-    Md5Long.eval(input.asInstanceOf[UTF8String], nibbles)
+    Md5Long.hashLong(input.asInstanceOf[UTF8String], nibbles)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Long.eval($c, $nibbles)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Long.hashLong($c, $nibbles)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -42,7 +42,7 @@ object Md5Long {
     () => MessageDigest.getInstance("MD5"))
 
   /** Called from generated code. */
-  def eval(s: UTF8String, nibbles: Int): Long = {
+  def hashLong(s: UTF8String, nibbles: Int): Long = {
     val md = digests.get()
     md.reset()
     val d = md.digest(s.getBytes)

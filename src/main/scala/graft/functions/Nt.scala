@@ -27,13 +27,18 @@ object Nt {
   def objectUri(term: Column): Column =
     when(term.startsWith("<"), nullIfEmpty(regexp_extract(term, "^<([^>]*)>", 1)))
 
-  /** Literal objects: `"v"`, `"v"@en`, `"v"^^<t>` → `v`; IRIs → null.
-    * Mirrors `N3Util.getLiteralValue` (`lib/fast_parse.js:31,46`). NT escape
-    * sequences are left as-is (FAST dumps carry none on the kept predicates).
+  /** Literal objects: `"v"`, `"v"@en`, `"v"^^<t>` → `v` with N-Triples
+    * escapes decoded (`\" \\ \n \t \uXXXX …` — [[graft.functions.NtUnescape]]);
+    * IRIs → null. Mirrors `N3Util.getLiteralValue` (`lib/fast_parse.js:31,46`),
+    * which returns decoded values. The greedy `(.*)` capture anchors on the
+    * LAST quote before the optional suffix, so escaped interior quotes
+    * survive the extraction and are decoded afterwards.
+    * Requires `graft.Functions.register` on the session (GraftSession does).
     */
   def literalValue(term: Column): Column =
     when(term.startsWith("\""),
-      regexp_extract(term, "^\"(.*)\"(?:@[A-Za-z0-9-]+|\\^\\^<[^>]*>)?$", 1))
+      call_function("nt_unescape",
+        regexp_extract(term, "^\"(.*)\"(?:@[A-Za-z0-9-]+|\\^\\^<[^>]*>)?$", 1)))
 
   /** Last `/`-segment of a URI (`lib/ingest.js:220,224,250,254`). */
   def lastSegment(c: Column): Column = element_at(split(c, "/"), -1)

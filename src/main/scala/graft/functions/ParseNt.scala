@@ -36,12 +36,12 @@ case class ParseNt(child: Expression) extends UnaryExpression {
   override def prettyName: String = "parse_nt"
 
   override protected def nullSafeEval(input: Any): Any =
-    ParseNt.eval(input.asInstanceOf[UTF8String])
+    ParseNt.parseLine(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"""
-         |${ev.value} = graft.functions.ParseNt.eval($c);
+         |${ev.value} = graft.functions.ParseNt.parseLine($c);
          |${ev.isNull} = ${ev.value} == null;
        """.stripMargin)
 
@@ -54,7 +54,7 @@ object ParseNt {
     Pattern.compile("^\\s*<([^>]*)>\\s+<([^>]*)>\\s+(.+?)\\s*\\.\\s*$")
 
   /** Called from generated code. Returns null for malformed lines. */
-  def eval(line: UTF8String): InternalRow = {
+  def parseLine(line: UTF8String): InternalRow = {
     val m = LineRe.matcher(line.toString)
     if (!m.matches()) return null
     new GenericInternalRow(Array[Any](

@@ -58,9 +58,9 @@ case class RollingHash(child: Expression) extends StaticStringExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash"
   override protected def nullSafeEval(input: Any): Any =
-    RollingHash.eval(input.asInstanceOf[UTF8String])
+    RollingHash.hash(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.hash($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -69,7 +69,7 @@ object RollingHash {
   val Mod = 999999999999989L
 
   /** Called from generated code. */
-  def eval(text: UTF8String): Long = {
+  def hash(text: UTF8String): Long = {
     val s = text.toString
     if (s.isEmpty) return 0L
     var h = 0L

@@ -26,10 +26,10 @@ case class VecSignBits(child: Expression) extends UnaryExpression {
   override def prettyName: String = "vec_sign_bits"
 
   override protected def nullSafeEval(input: Any): Any =
-    VecSignBits.eval(input.asInstanceOf[ArrayData])
+    VecSignBits.signBits(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.VecSignBits.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecSignBits.signBits($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -37,7 +37,7 @@ case class VecSignBits(child: Expression) extends UnaryExpression {
 
 object VecSignBits {
   /** Called from generated code. */
-  def eval(arr: ArrayData): Long = {
+  def signBits(arr: ArrayData): Long = {
     val n = math.min(arr.numElements(), 60)
     var bits = 0L
     var i = 0

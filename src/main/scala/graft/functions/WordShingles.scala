@@ -29,11 +29,11 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "word_shingles"
 
   override protected def nullSafeEval(input: Any): Any =
-    WordShingles.eval(input.asInstanceOf[UTF8String], k)
+    WordShingles.shingles(input.asInstanceOf[UTF8String], k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.WordShingles.eval($c, $k)")
+      s"graft.functions.WordShingles.shingles($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -41,7 +41,7 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
 
 object WordShingles {
   /** Row-level shingle computation; called from generated code. */
-  def eval(text: UTF8String, k: Int): ArrayData = {
+  def shingles(text: UTF8String, k: Int): ArrayData = {
     // match Spark's split(text, ' '): regex single space, trailing empties kept
     val ws = text.toString.split(" ", -1)
     if (ws.length < k) return new GenericArrayData(Array.empty[Any])

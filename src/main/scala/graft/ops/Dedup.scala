@@ -194,6 +194,41 @@ object Dedup {
       .distinct()
   }
 
+  /** Word-k-gram Jaccard near-dup candidates via an inverted shingle-index
+    * self-join, with a document-frequency cap: shingles occurring in more
+    * than `dfCap` documents are dropped before the self-join. The cap is
+    * the standard guard against the quadratic blowup from boilerplate —
+    * one hot shingle shared by k documents would otherwise emit k² join
+    * rows (the skew cliff at 100 TB) — and it shrinks the shuffle to the
+    * discriminative shingles. Jaccard denominators keep the FULL per-doc
+    * shingle counts, so the cap only removes candidate-generating power
+    * of boilerplate; it never inflates similarity. The df aggregation and
+    * the self-join share the same shingle-key shuffle (exchange reuse).
+    */
+  def ngramCandidates(df: DataFrame, textCol: String, idCol: String,
+                      k: Int = 3, dfCap: Int = 100,
+                      threshold: Double = 0.5): DataFrame = {
+    // 60-bit hash of the shingle: fixed-width key shrinks the shuffle
+    // (collision odds ~1e-8 at this cardinality; oracles hash identically)
+    val sh = shingleRows(df, textCol, idCol, k)
+      .select(col(idCol), col("n_sh"), md5Int60(col("sh")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("_df"))
+      .where(col("_df") <= dfCap)
+      .select(col("sh"))
+    val pruned = sh.join(rare, "sh")
+    val a = pruned.select(col(idCol).as("a_id"), col("n_sh").as("a_n"), col("sh"))
+    val b = pruned.select(col(idCol).as("b_id"), col("n_sh").as("b_n"), col("sh"))
+    a.join(b, Seq("sh"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "a_n", "b_n")
+      .agg(count(lit(1)).as("inter"))
+      .select(col("a_id"), col("b_id"),
+        round(col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")), 4)
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** 60-bit SimHash over the token multiset: per token a 60-bit md5 hash;
     * each output bit is the sign of the per-bit vote sum.
     *

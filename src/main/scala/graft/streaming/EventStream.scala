@@ -22,9 +22,13 @@ object EventStream {
 
   case class UserRunningStats(user_id: Long, n_events: Long, total_value: Double)
 
-  /** Nanos → TIMESTAMP for event-time semantics. */
+  /** Nanos → TIMESTAMP for event-time semantics. Integer division: `/` on
+    * longs is DOUBLE division in Spark, and epoch-nanos (~1.7e18) exceed
+    * double's 2^53 exact range — a float path could mis-bucket events at
+    * window boundaries relative to the pure-integer batch twin (q14).
+    */
   def eventTime(df: DataFrame): DataFrame =
-    df.withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+    df.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
 
   /** Tumbling event-time window aggregate with a watermark: the streaming
     * twin of the batch q14 query. Late data beyond `lateness` is dropped;

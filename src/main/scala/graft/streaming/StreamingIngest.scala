@@ -18,43 +18,65 @@ import graft.ingest.FastIngest
   */
 object StreamingIngest {
 
-  /** Merge a batch of enriched docs into the stored fast table. */
+  /** Merge a batch of enriched docs into the stored fast table.
+    *
+    * The stored table carries the MergeBuf bookkeeping columns
+    * (`_bestRich`/`_bestType`/`_bestPref`/`_fillPref`) alongside the
+    * finished doc: type/prefLabel selection always compares the richness
+    * of the best ORIGINAL contributor, exactly like the batch
+    * [[graft.ingest.MergeFastDocs]] Aggregator. Recomputing richness from
+    * the stored *merged* doc would inflate early winners via their unioned
+    * arrays and make the outcome arrival-order dependent.
+    */
   def mergeBatch(spark: SparkSession, docs: DataFrame, tablePath: String): Unit = {
+    val incoming = docs.select(col("*"),
+      richnessLen.as("_bestRich"), col("type").as("_bestType"),
+      col("prefLabel").as("_bestPref"), col("prefLabel").as("_fillPref"))
     val existing =
       try Some(spark.read.parquet(tablePath)) catch { case _: Exception => None }
     val unioned = existing match {
-      case Some(prev) => prev.unionByName(docs)
-      case None => docs
+      case Some(prev) => prev.unionByName(incoming)
+      case None => incoming
     }
-    // keep the richer doc per _id (same total order as MergeFastDocs),
-    // then set-union the arrays of all contributors
+    // same total order as MergeFastDocs.keyOrd: (richness, type, prefLabel)
+    // of the best original, nulls low
+    val ord = struct(col("_bestRich"),
+      coalesce(col("_bestType"), lit("")), coalesce(col("_bestPref"), lit("")))
     val merged = unioned
       .groupBy("_id")
       .agg(
-        max_by(col("fast"), richness).as("fast"),
-        max_by(col("type"), richness).as("type"),
-        max_by(col("prefLabel"), richness).as("bestPref"),
-        min(col("prefLabel")).as("fillPref"),
+        max_by(struct(col("fast"), col("_bestRich"), col("_bestType"),
+          col("_bestPref")), ord).as("_best"),
+        min(col("_fillPref")).as("_fillPref"),
         sort_array(array_distinct(flatten(collect_list(col("altLabel"))))).as("altLabel"),
         sort_array(array_distinct(flatten(collect_list(col("sameAsLc"))))).as("sameAsLc"),
         sort_array(array_distinct(flatten(collect_list(col("sameAsViaf"))))).as("sameAsViaf"),
         sort_array(array_distinct(flatten(collect_list(col("normalized"))))).as("normalized"))
-      .select(col("_id"), col("fast"), col("type"),
-        coalesce(col("bestPref"), col("fillPref")).as("prefLabel"),
-        col("altLabel"), col("sameAsLc"), col("sameAsViaf"), col("normalized"))
+      .select(col("_id"), col("_best.fast").as("fast"),
+        col("_best._bestType").as("type"),
+        coalesce(col("_best._bestPref"), col("_fillPref")).as("prefLabel"),
+        col("altLabel"), col("sameAsLc"), col("sameAsViaf"), col("normalized"),
+        col("_best._bestRich").as("_bestRich"),
+        col("_best._bestType").as("_bestType"),
+        col("_best._bestPref").as("_bestPref"),
+        col("_fillPref"))
     // overwrite must not read from its own output mid-write → materialize
-    val rows = merged.localCheckpoint(true)
-    rows.write.mode("overwrite").parquet(tablePath)
+    // fully first (reliable checkpoint when a dir is set, else cache)
+    val m = graft.ops.Iterate.materialize(merged)
+    m.df.write.mode("overwrite").parquet(tablePath)
+    m.unpersist()
   }
 
-  /** Richness key mirroring [[graft.ingest.MergeFastDocs.richness]]. */
-  private def richness = struct(
+  /** Scalar richness of an ORIGINAL doc, mirroring
+    * [[graft.ingest.MergeFastDocs.richness]]: total character count of
+    * prefLabel + type + all array elements.
+    */
+  private def richnessLen =
     coalesce(length(col("prefLabel")), lit(0)) + coalesce(length(col("type")), lit(0)) +
       coalesce(expr("aggregate(transform(altLabel, x -> length(x)), 0, (a, v) -> a + v)"), lit(0)) +
       coalesce(expr("aggregate(transform(sameAsLc, x -> length(x)), 0, (a, v) -> a + v)"), lit(0)) +
       coalesce(expr("aggregate(transform(sameAsViaf, x -> length(x)), 0, (a, v) -> a + v)"), lit(0)) +
-      coalesce(expr("aggregate(transform(normalized, x -> length(x)), 0, (a, v) -> a + v)"), lit(0)),
-    col("type"), col("prefLabel"))
+      coalesce(expr("aggregate(transform(normalized, x -> length(x)), 0, (a, v) -> a + v)"), lit(0))
 
   /** Start the streaming job over a directory of NT files. */
   def start(spark: SparkSession, inputDir: String, tablePath: String,

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Guards the codegen contract of the native expressions: every generated
+  * static call must COMPILE. A companion method whose name clashes with a
+  * class member (e.g. `eval`) gets no static forwarder, Janino fails, and
+  * Spark silently falls back to interpreted mode — a pure perf regression
+  * invisible to correctness tests. CODEGEN_ONLY + fallback=false turn that
+  * silent fallback into a test failure.
+  */
+class CodegenSpec extends SparkSpec {
+
+  test("native expressions compile under CODEGEN_ONLY (no interpreter fallback)") {
+    val s = spark.newSession()
+    Functions.register(s)
+    s.conf.set("spark.sql.codegen.fallback", "false")
+    s.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    import s.implicits._
+    val df = s.createDataset(Seq(
+        ("<http://s> <http://p> \"Labels \\u00e9tudes\" .", Seq(1f, 2f, 3f)),
+        ("<http://s2> <http://p2> \"more words here\" .", Seq(0.5f, -1f, 2f))))
+      .toDF("line", "vec")
+      .repartition(2) // off the LocalRelation fast path → real codegen stages
+    val out = df.select(
+        expr("parse_nt(line)").as("p"),
+        expr("nt_unescape(line)").as("u"),
+        expr("md5_long(line, 8)").as("h8"),
+        expr("md5_long(line, 15)").as("h15"),
+        expr("rolling_hash(line)").as("rh"),
+        expr("word_shingles(line, 3)").as("sh"),
+        expr("normalize_label(line)").as("nl"),
+        expr("normalize_singular(line)").as("ns"),
+        expr("vec_dot(vec, vec)").as("dot"),
+        expr("vec_sign_bits(vec)").as("bits"))
+      .where(col("h8") =!= 0L && col("rh") =!= 1L)
+      .collect()
+    assert(out.length === 2)
+    assert(out.map(_.getAs[Long]("bits")).toSet.size === 2)
+  }
+}

@@ -94,4 +94,30 @@ class NtParseSpec extends SparkSpec {
     val rows2 = projectOne("<http://id.worldcat.org/fast/7> <http://www.w3.org/2004/02/skos/core#prefLabel> \"Jazz\"^^<http://www.w3.org/2001/XMLSchema#string> .")
     assert(rows2.head.getAs[String]("prefLabel") === "Jazz")
   }
+
+  // N-Triples escape decoding per the spec (ECHAR + UCHAR), matching
+  // N3Util.getLiteralValue (lib/fast_parse.js:31,46): escaped interior
+  // quotes, backslashes, \uXXXX diacritics — with a language tag attached.
+  test("escaped literals decode: \\\" \\\\ \\n \\t \\uXXXX") {
+    val rows = projectOne("""<http://id.worldcat.org/fast/11> <http://www.w3.org/2004/02/skos/core#prefLabel> "Say \"hello\" twice" .""")
+    assert(rows.head.getAs[String]("prefLabel") === """Say "hello" twice""")
+    // ř = ř, á = á — built with an explicit backslash so the
+    // escape reaches the parser as data, not as a Scala source escape
+    val escaped = "Dvo\\u0159\\u00e1k, Anton\\u00edn"
+    val rows2 = projectOne(
+      s"""<http://id.worldcat.org/fast/12> <http://www.w3.org/2004/02/skos/core#prefLabel> "$escaped"@cs .""")
+    assert(rows2.head.getAs[String]("prefLabel") === "Dvořák, Antonín")
+    assert(rows2.head.getAs[String]("normalized") === "dvorak antonin")
+    val rows3 = projectOne("""<http://id.worldcat.org/fast/13> <http://www.w3.org/2004/02/skos/core#prefLabel> "tab\there\nand back\\slash" .""")
+    assert(rows3.head.getAs[String]("prefLabel") === "tab\there\nand back\\slash")
+  }
+
+  test("nt_unescape leaves malformed escapes intact and is a no-op without backslashes") {
+    import org.apache.spark.sql.functions.{col, expr}
+    Functions.register(spark)
+    val cases = Seq("plain text", "trunc \\u12", "lone \\ backslash", "\\q")
+    val out = cases.toDF("s")
+      .select(expr("nt_unescape(s)").as("u")).collect().map(_.getString(0)).toSeq
+    assert(out === cases)
+  }
 }

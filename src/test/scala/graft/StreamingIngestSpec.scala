@@ -38,4 +38,34 @@ class StreamingIngestSpec extends SparkSpec {
     assert(docs(1) === (("First Doc", Seq())))
     assert(docs(2) === (("Second Doc", Seq("Alt Two"))))
   }
+
+  // Regression for the order-dependence hazard: an early winner whose
+  // STORED arrays grew through unions must not beat a later contributor
+  // whose ORIGINAL doc is richer — type selection compares originals, like
+  // the batch MergeFastDocs Aggregator (best-contributor bookkeeping is
+  // persisted in the table, not recomputed from merged arrays).
+  test("late richer contributor wins type regardless of arrival order") {
+    import spark.implicits._
+    import graft.model.FastDoc
+    val table = java.nio.file.Files.createTempDirectory("graft_merge_tbl").toString + "/fast"
+    // rich(A)=4+7+10=21, rich(C)=5+10=15; stored merged arrays after batch 2
+    // would total 4+7+20=31 — rich(B)=12+10=22 beats both ORIGINALS but not
+    // the inflated merged doc
+    val a = FastDoc(1, 1, "Topical", "AAAA", Seq("aaaaaaaaaa"), Nil, Nil, Nil)
+    val c = FastDoc(1, 1, "Event", null, Seq("bbbbbbbbbb"), Nil, Nil, Nil)
+    val b = FastDoc(1, 1, "Geographic", "CCCCCCCCCCCC", Nil, Nil, Nil, Nil)
+    Seq(Seq(a), Seq(c), Seq(b)).foreach { batch =>
+      StreamingIngest.mergeBatch(spark, spark.createDataset(batch).toDF(), table)
+    }
+    val row = spark.read.parquet(table).collect().head
+    assert(row.getAs[String]("type") === "Geographic")
+    assert(row.getAs[String]("prefLabel") === "CCCCCCCCCCCC")
+    assert(row.getAs[Seq[String]]("altLabel").sorted === Seq("aaaaaaaaaa", "bbbbbbbbbb"))
+    // converges to exactly what the batch Aggregator produces (buffer
+    // chain, not merge2-through-finish — finish drops the bookkeeping)
+    import graft.ingest.MergeFastDocs.{finishBuf, mergeBuf, toBuf}
+    val batchDoc = finishBuf(mergeBuf(mergeBuf(toBuf(a), toBuf(c)), toBuf(b)))
+    assert(row.getAs[String]("type") === batchDoc.`type`)
+    assert(row.getAs[String]("prefLabel") === batchDoc.prefLabel)
+  }
 }
