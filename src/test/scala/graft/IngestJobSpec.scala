@@ -46,4 +46,71 @@ class IngestJobSpec extends SparkSpec {
     val v = Sinks.readTable(spark, s"$dir/viaf").collect().head
     assert(v.getAs[Seq[Int]]("fast") === Seq(101))
   }
+
+  test("runAll: 7-file layout -> fast + viaf in one invocation (agent/term split)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_job_all").toString
+
+    def fastLine(id: Int, pred: String, obj: String) =
+      s"<http://id.worldcat.org/fast/$id> <$pred> $obj ."
+    val pref = "http://www.w3.org/2004/02/skos/core#prefLabel"
+    val sameAs = "http://schema.org/sameAs"
+    val rdfs = "http://www.w3.org/2000/01/rdf-schema#label"
+
+    // term files: one doc each
+    Files.writeString(Paths.get(s"$dir/FASTTopical.nt"),
+      fastLine(1, pref, "\"Topical One\"") + "\n")
+    Files.writeString(Paths.get(s"$dir/FASTGeographic.nt"),
+      fastLine(2, pref, "\"Geo Two\"") + "\n")
+    Files.writeString(Paths.get(s"$dir/FASTChronological.nt"),
+      fastLine(3, pref, "\"Chrono Three\"") + "\n")
+    Files.writeString(Paths.get(s"$dir/FASTFormGenre.nt"),
+      fastLine(4, pref, "\"Form Four\"") + "\n")
+    // Event file: doc 5 carries a VIAF link (agent; P6 drops it from fast),
+    // doc 6 is VIAF-less (kept in fast as type Event). Plus an external
+    // label for doc 6's LC link to exercise enrichment across the split.
+    Files.writeString(Paths.get(s"$dir/FASTEvent.nt"),
+      fastLine(5, pref, "\"Event Five\"") + "\n" +
+      fastLine(5, sameAs, "<http://viaf.org/viaf/500>") + "\n" +
+      fastLine(6, pref, "\"Event Six\"") + "\n" +
+      fastLine(6, sameAs, "<http://id.loc.gov/authorities/names/lc600>") + "\n" +
+      s"<http://id.loc.gov/authorities/names/lc600> <$rdfs> \"Six Alias\" .\n")
+    // agent-only files
+    Files.writeString(Paths.get(s"$dir/FASTCorporate.nt"),
+      fastLine(7, pref, "\"Corp Seven\"") + "\n" +
+      fastLine(7, sameAs, "<http://id.loc.gov/authorities/names/lc700>") + "\n")
+    Files.writeString(Paths.get(s"$dir/FASTPersonal.nt"),
+      fastLine(8, pref, "\"Person Eight\"") + "\n" +
+      fastLine(8, sameAs, "<http://viaf.org/viaf/800>") + "\n")
+
+    val viaf = Seq(
+      ("vA", "500", "lcX", null.asInstanceOf[Seq[Int]]), // matches event agent 5 via viaf
+      ("vB", "999", "lc700", Seq(42)),                   // matches corporate 7 via lcId
+      ("vC", "800", "lc800", null.asInstanceOf[Seq[Int]]), // matches personal 8 via viaf
+      ("vD", "111", "lc111", Seq(9))                     // untouched
+    ).toDF("_id", "viaf", "lcId", "fast")
+
+    val report = IngestJob.runAll(spark, dir, s"$dir/out", Some(viaf))
+
+    val fast = Sinks.readTable(spark, s"$dir/out/fast").collect()
+      .map(r => r.getAs[Int]("_id") -> r).toMap
+    // 4 term docs + the VIAF-less event; agent-only ids and the
+    // VIAF-carrying event doc are NOT in fast
+    assert(fast.keySet === Set(1, 2, 3, 4, 6))
+    assert(report.fastRows === 5)
+    assert(fast(1).getAs[String]("type") === "Topical")
+    assert(fast(2).getAs[String]("type") === "Geographic")
+    assert(fast(3).getAs[String]("type") === "Chronological")
+    assert(fast(4).getAs[String]("type") === "Form")
+    assert(fast(6).getAs[String]("type") === "Event")
+    // enrichment reached the kept event doc through its LC link
+    assert(fast(6).getAs[Seq[String]]("altLabel") === Seq("Six Alias"))
+
+    val v = Sinks.readTable(spark, s"$dir/out/viaf").collect()
+      .map(r => r.getAs[String]("_id") -> r.getAs[Seq[Int]]("fast")).toMap
+    assert(v("vA") === Seq(5))       // event agent via viaf key
+    assert(v("vB") === Seq(7, 42))   // corporate via lcId, array-unioned
+    assert(v("vC") === Seq(8))       // personal via viaf key
+    assert(v("vD") === Seq(9))       // untouched row unchanged
+  }
 }
