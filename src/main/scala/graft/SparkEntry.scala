@@ -26,14 +26,22 @@ object SparkEntry {
     s"trim(regexp_replace(regexp_replace(lower(strip_accents($x)), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
   /** DuckDB spelling of [[graft.functions.Normalize.singularize]] (same rule
-    * chain, regex-for-regex). `$n` must be a pure expression (re-evaluated).
+    * chain, regex-for-regex; irregular final-token branches generated from
+    * the SAME map so the engines cannot drift). `$n` must be a pure
+    * expression (re-evaluated).
     */
-  private def singSql(n: String): String =
-    s"""(CASE WHEN regexp_matches($n, '[a-z]ies$$') THEN regexp_replace($n, 'ies$$', 'y')
+  private def singSql(n: String): String = {
+    val irregulars = graft.functions.Normalize.Irregulars.toSeq.sorted
+      .map { case (plural, singular) =>
+        s"WHEN regexp_matches($n, '(^| )$plural$$') THEN regexp_replace($n, '$plural$$', '$singular')"
+      }.mkString(" ")
+    s"""(CASE $irregulars
+       | WHEN regexp_matches($n, '[a-z]ies$$') THEN regexp_replace($n, 'ies$$', 'y')
        | WHEN regexp_matches($n, '(sses|ches|shes|xes|zes)$$') THEN regexp_replace($n, 'es$$', '')
        | WHEN regexp_matches($n, '(ss|[aiou]s)$$') THEN $n
        | WHEN regexp_matches($n, '[a-z0-9]s$$') THEN regexp_replace($n, 's$$', '')
        | ELSE $n END)""".stripMargin.replace("\n", " ")
+  }
 
   private def nsSql(x: String): String = singSql(normSql(x))
 

@@ -65,8 +65,13 @@ object Normalize {
     sb.toString
   }
 
-  /** English plural→singular of the FINAL token. Rule chain (anchored at
-    * end-of-string, so it naturally applies to the last token only):
+  /** English plural→singular of the FINAL token. Irregular forms first
+    * (exact final-token match — the class the reference's external
+    * `singularize` package handles that suffix rules can't), then the
+    * rule chain (anchored at end-of-string, so it naturally applies to
+    * the last token only):
+    *   0. irregulars: men→man, women→woman, children→child, people→person,
+    *      feet→foot, teeth→tooth, geese→goose, mice→mouse, oxen→ox
     *   1. `[a-z]ies$`            → `y`   (policies → policy)
     *   2. `(ss|ch|sh|x|z)es$`    → drop `es` (boxes → box, churches → church)
     *   3. ends `ss`/`[aiou]s`    → unchanged (glass, virus, basis, alias, chaos)
@@ -76,6 +81,11 @@ object Normalize {
     * they are mirrored regex-for-regex in the DuckDB oracle
     * (SparkEntry.singSql).
     */
+  val Irregulars: Map[String, String] = Map(
+    "men" -> "man", "women" -> "woman", "children" -> "child",
+    "people" -> "person", "feet" -> "foot", "teeth" -> "tooth",
+    "geese" -> "goose", "mice" -> "mouse", "oxen" -> "ox")
+
   private val Ies  = ".*[a-z]ies$".r.pattern
   private val Es   = ".*(sses|ches|shes|xes|zes)$".r.pattern
   private val Keep = ".*(ss|[aiou]s)$".r.pattern
@@ -83,12 +93,18 @@ object Normalize {
 
   def singularize(s: String): String = {
     if (s == null) return null
-    val n = s.length
-    if (Ies.matcher(s).matches) s.substring(0, n - 3) + "y"
-    else if (Es.matcher(s).matches) s.substring(0, n - 2)
-    else if (Keep.matcher(s).matches) s
-    else if (S.matcher(s).matches) s.substring(0, n - 1)
-    else s
+    val lastTok = s.substring(s.lastIndexOf(' ') + 1)
+    Irregulars.get(lastTok) match {
+      case Some(singular) =>
+        s.substring(0, s.length - lastTok.length) + singular
+      case None =>
+        val n = s.length
+        if (Ies.matcher(s).matches) s.substring(0, n - 3) + "y"
+        else if (Es.matcher(s).matches) s.substring(0, n - 2)
+        else if (Keep.matcher(s).matches) s
+        else if (S.matcher(s).matches) s.substring(0, n - 1)
+        else s
+    }
   }
 
   /** The reference's full pipeline: `singularize(normalizeAndDiacritics(x))`. */

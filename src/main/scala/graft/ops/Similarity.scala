@@ -19,27 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine in double precision with sequential fold — matches DuckDB's
-    * `list_dot_product` over `DOUBLE[]` casts bit-for-bit.
-    */
-  def cosine(a: String, b: String): Column = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-       |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)
-       | / (sqrt(aggregate($a, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE)*CAST(v AS DOUBLE)))
-       |    * sqrt(aggregate($b, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
-       |""".stripMargin.replace("\n", " "))
-
-  /** Cosine with the dimension known at plan time: the dot products unroll
-    * into flat codegen'd arithmetic (same left-fold order as [[cosine]], so
-    * results are bit-identical) — ~10× faster than the interpreted
-    * higher-order-function path on the hot pair-scoring loops.
-    */
   /** Dot product via the native codegen [[graft.functions.VecDot]]
-    * expression (left-fold order; `dim` kept for API stability, unused).
+    * expression (left-fold order, matching DuckDB's `list_dot_product`
+    * over `DOUBLE[]` bit-for-bit; `dim` kept for API stability, unused).
     * Requires `graft.Functions.register` on the session (GraftSession does).
     */
   def dotFixed(a: String, b: String, dim: Int = 0): Column =
     expr(s"vec_dot($a, $b)")
+
+  /** Cosine over the native dot product — the ONLY cosine path (the former
+    * interpreted higher-order-function variant was ~300ns/element; it
+    * existed only as a dim-agnostic fallback and is gone).
+    */
+  def cosine(a: String, b: String): Column = cosineFixed(a, b)
 
   def cosineFixed(a: String, b: String, dim: Int = 0): Column =
     dotFixed(a, b) / (sqrt(dotFixed(a, a)) * sqrt(dotFixed(b, b)))
@@ -82,21 +74,12 @@ object Similarity {
     // Norms are per-row, not per-pair: compute them once on each side so the
     // pair loop does a single dot product (same doubles — sqrt(dot(x,x)) is
     // a pure function of the row).
-    val cScored =
-      if (dim > 0) {
-        val c = corpus.withColumn("_nrm", sqrt(dotFixed(embCol, embCol, dim)))
-        val q = queries.withColumn("_qnrm", sqrt(dotFixed(qEmbCol, qEmbCol, dim)))
-        c.crossJoin(broadcast(q))
-          .where(col(idCol) =!= col(qIdCol))
-          .select(col(qIdCol), col(idCol).as("neighbor_id"),
-            (dotFixed(qEmbCol, embCol, dim) / (col("_qnrm") * col("_nrm"))).as("cos"))
-      } else {
-        corpus.crossJoin(broadcast(queries))
-          .where(col(idCol) =!= col(qIdCol))
-          .select(col(qIdCol), col(idCol).as("neighbor_id"),
-            cosine(qEmbCol, embCol).as("cos"))
-      }
-    val scored = cScored
+    val c = corpus.withColumn("_nrm", sqrt(dotFixed(embCol, embCol, dim)))
+    val q = queries.withColumn("_qnrm", sqrt(dotFixed(qEmbCol, qEmbCol, dim)))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col(idCol).as("neighbor_id"),
+        (dotFixed(qEmbCol, embCol, dim) / (col("_qnrm") * col("_nrm"))).as("cos"))
     scored.select(col(qIdCol), col("neighbor_id"), col("cos"),
         row_number().over(
           Window.partitionBy(qIdCol).orderBy(col("cos").desc, col("neighbor_id")))

@@ -52,6 +52,20 @@ class NormalizeSpec extends AnyFunSuite {
     assert(Normalize.singularize("farm policy conferences") === "farm policy conference")
   }
 
+  test("singularize irregular final tokens") {
+    assert(Normalize.singularize("men") === "man")
+    assert(Normalize.singularize("famous men") === "famous man")
+    assert(Normalize.singularize("women") === "woman")
+    assert(Normalize.singularize("children") === "child")
+    assert(Normalize.singularize("people") === "person")
+    assert(Normalize.singularize("feet") === "foot")
+    assert(Normalize.singularize("geese and mice") === "geese and mouse")
+    // NOT irregular: token must match exactly, suffix rules still apply
+    assert(Normalize.singularize("specimens") === "specimen")
+    assert(Normalize.singularize("abdomen") === "abdomen")
+    assert(Normalize.singularize("ramen shops") === "ramen shop")
+  }
+
   private val rng = new scala.util.Random(42)
   private def randomString(): String = {
     val alphabet = "aA zZ09!?,.--()éüßñ\t\n\"'\\éÉ中日"
