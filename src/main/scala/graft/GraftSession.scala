@@ -27,6 +27,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // GC-driven safety net for checkpoint files `Iterate` deletes
+      // deterministically; callers that forget still get cleanup
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
@@ -35,6 +38,17 @@ object GraftSession {
   def local(appName: String = "graft", cores: String = "32"): SparkSession = {
     val spark = builder(appName, cores).master(s"local[$cores]").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Reliable checkpoint dir for iterative ops (Iterate.materialize):
+    // locally a session temp dir (removed on JVM exit); on a cluster the
+    // deploy overrides this with an HDFS/S3 path before first use.
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+      sys.addShutdownHook {
+        import scala.reflect.io.Directory
+        new Directory(dir.toFile).deleteRecursively()
+      }
+      spark.sparkContext.setCheckpointDir(dir.toString)
+    }
     Functions.register(spark)
     spark
   }

@@ -210,13 +210,18 @@ object FastIngest {
     * probe joins at fragment level, so the grouped docs are consumed
     * exactly once (no second materialization).
     * (MEMORY_AND_DISK: at cluster scale the persist spills, not OOMs.)
+    * The result is materialized via [[graft.ops.Iterate.scoped]] and the
+    * fragment cache released before returning — no storage outlives the
+    * call.
     */
   def ingestDocs(lines: DataFrame, docType: Column): DataFrame = {
     val fragments = project(parse(lines))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    applyMatches(
-      buildDocs(fragments, docType),
-      matchesFromFragments(fragments, sameAsLabels(fragments)))
+    graft.ops.Iterate.scoped(
+      applyMatches(
+        buildDocs(fragments, docType),
+        matchesFromFragments(fragments, sameAsLabels(fragments))),
+      fragments)
   }
 
   /** P4 — agent records: otherId = trailing segment of the sameAs link, LC
@@ -242,7 +247,7 @@ object FastIngest {
     */
   def viafUpdate(agents: DataFrame, viaf: DataFrame): DataFrame = {
     // byOther probes both join branches — persist so the agent-side scan +
-    // groupBy run once.
+    // groupBy run once; released via Iterate.scoped before returning.
     val byOther = agents.groupBy($"otherId").agg(collect_set($"id").as("newFast"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val viafKeys = viaf.select($"_id".as("v_id"), $"viaf", $"lcId")
@@ -253,12 +258,14 @@ object FastIngest {
     val perViaf = firstMatch
       .groupBy($"v_id")
       .agg(array_distinct(flatten(collect_list($"newFast"))).as("addFast"))
-    viaf
-      .join(perViaf, viaf("_id") === perViaf("v_id"), "left")
-      .select(viaf("_id"), $"viaf", $"lcId",
-        when($"addFast".isNotNull,
-          sort_array(array_distinct(concat(coalesce($"fast", array()), $"addFast"))))
-          .otherwise($"fast").as("fast"))
+    graft.ops.Iterate.scoped(
+      viaf
+        .join(perViaf, viaf("_id") === perViaf("v_id"), "left")
+        .select(viaf("_id"), $"viaf", $"lcId",
+          when($"addFast".isNotNull,
+            sort_array(array_distinct(concat(coalesce($"fast", array()), $"addFast"))))
+            .otherwise($"fast").as("fast")),
+      byOther)
   }
 
   private implicit class Interp(val sc: StringContext) {

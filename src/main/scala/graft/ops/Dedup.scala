@@ -67,43 +67,46 @@ object Dedup {
   /** LSH candidate pairs from minhash signatures: `bandSize` signature
     * components per band; a pair is a candidate iff some band matches
     * entirely. `est_jaccard` = fraction of matching signature components.
-    * Scale shape: explode(bands) → equi-join on (band, key) → distinct —
-    * never a cross join; band-key skew is AQE's skew-join case.
+    *
+    * Scale shape: explode(bands) → ONE equi-join on (band, key) → filter →
+    * distinct — never a cross join; band-key skew is AQE's skew-join case.
+    * The full signature rides along on each band row (numHashes longs,
+    * ~64 bytes), so `est_jaccard` is a projection over the joined row and
+    * no signature re-join — and therefore no persist of the signature
+    * table — is needed. Shuffling 64 extra bytes per band row is far
+    * cheaper at 100 TB than re-shuffling the signature table twice and
+    * holding it cached across the query.
     */
   def minhashCandidates(sigIn: DataFrame, idCol: String,
                         numHashes: Int = 8, bandSize: Int = 2,
                         threshold: Double = 0.5): DataFrame = {
-    // The signature table is consumed three times (band explode + both
-    // sides of the signature re-join) — persist it once.
-    val sig = sigIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBands = numHashes / bandSize
     val bandArr = array((0 until nBands).map(b =>
       struct(lit(b).as("band"),
         concat_ws("_", (0 until bandSize).map(j => col(s"s${b * bandSize + j}")): _*)
           .as("key"))): _*)
-    val withBands = sig
-      .select(col(idCol), explode(bandArr).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
-    val left = withBands
-      .select(col(idCol).as("a_id"), col("band"), col("key"))
-    val right = withBands
-      .select(col(idCol).as("b_id"), col("band").as("band_r"), col("key").as("key_r"))
-    val cand = left.join(right,
-        col("band") === col("band_r") && col("key") === col("key_r") &&
-          col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
-      .distinct()
-    val sa = sig.select(col(idCol).as("a_id") +:
+    val sigCols = (0 until numHashes).map(i => col(s"s$i"))
+    val withBands = sigIn
+      .select(col(idCol) +: sigCols :+ explode(bandArr).as("bk"): _*)
+      .select(Seq(col(idCol), col("bk.band").as("band"), col("bk.key").as("key")) ++
+        sigCols: _*)
+    val left = withBands.select(Seq(col(idCol).as("a_id"), col("band"), col("key")) ++
       (0 until numHashes).map(i => col(s"s$i").as(s"a_s$i")): _*)
-    val sb = sig.select(col(idCol).as("b_id") +:
+    val right = withBands.select(Seq(col(idCol).as("b_id"), col("band").as("band_r"),
+      col("key").as("key_r")) ++
       (0 until numHashes).map(i => col(s"s$i").as(s"b_s$i")): _*)
     val matchCnt = (0 until numHashes)
       .map(i => when(col(s"a_s$i") === col(s"b_s$i"), 1).otherwise(0))
       .reduce(_ + _)
-    cand.join(sa, "a_id").join(sb, "b_id")
+    left.join(right,
+        col("band") === col("band_r") && col("key") === col("key_r") &&
+          col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         round(matchCnt.cast("double") / numHashes, 4).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
+      .distinct() // a pair matching in k bands appears k times; est_jaccard
+                  // is pair-deterministic so the wider distinct is the same
+                  // cardinality as distinct(a_id, b_id)
   }
 
   /** Connected components over candidate-pair edges → duplicate clusters:
@@ -203,7 +206,10 @@ object Dedup {
     * discriminative shingles. Jaccard denominators keep the FULL per-doc
     * shingle counts, so the cap only removes candidate-generating power
     * of boilerplate; it never inflates similarity. The df aggregation and
-    * the self-join share the same shingle-key shuffle (exchange reuse).
+    * the self-join share the same shingle-key shuffle: all three consumers
+    * of the shingle frame canonicalize to the same hash(sh) exchange, which
+    * Spark computes once and reuses (ReusedExchange/AQE stage reuse) — no
+    * persist, so nothing to leak across calls.
     */
   def ngramCandidates(df: DataFrame, textCol: String, idCol: String,
                       k: Int = 3, dfCap: Int = 100,
@@ -212,7 +218,6 @@ object Dedup {
     // (collision odds ~1e-8 at this cardinality; oracles hash identically)
     val sh = shingleRows(df, textCol, idCol, k)
       .select(col(idCol), col("n_sh"), md5Int60(col("sh")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("_df"))
       .where(col("_df") <= dfCap)
       .select(col("sh"))

@@ -1,6 +1,8 @@
 package graft.ops
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.storage.StorageLevel
 
 /** Materialization helper for iterative DataFrame algorithms (label
@@ -9,19 +11,29 @@ import org.apache.spark.storage.StorageLevel
   * doubles every round and analysis time explodes — and (3) release the
   * previous round's storage so memory stays O(1) in the iteration count.
   *
-  * Unlike `localCheckpoint(eager = true)` (round-1 design), nothing here
-  * pins blocks non-fault-tolerantly: with a checkpoint directory configured
-  * the data goes through a reliable `checkpoint()` (survives executor
-  * loss); otherwise it is cached MEMORY_AND_DISK and recovery replays the
-  * retained RDD lineage.
+  * With a checkpoint directory configured (every [[graft.GraftSession]]
+  * entry point sets one) the data goes through a reliable `checkpoint()`:
+  * eager, fault-tolerant (survives executor loss), lineage-truncating, and
+  * — critically — downstream stages read InternalRows straight from the
+  * checkpoint files, with none of the InternalRow→Row→InternalRow
+  * re-encode that the cache-based fallback pays via `createDataFrame`.
+  * `unpersist()` deletes the round's checkpoint files deterministically,
+  * so disk stays O(1) in the iteration count too (belt-and-braces:
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` is also set so
+  * GC reclaims anything a caller forgets).
+  *
+  * Without a checkpoint dir the frame is cached MEMORY_AND_DISK and
+  * recovery replays the retained RDD lineage.
   */
 object Iterate {
 
   /** A materialized round: `df` is the lineage-cut frame to build the next
-    * round on; `unpersist()` frees its predecessor-round storage hook.
+    * round on; `unpersist()` frees its storage (cached blocks or
+    * checkpoint files). Call it only once the NEXT round (or the final
+    * consumer) has itself materialized.
     */
-  final case class Materialized(df: DataFrame, private val handle: Option[DataFrame]) {
-    def unpersist(): Unit = handle.foreach(_.unpersist())
+  final case class Materialized(df: DataFrame, private val release: () => Unit) {
+    def unpersist(): Unit = release()
   }
 
   /** Run one action over `df` (completing any `observe` metrics attached to
@@ -31,14 +43,47 @@ object Iterate {
   def materialize(df: DataFrame): Materialized = {
     val spark = df.sparkSession
     if (spark.sparkContext.getCheckpointDir.isDefined) {
-      // reliable checkpoint: eager, fault-tolerant, truncates RDD lineage
-      Materialized(df.checkpoint(), None)
+      // reliable checkpoint: eager, fault-tolerant, truncates RDD lineage,
+      // serves InternalRows directly (no Row re-encode)
+      val cp = df.checkpoint()
+      // the checkpointed Dataset's plan is a LogicalRDD over the
+      // checkpointed RDD — capture its file location for deterministic
+      // deletion on unpersist()
+      val ckptFile: Option[String] = cp.queryExecution.analyzed match {
+        case lr: LogicalRDD => lr.rdd.getCheckpointFile
+        case _              => None
+      }
+      val release = () => ckptFile.foreach { f =>
+        val p = new Path(f)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        ()
+      }
+      Materialized(cp, release)
     } else {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
       p.count()
       // LogicalRDD leaf over the cached result: constant-size plans across
       // rounds; the RDD lineage (not the logical plan) handles recovery
-      Materialized(spark.createDataFrame(p.rdd, p.schema), Some(p))
+      Materialized(spark.createDataFrame(p.rdd, p.schema), () => { p.unpersist(); () })
     }
   }
+
+  /** Scoped-cache pattern for library ops that persist an intermediate
+    * consumed by several branches of one result plan: materialize `result`
+    * (reliable checkpoint), then release the intermediates — the returned
+    * frame reads from the checkpoint, so freeing the upstream caches is
+    * safe and nothing stays persisted after the op returns.
+    *
+    * Without a configured checkpoint dir (not the case for any
+    * [[graft.GraftSession]] entry point) the caches are kept — releasing
+    * them would force the caller's first action to recompute the whole
+    * lineage — and the session's `clearCache()` remains the cleanup.
+    */
+  def scoped(result: DataFrame, cached: DataFrame*): DataFrame =
+    if (result.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      val out = result.checkpoint()
+      cached.foreach(_.unpersist())
+      out
+    } else result
 }

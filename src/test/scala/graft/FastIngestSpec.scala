@@ -88,6 +88,19 @@ class FastIngestSpec extends SparkSpec {
     assert(out("c") === Seq(1))
   }
 
+  test("ingestDocs and viafUpdate leave no persisted storage behind") {
+    spark.catalog.clearCache()
+    val sc = spark.sparkContext
+    val base = sc.getPersistentRDDs.size
+    FastIngest.ingestDocs(Seq(fastLine(1, pref, "\"Doc One\"")).toDF("line"),
+      lit("Topical")).collect()
+    FastIngest.viafUpdate(
+      Seq((10, "v1")).toDF("id", "otherId"),
+      Seq(("a", "v1", "lcA", Seq(99))).toDF("_id", "viaf", "lcId", "fast")).collect()
+    assert(sc.getPersistentRDDs.size === base,
+      s"ingest ops leaked persisted RDDs: ${sc.getPersistentRDDs.values.map(_.name)}")
+  }
+
   test("viafUpdate: lcId key matches too") {
     val agents = Seq((20, "lcB")).toDF("id", "otherId")
     val viaf = Seq(("b", "vB", "lcB", null.asInstanceOf[Seq[Int]]))

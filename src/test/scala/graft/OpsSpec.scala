@@ -174,6 +174,19 @@ class OpsSpec extends SparkSpec {
     assert(persisted <= mid + 1, s"kMeans leaked cached rounds: $mid -> $persisted")
   }
 
+  test("library dedup ops leave no persisted storage behind") {
+    spark.catalog.clearCache()
+    val sc = spark.sparkContext
+    val base = sc.getPersistentRDDs.size
+    val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"),
+      (3L, "x y z w q r s t u")).toDF("doc_id", "text")
+    Dedup.minhashCandidates(Dedup.minhashSignature(docs, "text", "doc_id"), "doc_id").collect()
+    Dedup.ngramCandidates(docs, "text", "doc_id").collect()
+    Dedup.connectedComponents(Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), "a", "b").collect()
+    assert(sc.getPersistentRDDs.size === base,
+      s"dedup ops leaked persisted RDDs: ${sc.getPersistentRDDs.values.map(_.name)}")
+  }
+
   // ---------------------------------------------------------------- multimodal
 
   test("multimodal: binary payload round-trips through mapPartitions decode") {
