@@ -73,7 +73,11 @@ object IngestJob {
       val viafRows = viaf.map { v =>
         val agentFrags = fragments.where(col("doc_type").isin(AgentTypes: _*))
         val updated = FastIngest.viafUpdate(FastIngest.agentOtherIds(agentFrags), v)
-        Sinks.writeViaf(updated, s"$outDir/viaf").rows
+        val rows = Sinks.writeViaf(updated, s"$outDir/viaf").rows
+        // sink has fully consumed the eager viafUpdate result — reclaim its
+        // checkpoint files now rather than waiting for GC/session exit
+        graft.ops.Iterate.releaseCheckpoint(updated)
+        rows
       }.getOrElse(0L)
       RunReport(fastReport.rows, viafRows)
     } finally {
@@ -111,6 +115,7 @@ object IngestJob {
       val viaf = spark.read.parquet(args(3))
       val updated = FastIngest.viafUpdate(FastIngest.agentOtherIds(fragments), viaf)
       val viafReport = Sinks.writeViaf(updated, s"$outDir/viaf")
+      graft.ops.Iterate.releaseCheckpoint(updated)
       println(s"VIAF_ROWS=${viafReport.rows}")
     }
     fragments.unpersist()

@@ -130,8 +130,11 @@ object SparkEntry {
       val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
       val j1 = c.join(sup, col("c_nationkey") === col("s_nationkey"))
       val j2 = c.join(sup, col("c_custkey") === col("s_suppkey"))
-      j1.select("c_custkey", "s_suppkey")
-        .union(j2.select("c_custkey", "s_suppkey"))
+      // per-branch dedup before the union: the nationkey branch is
+      // many-to-many (25 hot keys), so dropping its duplicates early
+      // halves the final distinct's input
+      j1.select("c_custkey", "s_suppkey").dropDuplicates()
+        .union(j2.select("c_custkey", "s_suppkey").dropDuplicates())
         .distinct()
         .orderBy("c_custkey", "s_suppkey")
     }),

@@ -210,9 +210,15 @@ object FastIngest {
     * probe joins at fragment level, so the grouped docs are consumed
     * exactly once (no second materialization).
     * (MEMORY_AND_DISK: at cluster scale the persist spills, not OOMs.)
-    * The result is materialized via [[graft.ops.Iterate.scoped]] and the
-    * fragment cache released before returning — no storage outlives the
-    * call.
+    *
+    * EAGER: the result is materialized via [[graft.ops.Iterate.scoped]]
+    * (full query runs and is checkpointed at call time; failures surface
+    * here, not at the caller's action) and the fragment cache is released
+    * before returning — no cache outlives the call, and the returned frame
+    * is already computed, so don't stack further materializations on it.
+    * Callers that finish with the result (e.g. after a sink write) can
+    * reclaim its checkpoint files with
+    * [[graft.ops.Iterate.releaseCheckpoint]].
     */
   def ingestDocs(lines: DataFrame, docType: Column): DataFrame = {
     val fragments = project(parse(lines))
@@ -244,6 +250,9 @@ object FastIngest {
     *
     * `viaf` schema: _id STRING, viaf STRING, lcId STRING, fast ARRAY<INT>.
     * Returns the full updated viaf table (unmatched rows unchanged).
+    * EAGER, like [[ingestDocs]]: computed and checkpointed at call time via
+    * [[graft.ops.Iterate.scoped]]; reclaim with
+    * [[graft.ops.Iterate.releaseCheckpoint]] when done.
     */
   def viafUpdate(agents: DataFrame, viaf: DataFrame): DataFrame = {
     // byOther probes both join branches — persist so the agent-side scan +

@@ -185,7 +185,7 @@ object Dedup {
         println(f"[cc] round $i: ${(System.nanoTime() - t0) / 1e9}%.2f s edges=$cnt")
       prevCnt = cnt
       prevSig = sig
-      round.unpersist()
+      round.release()
       round = materialized
       i += 1
     }

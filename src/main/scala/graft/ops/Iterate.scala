@@ -1,5 +1,7 @@
 package graft.ops
 
+import java.util.concurrent.atomic.AtomicBoolean
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.LogicalRDD
@@ -11,14 +13,16 @@ import org.apache.spark.storage.StorageLevel
   * doubles every round and analysis time explodes — and (3) release the
   * previous round's storage so memory stays O(1) in the iteration count.
   *
-  * With a checkpoint directory configured (every [[graft.GraftSession]]
-  * entry point sets one) the data goes through a reliable `checkpoint()`:
-  * eager, fault-tolerant (survives executor loss), lineage-truncating, and
-  * — critically — downstream stages read InternalRows straight from the
-  * checkpoint files, with none of the InternalRow→Row→InternalRow
-  * re-encode that the cache-based fallback pays via `createDataFrame`.
-  * `unpersist()` deletes the round's checkpoint files deterministically,
-  * so disk stays O(1) in the iteration count too (belt-and-braces:
+  * With a checkpoint directory configured ([[graft.GraftSession]]`.local`
+  * sets one; cluster deploys that build their own session must call
+  * `sparkContext.setCheckpointDir` — see [[scoped]]) the data goes through
+  * a reliable `checkpoint()`: eager, fault-tolerant (survives executor
+  * loss), lineage-truncating, and — critically — downstream stages read
+  * InternalRows straight from the checkpoint files, with none of the
+  * InternalRow→Row→InternalRow re-encode that the cache-based fallback
+  * pays via `createDataFrame`. [[Materialized.release]] deletes the
+  * round's checkpoint files deterministically, so disk stays O(1) in the
+  * iteration count too (belt-and-braces:
   * `spark.cleaner.referenceTracking.cleanCheckpoints=true` is also set so
   * GC reclaims anything a caller forgets).
   *
@@ -27,13 +31,21 @@ import org.apache.spark.storage.StorageLevel
   */
 object Iterate {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** A materialized round: `df` is the lineage-cut frame to build the next
-    * round on; `unpersist()` frees its storage (cached blocks or
-    * checkpoint files). Call it only once the NEXT round (or the final
-    * consumer) has itself materialized.
+    * round on; [[release]] frees its storage. Named `release` (not
+    * `unpersist`) because on the checkpoint path it is DESTRUCTIVE: it
+    * deletes the checkpoint files, so any action on `df` (including a
+    * straggler or retried consumer stage) after release() fails with
+    * FileNotFoundException instead of recomputing. Call it only once the
+    * NEXT round (or the final consumer) has itself materialized — i.e.
+    * after the action that builds the successor frame has returned.
+    * Idempotent: a second call is a no-op.
     */
-  final case class Materialized(df: DataFrame, private val release: () => Unit) {
-    def unpersist(): Unit = release()
+  final case class Materialized(df: DataFrame, private val releaseFn: () => Unit) {
+    private val released = new AtomicBoolean(false)
+    def release(): Unit = if (released.compareAndSet(false, true)) releaseFn()
   }
 
   /** Run one action over `df` (completing any `observe` metrics attached to
@@ -46,20 +58,7 @@ object Iterate {
       // reliable checkpoint: eager, fault-tolerant, truncates RDD lineage,
       // serves InternalRows directly (no Row re-encode)
       val cp = df.checkpoint()
-      // the checkpointed Dataset's plan is a LogicalRDD over the
-      // checkpointed RDD — capture its file location for deterministic
-      // deletion on unpersist()
-      val ckptFile: Option[String] = cp.queryExecution.analyzed match {
-        case lr: LogicalRDD => lr.rdd.getCheckpointFile
-        case _              => None
-      }
-      val release = () => ckptFile.foreach { f =>
-        val p = new Path(f)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(p, true)
-        ()
-      }
-      Materialized(cp, release)
+      Materialized(cp, () => deleteCheckpoint(cp))
     } else {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
       p.count()
@@ -73,17 +72,56 @@ object Iterate {
     * consumed by several branches of one result plan: materialize `result`
     * (reliable checkpoint), then release the intermediates — the returned
     * frame reads from the checkpoint, so freeing the upstream caches is
-    * safe and nothing stays persisted after the op returns.
+    * safe and no *cache* outlives the op. Note this makes the op EAGER:
+    * the full query runs (and its result is written to checkpoint storage)
+    * at call time, and failures surface here rather than at the caller's
+    * first action.
     *
-    * Without a configured checkpoint dir (not the case for any
-    * [[graft.GraftSession]] entry point) the caches are kept — releasing
-    * them would force the caller's first action to recompute the whole
-    * lineage — and the session's `clearCache()` remains the cleanup.
+    * Checkpoint-file lifetime: the returned frame reads the files, so they
+    * cannot be deleted here. They are reclaimed (a) deterministically, if
+    * the caller passes the frame to [[releaseCheckpoint]] once done with
+    * it, (b) by the ContextCleaner when the RDD is GC'd
+    * (`cleanCheckpoints=true`), or (c) with the checkpoint dir itself
+    * (`GraftSession.local` uses a temp dir removed on JVM exit; a cluster
+    * deploy should point `setCheckpointDir` at a job-scoped path it
+    * cleans up).
+    *
+    * Only `GraftSession.local` sets a checkpoint dir; a session built via
+    * `GraftSession.builder()` (the cluster path) must call
+    * `sparkContext.setCheckpointDir` itself. Without one, the caches are
+    * kept (releasing them would force the caller's first action to
+    * recompute the whole lineage), a warning is logged, and the session's
+    * `clearCache()` remains the cleanup.
+    *
+    * The intermediates are unpersisted even if the checkpoint fails.
     */
   def scoped(result: DataFrame, cached: DataFrame*): DataFrame =
     if (result.sparkSession.sparkContext.getCheckpointDir.isDefined) {
-      val out = result.checkpoint()
-      cached.foreach(_.unpersist())
-      out
-    } else result
+      try result.checkpoint()
+      finally cached.foreach(_.unpersist())
+    } else {
+      log.warn("Iterate.scoped: no checkpoint dir configured — intermediate " +
+        "caches stay persisted until spark.catalog.clearCache(); call " +
+        "sparkContext.setCheckpointDir for leak-free library ops")
+      result
+    }
+
+  /** Deterministically delete the checkpoint files backing a frame returned
+    * by [[scoped]] (or [[Materialized]]`.df`). DESTRUCTIVE: the frame (and
+    * anything lazily derived from it) is unusable afterwards — call only
+    * once its consumers have fully materialized (e.g. after the sink write
+    * returns). No-op for frames that are not checkpoint-backed.
+    */
+  def releaseCheckpoint(df: DataFrame): Unit = deleteCheckpoint(df)
+
+  private def deleteCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD => lr.rdd.getCheckpointFile.foreach { f =>
+        val p = new Path(f)
+        val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        ()
+      }
+      case _ => ()
+    }
 }

@@ -157,7 +157,7 @@ object Similarity {
         .agg(expr("transform(array_sort(collect_list(struct(pos, v))), s -> CAST(s.v AS FLOAT))")
           .as("c_emb"))
       val materialized = Iterate.materialize(cents)
-      round.unpersist()
+      round.release()
       round = materialized
       assigned = ivfAssign(corpus, round.df, idCol, embCol, "c_id", "c_emb")
       i += 1

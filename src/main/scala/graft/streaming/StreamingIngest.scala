@@ -64,7 +64,7 @@ object StreamingIngest {
     // fully first (reliable checkpoint when a dir is set, else cache)
     val m = graft.ops.Iterate.materialize(merged)
     m.df.write.mode("overwrite").parquet(tablePath)
-    m.unpersist()
+    m.release()
   }
 
   /** Scalar richness of an ORIGINAL doc, mirroring
