@@ -4,20 +4,42 @@ package graft
   * `SPARK_GRAFT_SF_DIR`, forcing full materialization through the `noop`
   * sink (count() alone would let Catalyst prune the projections away), and
   * prints one JSON line for the driver.
+  *
+  * Robustness against host-steal (this sandbox shows ±3× wall-clock noise
+  * in multi-minute windows — NOTES.md):
+  *  - three timed passes per query, min reported: pass 1 pays plan
+  *    compilation + codegen JIT; the min is the steady-state cost a
+  *    long-running cluster job actually sees, and three passes make it
+  *    unlikely ALL of them land in a steal window;
+  *  - a fixed-work control job (`max(hash(id))` over a constant range) is
+  *    timed after every query; its min/max over the whole run are emitted,
+  *    and queries whose adjacent control exceeded 2× the control minimum
+  *    are listed in `"steal"` — a regression flagged there is the host,
+  *    not the plan.
+  *
+  * Values are rounded to milliseconds so the line stays well inside the
+  * driver's output-tail capture window (full-precision doubles once pushed
+  * the line past it and the driver recorded `parsed: null`).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local("graft-bench", cpus)
+
+    def control(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(64L << 20).selectExpr("max(hash(id)) AS h")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     // One warm-up action so JVM/codegen startup cost isn't billed to q1.
     SparkEntry.queries.get("q1_filter_project")
       .foreach(fn => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
-    // Two timed passes per query, min reported: the first pass pays plan
-    // compilation + codegen JIT (and any host-steal blip); the min is the
-    // steady-state cost a long-running cluster job actually sees.
+    control()
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
@@ -26,12 +48,18 @@ object Bench {
         spark.catalog.clearCache()
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      (name, times.min, control())
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def ms(v: Double): String = "%.3f".format(v)
+    val ctlMin = results.map(_._3).min
+    val ctlMax = results.map(_._3).max
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val steal = results.collect { case (k, _, c) if c > 2 * ctlMin => "\"" + k + "\":" + ms(c) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
+      s""""control":{"min":${ms(ctlMin)},"max":${ms(ctlMax)}},"steal":$steal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

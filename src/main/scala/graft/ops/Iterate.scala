@@ -114,6 +114,15 @@ object Iterate {
     */
   def releaseCheckpoint(df: DataFrame): Unit = deleteCheckpoint(df)
 
+  // Note on eager `Dataset.checkpoint()` cost: it runs two jobs (the
+  // materializing count, then the checkpoint write, which recomputes from
+  // lineage) — but shuffle map stages are REUSED between them (skipped
+  // stages via MapOutputTracker), so the second job only re-executes the
+  // final post-shuffle stage. Persisting before checkpointing to "avoid
+  // the double compute" was measured SLOWER here (columnar cache
+  // build/read on the full output costs more than re-running one stage):
+  // dedup_clusters 4.0s bare vs 8.3s persist-first at sf0.1.
+
   private def deleteCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: LogicalRDD => lr.rdd.getCheckpointFile.foreach { f =>
