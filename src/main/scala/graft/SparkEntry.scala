@@ -701,12 +701,39 @@ object SparkEntry {
     }),
 
     // Multimodal plumbing: documents as binary payloads through the typed
-    // mapPartitions decode (stubbed, deterministic — see Multimodal).
+    // mapPartitions decode (text → deterministic stub path — see Multimodal).
     "mm_decode" -> ((s, dir) =>
       graft.ops.Multimodal.extractFeatures(
         graft.ops.Multimodal.fromDocuments(t(s, dir, "documents")))
         .toDF()
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+
+    // REAL image-header decode (ImageHeaders): build PNG/GIF/JPEG byte
+    // streams with dimensions derived from doc_id, parse them back through
+    // the binary decode path, and let the oracle recompute the encoded
+    // dimensions arithmetically — a hash match proves the container
+    // parsers extract exactly what the public specs say is there.
+    "mm_decode_headers" -> ((s, dir) => {
+      import s.implicits._
+      import graft.model.MediaRecord
+      import graft.ops.{ImageHeaders, Multimodal}
+      val recs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (id % 640).toInt + 1
+          val h = (id % 480).toInt + 1
+          val payload = (id % 3) match {
+            case 0 => ImageHeaders.pngBytes(w, h)
+            case 1 => ImageHeaders.gifBytes(w, h)
+            case _ => ImageHeaders.jpegBytes(w, h)
+          }
+          MediaRecord(id, "application/octet-stream", payload, Map.empty)
+        }
+      Multimodal.extractFeatures(recs)
+        .toDF()
+        .select(col("media_id"), col("media_type"), col("width"), col("height"))
+        .orderBy("media_id")
+    })
   )
 
   // ---------------------------------------------------------------- oracles
@@ -1179,6 +1206,15 @@ object SparkEntry {
         |        strlen(text) AS n_bytes, md5(text) AS checksum,
         |        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 640 + 1 AS INTEGER) AS width,
         |        CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 480 + 1 AS INTEGER) AS height
+        | FROM documents ORDER BY media_id""".stripMargin.replace("\n", " "),
+
+    "mm_decode_headers" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |        CASE doc_id % 3 WHEN 0 THEN 'image/png'
+        |                        WHEN 1 THEN 'image/gif'
+        |                        ELSE 'image/jpeg' END AS media_type,
+        |        CAST(doc_id % 640 + 1 AS INTEGER) AS width,
+        |        CAST(doc_id % 480 + 1 AS INTEGER) AS height
         | FROM documents ORDER BY media_id""".stripMargin.replace("\n", " ")
   )
 

@@ -12,10 +12,13 @@ import graft.model.{MediaFeatures, MediaRecord}
   * `mapPartitions` so each task amortizes per-batch setup (codec init,
   * model load) exactly like a Pandas-UDF batch would.
   *
-  * The decode itself is a STUB — no image/audio codecs exist in this
-  * environment — but a *deterministic* one (md5-derived pseudo-dimensions),
-  * so the surrounding plumbing (schema, partitioning, batch shape) is real
-  * and oracle-testable. Swap `decodeStub` for a real codec at deploy time.
+  * Image HEADER decode (media type + pixel dimensions for PNG/GIF/JPEG) is
+  * real — pure-JVM parsing of the public container formats, see
+  * [[ImageHeaders]]. Full pixel decode / audio / video remain a STUB — no
+  * codec libraries exist in this environment — but a *deterministic* one
+  * (md5-derived pseudo-dimensions), so the surrounding plumbing (schema,
+  * partitioning, batch shape) is real and oracle-testable. Swap
+  * `decodeStub` for a real codec at deploy time.
   */
 object Multimodal {
 
@@ -23,22 +26,33 @@ object Multimodal {
     * derived from the checksum. Deterministic → oracle-checkable.
     */
   def decodeStub(payload: Array[Byte]): (Long, String, Int, Int) = {
-    val checksum = MessageDigest.getInstance("MD5").digest(payload)
-      .map("%02x".format(_)).mkString
+    val checksum = md5hex(payload)
     val h = java.lang.Long.parseLong(checksum.substring(0, 8), 16)
     (payload.length.toLong, checksum, (h % 640L).toInt + 1, (h % 480L).toInt + 1)
   }
 
+  private def md5hex(payload: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(payload).map("%02x".format(_)).mkString
+
   /** Decode/feature-extract over a typed Dataset. One `mapPartitions` pass:
     * per-partition codec setup happens once per task, not once per row.
+    * Payloads whose magic bytes identify a known image container get REAL
+    * header decode (detected media type + pixel dimensions); anything else
+    * falls back to the deterministic stub with the record's declared type.
     */
   def extractFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
       // per-partition setup would go here (codec/model init)
       it.map { r =>
-        val (n, sum, w, h) = decodeStub(r.payload)
-        MediaFeatures(r.media_id, r.media_type, n, sum, w, h)
+        ImageHeaders.parse(r.payload) match {
+          case Some((mediaType, w, h)) =>
+            MediaFeatures(r.media_id, mediaType, r.payload.length.toLong,
+              md5hex(r.payload), w, h)
+          case None =>
+            val (n, sum, w, h) = decodeStub(r.payload)
+            MediaFeatures(r.media_id, r.media_type, n, sum, w, h)
+        }
       }
     }
   }

@@ -202,6 +202,63 @@ class OpsSpec extends SparkSpec {
     assert(f.height >= 1 && f.height <= 480)
   }
 
+  test("image headers: golden real-world 1x1 PNG and GIF decode") {
+    import graft.ops.ImageHeaders
+    // independent goldens: canonical 1x1 images, not built by our builders
+    val png1x1 = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+    assert(ImageHeaders.parse(png1x1) === Some(("image/png", 1, 1)))
+    val gif1x1 = java.util.Base64.getDecoder.decode(
+      "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7")
+    assert(ImageHeaders.parse(gif1x1) === Some(("image/gif", 1, 1)))
+  }
+
+  test("image headers: builder round-trip for PNG/GIF/JPEG across dimensions") {
+    import graft.ops.ImageHeaders
+    for ((w, h) <- Seq((1, 1), (640, 480), (65535, 1), (257, 511))) {
+      assert(ImageHeaders.parse(ImageHeaders.pngBytes(w, h)) === Some(("image/png", w, h)))
+      if (w <= 65535 && h <= 65535) {
+        assert(ImageHeaders.parse(ImageHeaders.gifBytes(w, h)) === Some(("image/gif", w, h)))
+        assert(ImageHeaders.parse(ImageHeaders.jpegBytes(w, h)) === Some(("image/jpeg", w, h)))
+      }
+    }
+  }
+
+  test("image headers: jpeg marker walk skips fill bytes and standalone markers") {
+    import graft.ops.ImageHeaders
+    val sof = Array[Byte](0xff.toByte, 0xc2.toByte, 0, 11, 8, // progressive SOF2
+      0, 7, 0, 9, 1, 1, 0x11, 0)
+    // SOI, fill byte, TEM (standalone), APP1 segment, SOF2
+    val bytes = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xff.toByte, 0x01, // fill then TEM
+      0xff.toByte, 0xe1.toByte, 0, 4, 1, 2) ++ sof
+    assert(ImageHeaders.parse(bytes) === Some(("image/jpeg", 9, 7)))
+  }
+
+  test("image headers: malformed/truncated payloads return None, not throw") {
+    import graft.ops.ImageHeaders
+    assert(ImageHeaders.parse("not an image at all".getBytes) === None)
+    assert(ImageHeaders.parse(Array.empty[Byte]) === None)
+    assert(ImageHeaders.parse(ImageHeaders.pngBytes(5, 5).take(10)) === None)
+    assert(ImageHeaders.parse(ImageHeaders.jpegBytes(5, 5).take(6)) === None)
+    // JPEG with SOS before any SOF: dimensions undiscoverable
+    assert(ImageHeaders.parse(Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xda.toByte, 0, 2)) === None)
+    // zero dimensions are spec-invalid
+    assert(ImageHeaders.parse(ImageHeaders.gifBytes(0, 5)) === None)
+  }
+
+  test("multimodal: image payloads get real header decode, others fall back to stub") {
+    import graft.ops.ImageHeaders
+    val recs = Seq(
+      MediaRecord(1L, "application/octet-stream", ImageHeaders.pngBytes(320, 200), Map()),
+      MediaRecord(2L, "text/plain", "just text".getBytes, Map())).toDS()
+    val out = Multimodal.extractFeatures(recs).collect().sortBy(_.media_id)
+    assert(out(0).media_type === "image/png")
+    assert(out(0).width === 320 && out(0).height === 200)
+    assert(out(1).media_type === "text/plain") // stub path keeps declared type
+  }
+
   test("multimodal: resize stub decimates payload and records provenance") {
     val recs = Seq(MediaRecord(1L, "image/fake", (0 until 100).map(_.toByte).toArray, Map()))
       .toDS()
