@@ -287,6 +287,58 @@ object SparkEntry {
           Seq("o_custkey", "o_orderstatus", "o_totalprice"))
         .orderBy("column")),
 
+    // ---- approximate sketches (Sketch): the oracle pins the exact value
+    // and expects the within-tolerance flag to be 1, so an estimator
+    // drifting out of its error bound hash-mismatches.
+
+    // HLL++ distinct estimate (rsd 2%) vs exact, tolerance 3 sigma.
+    "sketch_distinct" -> ((s, dir) =>
+      graft.ops.Sketch.approxDistinct(
+          t(s, dir, "lineitem"), "l_orderkey", rsd = 0.02, tol = 0.06, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_distinct"), col("approx_ok"))
+        .orderBy("l_returnflag")),
+
+    // Mergeable DataSketches HLL: sketch at (flag, status) grain, roll up
+    // to flag by unioning sketches — no rescan — and check the rolled-up
+    // estimate against the exact flag-level distinct.
+    "sketch_hll_merge" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val profile = graft.ops.Sketch.hllProfile(
+        li, "l_orderkey", lgK = 12, "l_returnflag", "l_linestatus")
+      val rolled = graft.ops.Sketch.rollupDistinct(profile, "l_returnflag")
+      val exact = li.groupBy("l_returnflag")
+        .agg(count_distinct(col("l_orderkey")).as("exact_distinct"))
+      exact.join(rolled, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_distinct"),
+          graft.ops.Sketch.withinTol(col("approx_distinct"), col("exact_distinct"), 0.05)
+            .as("merge_ok"))
+        .orderBy("l_returnflag")
+    }),
+
+    // GK rank-sketch quantiles (accuracy 1000) vs the exact rank-based
+    // percentiles of q24; 2% value tolerance.
+    "sketch_quantiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+      val exact = li
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(Window.partitionBy("l_returnflag")).as("n"))
+        .groupBy("l_returnflag")
+        .agg(
+          max(when(col("rn") === ceil(col("n") * 0.5), col("l_extendedprice"))).as("median_price"),
+          max(when(col("rn") === ceil(col("n") * 0.9), col("l_extendedprice"))).as("p90_price"))
+      val approx = graft.ops.Sketch.approxQuantiles(
+          li, "l_extendedprice", Seq(0.5, 0.9), accuracy = 1000, "l_returnflag")
+        .select(col("l_returnflag"),
+          col("approx_q")(0).as("ap50"), col("approx_q")(1).as("ap90"))
+      exact.join(approx, "l_returnflag")
+        .select(col("l_returnflag"), col("median_price"), col("p90_price"),
+          (graft.ops.Sketch.withinTol(col("ap50"), col("median_price"), 0.02) *
+            graft.ops.Sketch.withinTol(col("ap90"), col("p90_price"), 0.02)).as("approx_ok"))
+        .orderBy("l_returnflag")
+    }),
+
     "q28_levenshtein" -> ((s, dir) =>
       t(s, dir, "part")
         .select(col("p_partkey"),
@@ -889,6 +941,26 @@ object SparkEntry {
         | UNION ALL
         | SELECT 'o_totalprice', total - c3, d3, mn3, mx3 FROM s
         | ORDER BY "column"""".stripMargin.replace("\n", " "),
+
+    "sketch_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_distinct, 1 AS approx_ok
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+
+    "sketch_hll_merge" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_distinct, 1 AS merge_ok
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+
+    "sketch_quantiles" ->
+      """WITH r AS (
+        |   SELECT l_returnflag, l_extendedprice,
+        |          row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |          count(*) OVER (PARTITION BY l_returnflag) AS n
+        |   FROM lineitem)
+        | SELECT l_returnflag,
+        |        max(CASE WHEN rn = ceil(n * 0.5) THEN l_extendedprice END) AS median_price,
+        |        max(CASE WHEN rn = ceil(n * 0.9) THEN l_extendedprice END) AS p90_price,
+        |        1 AS approx_ok
+        | FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
 
     "q28_levenshtein" ->
       """SELECT p_partkey, levenshtein(p_name, lower(p_type)) AS name_type_dist

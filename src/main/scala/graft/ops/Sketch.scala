@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate sketches for data profiling at scale (SURVEY.md §7.1
+  * adjacent): distinct-count and quantile estimation in one pass over
+  * arbitrarily large data, with bounded state per group.
+  *
+  * Everything here composes Spark's codegen'd sketch aggregates rather
+  * than reimplementing them:
+  *
+  *  - `approx_count_distinct` — HyperLogLog++ (Heule et al., EDBT '13),
+  *    state = 2^p 6-bit registers (~1.5 KB at rsd 2%) regardless of
+  *    cardinality;
+  *  - `hll_sketch_agg`/`hll_union_agg` — Apache DataSketches HLL, whose
+  *    sketches are VALUES: persist a sketch column at a fine grain once,
+  *    then answer any coarser-grain distinct-count query by unioning
+  *    sketches without rescanning the data — the pre-aggregation shape a
+  *    100 TB profiling pipeline needs (exact distinct counts cannot be
+  *    rolled up: distinct is not distributive);
+  *  - `percentile_approx` — Greenwald-Khanna-style rank sketch, rank error
+  *    ≤ 1/accuracy, state O(accuracy · log n).
+  *
+  * Accuracy contracts are tested two ways: tolerance specs against exact
+  * results (SketchSpec), and driver queries that emit the exact value
+  * plus a within-tolerance flag the DuckDB oracle expects to be 1 — an
+  * out-of-tolerance estimate hash-mismatches the oracle.
+  */
+object Sketch {
+
+  /** Per-group exact distinct count alongside the HLL++ estimate and an
+    * in-tolerance flag (`|approx − exact| ≤ tol · exact`). The exact
+    * count is for validation harnesses; production profiling at scale
+    * drops it and keeps only the O(1)-state estimate.
+    */
+  def approxDistinct(df: DataFrame, valueCol: String, rsd: Double, tol: Double,
+      groupCols: String*): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count_distinct(col(valueCol)).as("exact_distinct"),
+        approx_count_distinct(valueCol, rsd).as("approx_distinct"))
+      .withColumn("approx_ok",
+        (abs(col("approx_distinct") - col("exact_distinct")) <=
+          col("exact_distinct") * tol).cast("int"))
+
+  /** Build DataSketches HLL sketches at a fine grain — one binary sketch
+    * value per fine group. `lgK` trades size for error (2^lgK registers;
+    * lgK 12 ≈ 1.6% standard error). The result is a materializable
+    * profile table: any coarser rollup is [[rollupDistinct]] over it.
+    */
+  def hllProfile(df: DataFrame, valueCol: String, lgK: Int, fineCols: String*): DataFrame =
+    df.groupBy(fineCols.map(col): _*)
+      .agg(expr(s"hll_sketch_agg($valueCol, $lgK)").as("hll_sketch"))
+
+  /** Roll a sketch profile up to a coarser grain by unioning sketches —
+    * no rescan of the base data. `approx_distinct` is a BIGINT (Spark's
+    * `hll_sketch_estimate` rounds the raw estimator).
+    */
+  def rollupDistinct(profile: DataFrame, coarseCols: String*): DataFrame =
+    profile.groupBy(coarseCols.map(col): _*)
+      .agg(expr("hll_sketch_estimate(hll_union_agg(hll_sketch))").as("approx_distinct"))
+
+  /** Per-group approximate quantiles (rank error ≤ 1/accuracy) for the
+    * given probabilities, as an array column `approx_q`.
+    */
+  def approxQuantiles(df: DataFrame, valueCol: String, probs: Seq[Double],
+      accuracy: Int, groupCols: String*): DataFrame = {
+    val probsSql = probs.mkString("array(", ", ", ")")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile_approx($valueCol, $probsSql, $accuracy)").as("approx_q"))
+  }
+
+  /** `|approx − exact| ≤ tol · |exact|` as an int flag column. */
+  def withinTol(approx: Column, exact: Column, tol: Double): Column =
+    (abs(approx - exact) <= abs(exact) * tol).cast("int")
+}

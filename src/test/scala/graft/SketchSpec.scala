@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sketch
+
+/** Accuracy contracts for the approximate sketches: estimates must land
+  * within their documented error bounds of the exact answer (the driver's
+  * hash oracle can't adjudicate estimators directly — these specs are the
+  * ε-tolerance gate, and the driver queries pin exact-value + flag).
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 20k values across 4 groups with group-dependent cardinality
+  private lazy val data = (0 until 20000).map { i =>
+    val g = i % 4
+    (g, (i % (500 * (g + 1))).toLong, (i % 1000).toDouble / 7.0)
+  }.toDF("g", "v", "x")
+
+  test("approxDistinct: HLL++ estimate within tolerance of exact, flag set") {
+    val out = Sketch.approxDistinct(data, "v", rsd = 0.02, tol = 0.06, "g").collect()
+    assert(out.length === 4)
+    out.foreach { r =>
+      val exact = r.getAs[Long]("exact_distinct")
+      val approx = r.getAs[Long]("approx_distinct")
+      assert(math.abs(approx - exact) <= exact * 0.06,
+        s"g=${r.get(0)}: approx $approx vs exact $exact out of 6% tolerance")
+      assert(r.getAs[Int]("approx_ok") === 1)
+    }
+    // exact side sanity: i steps by 4 within a group, so the distinct
+    // residues mod 500*(g+1) number 500*(g+1)/4
+    val byG = out.map(r => r.getInt(0) -> r.getAs[Long]("exact_distinct")).toMap
+    assert(byG === Map(0 -> 125L, 1 -> 250L, 2 -> 375L, 3 -> 500L))
+  }
+
+  test("hllProfile + rollupDistinct: sketch union equals a direct coarse estimate") {
+    val profile = Sketch.hllProfile(data, "v", lgK = 12, "g")
+    // roll all four group sketches up to a single global estimate
+    val global = Sketch.rollupDistinct(profile.withColumn("all", lit(1)), "all")
+      .collect().head.getAs[Long]("approx_distinct").toDouble
+    val exact = data.select(count_distinct(col("v"))).as[Long].collect().head
+    assert(math.abs(global - exact) <= exact * 0.05,
+      s"rolled-up estimate $global vs exact $exact out of 5% tolerance")
+  }
+
+  test("rollup answers a grain the profile was never built for (no rescan)") {
+    // profile at (g, parity) grain, query at parity grain
+    val fine = Sketch.hllProfile(
+      data.withColumn("parity", col("v") % 2), "v", lgK = 12, "g", "parity")
+    val byParity = Sketch.rollupDistinct(fine, "parity").collect()
+      .map(r => r.getAs[Long]("parity") -> r.getAs[Long]("approx_distinct").toDouble).toMap
+    val exactByParity = data.withColumn("parity", col("v") % 2)
+      .groupBy("parity").agg(count_distinct(col("v")).as("d")).collect()
+      .map(r => r.getAs[Long]("parity") -> r.getAs[Long]("d")).toMap
+    exactByParity.foreach { case (p, exact) =>
+      assert(math.abs(byParity(p) - exact) <= exact * 0.05,
+        s"parity=$p: ${byParity(p)} vs $exact")
+    }
+  }
+
+  test("approxQuantiles: rank error within 1/accuracy of exact ranks") {
+    val accuracy = 1000
+    val probs = Seq(0.1, 0.5, 0.9)
+    val out = Sketch.approxQuantiles(data, "x", probs, accuracy, "g").collect()
+    out.foreach { r =>
+      val g = r.getInt(0)
+      val xs = data.where(col("g") === g).select("x").as[Double].collect().sorted
+      val qs = r.getSeq[Double](1)
+      probs.zip(qs).foreach { case (p, q) =>
+        // the returned value must be an element whose rank is within
+        // n/accuracy of ceil(p*n) — the GK sketch contract
+        val rank = xs.count(_ <= q)
+        val target = math.ceil(p * xs.length)
+        assert(math.abs(rank - target) <= xs.length.toDouble / accuracy + 1,
+          s"g=$g p=$p: value $q has rank $rank, target $target, n=${xs.length}")
+      }
+    }
+  }
+}
