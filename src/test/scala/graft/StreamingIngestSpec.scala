@@ -68,4 +68,32 @@ class StreamingIngestSpec extends SparkSpec {
     assert(row.getAs[String]("type") === batchDoc.`type`)
     assert(row.getAs[String]("prefLabel") === batchDoc.prefLabel)
   }
+
+  // The full property the _bestRich bookkeeping claims: delivering the SAME
+  // set of docs in different cross-batch groupings and orders converges to
+  // an identical stored table — every column, bookkeeping included.
+  test("cross-batch arrival order does not change the stored table") {
+    import spark.implicits._
+    import graft.model.FastDoc
+    val docs = Seq(
+      FastDoc(1, 1, "Topical", "Alpha", Seq("a1", "a2"), Seq("lc1"), Nil, Seq("alpha")),
+      FastDoc(1, 1, "Event", null, Seq("a3"), Nil, Seq("v1"), Nil),
+      FastDoc(1, 1, "Geographic", "A much richer label", Nil, Nil, Nil, Nil),
+      FastDoc(2, 2, "Topical", "Beta", Nil, Nil, Nil, Nil),
+      FastDoc(2, 2, "Topical", null, Seq("b1"), Nil, Nil, Nil),
+      FastDoc(3, 3, "Event", null, Seq("c"), Nil, Nil, Nil))
+
+    def ingest(batches: Seq[Seq[FastDoc]]): Seq[String] = {
+      val table = Files.createTempDirectory("graft_order_tbl").toString + "/fast"
+      batches.foreach(b =>
+        StreamingIngest.mergeBatch(spark, spark.createDataset(b).toDF(), table))
+      spark.read.parquet(table).collect().map(_.toString).sorted.toSeq
+    }
+
+    val o1 = ingest(Seq(Seq(docs(0), docs(3)), Seq(docs(1), docs(4), docs(5)), Seq(docs(2))))
+    val o2 = ingest(Seq(Seq(docs(2), docs(5)), Seq(docs(4), docs(0)), Seq(docs(3), docs(1))))
+    val o3 = ingest(Seq(docs.reverse)) // single batch, reversed delivery
+    assert(o1 === o2, "three-batch orderings diverged")
+    assert(o1 === o3, "batched vs single-shot ingest diverged")
+  }
 }
