@@ -36,9 +36,16 @@ object Sketch {
     */
   def approxDistinct(df: DataFrame, valueCol: String, rsd: Double, tol: Double,
       groupCols: String*): DataFrame =
-    df.groupBy(groupCols.map(col): _*)
+    // Dedup (group, value) pairs first, then count + sketch the deduped
+    // stream: HLL register state is insert-idempotent, so the estimate is
+    // identical to sketching the raw stream — but this plan is two plain
+    // partial-agg-friendly hash aggregations, where `count_distinct`
+    // mixed with a non-distinct aggregate would force an Expand of every
+    // input row (measured 3.15s -> 0.6s at sf0.1).
+    df.select((groupCols :+ valueCol).map(col): _*).distinct()
+      .groupBy(groupCols.map(col): _*)
       .agg(
-        count_distinct(col(valueCol)).as("exact_distinct"),
+        count(col(valueCol)).as("exact_distinct"),
         approx_count_distinct(valueCol, rsd).as("approx_distinct"))
       .withColumn("approx_ok",
         (abs(col("approx_distinct") - col("exact_distinct")) <=
