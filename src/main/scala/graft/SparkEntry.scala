@@ -315,6 +315,13 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // BM25 term ranking (rational idf — see Rank scaladoc): top-3 terms
+    // per document; the oracle recomputes the identical IEEE expression
+    // tree, so the 4dp-rounded scores hash-match bit-for-bit.
+    "text_bm25" -> ((s, dir) =>
+      graft.ops.Rank.bm25TopTerms(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id", "term")),
+
     // GK rank-sketch quantiles (accuracy 1000) vs the exact rank-based
     // percentiles of q24; 2% value tolerance.
     "sketch_quantiles" -> ((s, dir) => {
@@ -949,6 +956,24 @@ object SparkEntry {
     "sketch_hll_merge" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_distinct, 1 AS merge_ok
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+
+    // NB: expression tree (associativity, k1+1 as an ADD, no logs) must
+    // mirror Rank.bm25TopTerms exactly — IEEE +,*,/ are deterministic,
+    // so the trees match bit-for-bit; a "simplified" 2.2 literal would not.
+    "text_bm25" ->
+      """WITH toks AS (
+        |   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        | t AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term),
+        | dl AS (SELECT doc_id, sum(tf) AS dl FROM t GROUP BY doc_id),
+        | d AS (SELECT term, count(*) AS doc_freq FROM t GROUP BY term),
+        | g AS (SELECT count(*) AS n_docs, sum(dl) / count(*) AS avgdl FROM dl),
+        | s AS (SELECT t.doc_id, t.term, t.tf, d.doc_freq,
+        |        (g.n_docs - d.doc_freq + 0.5) / (d.doc_freq + 0.5) * (t.tf * (1.2 + 1.0)) /
+        |          (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / g.avgdl)) AS raw
+        |   FROM t JOIN dl USING (doc_id) JOIN d USING (term) CROSS JOIN g),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY raw DESC, term) AS rn FROM s)
+        | SELECT doc_id, term, tf, doc_freq, round(raw, 4) AS score
+        | FROM r WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin.replace("\n", " "),
 
     "sketch_quantiles" ->
       """WITH r AS (
