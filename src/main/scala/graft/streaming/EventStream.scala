@@ -44,6 +44,23 @@ object EventStream {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("cnt"), col("sum_val"))
 
+  /** Windowed approximate distinct users: HLL++ as streaming state. A
+    * sketch is the natural incremental aggregation state — fixed size per
+    * (window, type) group no matter how many distinct users pass through,
+    * and mergeable across micro-batches exactly like `sum`'s partial —
+    * where exact distinct would hold every user id in state forever.
+    */
+  def windowedDistinctUsers(events: DataFrame,
+                            windowLen: String = "1 hour",
+                            lateness: String = "2 hours",
+                            rsd: Double = 0.02): DataFrame =
+    eventTime(events)
+      .withWatermark("event_time", lateness)
+      .groupBy(window(col("event_time"), windowLen), col("event_type"))
+      .agg(approx_count_distinct("user_id", rsd).as("approx_users"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("approx_users"))
+
   /** Arbitrary stateful processing: running per-user counters via
     * `mapGroupsWithState` — the engine's `KeyValueGroupedDataset` custom
     * state surface (processing-time timeout clears idle users).

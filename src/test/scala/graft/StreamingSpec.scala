@@ -39,6 +39,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedDistinctUsers merges sketch state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.windowedDistinctUsers(input.toDF())
+      .writeStream.format("memory").queryName("hll_test")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      // batch 1: users 10, 11 in window 0; batch 2 re-delivers user 10
+      // (idempotent in the sketch) and adds 12
+      input.addData(
+        Event(1, 0L * H + 1, 10, "click", 1.0),
+        Event(2, 0L * H + 2, 11, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(
+        Event(3, 0L * H + 3, 10, "click", 3.0),
+        Event(4, 0L * H + 4, 12, "click", 4.0))
+      q.processAllAvailable()
+      val out = spark.table("hll_test").collect()
+        .map(r => (r.getString(1), r.getLong(2))).toSeq
+      // tiny cardinalities are exact in HLL++ (dense-below-threshold)
+      assert(out === Seq(("click", 3L)))
+    } finally q.stop()
+  }
+
   test("runningUserStats keeps per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
