@@ -26,6 +26,17 @@ object Rank {
   /** Top-`topK` terms per document by BM25 score.
     * Output: `idCol, term, tf, doc_freq, score` (score rounded to 4dp;
     * ties broken by term ascending for determinism).
+    *
+    * The doc-term frequency table feeds every downstream factor, and Spark
+    * does not share identical subplans — left declarative, the corpus gets
+    * tokenized and aggregated once PER FACTOR (a 4× scan, fatal at scale).
+    * So `tf` is persisted and everything derives from it: doc_freq as a
+    * term-partitioned window, dl as a doc-partitioned window immediately
+    * before the doc-partitioned top-k window (consecutive same-key windows
+    * share one exchange), and the two global scalars as a broadcast. One
+    * scan, one (doc, term) shuffle, two window exchanges. EAGER like the
+    * ingest ops: materialized via [[Iterate.scoped]] so the tf cache is
+    * released before returning.
     */
   def bm25TopTerms(docs: DataFrame, textCol: String, idCol: String,
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 3): DataFrame = {
@@ -33,25 +44,26 @@ object Rank {
       .select(col(idCol), explode(split(lower(col(textCol)), " ")).as("term"))
       .where(col("term") =!= "")
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    // document length in tokens, reused for the length normalization
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
-    val globals = dl.agg(
-      count(lit(1)).as("n_docs"),
-      (sum(col("dl")) / count(lit(1))).as("avgdl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val globals = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("dl")) / count(lit(1))).as("avgdl"))
     val scored = tf
-      .join(dl, idCol)
-      .join(dfreq, "term")
+      .withColumn("doc_freq", count(lit(1)).over(Window.partitionBy("term")))
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(idCol)))
       .crossJoin(broadcast(globals))
       .withColumn("score",
         (col("n_docs") - col("doc_freq") + lit(0.5)) / (col("doc_freq") + lit(0.5)) *
           (col("tf") * (lit(k1) + 1)) /
           (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
     val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term"))
-    scored
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= topK)
-      .select(col(idCol), col("term"), col("tf"), col("doc_freq"),
-        round(col("score"), 4).as("score"))
+    graft.ops.Iterate.scoped(
+      scored
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= topK)
+        .select(col(idCol), col("term"), col("tf"), col("doc_freq"),
+          round(col("score"), 4).as("score")),
+      tf)
   }
 }

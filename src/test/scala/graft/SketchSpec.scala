@@ -59,6 +59,18 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("hll profile survives a parquet round-trip: sketch once, roll up later") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll_profile").toString
+    Sketch.hllProfile(data, "v", lgK = 12, "g").write.mode("overwrite").parquet(dir)
+    // a later session reads the stored profile and answers a rollup
+    // without touching the base data
+    val reread = spark.read.parquet(dir)
+    val global = Sketch.rollupDistinct(reread.withColumn("all", lit(1)), "all")
+      .collect().head.getAs[Long]("approx_distinct").toDouble
+    val exact = data.select(count_distinct(col("v"))).as[Long].collect().head
+    assert(math.abs(global - exact) <= exact * 0.05)
+  }
+
   test("approxQuantiles: rank error within 1/accuracy of exact ranks") {
     val accuracy = 1000
     val probs = Seq(0.1, 0.5, 0.9)
