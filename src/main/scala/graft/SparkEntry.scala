@@ -315,6 +315,17 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Benchmark decontamination: docs with doc_id % 7 == 0 play the eval
+    // set; every other doc is scored by shared-shingle fraction.
+    "decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontaminate.overlap(
+          docs.where(col("doc_id") % 7 =!= 0),
+          docs.where(col("doc_id") % 7 === 0),
+          "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // BM25 term ranking (rational idf — see Rank scaladoc): top-3 terms
     // per document; the oracle recomputes the identical IEEE expression
     // tree, so the 4dp-rounded scores hash-match bit-for-bit.
@@ -956,6 +967,24 @@ object SparkEntry {
     "sketch_hll_merge" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_distinct, 1 AS merge_ok
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+
+    "decontaminate" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | shl AS (SELECT doc_id,
+        |         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                        for i in range(1, greatest(len(ws) - 1, 1))]) AS shl
+        |         FROM ws),
+        | sh AS (SELECT doc_id, len(shl) AS n_sh, unnest(shl) AS sh FROM shl),
+        | corp AS (SELECT doc_id, n_sh,
+        |          ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh WHERE doc_id % 7 <> 0),
+        | bench AS (SELECT DISTINCT ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+        |           FROM sh WHERE doc_id % 7 = 0),
+        | hits AS (SELECT c.doc_id, max(c.n_sh) AS n_sh,
+        |          sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS n_shared
+        |          FROM corp c LEFT JOIN bench b ON c.h = b.h GROUP BY c.doc_id)
+        | SELECT doc_id, n_sh, n_shared, round(n_shared / n_sh, 4) AS overlap_frac,
+        |        (n_shared >= n_sh * 0.5)::INT AS contaminated
+        | FROM hits ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // NB: expression tree (associativity, k1+1 as an ADD, no logs) must
     // mirror Rank.bm25TopTerms exactly — IEEE +,*,/ are deterministic,

@@ -187,6 +187,23 @@ class OpsSpec extends SparkSpec {
       s"dedup ops leaked persisted RDDs: ${sc.getPersistentRDDs.values.map(_.name)}")
   }
 
+  test("decontaminate: shared-shingle fraction flags benchmark leakage") {
+    import graft.ops.Decontaminate
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // verbatim leak
+      (2L, "a quick brown fox jumps over a sleeping cat"), // partial overlap
+      (3L, "completely different content about spark engines here")) // clean
+      .toDF("doc_id", "text")
+    val out = Decontaminate.overlap(corpus, bench, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(3), r.getInt(4))).toMap
+    assert(out(1L) === ((1.0, 1))) // every shingle shared
+    assert(out(2L)._1 > 0 && out(2L)._2 === 0) // some overlap, below threshold
+    assert(out(3L) === ((0.0, 0)))
+  }
+
   // ---------------------------------------------------------------- multimodal
 
   test("multimodal: binary payload round-trips through mapPartitions decode") {
