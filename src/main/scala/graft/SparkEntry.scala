@@ -315,6 +315,15 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Sequence packing into 512-token context windows, sharded by lang.
+    "pack_sequences" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).as("n_tok"))
+      graft.ops.Pack.sequential(docs, "n_tok", "doc_id", "lang", ctxLen = 512)
+        .orderBy("lang", "doc_id")
+    }),
+
     // Benchmark decontamination: docs with doc_id % 7 == 0 play the eval
     // set; every other doc is scored by shared-shingle fraction.
     "decontaminate" -> ((s, dir) => {
@@ -967,6 +976,16 @@ object SparkEntry {
     "sketch_hll_merge" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_distinct, 1 AS merge_ok
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+
+    "pack_sequences" ->
+      """WITH d AS (SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+        | s AS (SELECT lang, doc_id, n_tok,
+        |        coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+        |        FROM d)
+        | SELECT lang, doc_id, n_tok, start_tok,
+        |        start_tok // 512 AS bin_id, start_tok % 512 AS offset_in_bin
+        | FROM s ORDER BY lang, doc_id""".stripMargin.replace("\n", " "),
 
     "decontaminate" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

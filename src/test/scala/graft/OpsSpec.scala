@@ -187,6 +187,23 @@ class OpsSpec extends SparkSpec {
       s"dedup ops leaked persisted RDDs: ${sc.getPersistentRDDs.values.map(_.name)}")
   }
 
+  test("pack: sequential layout assigns window and offset, docs may straddle") {
+    import graft.ops.Pack
+    val docs = Seq(
+      ("s1", 1L, 300L), ("s1", 2L, 300L), ("s1", 3L, 100L), // 2 straddles 512
+      ("s2", 4L, 600L), ("s2", 5L, 10L)) // 4 longer than one window
+      .toDF("shard", "doc_id", "n_tok")
+    val out = Pack.sequential(docs, "n_tok", "doc_id", "shard", ctxLen = 512)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("start_tok"), r.getAs[Long]("bin_id"), r.getAs[Long]("offset_in_bin")))
+      .toMap
+    assert(out(1L) === ((0L, 0L, 0L)))
+    assert(out(2L) === ((300L, 0L, 300L))) // starts in window 0, spills into 1
+    assert(out(3L) === ((600L, 1L, 88L)))
+    assert(out(4L) === ((0L, 0L, 0L))) // shards pack independently
+    assert(out(5L) === ((600L, 1L, 88L)))
+  }
+
   test("decontaminate: shared-shingle fraction flags benchmark leakage") {
     import graft.ops.Decontaminate
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
