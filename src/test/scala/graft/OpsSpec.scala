@@ -183,8 +183,9 @@ class OpsSpec extends SparkSpec {
     Dedup.minhashCandidates(Dedup.minhashSignature(docs, "text", "doc_id"), "doc_id").collect()
     Dedup.ngramCandidates(docs, "text", "doc_id").collect()
     Dedup.connectedComponents(Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), "a", "b").collect()
+    graft.ops.Rank.bm25TopTerms(docs, "text", "doc_id").collect()
     assert(sc.getPersistentRDDs.size === base,
-      s"dedup ops leaked persisted RDDs: ${sc.getPersistentRDDs.values.map(_.name)}")
+      s"dedup/rank ops leaked persisted RDDs: ${sc.getPersistentRDDs.values.map(_.name)}")
   }
 
   test("pack: sequential layout assigns window and offset, docs may straddle") {
