@@ -109,6 +109,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontamination runs on a stream: stream-static broadcast probe") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    // same op, streaming corpus: shingle explode → broadcast static
+    // benchmark probe → stateful per-doc aggregation
+    val q = graft.ops.Decontaminate.overlap(stream, bench, "text", "doc_id")
+      .writeStream.format("memory").queryName("decon_stream")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      input.addData((1L, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      input.addData((2L, "completely different content about spark engines here"))
+      q.processAllAvailable()
+      val out = spark.table("decon_stream").collect()
+        .map(r => r.getLong(0) -> r.getInt(4)).toMap
+      assert(out === Map(1L -> 1, 2L -> 0))
+    } finally q.stop()
+  }
+
   test("windowedCounts works identically on a batch DataFrame") {
     val batch = Seq(
       Event(1, 1, 10, "click", 1.0),
