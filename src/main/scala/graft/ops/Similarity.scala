@@ -108,19 +108,35 @@ object Similarity {
       .select(col(idCol), col(embCol), col(cIdCol).as("cluster"))
   }
 
-  /** IVF-pruned top-k (nprobe=1): queries search only their own cluster's
-    * inverted list. Candidate set is |corpus|/K in expectation; at scale
-    * the cluster column doubles as the partition key of the stored index.
+  /** IVF-pruned top-k: each query searches the inverted lists of its
+    * `nprobe` nearest centroids (nprobe=1 ⇒ only its own cluster).
+    * Candidate set is nprobe·|corpus|/K in expectation — nprobe is the
+    * standard IVF recall/cost dial: a neighbor just across a Voronoi
+    * boundary is invisible at nprobe=1 and found at 2. At scale the
+    * cluster column doubles as the partition key of the stored index, so
+    * each probe is a partition-pruned read; the probe list itself is a
+    * broadcast (queries × nprobe rows).
     */
   def ivfTopK(corpus: DataFrame, queryIds: DataFrame => DataFrame, idCol: String,
               embCol: String, centroids: DataFrame, cIdCol: String, cEmbCol: String,
-              k: Int): DataFrame = {
+              k: Int, nprobe: Int = 1): DataFrame = {
     val assigned = ivfAssign(corpus, centroids, idCol, embCol, cIdCol, cEmbCol)
       .withColumn("_nrm", sqrt(dotFixed(embCol, embCol)))
-    val q = queryIds(assigned)
+    val qBase = queryIds(assigned)
       .select(col(idCol).as("q_id"), col(embCol).as("q_emb"),
-        col("cluster"), col("_nrm").as("_qnrm"))
-    val scored = assigned.join(broadcast(q), "cluster")
+        col("_nrm").as("_qnrm"))
+    // top-`nprobe` centroids per query — same scoring and tiebreak as
+    // ivfAssign, so probe 1 is exactly the query's own storage cluster
+    val qProbes = qBase.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("q_emb"), col("_qnrm"), col(cIdCol).as("cluster"),
+        (dotFixed(cEmbCol, "q_emb") /
+          (sqrt(dotFixed(cEmbCol, cEmbCol)) * col("_qnrm"))).as("_c_cos"))
+      .select(col("q_id"), col("q_emb"), col("_qnrm"), col("cluster"),
+        row_number().over(
+          Window.partitionBy("q_id").orderBy(col("_c_cos").desc, col("cluster"))).as("_rk"))
+      .where(col("_rk") <= nprobe)
+      .drop("_rk", "_c_cos")
+    val scored = assigned.join(broadcast(qProbes), "cluster")
       .where(col(idCol) =!= col("q_id"))
       .select(col("q_id"), col(idCol).as("neighbor_id"),
         (dotFixed("q_emb", embCol) / (col("_qnrm") * col("_nrm"))).as("cos"))

@@ -128,6 +128,30 @@ class OpsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("neighbor_id") === 2L)
   }
 
+  test("ivf multi-probe finds cross-boundary neighbors single-probe misses") {
+    // two tight clusters; query sits in cluster A but its true nearest
+    // neighbor leans toward B's centroid — invisible at nprobe=1
+    def v(xs: Float*) = xs.toSeq
+    val corpus = Seq(
+      (0L, v(1f, 0f, 0f, 0f)), // centroid seed A
+      (1L, v(0f, 1f, 0f, 0f)), // centroid seed B
+      (10L, v(0.71f, 0.7f, 0f, 0f)), // query: assigned A by a hair
+      (11L, v(0.68f, 0.73f, 0f, 0f)), // nearest to query, assigned B
+      (12L, v(1f, 0.2f, 0f, 0f))) // in A, much further from query
+      .toDF("vec_id", "embedding")
+    val cents = corpus.where(col("vec_id") < 2)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    def top1(nprobe: Int) = Similarity.ivfTopK(corpus,
+        a => a.where(col("vec_id") === 10L),
+        "vec_id", "embedding", cents, "c_id", "c_emb", k = 1, nprobe = nprobe)
+      .collect().map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Double]("cos")).head
+    val (n1, c1) = top1(1)
+    val (n2, c2) = top1(2)
+    assert(n1 === 12L) // best within A only
+    assert(n2 === 11L) // true nearest, found via the second probe
+    assert(c2 > c1) // bigger candidate set can only improve top-k quality
+  }
+
   test("sphericalKMeans separates well-separated clusters") {
     val rng = new scala.util.Random(7)
     def noisy(base: Seq[Float]) = base.map(v => v + rng.nextFloat() * 0.01f)
