@@ -28,6 +28,7 @@ object Functions {
     native("md5_long", exprs => graft.functions.Md5Long(
       exprs(0), exprs(1).eval().asInstanceOf[Int]))
     native("nt_unescape", exprs => graft.functions.NtUnescape(exprs(0)))
+    native("word_set_hits", exprs => graft.functions.WordSetHits(exprs(0), exprs(1)))
   }
 
   /** `normalize_label` as a Column op — pure built-ins (codegen'd, no UDF):

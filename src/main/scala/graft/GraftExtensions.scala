@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Md5Long, NormalizeLabelExpr, NormalizeSingularExpr, NtUnescape, ParseNt, RollingHash, VecDot, VecSignBits, WordShingles}
+import graft.functions.{Md5Long, NormalizeLabelExpr, NormalizeSingularExpr, NtUnescape, ParseNt, RollingHash, VecDot, VecSignBits, WordSetHits, WordShingles}
 
 /** Injectable extensions: makes the engine's native expressions available
   * in ANY session via `spark.sql.extensions=graft.GraftExtensions` (e.g.
@@ -53,5 +53,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nt_unescape"),
       info("nt_unescape", "nt_unescape(s) - decode N-Triples ECHAR/UCHAR escapes"),
       (exprs: Seq[Expression]) => NtUnescape(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("word_set_hits"),
+      info("word_set_hits", "word_set_hits(text, csv) - count whitespace tokens present in the csv word set"),
+      (exprs: Seq[Expression]) => WordSetHits(exprs(0), exprs(1))))
   }
 }

@@ -587,8 +587,10 @@ object SparkEntry {
 
     "text_quality" -> ((s, dir) => {
       val tokens = split(col("text"), " ")
+      // native word_set_hits: one compiled loop per row vs two interpreted
+      // lambdas per token (same result as the filter/IN form)
       val stopHits = expr(
-        s"size(filter(split(text, ' '), t -> t in ${inList(stopEn)}))")
+        s"word_set_hits(text, '${stopEn.mkString(",")}')")
       t(s, dir, "documents").select(
         col("doc_id"),
         length(col("text")).as("n_char"),
@@ -617,7 +619,7 @@ object SparkEntry {
 
     "text_langid" -> ((s, dir) => {
       def hits(ws: Seq[String]) =
-        expr(s"size(filter(split(lower(text), ' '), t -> t in ${inList(ws)}))")
+        expr(s"word_set_hits(lower(text), '${ws.mkString(",")}')")
       val en = hits(stopEn)
       val es = hits(Seq("el", "la", "de", "y", "que"))
       val de = hits(Seq("der", "die", "und", "das", "ist"))
@@ -741,7 +743,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val quality = docs
         .withColumn("stop_hits",
-          expr(s"size(filter(split(text, ' '), t -> t in ${inList(stopEn)}))"))
+          expr(s"word_set_hits(text, '${stopEn.mkString(",")}')"))
         .withColumn("n_tok", size(split(col("text"), " ")))
         .where(col("n_tok") >= 20 && col("stop_hits") > 0)
       val keep = Dedup.exactGroups(quality, "text", "doc_id")

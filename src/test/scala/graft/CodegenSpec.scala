@@ -32,10 +32,24 @@ class CodegenSpec extends SparkSpec {
         expr("normalize_label(line)").as("nl"),
         expr("normalize_singular(line)").as("ns"),
         expr("vec_dot(vec, vec)").as("dot"),
-        expr("vec_sign_bits(vec)").as("bits"))
+        expr("vec_sign_bits(vec)").as("bits"),
+        expr("word_set_hits(line, 'more,words')").as("wh"))
       .where(col("h8") =!= 0L && col("rh") =!= 1L)
       .collect()
     assert(out.length === 2)
     assert(out.map(_.getAs[Long]("bits")).toSet.size === 2)
+    assert(out.map(_.getAs[Int]("wh")).toSet === Set(0, 1)) // `words` hits; `"more` has the quote
+  }
+
+  test("word_set_hits matches the interpreted filter/IN form") {
+    import spark.implicits._
+    val docs = Seq("the cat and the hat", "", "of", "no stops here at all",
+      "to the  of", "the the the").toDF("text")
+    val rows = docs.select(
+        expr("word_set_hits(text, 'the,a,and,of,to')").as("native"),
+        expr("size(filter(split(text, ' '), t -> t in ('the','a','and','of','to')))")
+          .as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) === r.getInt(1), r.toString))
   }
 }
