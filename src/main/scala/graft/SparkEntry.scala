@@ -401,6 +401,30 @@ object SparkEntry {
         .distinct()
         .orderBy("c_nationkey", "c_mktsegment")),
 
+    // Sessionization: gap-based session assignment per user (30-min
+    // inactivity), then per-session rollup. Integer microsecond window
+    // arithmetic (`ts div 1000` — DuckDB's parquet reader truncates
+    // TIMESTAMP(NANOS) to µs, so µs is the shared exact resolution);
+    // one shuffle on user_id shared by both windows.
+    "q35_sessionize" -> ((s, dir) => {
+      val gapMicros = 30L * 60 * 1000000L
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("value"))
+        .withColumn("new_sess",
+          when(col("ts_us") - lag("ts_us", 1).over(w) > gapMicros ||
+              lag("ts_us", 1).over(w).isNull, 1)
+            .otherwise(0))
+        .withColumn("session_seq",
+          sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_events"),
+          (max("ts_us") - min("ts_us")).as("dur_us"),
+          round(sum("value"), 2).as("sum_val"))
+        .orderBy("user_id", "session_seq")
+    }),
+
     "q31_window_family" -> ((s, dir) => {
       val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"), col("o_orderkey"))
       t(s, dir, "orders")
@@ -1066,6 +1090,19 @@ object SparkEntry {
       """SELECT c_custkey,
         |        round((SELECT sum(o_totalprice) FROM orders WHERE o_custkey = c_custkey), 2) AS spend
         | FROM customer ORDER BY c_custkey""".stripMargin.replace("\n", " "),
+
+    "q35_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+        | f AS (SELECT user_id, ts_us, event_id, value,
+        |        CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000
+        |             OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        |        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        | g AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM f)
+        | SELECT user_id, session_seq, count(*) AS n_events,
+        |        max(ts_us) - min(ts_us) AS dur_us,
+        |        round(sum(value), 2) AS sum_val
+        | FROM g GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin.replace("\n", " "),
 
     "q34_multi_distinct" ->
       """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
