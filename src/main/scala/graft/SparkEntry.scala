@@ -401,6 +401,17 @@ object SparkEntry {
         .distinct()
         .orderBy("c_nationkey", "c_mktsegment")),
 
+    // Z-order (Morton) value for 2-D layout clustering: bit-interleave
+    // custkey and a price bucket. The write-side use is
+    // Layout.zOrder(...).write — here the z computation itself is pinned.
+    "layout_zorder" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          graft.ops.Layout.zValue(
+            col("o_custkey").cast("long"),
+            floor(col("o_totalprice") / 100).cast("long")).as("z"))
+        .orderBy("z", "o_orderkey")),
+
     // Sessionization: gap-based session assignment per user (30-min
     // inactivity), then per-session rollup. Integer microsecond window
     // arithmetic (`ts div 1000` — DuckDB's parquet reader truncates
@@ -1090,6 +1101,16 @@ object SparkEntry {
       """SELECT c_custkey,
         |        round((SELECT sum(o_totalprice) FROM orders WHERE o_custkey = c_custkey), 2) AS spend
         | FROM customer ORDER BY c_custkey""".stripMargin.replace("\n", " "),
+
+    "layout_zorder" -> {
+      val zTerms = (0 until 16).map(i =>
+        s"((((a >> $i) & 1) << ${2 * i}) | (((b >> $i) & 1) << ${2 * i + 1}))")
+        .mkString(" | ")
+      s"""WITH t AS (SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS a,
+         |            CAST(floor(o_totalprice / 100) AS BIGINT) AS b FROM orders)
+         | SELECT o_orderkey, $zTerms AS z FROM t
+         | ORDER BY z, o_orderkey""".stripMargin.replace("\n", " ")
+    },
 
     "q35_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),

@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical data layout for multi-dimensional pruning: Z-order (Morton)
+  * clustering. Sorting a table by the bit-interleaving of two columns
+  * places rows that are close in BOTH dimensions into the same files, so
+  * parquet min/max statistics prune a 2-D range predicate to a handful of
+  * files — the technique behind OPTIMIZE ZORDER in lakehouse table
+  * formats, expressed here as plain columnar arithmetic.
+  *
+  * The z-value is pure shifts/masks (codegen'd, constant-folded loop
+  * unrolled at plan build), so it is deterministic and oracle-mirrorable.
+  * Layout is a WRITE-side concern: `zOrderWrite`-style usage is
+  * `df.repartitionByRange(n, zValue(...)).sortWithinPartitions(zValue(...))
+  * .write...` — range partitioning keeps file count stable and each file
+  * covers a compact z-range (= a small rectangle in value space).
+  */
+object Layout {
+
+  /** Morton interleave of the low `bits` bits of two non-negative integer
+    * columns: bit i of `a` lands at position 2i, bit i of `b` at 2i+1.
+    * Callers bucket unbounded/skewed values first (e.g. `ntile` or a
+    * fixed-width bucket) so the low bits carry signal.
+    */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Cluster `df` for 2-D pruning on (a, b): range-partition then sort by
+    * the z-value.
+    */
+  def zOrder(df: DataFrame, a: Column, b: Column, partitions: Int,
+      bits: Int = 16): DataFrame = {
+    val z = zValue(a, b, bits)
+    df.repartitionByRange(partitions, z).sortWithinPartitions(z)
+  }
+}

@@ -238,6 +238,32 @@ class OpsSpec extends SparkSpec {
       s"dedup/rank ops leaked persisted RDDs: ${sc.getPersistentRDDs.values.map(_.name)}")
   }
 
+  test("z-order clustering: a 2-D rectangle touches few range partitions") {
+    import graft.ops.Layout
+    // full 64x64 grid; z-order into 16 range partitions
+    val grid = (0 until 4096).map(i => (i.toLong % 64, i.toLong / 64)).toDF("a", "b")
+    val boxes = Layout.zOrder(grid, col("a"), col("b"), partitions = 16, bits = 6)
+      .select(col("a"), col("b"), spark_partition_id().as("pid"))
+      .groupBy("pid")
+      .agg(min("a").as("minA"), max("a").as("maxA"),
+        min("b").as("minB"), max("b").as("maxB"))
+      .collect()
+    assert(boxes.length === 16)
+    // the rectangle a,b in [0,7]^2 is 1/64 of the space; its 64 cells have
+    // z < 64, contiguous at the front of the z range -> min/max stats
+    // prune all but a couple of partitions
+    val touched = boxes.count(r =>
+      r.getAs[Long]("minA") <= 7 && r.getAs[Long]("minB") <= 7)
+    assert(touched <= 3, s"rectangle touched $touched/16 partitions")
+    // row-major layout baseline: every a-stripe contains b in [0,7], so
+    // EVERY partition's box intersects the rectangle — z-order is what
+    // makes the pruning possible
+    val rowMajor = grid.repartitionByRange(16, col("a"), col("b"))
+      .select(col("a"), col("b"), spark_partition_id().as("pid"))
+      .groupBy("pid").agg(min("b").as("minB")).collect()
+    assert(rowMajor.count(_.getAs[Long]("minB") <= 7) >= 14)
+  }
+
   test("pack: sequential layout assigns window and offset, docs may straddle") {
     import graft.ops.Pack
     val docs = Seq(
