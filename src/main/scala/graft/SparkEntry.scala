@@ -401,6 +401,29 @@ object SparkEntry {
         .distinct()
         .orderBy("c_nationkey", "c_mktsegment")),
 
+    // Conversion funnel: users reaching view → later click → later
+    // purchase. Two user-keyed joins + aggs; per-user funnel state is one
+    // timestamp per stage, so the shape holds at any event volume.
+    // (µs resolution per NOTES environment fact 13.)
+    "q36_funnel" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+      val v = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("v_ts"))
+      val c = e.where(col("event_type") === "click")
+        .join(v, "user_id").where(col("ts_us") > col("v_ts"))
+        .groupBy("user_id").agg(min("ts_us").as("c_ts"))
+      val p = e.where(col("event_type") === "purchase")
+        .join(c, "user_id").where(col("ts_us") > col("c_ts"))
+        .select("user_id").distinct()
+      v.agg(count(lit(1)).as("users")).select(lit("1_view").as("stage"), col("users"))
+        .unionByName(c.agg(count(lit(1)).as("users"))
+          .select(lit("2_click").as("stage"), col("users")))
+        .unionByName(p.agg(count(lit(1)).as("users"))
+          .select(lit("3_purchase").as("stage"), col("users")))
+        .orderBy("stage")
+    }),
+
     // Z-order (Morton) value for 2-D layout clustering: bit-interleave
     // custkey and a price bucket. The write-side use is
     // Layout.zOrder(...).write — here the z computation itself is pinned.
@@ -1101,6 +1124,18 @@ object SparkEntry {
       """SELECT c_custkey,
         |        round((SELECT sum(o_totalprice) FROM orders WHERE o_custkey = c_custkey), 2) AS spend
         | FROM customer ORDER BY c_custkey""".stripMargin.replace("\n", " "),
+
+    "q36_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        | v AS (SELECT user_id, min(ts_us) AS v_ts FROM e WHERE event_type = 'view' GROUP BY user_id),
+        | c AS (SELECT e.user_id, min(e.ts_us) AS c_ts FROM e JOIN v USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts_us > v.v_ts GROUP BY e.user_id),
+        | p AS (SELECT DISTINCT e.user_id FROM e JOIN c USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts_us > c.c_ts)
+        | SELECT '1_view' AS stage, count(*) AS users FROM v
+        | UNION ALL SELECT '2_click', count(*) FROM c
+        | UNION ALL SELECT '3_purchase', count(*) FROM p
+        | ORDER BY stage""".stripMargin.replace("\n", " "),
 
     "layout_zorder" -> {
       val zTerms = (0 until 16).map(i =>
