@@ -50,16 +50,26 @@ object Bench {
       }
       (name, times.min, control())
     }
-    def ms(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
+    def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def cs(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val ctlMin = results.map(_._3).min
     val ctlMax = results.map(_._3).max
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + ms(v) }
+    // The driver captures only the last ~3KB of output; with 80+ queries the
+    // line must stay well under that (r3 and r4 both tripped this). Queries
+    // at 10ms resolution, steal map capped at the 8 worst — the full
+    // per-query control series goes to stderr instead.
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + cs(v) }
       .mkString("{", ",", "}")
-    val steal = results.collect { case (k, _, c) if c > 2 * ctlMin => "\"" + k + "\":" + ms(c) }
+    val stolen = results.collect { case (k, _, c) if c > 2 * ctlMin => (k, c) }
+    stolen.foreach { case (k, c) => System.err.println(s"[bench] steal $k control=${ms(c)}") }
+    val steal = stolen.sortBy(-_._2).take(8).map { case (k, c) => "\"" + k + "\":" + cs(c) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
-      s""""control":{"min":${ms(ctlMin)},"max":${ms(ctlMax)}},"steal":$steal,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
+      s""""control":{"min":${cs(ctlMin)},"max":${cs(ctlMax)}},"steal":$steal,"sf":"$sfDir"}"""
+    System.err.println(s"[bench] json line length: ${line.length}")
+    println(line)
     spark.stop()
   }
 }

@@ -42,6 +42,17 @@ object Functions {
 
   private val singularizeUdf = udf((s: String) => Normalize.singularize(s))
 
+  /** `word_set_hits` via the Column API: the word list travels as a bound
+    * literal (nothing is spliced into SQL text, so quotes in words are
+    * safe). Members must not contain commas — the CSV wire format of
+    * [[graft.functions.WordSetHits]] cannot represent them.
+    */
+  def wordSetHits(text: Column, words: Seq[String]): Column = {
+    require(words.forall(!_.contains(",")),
+      "word_set_hits set members must not contain commas (CSV wire format)")
+    call_function("word_set_hits", text, lit(words.mkString(",")))
+  }
+
   /** Native codegen expressions (see graft.functions.TextExprs). */
   def normalizeLabel(c: Column): Column = call_function("normalize_label", c)
   def normalizeSingular(c: Column): Column = call_function("normalize_singular", c)

@@ -455,7 +455,9 @@ object SparkEntry {
         .groupBy("user_id", "session_seq")
         .agg(count(lit(1)).as("n_events"),
           (max("ts_us") - min("ts_us")).as("dur_us"),
-          round(sum("value"), 2).as("sum_val"))
+          // decimal sum: exact and order-independent, so partial-agg order
+          // can never flip the 2dp rounding vs the oracle
+          round(sum(col("value").cast("decimal(20,6)")), 2).cast("double").as("sum_val"))
         .orderBy("user_id", "session_seq")
     }),
 
@@ -647,8 +649,7 @@ object SparkEntry {
       val tokens = split(col("text"), " ")
       // native word_set_hits: one compiled loop per row vs two interpreted
       // lambdas per token (same result as the filter/IN form)
-      val stopHits = expr(
-        s"word_set_hits(text, '${stopEn.mkString(",")}')")
+      val stopHits = Functions.wordSetHits(col("text"), stopEn)
       t(s, dir, "documents").select(
         col("doc_id"),
         length(col("text")).as("n_char"),
@@ -677,7 +678,7 @@ object SparkEntry {
 
     "text_langid" -> ((s, dir) => {
       def hits(ws: Seq[String]) =
-        expr(s"word_set_hits(lower(text), '${ws.mkString(",")}')")
+        Functions.wordSetHits(lower(col("text")), ws)
       val en = hits(stopEn)
       val es = hits(Seq("el", "la", "de", "y", "que"))
       val de = hits(Seq("der", "die", "und", "das", "ist"))
@@ -800,8 +801,7 @@ object SparkEntry {
     "pipeline_curate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val quality = docs
-        .withColumn("stop_hits",
-          expr(s"word_set_hits(text, '${stopEn.mkString(",")}')"))
+        .withColumn("stop_hits", Functions.wordSetHits(col("text"), stopEn))
         .withColumn("n_tok", size(split(col("text"), " ")))
         .where(col("n_tok") >= 20 && col("stop_hits") > 0)
       val keep = Dedup.exactGroups(quality, "text", "doc_id")
@@ -1055,10 +1055,10 @@ object SparkEntry {
       """WITH d AS (SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
         | s AS (SELECT lang, doc_id, n_tok,
         |        coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_tok
         |        FROM d)
         | SELECT lang, doc_id, n_tok, start_tok,
-        |        start_tok // 512 AS bin_id, start_tok % 512 AS offset_in_bin
+        |        (start_tok // 512)::BIGINT AS bin_id, (start_tok % 512)::BIGINT AS offset_in_bin
         | FROM s ORDER BY lang, doc_id""".stripMargin.replace("\n", " "),
 
     "decontaminate" ->
@@ -1073,7 +1073,7 @@ object SparkEntry {
         | bench AS (SELECT DISTINCT ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
         |           FROM sh WHERE doc_id % 7 = 0),
         | hits AS (SELECT c.doc_id, max(c.n_sh) AS n_sh,
-        |          sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS n_shared
+        |          sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_shared
         |          FROM corp c LEFT JOIN bench b ON c.h = b.h GROUP BY c.doc_id)
         | SELECT doc_id, n_sh, n_shared, round(n_shared / n_sh, 4) AS overlap_frac,
         |        (n_shared >= n_sh * 0.5)::INT AS contaminated
@@ -1154,10 +1154,10 @@ object SparkEntry {
         |             OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
         |        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
         | g AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM f)
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_seq FROM f)
         | SELECT user_id, session_seq, count(*) AS n_events,
         |        max(ts_us) - min(ts_us) AS dur_us,
-        |        round(sum(value), 2) AS sum_val
+        |        round(sum(value::DECIMAL(20,6)), 2)::DOUBLE AS sum_val
         | FROM g GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin.replace("\n", " "),
 
     "q34_multi_distinct" ->

@@ -29,9 +29,9 @@ object Decontaminate {
   def overlap(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String,
       k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val corpusSh = Dedup.shingleRows(corpus, textCol, idCol)
+    val corpusSh = Dedup.shingleRows(corpus, textCol, idCol, k)
       .select(col(idCol), col("n_sh"), Dedup.md5Int60(col("sh")).as("sh"))
-    val benchSh = Dedup.shingleRows(benchmark, textCol, idCol)
+    val benchSh = Dedup.shingleRows(benchmark, textCol, idCol, k)
       .select(Dedup.md5Int60(col("sh")).as("sh"))
       .distinct()
       .withColumn("_hit", lit(1))

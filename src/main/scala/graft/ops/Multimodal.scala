@@ -34,18 +34,29 @@ object Multimodal {
   private def md5hex(payload: Array[Byte]): String =
     MessageDigest.getInstance("MD5").digest(payload).map("%02x".format(_)).mkString
 
+  /** Media types eligible for magic-byte sniffing. Text and other typed
+    * payloads are NEVER sniffed: a text document that happens to start
+    * with `GIF87a` must take the declared-type path, not be reinterpreted
+    * as an image.
+    */
+  private def sniffable(mediaType: String): Boolean =
+    mediaType == null || mediaType.isEmpty ||
+      mediaType.startsWith("image/") ||
+      mediaType == "application/octet-stream" || mediaType == "binary"
+
   /** Decode/feature-extract over a typed Dataset. One `mapPartitions` pass:
     * per-partition codec setup happens once per task, not once per row.
-    * Payloads whose magic bytes identify a known image container get REAL
-    * header decode (detected media type + pixel dimensions); anything else
-    * falls back to the deterministic stub with the record's declared type.
+    * Payloads DECLARED as image/untyped binary whose magic bytes identify a
+    * known image container get REAL header decode (detected media type +
+    * pixel dimensions); anything else falls back to the deterministic stub
+    * with the record's declared type.
     */
   def extractFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
       // per-partition setup would go here (codec/model init)
       it.map { r =>
-        ImageHeaders.parse(r.payload) match {
+        (if (sniffable(r.media_type)) ImageHeaders.parse(r.payload) else None) match {
           case Some((mediaType, w, h)) =>
             MediaFeatures(r.media_id, mediaType, r.payload.length.toLong,
               md5hex(r.payload), w, h)

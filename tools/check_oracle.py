@@ -63,11 +63,28 @@ def main():
             n_fail += 1
             continue
         bad = [i for i, (a, b) in enumerate(zip(s_vals, d_vals)) if a != b]
+        # The DRIVER fetches oracle results through pandas/arrow, which
+        # coerces HUGEINT (and renders DECIMAL differently) to float64 —
+        # values then hash as "123.0" vs Spark's "123". fetchall() here
+        # sees python ints and misses it, so type-audit every oracle:
+        # any HUGEINT/DECIMAL output column is a FAIL even if values match.
+        # (Root cause of r2 dedup_simhash and all three r4 mismatches.)
+        haz = []
+        try:
+            haz = [(c, ty) for c, ty, *_ in con.execute(
+                f"DESCRIBE SELECT * FROM ({sql}) LIMIT 0").fetchall()
+                if "HUGEINT" in ty or "DECIMAL" in ty]
+        except Exception:
+            pass
         if bad:
             i = bad[0]
             print(f"FAIL {name}: {len(bad)}/{len(s_vals)} rows differ; first at {i}:")
             print(f"  spark: {s_vals[i]}")
             print(f"  duck : {d_vals[i]}")
+            n_fail += 1
+        elif haz:
+            print(f"FAIL {name}: oracle emits driver-coercion-hazard types: {haz}"
+                  " — cast to BIGINT/DOUBLE in the oracle SQL")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(s_vals)} rows)")
