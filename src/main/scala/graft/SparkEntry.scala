@@ -372,6 +372,17 @@ object SparkEntry {
           levenshtein(col("p_name"), lower(col("p_type"))).as("name_type_dist"))
         .orderBy("p_partkey")),
 
+    // Two-pass EXACT heavy hitters (TopK scaladoc): per-partition
+    // Misra-Gries candidates (narrow) → broadcast semi-join → one exact
+    // aggregation over candidate rows; threshold in integer arithmetic.
+    "sketch_frequent_items" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+        .where(col("term") =!= "")
+      graft.ops.TopK.frequentItems(toks, "term", k = 50)
+        .withColumnRenamed("item", "term")
+    }),
+
     "q29_ranking" -> ((s, dir) => {
       val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice").desc, col("o_orderkey"))
       t(s, dir, "orders")
@@ -1050,6 +1061,13 @@ object SparkEntry {
     "sketch_hll_merge" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_distinct, 1 AS merge_ok
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+
+    "sketch_frequent_items" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        | tt AS (SELECT term, count(*)::BIGINT AS cnt FROM tok WHERE term <> '' GROUP BY term),
+        | n AS (SELECT count(*)::BIGINT AS n FROM tok WHERE term <> '')
+        | SELECT term, cnt FROM tt, n WHERE cnt * 51 > n
+        | ORDER BY cnt DESC, term""".stripMargin.replace("\n", " "),
 
     "pack_sequences" ->
       """WITH d AS (SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.ops.TopK
+
+/** Two-pass heavy hitters: Misra-Gries candidate guarantee + end-to-end
+  * equality with the brute-force computation, at several partitionings
+  * (the sketch must only affect pruning, never the answer).
+  */
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(name: String, prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  private def bruteFrequent(items: Seq[String], k: Int): Set[(String, Long)] = {
+    val n = items.size.toLong
+    items.groupBy(identity).map { case (t, g) => (t, g.size.toLong) }
+      .filter { case (_, c) => c * (k + 1) > n }.toSet
+  }
+
+  test("misraGries candidates contain every item above n/(k+1)") {
+    val genItems = Gen.listOf(Gen.oneOf((1 to 12).map(i => s"w$i")))
+    val genK = Gen.choose(1, 6)
+    check("mg-superset", Prop.forAll(genItems, genK) { (items, k) =>
+      val cands = TopK.misraGries(items.iterator, k).toSet
+      bruteFrequent(items, k).forall { case (t, _) => cands.contains(t) }
+    })
+  }
+
+  test("frequentItems is exact and partitioning-independent") {
+    val words = Seq.fill(400)("the") ++ Seq.fill(250)("of") ++
+      (1 to 500).map(i => s"rare${i % 97}")
+    val expect = bruteFrequent(words, 5)
+    for (parts <- Seq(1, 3, 16)) {
+      val df = spark.sparkContext.parallelize(words, parts).toDF("w")
+      val got = TopK.frequentItems(df, "w", 5)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got === expect, s"parts=$parts")
+    }
+  }
+
+  test("frequentItems result is sorted by count desc, item asc") {
+    val words = Seq.fill(40)("b") ++ Seq.fill(40)("a") ++ Seq.fill(10)("c")
+    val df = words.toDF("w")
+    val rows = TopK.frequentItems(df, "w", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows === Seq(("a", 40L), ("b", 40L)))
+  }
+
+  test("no persisted frames leak after frequentItems") {
+    val df = (1 to 1000).map(i => s"t${i % 7}").toDF("w")
+    TopK.frequentItems(df, "w", 10).count()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+}
