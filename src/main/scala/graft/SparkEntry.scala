@@ -795,6 +795,14 @@ object SparkEntry {
           k = 3, dfCap = 100, threshold = 0.5)
         .orderBy("a_id", "b_id")),
 
+    // Prefix-filter set-similarity self-join (PPJoin-style candidate
+    // generation under a global rare-first shingle order, exact
+    // integer-arithmetic verify — see Dedup.prefixJaccardJoin).
+    "dedup_ppjoin" -> ((s, dir) =>
+      Dedup.prefixJaccardJoin(t(s, dir, "documents"), "text", "doc_id",
+          k = 3, tNum = 1, tDen = 2)
+        .orderBy("id_a", "id_b")),
+
     // Salted two-phase collect_set over a genuinely hot key (3 returnflag
     // groups × 200k rows each at sf0.1) — the bounded-group-state pattern
     // for holistic aggregates at scale.
@@ -1468,6 +1476,25 @@ object SparkEntry {
         | GROUP BY a.doc_id, b.doc_id
         | HAVING round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 4) >= 0.5
         | ORDER BY a_id, b_id""".stripMargin.replace("\n", " "),
+
+    // Brute-force O(n²) reference for the prefix-filtered join — the
+    // oracle verifies LOSSLESSNESS of the candidate pruning: every pair
+    // with set-Jaccard ≥ 1/2 must appear, with exact inter/union counts.
+    "dedup_ppjoin" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | shl AS (SELECT doc_id,
+        |         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                        for i in range(1, greatest(len(ws) - 1, 1))]) AS shl
+        |         FROM ws),
+        | hs AS (SELECT doc_id,
+        |        [('0x' || substr(md5(s), 1, 15))::BIGINT for s in shl] AS hs
+        |        FROM shl WHERE len(shl) > 0),
+        | p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        len(list_intersect(a.hs, b.hs))::BIGINT AS inter,
+        |        (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))::BIGINT AS uni
+        |        FROM hs a, hs b WHERE a.doc_id < b.doc_id)
+        | SELECT id_a, id_b, inter, uni, (inter * 10000 // uni)::BIGINT AS sim_bp
+        | FROM p WHERE inter * 2 >= uni ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
 
     "skew_salted_collect" ->
       """SELECT l_returnflag,
