@@ -787,6 +787,53 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
 
+    // JSONL source round-trip: write the documents table as JSON-Lines,
+    // read it back through the schema'd FAILFAST reader (TextTables), and
+    // reproduce the parquet table bit-for-bit — proves the text-source
+    // path (escaping, types) without trusting schema inference.
+    "source_jsonl" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_jsonl_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      graft.sources.TextTables.writeJsonl(docs, path)
+      graft.sources.TextTables.readJsonl(s, docs.schema, path)
+        .orderBy("doc_id")
+    }),
+
+    // CSV twin of source_jsonl (quote/escape config symmetric on both
+    // sides; nullValue sentinel distinguishes null from empty string).
+    "source_csv" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_csv_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      graft.sources.TextTables.writeCsv(docs, path)
+      graft.sources.TextTables.readCsv(s, docs.schema, path)
+        .orderBy("doc_id")
+    }),
+
+    // Semantic dedup end-to-end: embedding-cosine near-dup pairs →
+    // connected components → per-cluster size and a keep/drop verdict
+    // (keep = the minimum-id member, which IS the component label).
+    "embed_clusters" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .withColumn("nrm", sqrt(Similarity.dotFixed("embedding", "embedding", 64)))
+      val a = e.select(col("label"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+      val b = e.select(col("label"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+      val pairs = a.join(b, Seq("label"))
+        .where(col("a_id") < col("b_id"))
+        .where(Similarity.dotFixed("a_emb", "b_emb", 64) /
+          (col("a_nrm") * col("b_nrm")) >= 0.35)
+        .select(col("a_id"), col("b_id"))
+      Dedup.connectedComponents(pairs, "a_id", "b_id")
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .select(col("node").as("vec_id"), col("cluster_id"), col("cluster_size"),
+          (col("node") === col("cluster_id")).cast("int").as("keep"))
+        .orderBy("vec_id")
+    }),
+
     // Word-3-gram Jaccard near-dup via an inverted shingle index self-join
     // with a document-frequency cap on shingles (see Dedup.ngramCandidates
     // — the guard against the boilerplate-shingle k² blowup).
@@ -1459,6 +1506,31 @@ object SparkEntry {
          | FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
          | WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.35
          | ORDER BY a_id, b_id""".stripMargin.replace("\n", " "),
+
+    "source_jsonl" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "source_csv" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "embed_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |   SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |   FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         |   WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.35),
+         | edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+         |           UNION SELECT b_id, a_id FROM pairs),
+         | reach(s, d) AS (
+         |   SELECT s, d FROM edges
+         |   UNION
+         |   SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         | comp AS (SELECT s AS vec_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s)
+         | SELECT vec_id, cluster_id,
+         |        count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |        (vec_id = cluster_id)::INT AS keep
+         | FROM comp ORDER BY vec_id""".stripMargin.replace("\n", " "),
 
     "dedup_ngram" ->
       """WITH sh AS (
