@@ -524,6 +524,38 @@ object SparkEntry {
         .groupBy("split").agg(count(lit(1)).as("cnt"))
         .orderBy("split")),
 
+    // Per-source cap (no domain may dominate): deterministic hash-rank
+    // keeps ≤10 docs per source at any cluster size.
+    "sample_capped" -> ((s, dir) =>
+      graft.ops.Sampling.cappedPerGroup(t(s, dir, "documents"), "source", "doc_id", 10)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    // Token-id encoding: vocabulary = top-64 terms by (freq desc, term),
+    // dense ids 1..64 (0 = OOV); documents become bounded-vocab id
+    // sequences — the corpus→token-ids step before pack_sequences. The
+    // vocab is corpus-bounded (not row-bounded), so the global window
+    // ranking the aggregated term counts is small at any corpus size,
+    // and the encode join is a broadcast.
+    "text_encode_ids" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+        .where(col("term") =!= "")
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("freq"))
+        .withColumn("tok_id",
+          row_number().over(Window.orderBy(col("freq").desc, col("term"))))
+        .where(col("tok_id") <= 64)
+        .select("term", "tok_id")
+      toks.join(broadcast(vocab), Seq("term"), "left")
+        .withColumn("tok_id", coalesce(col("tok_id"), lit(0)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum((col("tok_id") === 0).cast("int")).as("n_oov"),
+          transform(sort_array(collect_list(struct(col("pos"), col("tok_id")))),
+            x => x("tok_id")).as("ids"))
+        .orderBy("doc_id")
+    }),
+
     // Discrete (element-valued) quantiles via explicit rank index — exact
     // cross-engine parity with no interpolation arithmetic to diverge on.
     "q24_percentile" -> ((s, dir) => {
@@ -1284,6 +1316,31 @@ object SparkEntry {
         | FROM (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS h
         |       FROM documents)
         | GROUP BY 1 ORDER BY split""".stripMargin.replace("\n", " "),
+
+    "sample_capped" ->
+      """WITH r AS (
+        |   SELECT doc_id, source,
+        |          row_number() OVER (PARTITION BY source
+        |            ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |                     doc_id) AS rk
+        |   FROM documents)
+        | SELECT doc_id, source FROM r WHERE rk <= 10
+        | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "text_encode_ids" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | tok AS (SELECT doc_id, unnest(ws) AS term,
+        |         unnest(range(1, len(ws) + 1)) AS ord FROM w),
+        | tnz AS (SELECT * FROM tok WHERE term <> ''),
+        | vocab AS (SELECT term,
+        |           row_number() OVER (ORDER BY count(*) DESC, term) AS tok_id
+        |           FROM tnz GROUP BY term QUALIFY tok_id <= 64),
+        | enc AS (SELECT t.doc_id, t.ord, coalesce(v.tok_id, 0)::INT AS tok_id
+        |         FROM tnz t LEFT JOIN vocab v USING (term))
+        | SELECT doc_id, count(*)::BIGINT AS n_tok,
+        |        sum((tok_id = 0)::INT)::BIGINT AS n_oov,
+        |        list(tok_id ORDER BY ord) AS ids
+        | FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "q24_percentile" ->
       """WITH r AS (

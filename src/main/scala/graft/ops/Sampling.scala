@@ -41,4 +41,20 @@ object Sampling {
       when(pctBucket(col(keyCol)) < trainPct, "train")
         .when(pctBucket(col(keyCol)) < trainPct + valPct, "val")
         .otherwise("test"))
+
+  /** Per-group cap: keep at most `cap` rows per `groupCol` value — the
+    * standard "no domain may dominate the corpus" curation step. Row
+    * choice is a deterministic hash rank (tie-broken by the key itself),
+    * not arrival order, so the kept set is stable across runs and
+    * partitionings. One shuffle on the group key; the per-group window
+    * state is a row counter, never the group's rows.
+    */
+  def cappedPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                     cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(Dedup.md5Int60(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= cap)
+      .drop("_rk")
+  }
 }

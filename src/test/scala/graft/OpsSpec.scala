@@ -224,6 +224,20 @@ class OpsSpec extends SparkSpec {
     assert(persisted <= mid + 1, s"kMeans leaked cached rounds: $mid -> $persisted")
   }
 
+  test("cappedPerGroup: exact cap per group, choice independent of partitioning") {
+    val rows = (1L to 100L).map(i => (i, s"g${i % 4}"))
+    val expected = graft.ops.Sampling.cappedPerGroup(
+        rows.toDF("id", "g"), "g", "id", 7)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(expected.groupBy(_._2).forall(_._2.size == 7))
+    for (parts <- Seq(1, 13)) {
+      val df = spark.sparkContext.parallelize(rows, parts).toDF("id", "g")
+      val got = graft.ops.Sampling.cappedPerGroup(df, "g", "id", 7)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === expected, s"parts=$parts")
+    }
+  }
+
   test("library dedup ops leave no persisted storage behind") {
     spark.catalog.clearCache()
     val sc = spark.sparkContext
