@@ -82,6 +82,31 @@ object EventStream {
       }
   }
 
+  /** Stream-stream interval join: attribute each `click` to the same
+    * user's `view`s in the preceding hour. Both sides carry watermarks and
+    * the join condition has explicit event-time bounds, so Spark evicts
+    * buffered rows once the watermark passes the interval — join state is
+    * bounded by (lateness + interval) at any stream length, the
+    * stream-stream requirement at scale. Works identically on batch
+    * frames (the bounds become a plain range predicate).
+    */
+  def attributionJoin(events: DataFrame, lateness: String = "2 hours"): DataFrame = {
+    val views = eventTime(events.where(col("event_type") === "view"))
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("event_time").as("view_time"))
+      .withWatermark("view_time", lateness)
+    val clicks = eventTime(events.where(col("event_type") === "click"))
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", lateness)
+    clicks.join(views,
+        col("c_user") === col("v_user") &&
+          col("view_time") <= col("click_time") &&
+          col("view_time") >= col("click_time") - expr("INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("click_time"), col("view_time"))
+  }
+
   /** Convenience: run `windowedCounts` over a memory-sink stream and block
     * until `numBatches` have been processed (test/demo harness).
     */

@@ -132,6 +132,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks to in-window views") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.attributionJoin(input.toDF())
+      .writeStream.format("memory").queryName("attr_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        // user 10: views at 1:00 and 1:30, click at 2:00 → both join
+        // (1h bound is inclusive); user 11: view at 1:06, click at 3:00
+        // → outside the hour, no attribution. Times start at 1:00, not
+        // epoch 0: a row at exactly epoch 0 collides with the initial
+        // watermark sentinel (also 0) and is dropped as late.
+        Event(1, 1L * H, 10, "view", 1.0),
+        Event(2, 1L * H + H / 2, 10, "view", 1.0),
+        Event(3, 2L * H, 10, "click", 1.0),
+        Event(4, 1L * H + H / 10, 11, "view", 1.0),
+        Event(5, 3L * H, 11, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("attr_test")
+        .select("user_id", "click_id", "view_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(identity).toSeq
+      assert(out === Seq((10L, 3L, 1L), (10L, 3L, 2L)))
+    } finally q.stop()
+  }
+
   test("windowedCounts works identically on a batch DataFrame") {
     val batch = Seq(
       Event(1, 1, 10, "click", 1.0),
