@@ -677,6 +677,23 @@ object SparkEntry {
         size(array_distinct(split(col("text"), " "))).as("n_distinct"))
         .orderBy("doc_id")),
 
+    // Overlapping document chunking (200-char windows, 150 stride → 50
+    // overlap): the corpus-prep step for context-bounded training and
+    // retrieval. Pure projection + generator — narrow, no shuffle until
+    // the output sort; chunk count derives from length, so skew follows
+    // document length, not key distribution.
+    "text_chunk" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .where(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+          posexplode(sequence(lit(1), length(col("text")), lit(150)))
+            .as(Seq("chunk_idx", "chunk_start")))
+        .select(col("doc_id"), col("chunk_idx"),
+          col("chunk_start").cast("long").as("chunk_start"),
+          col("text").substr(col("chunk_start"), lit(200)).as("chunk"))
+        .withColumn("chunk_len", length(col("chunk")).cast("long"))
+        .orderBy("doc_id", "chunk_idx")),
+
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -1436,6 +1453,16 @@ object SparkEntry {
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
         |        len(list_distinct(string_split(text, ' '))) AS n_distinct
         | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "text_chunk" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0),
+        | c AS (SELECT doc_id, text,
+        |        unnest(range(0, ((n - 1) // 150) + 1))::INT AS chunk_idx,
+        |        unnest(range(1, n + 1, 150))::BIGINT AS chunk_start FROM d)
+        | SELECT doc_id, chunk_idx, chunk_start,
+        |        substr(text, chunk_start, 200) AS chunk,
+        |        length(substr(text, chunk_start, 200))::BIGINT AS chunk_len
+        | FROM c ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " "),
 
     "text_fingerprint" ->
       s"SELECT doc_id, md5(${normSql("text")}) AS fp FROM documents ORDER BY doc_id",
