@@ -551,8 +551,10 @@ object SparkEntry {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tok"),
           sum((col("tok_id") === 0).cast("int")).as("n_oov"),
-          transform(sort_array(collect_list(struct(col("pos"), col("tok_id")))),
-            x => x("tok_id")).as("ids"))
+          // JSON string, not a raw ARRAY column: the driver's pandas
+          // compare cannot sort ndarray cells (ContractSpec)
+          to_json(transform(sort_array(collect_list(struct(col("pos"), col("tok_id")))),
+            x => x("tok_id"))).as("ids"))
         .orderBy("doc_id")
     }),
 
@@ -1356,7 +1358,7 @@ object SparkEntry {
         |         FROM tnz t LEFT JOIN vocab v USING (term))
         | SELECT doc_id, count(*)::BIGINT AS n_tok,
         |        sum((tok_id = 0)::INT)::BIGINT AS n_oov,
-        |        list(tok_id ORDER BY ord) AS ids
+        |        to_json(list(tok_id ORDER BY ord))::VARCHAR AS ids
         | FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "q24_percentile" ->
