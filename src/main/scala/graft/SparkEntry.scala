@@ -383,6 +383,16 @@ object SparkEntry {
         .withColumnRenamed("item", "term")
     }),
 
+    // Grouped heavy hitters: per-language frequent terms (per-domain
+    // profiling — same lossless two-pass shape, sketches per group).
+    "sketch_frequent_by_lang" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+        .where(col("term") =!= "")
+      graft.ops.TopK.frequentItemsByGroup(toks, "lang", "term", k = 50)
+        .withColumnsRenamed(Map("grp" -> "lang", "item" -> "term"))
+    }),
+
     "q29_ranking" -> ((s, dir) => {
       val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice").desc, col("o_orderkey"))
       t(s, dir, "orders")
@@ -1174,6 +1184,14 @@ object SparkEntry {
         | n AS (SELECT count(*)::BIGINT AS n FROM tok WHERE term <> '')
         | SELECT term, cnt FROM tt, n WHERE cnt * 51 > n
         | ORDER BY cnt DESC, term""".stripMargin.replace("\n", " "),
+
+    "sketch_frequent_by_lang" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+        | tnz AS (SELECT * FROM tok WHERE term <> ''),
+        | c AS (SELECT lang, term, count(*)::BIGINT AS cnt FROM tnz GROUP BY lang, term),
+        | n AS (SELECT lang, count(*)::BIGINT AS n FROM tnz GROUP BY lang)
+        | SELECT c.lang, c.term, c.cnt FROM c JOIN n USING (lang) WHERE c.cnt * 51 > n.n
+        | ORDER BY lang, cnt DESC, term""".stripMargin.replace("\n", " "),
 
     "pack_sequences" ->
       """WITH d AS (SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),

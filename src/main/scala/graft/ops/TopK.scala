@@ -48,6 +48,30 @@ object TopK {
     counters.keysIterator.toList.iterator
   }
 
+  /** Per-group Misra-Gries over (group, item) pairs: one MG(k) sketch per
+    * group present in the partition. State is k counters × groups seen in
+    * this partition.
+    */
+  private[graft] def misraGriesByGroup(it: Iterator[(String, String)], k: Int)
+      : Iterator[(String, String)] = {
+    val sketches = mutable.HashMap.empty[String, mutable.HashMap[String, Long]]
+    it.foreach { case (grp, item) =>
+      val counters = sketches.getOrElseUpdate(grp, mutable.HashMap.empty)
+      if (counters.contains(item)) counters(item) += 1L
+      else if (counters.size < k) counters(item) = 1L
+      else {
+        val dead = mutable.ArrayBuffer.empty[String]
+        counters.keysIterator.foreach { key =>
+          val next = counters(key) - 1L
+          if (next == 0L) dead += key else counters(key) = next
+        }
+        dead.foreach(counters.remove)
+      }
+    }
+    sketches.iterator.flatMap { case (grp, cs) => cs.keysIterator.map((grp, _)) }
+      .toList.iterator
+  }
+
   /** All items of `itemCol` whose exact count exceeds n/(k+1), with their
     * exact counts: `(item, cnt)`. Deterministic for any partitioning —
     * the sketch only affects which NON-answers are pruned.
@@ -73,6 +97,36 @@ object TopK {
       .where(col("cnt") * lit(k + 1L) > col("n"))
       .select(col("item"), col("cnt"))
       .orderBy(col("cnt").desc, col("item"))
+    Iterate.scoped(result, vals)
+  }
+
+  /** Grouped variant: items whose exact count within their group exceeds
+    * n_group/(k+1). Same two-pass shape — the pigeonhole guarantee holds
+    * per group over each partition's per-group substream, so the
+    * per-partition per-group sketches still yield a lossless candidate
+    * superset. Candidate and total tables are group-bounded (≤ k×parts
+    * rows per group / one row per group) — broadcastable at any n.
+    */
+  def frequentItemsByGroup(items: DataFrame, groupCol: String,
+      itemCol: String, k: Int): DataFrame = {
+    import items.sparkSession.implicits._
+    val vals = items.select(col(groupCol).cast("string").as("grp"),
+        col(itemCol).cast("string").as("item"))
+      .where(col("grp").isNotNull && col("item").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candidates = vals.as[(String, String)]
+      .mapPartitions(it => misraGriesByGroup(it, k))
+      .toDF("grp", "item")
+      .distinct()
+    val counted = vals
+      .join(broadcast(candidates), Seq("grp", "item"), "left_semi")
+      .groupBy("grp", "item")
+      .agg(count(lit(1)).as("cnt"))
+    val totals = vals.groupBy("grp").agg(count(lit(1)).as("n"))
+    val result = counted.join(broadcast(totals), "grp")
+      .where(col("cnt") * lit(k + 1L) > col("n"))
+      .select(col("grp"), col("item"), col("cnt"))
+      .orderBy(col("grp"), col("cnt").desc, col("item"))
     Iterate.scoped(result, vals)
   }
 }

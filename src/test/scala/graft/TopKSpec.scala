@@ -52,6 +52,21 @@ class TopKSpec extends SparkSpec {
     assert(rows === Seq(("a", 40L), ("b", 40L)))
   }
 
+  test("frequentItemsByGroup is exact per group and partitioning-independent") {
+    val words = (Seq.fill(300)("en" -> "the") ++ Seq.fill(60)("en" -> "of") ++
+      (1 to 400).map(i => "en" -> s"r${i % 83}") ++
+      Seq.fill(50)("de" -> "der") ++ (1 to 60).map(i => "de" -> s"g${i % 41}"))
+    val expect = words.groupBy(identity).map { case ((g, t), xs) => (g, t, xs.size.toLong) }
+      .filter { case (g, _, c) =>
+        c * 6 > words.count(_._1 == g).toLong }.toSet
+    for (parts <- Seq(1, 7)) {
+      val df = spark.sparkContext.parallelize(words, parts).toDF("g", "w")
+      val got = graft.ops.TopK.frequentItemsByGroup(df, "g", "w", 5)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === expect, s"parts=$parts")
+    }
+  }
+
   test("no persisted frames leak after frequentItems") {
     val df = (1 to 1000).map(i => s"t${i % 7}").toDF("w")
     TopK.frequentItems(df, "w", 10).count()
