@@ -629,6 +629,14 @@ object SparkEntry {
         .select(col("subject"), col("predicate"), col("obj"))
         .orderBy("subject", "predicate", "obj")),
 
+    // P5 quarantine: the malformed lines parse drops, surfaced as a side
+    // channel (the demo corpus injects 'junk line N' rows — exactly those
+    // must appear here, and nothing else).
+    "nt_quarantine" -> ((s, dir) =>
+      FastIngest.quarantine(ntFromPart(t(s, dir, "part")))
+        .select(col("line"))
+        .orderBy("line")),
+
     "fast_docs" -> ((s, dir) =>
       FastIngest.ingestDocs(ntFromPart(t(s, dir, "part")), lit("Topical"))
         .select(col("_id"), col("fast"), col("type"), col("prefLabel"),
@@ -1414,6 +1422,9 @@ object SparkEntry {
         | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "nt_parse" -> ntParseOracle,
+    "nt_quarantine" ->
+      """SELECT 'junk line ' || p_partkey AS line FROM part
+        | WHERE p_partkey % 10 = 0 ORDER BY line""".stripMargin.replace("\n", " "),
     "fast_docs" -> fastDocsOracle,
     "viaf_update" -> viafUpdateOracle,
 

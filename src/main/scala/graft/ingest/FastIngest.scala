@@ -51,6 +51,15 @@ object FastIngest {
         $"_t.obj".as("obj")) ++ passthrough: _*)
   }
 
+  /** P5 quarantine channel — the complement of [[parse]]: the malformed
+    * lines parse drops, preserved with their source context for triage.
+    * At scale this is the side output a production ingest writes next to
+    * the main tables (same narrow scan; no extra pass — callers union the
+    * two sinks off one cached lines frame when both are needed).
+    */
+  def quarantine(lines: DataFrame): DataFrame =
+    lines.where(expr("parse_nt(line)").isNull)
+
   /** P2/P3 — the predicate-driven projection (`lib/fast_parse.js:17-55`).
     * Output: one row per *kept* triple with a `kind` discriminator:
     * `fast` rows carry (id, prefLabel|altLabel|label|sameAsLc|sameAsViaf,
