@@ -862,8 +862,9 @@ object SparkEntry {
     // path (escaping, types) without trusting schema inference.
     "source_jsonl" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_jsonl_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      // run-unique dir: concurrent JVMs on the same sfDir must not race
+      // on one overwrite-mode path
+      val path = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString
       graft.sources.TextTables.writeJsonl(docs, path)
       graft.sources.TextTables.readJsonl(s, docs.schema, path)
         .orderBy("doc_id")
@@ -873,8 +874,7 @@ object SparkEntry {
     // sides; nullValue sentinel distinguishes null from empty string).
     "source_csv" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_csv_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val path = java.nio.file.Files.createTempDirectory("graft_csv_").toString
       graft.sources.TextTables.writeCsv(docs, path)
       graft.sources.TextTables.readCsv(s, docs.schema, path)
         .orderBy("doc_id")

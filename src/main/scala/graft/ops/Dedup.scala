@@ -300,14 +300,24 @@ object Dedup {
       .where(col("_pos") <= col("m") - expr(s"(m * $tNum + ${tDen - 1}) div $tDen") + 1)
       .select(col("id"), col("m"), col("h"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // consumed by the member-id projection AND the verify join — the two
+    // consumers share the identical distinct-exchange subtree, which Spark
+    // reuses (ReusedExchange), so no persist is needed
     val cand = prefix.select(col("id").as("id_a"), col("m").as("_ma"), col("h"))
       .join(prefix.select(col("id").as("id_b"), col("m").as("_mb"), col("h")), Seq("h"))
       .where(col("id_a") < col("id_b") &&
         least(col("_ma"), col("_mb")) * tDen >= greatest(col("_ma"), col("_mb")) * tNum)
       .select("id_a", "id_b")
       .distinct()
-    // exact verify: shingle-hash sets are small per doc — array intersect
-    val sets = sh.groupBy("id")
+    // exact verify: build sets ONLY for documents that appear in some
+    // candidate pair — a corpus with few near-dups must not pay a
+    // full-corpus array aggregation (verify work is bounded by candidate
+    // count, not corpus size)
+    val candIds = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id")))
+      .distinct()
+    val sets = sh.join(candIds, Seq("id"), "left_semi")
+      .groupBy("id")
       .agg(sort_array(collect_list(col("h"))).as("_hs"), max(col("m")).as("_m"))
     val result = cand
       .join(sets.select(col("id").as("id_a"), col("_hs").as("_ha"), col("_m").as("_ma")), "id_a")

@@ -27,24 +27,29 @@ import org.apache.spark.storage.StorageLevel
   */
 object TopK {
 
-  /** Misra-Gries summary of one iterator: at most `k` surviving keys.
-    * Classic decrement-all maintenance — each decrement is paid for by a
-    * prior increment, so the pass is O(items) amortized.
+  /** One Misra-Gries counter-maintenance step: increment a tracked item,
+    * admit an untracked one while under capacity, else decrement-all
+    * (each decrement is paid for by a prior increment → O(1) amortized).
+    * The single copy of the logic carrying the pigeonhole guarantee.
     */
+  private def offer(counters: mutable.HashMap[String, Long],
+      item: String, k: Int): Unit = {
+    if (counters.contains(item)) counters(item) += 1L
+    else if (counters.size < k) counters(item) = 1L
+    else {
+      val dead = mutable.ArrayBuffer.empty[String]
+      counters.keysIterator.foreach { key =>
+        val next = counters(key) - 1L
+        if (next == 0L) dead += key else counters(key) = next
+      }
+      dead.foreach(counters.remove)
+    }
+  }
+
+  /** Misra-Gries summary of one iterator: at most `k` surviving keys. */
   private[graft] def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
     val counters = mutable.HashMap.empty[String, Long]
-    it.foreach { item =>
-      if (counters.contains(item)) counters(item) += 1L
-      else if (counters.size < k) counters(item) = 1L
-      else {
-        val dead = mutable.ArrayBuffer.empty[String]
-        counters.keysIterator.foreach { key =>
-          val next = counters(key) - 1L
-          if (next == 0L) dead += key else counters(key) = next
-        }
-        dead.foreach(counters.remove)
-      }
-    }
+    it.foreach(offer(counters, _, k))
     counters.keysIterator.toList.iterator
   }
 
@@ -56,17 +61,7 @@ object TopK {
       : Iterator[(String, String)] = {
     val sketches = mutable.HashMap.empty[String, mutable.HashMap[String, Long]]
     it.foreach { case (grp, item) =>
-      val counters = sketches.getOrElseUpdate(grp, mutable.HashMap.empty)
-      if (counters.contains(item)) counters(item) += 1L
-      else if (counters.size < k) counters(item) = 1L
-      else {
-        val dead = mutable.ArrayBuffer.empty[String]
-        counters.keysIterator.foreach { key =>
-          val next = counters(key) - 1L
-          if (next == 0L) dead += key else counters(key) = next
-        }
-        dead.foreach(counters.remove)
-      }
+      offer(sketches.getOrElseUpdate(grp, mutable.HashMap.empty), item, k)
     }
     sketches.iterator.flatMap { case (grp, cs) => cs.keysIterator.map((grp, _)) }
       .toList.iterator

@@ -246,6 +246,7 @@ class OpsSpec extends SparkSpec {
       (3L, "x y z w q r s t u")).toDF("doc_id", "text")
     Dedup.minhashCandidates(Dedup.minhashSignature(docs, "text", "doc_id"), "doc_id").collect()
     Dedup.ngramCandidates(docs, "text", "doc_id").collect()
+    Dedup.prefixJaccardJoin(docs, "text", "doc_id").collect()
     Dedup.connectedComponents(Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), "a", "b").collect()
     graft.ops.Rank.bm25TopTerms(docs, "text", "doc_id").collect()
     assert(sc.getPersistentRDDs.size === base,

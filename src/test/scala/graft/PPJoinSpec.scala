@@ -69,7 +69,6 @@ class PPJoinSpec extends SparkSpec {
 
   test("docs shorter than k tokens produce no pairs and no errors") {
     val docs: Seq[(Long, String)] = Seq((1L, "a b"), (2L, "a b"), (3L, "a b c d e"))
-    assert(run(docs, 3, 1, 2).forall { case (a, b, _, _) => a >= 3 || b >= 3 } )
     assert(run(docs, 3, 1, 2).isEmpty)
   }
 }

@@ -69,13 +69,16 @@ def main():
         # sees python ints and misses it, so type-audit every oracle:
         # any HUGEINT/DECIMAL output column is a FAIL even if values match.
         # (Root cause of r2 dedup_simhash and all three r4 mismatches.)
-        haz = []
+        # A DESCRIBE failure must FAIL loudly, not silently disable the
+        # audit this block exists to enforce.
         try:
             haz = [(c, ty) for c, ty, *_ in con.execute(
                 f"DESCRIBE SELECT * FROM ({sql}) LIMIT 0").fetchall()
                 if "HUGEINT" in ty or "DECIMAL" in ty]
-        except Exception:
-            pass
+        except Exception as e:
+            print(f"FAIL {name}: type audit could not DESCRIBE oracle: {e}")
+            n_fail += 1
+            continue
         if bad:
             i = bad[0]
             print(f"FAIL {name}: {len(bad)}/{len(s_vals)} rows differ; first at {i}:")
