@@ -82,6 +82,17 @@ object EventStream {
       }
   }
 
+  /** Exactly-once event intake: drop redelivered `event_id`s. State holds
+    * only ids younger than the watermark (`dropDuplicatesWithinWatermark`),
+    * so dedup state is bounded by the lateness window — at-least-once
+    * upstream delivery becomes exactly-once downstream without unbounded
+    * id retention.
+    */
+  def dedupEvents(events: DataFrame, lateness: String = "2 hours"): DataFrame =
+    eventTime(events)
+      .withWatermark("event_time", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-stream interval join: attribute each `click` to the same
     * user's `view`s in the preceding hour. Both sides carry watermarks and
     * the join condition has explicit event-time bounds, so Spark evicts

@@ -160,6 +160,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedups redelivered events across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.dedupEvents(input.toDF())
+      .writeStream.format("memory").queryName("dedup_events_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        Event(1, 1L * H, 10, "click", 1.0),
+        Event(2, 1L * H + 1, 11, "view", 2.0))
+      q.processAllAvailable()
+      // batch 2 redelivers event 1 (same id) and adds event 3
+      input.addData(
+        Event(1, 1L * H, 10, "click", 1.0),
+        Event(3, 1L * H + 2, 12, "view", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_events_test")
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("windowedCounts works identically on a batch DataFrame") {
     val batch = Seq(
       Event(1, 1, 10, "click", 1.0),
