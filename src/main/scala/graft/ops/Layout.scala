@@ -38,4 +38,19 @@ object Layout {
     val z = zValue(a, b, bits)
     df.repartitionByRange(partitions, z).sortWithinPartitions(z)
   }
+
+  /** Output-file hygiene: write `df` as ~`filesWanted` files of bounded
+    * row count, ordered by `orderCol` so each file covers a compact key
+    * range (min/max prunable). Small-file storms (one file per task ×
+    * thousands of tasks) and giant unsplittable files are both output
+    * killers at 100 TB; range repartition + `maxRecordsPerFile` bounds
+    * both directions.
+    */
+  def sizedWrite(df: DataFrame, path: String, orderCol: Column,
+      filesWanted: Int, maxRowsPerFile: Long): Unit =
+    df.repartitionByRange(filesWanted, orderCol)
+      .sortWithinPartitions(orderCol)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRowsPerFile)
+      .parquet(path)
 }

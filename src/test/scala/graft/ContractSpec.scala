@@ -23,6 +23,20 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
     assert(bad.isEmpty, s"oracles without ORDER BY (positional compare!): ${bad.keySet}")
   }
 
+  // Scale guard: a CartesianProduct in any query's physical plan means a
+  // join degenerated to non-broadcast all-pairs — the one shape that
+  // cannot survive 100 TB. (Broadcast nested-loop against a provably
+  // small side — ANN query vectors, single-row totals — is allowed and
+  // appears as BroadcastNestedLoopJoin, not CartesianProduct.)
+  test("no CartesianProduct in any query's physical plan") {
+    val dir = "/root/testdata/sf0.001"
+    val bad = SparkEntry.queries.flatMap { case (name, q) =>
+      val plan = q(spark, dir).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(bad.isEmpty, s"queries with a non-broadcast all-pairs join: $bad")
+  }
+
   // The driver's checker canonicalizes rows in pandas, which cannot sort
   // ndarray/dict cells — any ARRAY/STRUCT/MAP column in a query's output
   // schema makes that query un-adjudicable (CORRECTNESS_r01 regression).

@@ -279,6 +279,30 @@ class OpsSpec extends SparkSpec {
     assert(rowMajor.count(_.getAs[Long]("minB") <= 7) >= 14)
   }
 
+  test("sizedWrite bounds file count and rows per file with disjoint key ranges") {
+    import graft.ops.Layout
+    val path = java.nio.file.Files.createTempDirectory("graft_sized").toString
+    val rows = (1L to 10000L).toDF("k")
+    Layout.sizedWrite(rows, path, col("k"), filesWanted = 4, maxRowsPerFile = 3000)
+    val files = new java.io.File(path).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    // 4 range partitions of ~2500 rows each, under the 3000 cap → one
+    // file per partition, no small-file storm
+    assert(files.length >= 4 && files.length <= 8, s"got ${files.length} files")
+    val perFile = files.map { f =>
+      val d = spark.read.parquet(f)
+      (d.count(), d.agg(min("k"), max("k")).collect().head)
+    }
+    assert(perFile.forall(_._1 <= 3000))
+    // key ranges disjoint across files → min/max stats prune point lookups
+    val ranges = perFile.map { case (_, r) => (r.getLong(0), r.getLong(1)) }
+      .sortBy(_._1).toSeq
+    assert(ranges.sliding(2).forall {
+      case Seq((_, hi), (lo, _)) => hi < lo
+      case _ => true
+    })
+  }
+
   test("pack: sequential layout assigns window and offset, docs may straddle") {
     import graft.ops.Pack
     val docs = Seq(
