@@ -422,6 +422,21 @@ object SparkEntry {
         .distinct()
         .orderBy("c_nationkey", "c_mktsegment")),
 
+    // LATERAL correlated subquery (top-2 customers per nation) — the
+    // other decorrelation path in Catalyst (LateralJoin → window/join
+    // rewrite), distinct from q33's scalar-subquery decorrelation.
+    "q37_lateral" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("v_nation")
+      t(s, dir, "customer").createOrReplaceTempView("v_customer")
+      s.sql(
+        """SELECT n.n_nationkey, n.n_name, c.c_custkey, c.c_acctbal
+          |FROM v_nation n,
+          |LATERAL (SELECT c_custkey, c_acctbal FROM v_customer
+          |         WHERE c_nationkey = n.n_nationkey
+          |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+          |ORDER BY n_nationkey, c_acctbal DESC, c_custkey""".stripMargin)
+    }),
+
     // Conversion funnel: users reaching view → later click → later
     // purchase. Two user-keyed joins + aggs; per-user funnel state is one
     // timestamp per stage, so the shape holds at any event volume.
@@ -1313,6 +1328,14 @@ object SparkEntry {
     "q34_multi_distinct" ->
       """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
         | ORDER BY c_nationkey, c_mktsegment""".stripMargin.replace("\n", " "),
+
+    "q37_lateral" ->
+      """SELECT n.n_nationkey, n.n_name, c.c_custkey, c.c_acctbal
+        | FROM nation n,
+        | LATERAL (SELECT c_custkey, c_acctbal FROM customer
+        |          WHERE c_nationkey = n.n_nationkey
+        |          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        | ORDER BY n_nationkey, c_acctbal DESC, c_custkey""".stripMargin.replace("\n", " "),
 
     "q31_window_family" ->
       """SELECT o_orderkey, o_orderstatus,
