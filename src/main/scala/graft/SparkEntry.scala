@@ -422,6 +422,24 @@ object SparkEntry {
         .distinct()
         .orderBy("c_nationkey", "c_mktsegment")),
 
+    // UNPIVOT/melt: wide metric columns → long (metric, value) rows,
+    // then a per-metric rollup. Decimal sums keep the rounding exact and
+    // aggregation-order-independent cross-engine.
+    "q38_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          col("l_quantity").as("quantity"),
+          col("l_extendedprice").as("extendedprice"),
+          col("l_discount").as("discount"),
+          col("l_tax").as("tax"))
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+          "metric", "value")
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(20,6)")), 2).cast("double").as("total"))
+        .orderBy("metric")),
+
     // LATERAL correlated subquery (top-2 customers per nation) — the
     // other decorrelation path in Catalyst (LateralJoin → window/join
     // rewrite), distinct from q33's scalar-subquery decorrelation.
@@ -1328,6 +1346,16 @@ object SparkEntry {
     "q34_multi_distinct" ->
       """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
         | ORDER BY c_nationkey, c_mktsegment""".stripMargin.replace("\n", " "),
+
+    "q38_unpivot" ->
+      """SELECT metric, count(*) AS n,
+        |        round(sum(value::DECIMAL(20,6)), 2)::DOUBLE AS total
+        | FROM (UNPIVOT (SELECT l_orderkey, l_quantity AS quantity,
+        |                l_extendedprice AS extendedprice, l_discount AS discount,
+        |                l_tax AS tax FROM lineitem)
+        |       ON quantity, extendedprice, discount, tax
+        |       INTO NAME metric VALUE value)
+        | GROUP BY metric ORDER BY metric""".stripMargin.replace("\n", " "),
 
     "q37_lateral" ->
       """SELECT n.n_nationkey, n.n_name, c.c_custkey, c.c_acctbal
