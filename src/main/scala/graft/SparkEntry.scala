@@ -1034,6 +1034,32 @@ object SparkEntry {
     // the binary decode path, and let the oracle recompute the encoded
     // dimensions arithmetically — a hash match proves the container
     // parsers extract exactly what the public specs say is there.
+    // REAL audio-header decode (WavHeaders): synthesize RIFF/WAVE byte
+    // streams with doc_id-derived parameters, parse them back, and let
+    // the oracle recompute every field (incl. integer-exact duration)
+    // arithmetically — a hash match proves the chunk walk reads exactly
+    // what the public spec says is there.
+    "mm_decode_audio" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ops.WavHeaders
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val channels = (id % 2).toInt + 1
+          val rate = 8000 * ((id % 5).toInt + 1)
+          val bits = if (id % 3 == 0) 8 else 16
+          val dataBytes = ((id % 1000).toInt + 1) * 4
+          val parsed = WavHeaders.parse(
+            WavHeaders.wavBytes(channels, rate, bits, dataBytes))
+          val (c, r, b, n) = parsed.getOrElse((-1, -1, -1, -1L))
+          val byteRate = r.toLong * c * b / 8
+          (id, c.toLong, r.toLong, b.toLong, n,
+            if (byteRate > 0) n * 1000000L / byteRate else -1L)
+        }
+        .toDF("media_id", "channels", "sample_rate", "bits", "data_bytes", "duration_us")
+        .orderBy("media_id")
+    }),
+
     "mm_decode_headers" -> ((s, dir) => {
       import s.implicits._
       import graft.model.MediaRecord
@@ -1773,7 +1799,18 @@ object SparkEntry {
         |                        ELSE 'image/jpeg' END AS media_type,
         |        CAST(doc_id % 640 + 1 AS INTEGER) AS width,
         |        CAST(doc_id % 480 + 1 AS INTEGER) AS height
-        | FROM documents ORDER BY media_id""".stripMargin.replace("\n", " ")
+        | FROM documents ORDER BY media_id""".stripMargin.replace("\n", " "),
+
+    "mm_decode_audio" ->
+      """WITH p AS (SELECT doc_id::BIGINT AS media_id,
+        |        (doc_id % 2 + 1)::BIGINT AS channels,
+        |        (8000 * (doc_id % 5 + 1))::BIGINT AS sample_rate,
+        |        (CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END)::BIGINT AS bits,
+        |        ((doc_id % 1000 + 1) * 4)::BIGINT AS data_bytes
+        |        FROM documents)
+        | SELECT media_id, channels, sample_rate, bits, data_bytes,
+        |        (data_bytes * 1000000 // (sample_rate * channels * bits // 8))::BIGINT AS duration_us
+        | FROM p ORDER BY media_id""".stripMargin.replace("\n", " ")
   )
 
   /** Relational mirror of the MergeFastDocs Aggregator over the two

@@ -409,6 +409,31 @@ class OpsSpec extends SparkSpec {
     assert(out(1).media_type === "text/plain") // stub path keeps declared type
   }
 
+  test("wav headers: builder round-trip across parameter grid") {
+    import graft.ops.WavHeaders
+    for (c <- Seq(1, 2); r <- Seq(8000, 44100, 48000); b <- Seq(8, 16, 24); n <- Seq(4, 999)) {
+      assert(WavHeaders.parse(WavHeaders.wavBytes(c, r, b, n)) === Some((c, r, b, n.toLong)),
+        s"c=$c r=$r b=$b n=$n")
+    }
+  }
+
+  test("wav headers: chunk walk skips unknown chunks before fmt/data") {
+    import graft.ops.WavHeaders
+    val base = WavHeaders.wavBytes(2, 44100, 16, 8)
+    // splice a LIST chunk (odd size → pad byte) between WAVE and fmt
+    val list = "LIST".getBytes ++ Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3, 0)
+    val spliced = base.take(12) ++ list ++ base.drop(12)
+    assert(WavHeaders.parse(spliced) === Some((2, 44100, 16, 8L)))
+  }
+
+  test("wav headers: malformed/truncated payloads return None, not throw") {
+    import graft.ops.WavHeaders
+    assert(WavHeaders.parse(null) === None)
+    assert(WavHeaders.parse("RIFFxxxxWAVE".getBytes) === None)
+    assert(WavHeaders.parse(WavHeaders.wavBytes(2, 44100, 16, 8).take(30)) === None)
+    assert(WavHeaders.parse("not audio at all, just text padding!!!!!!!!!".getBytes) === None)
+  }
+
   test("multimodal: resize stub decimates payload and records provenance") {
     val recs = Seq(MediaRecord(1L, "image/fake", (0 until 100).map(_.toByte).toArray, Map()))
       .toDS()
