@@ -1034,6 +1034,28 @@ object SparkEntry {
     // the binary decode path, and let the oracle recompute the encoded
     // dimensions arithmetically — a hash match proves the container
     // parsers extract exactly what the public specs say is there.
+    // REAL video-container header decode (Mp4Headers): ISO-BMFF box walk
+    // for brand + mvhd timescale/duration; oracle recomputes the encoded
+    // values (incl. integer-exact millisecond duration) arithmetically.
+    "mm_decode_video" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ops.Mp4Headers
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val brand = (id % 3) match {
+            case 0 => "isom"; case 1 => "mp42"; case _ => "avc1"
+          }
+          val timescale = 1000L * (id % 4 + 1)
+          val duration = id % 90000 + 1
+          val parsed = Mp4Headers.parse(Mp4Headers.mp4Bytes(brand, timescale, duration))
+          val (b, ts, d) = parsed.getOrElse(("none", -1L, -1L))
+          (id, b, ts, d, if (ts > 0) d * 1000L / ts else -1L)
+        }
+        .toDF("media_id", "brand", "timescale", "duration", "duration_ms")
+        .orderBy("media_id")
+    }),
+
     // REAL audio-header decode (WavHeaders): synthesize RIFF/WAVE byte
     // streams with doc_id-derived parameters, parse them back, and let
     // the oracle recompute every field (incl. integer-exact duration)
@@ -1800,6 +1822,16 @@ object SparkEntry {
         |        CAST(doc_id % 640 + 1 AS INTEGER) AS width,
         |        CAST(doc_id % 480 + 1 AS INTEGER) AS height
         | FROM documents ORDER BY media_id""".stripMargin.replace("\n", " "),
+
+    "mm_decode_video" ->
+      """WITH p AS (SELECT doc_id::BIGINT AS media_id,
+        |        CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42' ELSE 'avc1' END AS brand,
+        |        (1000 * (doc_id % 4 + 1))::BIGINT AS timescale,
+        |        (doc_id % 90000 + 1)::BIGINT AS duration
+        |        FROM documents)
+        | SELECT media_id, brand, timescale, duration,
+        |        (duration * 1000 // timescale)::BIGINT AS duration_ms
+        | FROM p ORDER BY media_id""".stripMargin.replace("\n", " "),
 
     "mm_decode_audio" ->
       """WITH p AS (SELECT doc_id::BIGINT AS media_id,

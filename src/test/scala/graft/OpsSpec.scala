@@ -434,6 +434,26 @@ class OpsSpec extends SparkSpec {
     assert(WavHeaders.parse("not audio at all, just text padding!!!!!!!!!".getBytes) === None)
   }
 
+  test("mp4 headers: builder round-trip and box-walk past leading free box") {
+    import graft.ops.Mp4Headers
+    for (b <- Seq("isom", "mp42", "avc1"); ts <- Seq(1000L, 48000L); d <- Seq(1L, 89999L)) {
+      assert(Mp4Headers.parse(Mp4Headers.mp4Bytes(b, ts, d)) === Some((b, ts, d)))
+    }
+    // free box spliced before ftyp: size 12 + type 'free' + 4 junk bytes
+    val base = Mp4Headers.mp4Bytes("isom", 600L, 1200L)
+    val free = Array[Byte](0, 0, 0, 12) ++ "free".getBytes ++ Array[Byte](9, 9, 9, 9)
+    assert(Mp4Headers.parse(free ++ base) === Some(("isom", 600L, 1200L)))
+  }
+
+  test("mp4 headers: malformed/truncated payloads return None, not throw") {
+    import graft.ops.Mp4Headers
+    assert(Mp4Headers.parse(null) === None)
+    assert(Mp4Headers.parse("not a video".getBytes) === None)
+    assert(Mp4Headers.parse(Mp4Headers.mp4Bytes("isom", 600L, 1200L).take(25)) === None)
+    // zero timescale is invalid per spec guard
+    assert(Mp4Headers.parse(Mp4Headers.mp4Bytes("isom", 0L, 1200L)) === None)
+  }
+
   test("multimodal: resize stub decimates payload and records provenance") {
     val recs = Seq(MediaRecord(1L, "image/fake", (0 until 100).map(_.toByte).toArray, Map()))
       .toDS()
