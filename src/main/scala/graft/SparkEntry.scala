@@ -422,6 +422,30 @@ object SparkEntry {
         .distinct()
         .orderBy("c_nationkey", "c_mktsegment")),
 
+    // Time-series resample + forward-fill: per-user hourly grid from the
+    // user's first to last event, observed hours aggregated (decimal-
+    // exact), gap hours filled with the last observed value. The grid is
+    // generated per key (sequence+explode — narrow), so the whole op is
+    // one groupBy + one window; no driver-side time loop.
+    "q39_resample" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("user_id") < 50)
+        .select(col("user_id"), expr("(ts div 1000) div 3600000000").as("hr"),
+          col("value"))
+      val hourly = ev.groupBy("user_id", "hr")
+        .agg(round(sum(col("value").cast("decimal(20,6)")), 2).cast("double").as("hr_val"))
+      val grid = ev.groupBy("user_id")
+        .agg(min("hr").as("_lo"), max("hr").as("_hi"))
+        .select(col("user_id"), explode(sequence(col("_lo"), col("_hi"))).as("hr"))
+      val w = Window.partitionBy("user_id").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid.join(hourly, Seq("user_id", "hr"), "left")
+        .select(col("user_id"), col("hr"),
+          coalesce(col("hr_val"), last("hr_val", ignoreNulls = true).over(w)).as("filled"),
+          col("hr_val").isNull.cast("int").as("gap"))
+        .orderBy("user_id", "hr")
+    }),
+
     // UNPIVOT/melt: wide metric columns → long (metric, value) rows,
     // then a per-metric rollup. Decimal sums keep the rounding exact and
     // aggregation-order-independent cross-engine.
@@ -1394,6 +1418,23 @@ object SparkEntry {
     "q34_multi_distinct" ->
       """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
         | ORDER BY c_nationkey, c_mktsegment""".stripMargin.replace("\n", " "),
+
+    "q39_resample" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr, value
+        |            FROM events WHERE user_id < 50),
+        | hourly AS (SELECT user_id, hr,
+        |            round(sum(value::DECIMAL(20,6)), 2)::DOUBLE AS hr_val
+        |            FROM ev GROUP BY user_id, hr),
+        | bounds AS (SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM ev GROUP BY user_id),
+        | grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS hr FROM bounds),
+        | j AS (SELECT g.user_id, g.hr, h.hr_val
+        |       FROM grid g LEFT JOIN hourly h USING (user_id, hr))
+        | SELECT user_id, hr::BIGINT AS hr,
+        |        coalesce(hr_val, last_value(hr_val IGNORE NULLS) OVER
+        |          (PARTITION BY user_id ORDER BY hr
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS filled,
+        |        (hr_val IS NULL)::INT AS gap
+        | FROM j ORDER BY user_id, hr""".stripMargin.replace("\n", " "),
 
     "q38_unpivot" ->
       """SELECT metric, count(*) AS n,
