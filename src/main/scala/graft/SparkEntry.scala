@@ -422,6 +422,23 @@ object SparkEntry {
         .distinct()
         .orderBy("c_nationkey", "c_mktsegment")),
 
+    // RANGE window frame (value-range, not row-count): trailing one-hour
+    // sliding aggregate per user over event time — the frame type ROWS
+    // windows can't express when events are irregularly spaced.
+    "q40_range_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-3600000000L, 0)
+      t(s, dir, "events")
+        .where(col("user_id") < 100)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("value"))
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          count(lit(1)).over(w).as("n_trailing_1h"),
+          round(sum(col("value").cast("decimal(20,6)")).over(w), 2)
+            .cast("double").as("sum_trailing_1h"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
     // Time-series resample + forward-fill: per-user hourly grid from the
     // user's first to last event, observed hours aggregated (decimal-
     // exact), gap hours filled with the last observed value. The grid is
@@ -1418,6 +1435,17 @@ object SparkEntry {
     "q34_multi_distinct" ->
       """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
         | ORDER BY c_nationkey, c_mktsegment""".stripMargin.replace("\n", " "),
+
+    "q40_range_window" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+        |            FROM events WHERE user_id < 100)
+        | SELECT user_id, ts_us, event_id,
+        |        count(*) OVER w AS n_trailing_1h,
+        |        round(sum(value::DECIMAL(20,6)) OVER w, 2)::DOUBLE AS sum_trailing_1h
+        | FROM ev
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        | ORDER BY user_id, ts_us, event_id""".stripMargin.replace("\n", " "),
 
     "q39_resample" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr, value
