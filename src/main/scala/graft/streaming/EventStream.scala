@@ -82,6 +82,23 @@ object EventStream {
       }
   }
 
+  /** Gap-based sessionization as STREAMING state: Spark's native
+    * `session_window` merges events into per-user sessions that close
+    * after `gap` of inactivity — the streaming twin of the batch q35
+    * query. Watermark bounds open-session state; closed sessions emit
+    * once (Append mode). Decimal value sums keep the rollup exact.
+    */
+  def sessionized(events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "2 hours"): DataFrame =
+    eventTime(events)
+      .withWatermark("event_time", lateness)
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_val"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_val"))
+
   /** Exactly-once event intake: drop redelivered `event_id`s. State holds
     * only ids younger than the watermark (`dropDuplicatesWithinWatermark`),
     * so dedup state is bounded by the lateness window — at-least-once

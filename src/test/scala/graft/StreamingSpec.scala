@@ -183,6 +183,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window merges events into gap-bounded sessions across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val M = 60L * 1000000000L // one minute in nanos
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionized(input.toDF(), gap = "30 minutes")
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      input.addData(
+        // user 10: events at 60, 75, 80 min (one session: gaps < 30min),
+        // then 180 min (new session); user 11: one event
+        Event(1, 60 * M, 10, "click", 1.5),
+        Event(2, 75 * M, 10, "click", 2.0),
+        Event(3, 80 * M, 10, "view", 0.5))
+      q.processAllAvailable()
+      input.addData(
+        Event(4, 180 * M, 10, "click", 4.0),
+        Event(5, 90 * M, 11, "view", 3.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_test")
+        .select("user_id", "n_events", "sum_val")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(r => (r._1, r._2)).toSeq
+      assert(out === Seq((10L, 1L, 4.0), (10L, 3L, 4.0), (11L, 1L, 3.0)))
+    } finally q.stop()
+  }
+
   test("windowedCounts works identically on a batch DataFrame") {
     val batch = Seq(
       Event(1, 1, 10, "click", 1.0),
