@@ -287,6 +287,12 @@ object SparkEntry {
           Seq("o_custkey", "o_orderstatus", "o_totalprice"))
         .orderBy("column")),
 
+    // Fixed-width histogram: the 100 TB histogram moves only n_bins rows
+    // per partition through the exchange (map-side combine).
+    "profile_histogram" -> ((s, dir) =>
+      graft.ops.Profile.histogram(t(s, dir, "orders"), "o_totalprice", 1000.0)
+        .orderBy("bin")),
+
     // ---- approximate sketches (Sketch): the oracle pins the exact value
     // and expects the within-tolerance flag to be 1, so an estimator
     // drifting out of its error bound hash-mismatches.
@@ -613,6 +619,31 @@ object SparkEntry {
     "sample_capped" -> ((s, dir) =>
       graft.ops.Sampling.cappedPerGroup(t(s, dir, "documents"), "source", "doc_id", 10)
         .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    // Deterministic k-fold: hash-assigned folds, stable at any cluster size.
+    "split_kfold" -> ((s, dir) =>
+      graft.ops.Sampling.kFold(t(s, dir, "documents"), "doc_id", 5)
+        .select("doc_id", "fold")
+        .orderBy("doc_id")),
+
+    // Duplicate n-gram fraction (Gopher/Dolma repetition signal): phrase-
+    // level boilerplate that exact and near dedup both miss. Integer basis
+    // points — no float in the verdict.
+    "text_dupfrac" -> ((s, dir) =>
+      graft.ops.Quality.dupGramFraction(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+
+    // Per-language length outliers by z-score; group stats from integer
+    // sums so the doubles are engine-exact (IEEE ops on identical inputs).
+    // zMax 1.5: the fixture lengths are near-uniform (|z| ≤ √3), so 2.0
+    // would select nothing at any SF.
+    "quality_outliers" -> ((s, dir) =>
+      graft.ops.Quality.zScoreOutliers(
+          t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          "n_chars", "lang", 1.5)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(col("z"), 3).as("z_r3"))
         .orderBy("doc_id")),
 
     // Token-id encoding: vocabulary = top-64 terms by (freq desc, term),
@@ -1299,6 +1330,49 @@ object SparkEntry {
         | UNION ALL
         | SELECT 'o_totalprice', total - c3, d3, mn3, mx3 FROM s
         | ORDER BY "column"""".stripMargin.replace("\n", " "),
+
+    "profile_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS bin, count(*) AS cnt,
+        |        min(o_totalprice) AS min_val, max(o_totalprice) AS max_val,
+        |        round(sum(o_totalprice), 2) AS sum_r2
+        | FROM orders GROUP BY 1 ORDER BY bin""".stripMargin.replace("\n", " "),
+
+    "split_kfold" ->
+      """SELECT doc_id,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5 AS fold
+        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "text_dupfrac" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | shl AS (SELECT doc_id,
+        |         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                        for i in range(1, greatest(len(ws) - 1, 1))]) AS shl
+        |         FROM ws),
+        | ex AS (SELECT doc_id, len(shl) AS n_sh,
+        |        ('0x' || substr(md5(unnest(shl)), 1, 15))::BIGINT AS sh FROM shl),
+        | dfq AS (SELECT sh, count(*) AS df FROM ex GROUP BY sh),
+        | per AS (SELECT ex.doc_id, max(n_sh)::BIGINT AS n_grams,
+        |         sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_grams
+        |         FROM ex JOIN dfq USING (sh) GROUP BY ex.doc_id),
+        | tot AS (SELECT d.doc_id, coalesce(per.n_grams, 0)::BIGINT AS n_grams,
+        |         coalesce(per.dup_grams, 0)::BIGINT AS dup_grams,
+        |         CASE WHEN coalesce(per.n_grams, 0) > 0
+        |              THEN (per.dup_grams * 10000 // per.n_grams)::BIGINT
+        |              ELSE 0::BIGINT END AS dup_frac_bp
+        |         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id)
+        | SELECT doc_id, n_grams, dup_grams, dup_frac_bp,
+        |        (CASE WHEN dup_frac_bp <= 8000 THEN 1 ELSE 0 END)::INT AS keep
+        | FROM tot ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "quality_outliers" ->
+      """WITH st AS (SELECT lang, count(*)::DOUBLE AS n, sum(n_chars)::DOUBLE AS s,
+        |            sum(n_chars * n_chars)::DOUBLE AS ss FROM documents GROUP BY lang)
+        | SELECT doc_id, lang, n_chars,
+        |        round((n_chars::DOUBLE - s / n) / sqrt(ss / n - (s / n) * (s / n)), 3) AS z_r3
+        | FROM documents JOIN st USING (lang)
+        | WHERE ss / n - (s / n) * (s / n) > 0
+        |   AND abs((n_chars::DOUBLE - s / n) / sqrt(ss / n - (s / n) * (s / n))) > 1.5
+        | ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "sketch_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_distinct, 1 AS approx_ok

@@ -30,4 +30,18 @@ object Profile {
     }
     wide.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
+
+  /** Fixed-width histogram of a numeric column: one partial-aggregating
+    * shuffle on the bin id (map-side combine reduces each partition to at
+    * most n_bins rows before the exchange — the histogram of 100 TB moves
+    * kilobytes). Bin edges are value-derived (`floor(x / width)`), not
+    * data-derived, so no extra pass for min/max and bins are stable as
+    * data grows.
+    */
+  def histogram(df: DataFrame, valCol: String, width: Double): DataFrame =
+    df.groupBy(floor(col(valCol) / lit(width)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col(valCol)).as("min_val"),
+        max(col(valCol)).as("max_val"),
+        round(sum(col(valCol)), 2).as("sum_r2"))
 }

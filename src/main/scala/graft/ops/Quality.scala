@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level quality signals for training-data curation, beyond the
+  * per-document scores in the text queries (stopword ratio, langid):
+  * signals that need a GLOBAL pass over the corpus.
+  *
+  * All outputs are integers (counts, basis points) or doubles derived
+  * from integer sums with an explicit arithmetic shape, so every signal
+  * is bit-reproducible across engines and cluster sizes.
+  */
+object Quality {
+
+  /** Duplicate n-gram fraction (the Gopher/Dolma repetition signal): for
+    * each document, the fraction of its distinct word k-grams that also
+    * appear in at least `minDocs` documents corpus-wide. High fraction =
+    * boilerplate / template text that exact and near dedup both miss
+    * (the duplicated UNIT is the phrase, not the page).
+    *
+    * Scale shape: explode distinct shingles (native `word_shingles`),
+    * hash to 60-bit ints, ONE shuffle on the shingle key for the global
+    * document-frequency aggregate, a co-partitioned join back (reuses the
+    * same key), then one shuffle on the doc id — the identical topology
+    * to [[Dedup.ngramCandidates]], linear in corpus size, never a
+    * pair-space join. Fraction is integer basis points (`x * 10000 div
+    * n`), so there is no float to drift.
+    *
+    * Output: (idCol, n_grams, dup_grams, dup_frac_bp, keep) — total over
+    * the input (documents with fewer than k tokens get n_grams = 0 and
+    * keep = 1).
+    */
+  def dupGramFraction(df: DataFrame, textCol: String, idCol: String,
+                      k: Int = 3, minDocs: Int = 2,
+                      maxBp: Int = 8000): DataFrame = {
+    val sh = Dedup.shingleRows(df, textCol, idCol, k)
+      .select(col(idCol), col("n_sh"), Dedup.md5Int60(col("sh")).as("sh"))
+    // each doc contributes a distinct shingle once → count(*) IS doc freq
+    val docFreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val perDoc = sh.join(docFreq, "sh")
+      .groupBy(col(idCol))
+      .agg(max(col("n_sh")).cast("long").as("n_grams"),
+        sum(when(col("df") >= minDocs, 1L).otherwise(0L)).as("dup_grams"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
+      .withColumn("dup_frac_bp",
+        when(col("n_grams") > 0, expr("dup_grams * 10000 div n_grams"))
+          .otherwise(lit(0L)))
+      .withColumn("keep", (col("dup_frac_bp") <= maxBp).cast("int"))
+  }
+
+  /** Per-group z-score outliers of an integer-valued column (e.g. length
+    * outliers per language — truncation artifacts and concatenation blobs
+    * both show up here). Group stats come from INTEGER sums (n, Σx, Σx²),
+    * so mean/variance are identical doubles on every engine and partition
+    * count; the z expression is written with one explicit shape
+    * (`(x - s/n) / sqrt(ss/n - (s/n)²)`) that the oracle mirrors term by
+    * term. Groups with zero variance produce no outliers.
+    *
+    * Scale shape: one aggregate to a tiny per-group stats table,
+    * broadcast back over the corpus — no second shuffle of the data.
+    */
+  def zScoreOutliers(df: DataFrame, valCol: String, grpCol: String,
+                     zMax: Double = 2.0): DataFrame = {
+    val stats = df.groupBy(col(grpCol)).agg(
+      count(lit(1)).cast("double").as("_n"),
+      sum(col(valCol)).cast("double").as("_s"),
+      sum(col(valCol) * col(valCol)).cast("double").as("_ss"))
+    val mean = col("_s") / col("_n")
+    val variance = col("_ss") / col("_n") - mean * mean
+    df.join(broadcast(stats), grpCol)
+      .where(variance > 0)
+      .withColumn("z", (col(valCol).cast("double") - mean) / sqrt(variance))
+      .where(abs(col("z")) > zMax)
+      .drop("_n", "_s", "_ss")
+  }
+}

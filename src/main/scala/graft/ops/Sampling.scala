@@ -42,6 +42,15 @@ object Sampling {
         .when(pctBucket(col(keyCol)) < trainPct + valPct, "val")
         .otherwise("test"))
 
+  /** Deterministic k-fold assignment for cross-validation: adds a `fold`
+    * column in [0, k) from the key hash. Folds are stable across runs,
+    * cluster sizes, and row order — fold i's contents never depend on
+    * which executor saw the row — and any fold is selectable later with
+    * a plain pushdown-friendly filter (no materialized fold tables).
+    */
+  def kFold(df: DataFrame, keyCol: String, k: Int): DataFrame =
+    df.withColumn("fold", pmod(Dedup.md5Int(col(keyCol).cast("string")), lit(k)))
+
   /** Per-group cap: keep at most `cap` rows per `groupCol` value — the
     * standard "no domain may dominate the corpus" curation step. Row
     * choice is a deterministic hash rank (tie-broken by the key itself),

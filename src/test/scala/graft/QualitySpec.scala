@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Profile, Quality, Sampling}
+
+/** Corpus-quality signals: duplicate n-gram fraction, z-score outliers,
+  * k-fold assignment, fixed-width histograms.
+  */
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dupGramFraction: shared phrases counted, unique text is clean") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),        // shares all grams with doc 2
+      (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta iota"),   // unique
+      (4L, "xy")                             // < k tokens → no grams
+    ).toDF("doc_id", "text")
+    val out = Quality.dupGramFraction(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.length === 4)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // docs 1,2: every gram duplicated
+    assert(byId(1L).getAs[Long]("dup_frac_bp") === 10000L)
+    assert(byId(2L).getAs[Long]("dup_frac_bp") === 10000L)
+    assert(byId(1L).getAs[Int]("keep") === 0)
+    // doc 3: no gram shared
+    assert(byId(3L).getAs[Long]("dup_grams") === 0L)
+    assert(byId(3L).getAs[Int]("keep") === 1)
+    // doc 4: too short — total output, zero grams, kept
+    assert(byId(4L).getAs[Long]("n_grams") === 0L)
+    assert(byId(4L).getAs[Int]("keep") === 1)
+  }
+
+  test("dupGramFraction: dup_grams bounded by n_grams") {
+    val docs = (1 to 50).map(i => (i.toLong, s"common prefix text unique$i tail")).toDF("doc_id", "text")
+    val bad = Quality.dupGramFraction(docs, "text", "doc_id")
+      .where(col("dup_grams") > col("n_grams")).count()
+    assert(bad === 0L)
+  }
+
+  test("zScoreOutliers: plants are found, zero-variance groups excluded") {
+    val base = (1 to 100).map(i => (i.toLong, "g", 100L + (i % 10))) // tight cluster
+    val planted = Seq((1000L, "g", 10000L))                         // far outlier
+    val flat = (1 to 10).map(i => (2000L + i, "flat", 5L))          // zero variance
+    val df = (base ++ planted ++ flat).toDF("id", "grp", "v")
+    val out = Quality.zScoreOutliers(df, "v", "grp", 2.0).collect()
+    assert(out.map(_.getAs[Long]("id")).toSet === Set(1000L))
+  }
+
+  test("zScoreOutliers: result independent of partitioning") {
+    val df = (1 to 500).map(i => (i.toLong, s"g${i % 3}", (i * 37 % 211).toLong))
+      .toDF("id", "grp", "v")
+    val a = Quality.zScoreOutliers(df.repartition(1), "v", "grp", 1.0)
+      .select("id").as[Long].collect().sorted
+    val b = Quality.zScoreOutliers(df.repartition(13), "v", "grp", 1.0)
+      .select("id").as[Long].collect().sorted
+    assert(a.sameElements(b))
+  }
+
+  test("kFold: stable assignment, all folds in range, roughly balanced") {
+    val df = (1 to 1000).map(_.toLong).toDF("id")
+    val folds = Sampling.kFold(df, "id", 5)
+    val counts = folds.groupBy("fold").count().as[(Long, Long)].collect().toMap
+    assert(counts.keySet.subsetOf((0L until 5L).toSet))
+    // hash balance: each fold within ±40% of the ideal 200
+    counts.values.foreach(c => assert(c > 120 && c < 280, s"unbalanced: $counts"))
+    // determinism across runs and partitionings
+    val again = Sampling.kFold(df.repartition(7), "id", 5)
+      .orderBy("id").select("fold").as[Long].collect()
+    val first = folds.orderBy("id").select("fold").as[Long].collect()
+    assert(first.sameElements(again))
+  }
+
+  test("histogram: bins partition the input, counts sum to total") {
+    val df = Seq(0.5, 1.5, 1.6, 2.0, 9.9, 10.0).toDF("v")
+    val h = Profile.histogram(df, "v", 1.0).orderBy("bin").collect()
+    val byBin = h.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byBin === Map(0L -> 1L, 1L -> 2L, 2L -> 1L, 9L -> 1L, 10L -> 1L))
+    assert(h.map(_.getLong(1)).sum === 6L)
+  }
+}
