@@ -29,6 +29,8 @@ object Functions {
       exprs(0), exprs(1).eval().asInstanceOf[Int]))
     native("nt_unescape", exprs => graft.functions.NtUnescape(exprs(0)))
     native("word_set_hits", exprs => graft.functions.WordSetHits(exprs(0), exprs(1)))
+    native("bloom_might_contain", exprs => graft.functions.BloomMightContain(
+      exprs(0), exprs(1), exprs(2), exprs(3)))
   }
 
   /** `normalize_label` as a Column op — pure built-ins (codegen'd, no UDF):

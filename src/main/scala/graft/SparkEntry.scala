@@ -1034,6 +1034,22 @@ object SparkEntry {
         .select(col("l_returnflag"), to_json(col("values")).as("values"))
         .orderBy("l_returnflag")),
 
+    // Runtime-filter pattern: a 128 KB broadcast Bloom filter of the
+    // selective dim keys drops non-matching fact rows BEFORE the join's
+    // shuffle; the exact semi join after it makes false positives
+    // harmless — so the oracle is the plain semi join.
+    "bloom_prune_join" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val bloom = graft.ops.Bloom.build(urgent, "o_orderkey", mBits = 1 << 20, k = 5)
+      val pruned = graft.ops.Bloom.prune(t(s, dir, "lineitem"), "l_orderkey", bloom, k = 5)
+      pruned.join(urgent, pruned("l_orderkey") === urgent("o_orderkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // Capstone composition — a real curation pipeline: quality gate
     // (stopword ratio + length) → exact-dedup keep-first → deterministic
     // 50% sample → per-language counts. Every stage is one of the
@@ -1330,6 +1346,13 @@ object SparkEntry {
         | UNION ALL
         | SELECT 'o_totalprice', total - c3, d3, mn3, mx3 FROM s
         | ORDER BY "column"""".stripMargin.replace("\n", " "),
+
+    "bloom_prune_join" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        | FROM lineitem
+        | WHERE l_orderkey IN
+        |   (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        | GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
 
     "profile_histogram" ->
       """SELECT CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS bin, count(*) AS cnt,
