@@ -389,6 +389,51 @@ object SparkEntry {
         .withColumnRenamed("item", "term")
     }),
 
+    // Token Shannon entropy per doc (low entropy = repetitive/degenerate
+    // text). Float determinism: the c·ln(c) terms fold in TERM-SORTED
+    // order on both engines (a plain float sum would be partition-order
+    // dependent); per-doc distinct terms are few, so the interpreted
+    // fold is off the hot path.
+    "text_entropy" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .where(col("term") =!= "")
+      toks.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n"), count(lit(1)).as("n_distinct"),
+          expr("""aggregate(array_sort(collect_list(struct(term, c))),
+                 | cast(0.0 as double),
+                 | (acc, x) -> acc + cast(x.c as double) * ln(cast(x.c as double)))"""
+            .stripMargin.replace("\n", " ")).as("_clogc"))
+        .select(col("doc_id"), col("n"), col("n_distinct"),
+          round(log(col("n").cast("double")) - col("_clogc") / col("n").cast("double"), 3)
+            .as("entropy_r3"))
+        .orderBy("doc_id")
+    }),
+
+    // Count-min sketch point estimates for the heavy terms: the oracle
+    // pins exact counts and expects both error-bound flags to be 1 —
+    // lower_ok (CMS never undercounts) must ALWAYS hold; upper_ok uses
+    // the 3N/w integer bound (≥ eN/w), checked here on real data.
+    "sketch_cms" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+        .where(col("term") =!= "")
+      val exact = toks.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+      val tot = toks.agg(count(lit(1)).as("n"))
+      val heavy = exact.crossJoin(broadcast(tot))
+        .where(col("exact_cnt") * 51 > col("n"))
+      val cms = graft.ops.Sketch.cmsBuild(toks, "term", w = 16384, d = 4)
+      val est = graft.ops.Sketch.cmsEstimate(cms, heavy.select("term"), "term",
+        w = 16384, d = 4)
+      heavy.join(est, "term")
+        .select(col("term"), col("exact_cnt"),
+          (col("cms_est") >= col("exact_cnt")).cast("int").as("lower_ok"),
+          (col("cms_est") <= col("exact_cnt") + expr("3 * n div 16384"))
+            .cast("int").as("upper_ok"))
+        .orderBy("term")
+    }),
+
     // Grouped heavy hitters: per-language frequent terms (per-domain
     // profiling — same lossless two-pass shape, sketches per group).
     "sketch_frequent_by_lang" -> ((s, dir) => {
@@ -1411,6 +1456,27 @@ object SparkEntry {
         | n AS (SELECT count(*)::BIGINT AS n FROM tok WHERE term <> '')
         | SELECT term, cnt FROM tt, n WHERE cnt * 51 > n
         | ORDER BY cnt DESC, term""".stripMargin.replace("\n", " "),
+
+    "text_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        | tnz AS (SELECT * FROM tok WHERE term <> ''),
+        | cnt AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM tnz GROUP BY doc_id, term),
+        | per AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_distinct,
+        |         list_sort(list(struct_pack(term := term, c := c))) AS lst
+        |         FROM cnt GROUP BY doc_id)
+        | SELECT doc_id, n, n_distinct,
+        |        round(ln(n::DOUBLE) - list_reduce(
+        |          list_prepend(0.0, [x.c::DOUBLE * ln(x.c::DOUBLE) for x in lst]),
+        |          (a, b) -> a + b) / n::DOUBLE, 3) AS entropy_r3
+        | FROM per ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "sketch_cms" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        | tnz AS (SELECT term FROM tok WHERE term <> ''),
+        | tt AS (SELECT term, count(*)::BIGINT AS exact_cnt FROM tnz GROUP BY term),
+        | n AS (SELECT count(*)::BIGINT AS n FROM tnz)
+        | SELECT term, exact_cnt, 1 AS lower_ok, 1 AS upper_ok
+        | FROM tt, n WHERE exact_cnt * 51 > n ORDER BY term""".stripMargin.replace("\n", " "),
 
     "sketch_frequent_by_lang" ->
       """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),

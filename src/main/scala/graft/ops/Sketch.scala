@@ -81,4 +81,50 @@ object Sketch {
   /** `|approx − exact| ≤ tol · |exact|` as an int flag column. */
   def withinTol(approx: Column, exact: Column, tol: Double): Column =
     (abs(approx - exact) <= abs(exact) * tol).cast("int")
+
+  // ------------------------------------------------------------ count-min
+
+  /** Hash of an item for count-min row `row` (salted md5 — portable,
+    * deterministic, no stored seed).
+    */
+  private def cmsBucket(item: Column, row: Column, w: Int): Column =
+    pmod(Dedup.md5Int(concat(row.cast("string"), lit(":"), item.cast("string"))),
+      lit(w.toLong))
+
+  /** Count-min sketch (Cormode & Muthukrishnan '05) of item frequencies,
+    * as a SPARSE counter table `(row, bucket, cnt)` with `d` rows of `w`
+    * buckets. Never overcounts by more than `εN` (ε = e/w) with
+    * probability `1 − e^−d`, never undercounts at all.
+    *
+    * The table is a VALUE like the HLL profile sketches: counters are
+    * linear, so sketches of two corpora merge by unioning tables and
+    * re-summing `(row, bucket)` — frequency profiling that rolls up
+    * without rescanning. Build is one explode (×d) plus one
+    * partial-aggregating shuffle bounded by d·w rows per partition —
+    * the sketch of 100 TB of tokens still moves at most d·w counters
+    * per partition through the exchange.
+    */
+  def cmsBuild(df: DataFrame, valueCol: String, w: Int = 16384, d: Int = 4): DataFrame =
+    df.select(col(valueCol).cast("string").as("_v"))
+      .where(col("_v").isNotNull)
+      .select(col("_v"), explode(sequence(lit(0), lit(d - 1))).as("row"))
+      .select(col("row"), cmsBucket(col("_v"), col("row"), w).as("bucket"))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Merge count-min sketches built with the same (w, d): counters add. */
+  def cmsMerge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionAll _)
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+
+  /** Point-frequency estimates for `items`: min over the d row counters
+    * (0 where a bucket row is absent — the sparse encoding of an empty
+    * counter). The sketch side is at most d·w rows → broadcast join.
+    */
+  def cmsEstimate(cms: DataFrame, items: DataFrame, itemCol: String,
+                  w: Int = 16384, d: Int = 4): DataFrame =
+    items.select(col(itemCol), explode(sequence(lit(0), lit(d - 1))).as("row"))
+      .withColumn("bucket", cmsBucket(col(itemCol), col("row"), w))
+      .join(broadcast(cms), Seq("row", "bucket"), "left")
+      .groupBy(col(itemCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
 }

@@ -73,6 +73,21 @@ class QualitySpec extends SparkSpec {
     assert(first.sameElements(again))
   }
 
+  test("text_entropy query: uniform text maxes entropy, repetition lowers it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_entropy").toString
+    Seq(
+      (1L, "a b c d e f g h", "en", "s", 15L),     // 8 distinct of 8 → ln(8)
+      (2L, "a a a a a a a a", "en", "s", 15L),     // degenerate → 0
+      (3L, "a a a a b b c d", "en", "s", 15L)      // mixed
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("text_entropy")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(math.abs(out(1L) - math.log(8)) < 0.001)
+    assert(out(2L) === 0.0)
+    assert(out(3L) > 0.0 && out(3L) < math.log(8))
+  }
+
   test("histogram: bins partition the input, counts sum to total") {
     val df = Seq(0.5, 1.5, 1.6, 2.0, 9.9, 10.0).toDF("v")
     val h = Profile.histogram(df, "v", 1.0).orderBy("bin").collect()

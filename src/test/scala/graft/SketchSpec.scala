@@ -71,6 +71,39 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(global - exact) <= exact * 0.05)
   }
 
+  test("count-min: never undercounts, overshoot within 3N/w, absent keys near 0") {
+    import spark.implicits._
+    // Zipf-ish: item i appears 1000/i times
+    val items = (1 to 200).flatMap(i => Seq.fill(1000 / i)(s"item$i")).toDF("v")
+    val n = items.count()
+    val (w, d) = (1024, 4)
+    val cms = Sketch.cmsBuild(items, "v", w, d)
+    val exact = items.groupBy("v").agg(count(lit(1)).as("exact"))
+    val est = Sketch.cmsEstimate(cms, exact.select("v"), "v", w, d)
+    val joined = exact.join(est, "v").as[(String, Long, Long)].collect()
+    assert(joined.length === 200)
+    joined.foreach { case (v, ex, e) =>
+      assert(e >= ex, s"$v undercounted: $e < $ex")
+      assert(e <= ex + 3 * n / w, s"$v overshoot: $e vs $ex + ${3 * n / w}")
+    }
+    // absent keys estimate at most the collision bound
+    val absent = Sketch.cmsEstimate(cms, Seq("nope1", "nope2").toDF("v"), "v", w, d)
+      .as[(String, Long)].collect()
+    absent.foreach { case (_, e) => assert(e <= 3 * n / w) }
+  }
+
+  test("count-min merge: sketch of a union equals merged sketches") {
+    import spark.implicits._
+    val a = (1 to 500).map(i => s"k${i % 40}").toDF("v")
+    val b = (1 to 700).map(i => s"k${i % 55}").toDF("v")
+    val (w, d) = (256, 3)
+    val merged = Sketch.cmsMerge(Sketch.cmsBuild(a, "v", w, d), Sketch.cmsBuild(b, "v", w, d))
+      .orderBy("row", "bucket").as[(Int, Long, Long)].collect()
+    val direct = Sketch.cmsBuild(a.unionAll(b), "v", w, d)
+      .orderBy("row", "bucket").as[(Int, Long, Long)].collect()
+    assert(merged.sameElements(direct))
+  }
+
   test("approxQuantiles: rank error within 1/accuracy of exact ranks") {
     val accuracy = 1000
     val probs = Seq(0.1, 0.5, 0.9)
