@@ -389,6 +389,24 @@ object SparkEntry {
         .withColumnRenamed("item", "term")
     }),
 
+    // Exact triangle census over the parts-co-ordered-together graph,
+    // via degree-ordered orientation (out-degree O(√m) however skewed
+    // the raw degrees — the scalable wedge join).
+    "graph_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      val e = li.as("a").join(li.as("b"), Seq("k"))
+        .where(col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      graft.ops.Graph.triangleCount(e, "src", "dst")
+    }),
+
+    // BPE vocabulary induction. No oracle: merge r+1 depends on merge r
+    // (a sequential recurrence SQL cannot express) → driver records the
+    // rows-only check; BpeSpec pins the classic golden corpus instead.
+    "bpe_merges" -> ((s, dir) =>
+      graft.ops.Bpe.learnMerges(t(s, dir, "documents"), "text", 10)),
+
     // Token Shannon entropy per doc (low entropy = repetitive/degenerate
     // text). Float determinism: the c·ln(c) terms fold in TERM-SORTED
     // order on both engines (a plain float sum would be partition-order
@@ -664,6 +682,14 @@ object SparkEntry {
     "sample_capped" -> ((s, dir) =>
       graft.ops.Sampling.cappedPerGroup(t(s, dir, "documents"), "source", "doc_id", 10)
         .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    // Weighted sampling without replacement (Efraimidis-Spirakis
+    // exponential race, hash-derived u): longer docs proportionally more
+    // likely; one top-k, no global sort, no RNG state.
+    "sample_weighted" -> ((s, dir) =>
+      graft.ops.Sampling.weightedSample(t(s, dir, "documents"), "doc_id", "n_chars", 20)
+        .select("doc_id", "n_chars")
         .orderBy("doc_id")),
 
     // Deterministic k-fold: hash-assigned folds, stable at any cluster size.
@@ -1405,6 +1431,14 @@ object SparkEntry {
         |        round(sum(o_totalprice), 2) AS sum_r2
         | FROM orders GROUP BY 1 ORDER BY bin""".stripMargin.replace("\n", " "),
 
+    "sample_weighted" ->
+      """SELECT doc_id, n_chars FROM (
+        |   SELECT doc_id, n_chars,
+        |          -ln(((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |                + 1)::DOUBLE) / 4294967296.0) / n_chars::DOUBLE AS ekey
+        |   FROM documents ORDER BY ekey, doc_id LIMIT 20)
+        | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
     "split_kfold" ->
       """SELECT doc_id,
         |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5 AS fold
@@ -1456,6 +1490,18 @@ object SparkEntry {
         | n AS (SELECT count(*)::BIGINT AS n FROM tok WHERE term <> '')
         | SELECT term, cnt FROM tt, n WHERE cnt * 51 > n
         | ORDER BY cnt DESC, term""".stripMargin.replace("\n", " "),
+
+    "graph_triangles" ->
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |           FROM lineitem a JOIN lineitem b
+        |           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        | nodes AS (SELECT count(DISTINCT n)::BIGINT AS n_nodes
+        |           FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)),
+        | edges AS (SELECT count(*)::BIGINT AS n_edges FROM e),
+        | tri AS (SELECT count(*)::BIGINT AS n_triangles
+        |         FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |                   JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+        | SELECT n_nodes, n_edges, n_triangles FROM nodes, edges, tri""".stripMargin.replace("\n", " "),
 
     "text_entropy" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary induction (Sennrich et al. '16) as
+  * DataFrame rounds — the step that turns a curated corpus into the
+  * tokenizer artifact, not just applies one.
+  *
+  * Shape: the corpus collapses ONCE to the word-frequency table (the only
+  * corpus-sized pass; everything after is vocabulary-sized, which is why
+  * BPE training scales — 100 TB of text is still a few million distinct
+  * words). Each merge round is (1) a pair-count aggregation over the
+  * vocab, (2) a `limit(1)` argmax — a one-row frame, never a driver
+  * value — broadcast into (3) a `regexp_replace` applying the merge to
+  * every word's symbol string. Rounds are inherently sequential (merge
+  * r+1's counts depend on merge r — the algorithm, not the
+  * implementation), so each round materializes through [[Iterate]] to
+  * keep plans O(1); the per-round `isEmpty` convergence probe on the
+  * one-row argmax is the driver's only data contact.
+  *
+  * Symbols must be regex-literal-safe (true for alphanumeric corpora +
+  * the `</w>` end-of-word marker — `<`, `/`, `>` are regex literals).
+  */
+object Bpe {
+
+  /** Learn up to `numMerges` merge rules. Output: `(rank, left, right,
+    * pair_freq)`, rank-ordered — merge r was the most frequent adjacent
+    * symbol pair (ties broken lexicographically) after merges 1..r−1.
+    * Stops early when no adjacent pair remains.
+    */
+  def learnMerges(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val words0 = df
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(concat_ws(" ",
+        concat(expr("filter(split(w, ''), x -> x <> '')"), array(lit("</w>")))).as("syms"),
+        col("freq"))
+    var words = Iterate.materialize(words0)
+    var tops = List.empty[Iterate.Materialized]
+    var r = 1
+    var done = false
+    while (r <= numMerges && !done) {
+      val arr = split(col("syms"), " ")
+      val pairs = words.df
+        .select(col("freq"), arr.as("arr"))
+        .where(size(col("arr")) >= 2)
+        .select(col("freq"), explode(arrays_zip(
+          slice(col("arr"), lit(1), size(col("arr")) - 1).as("l"),
+          slice(col("arr"), lit(2), size(col("arr")) - 1).as("r"))).as("pz"))
+        .select(col("pz.l").as("left"), col("pz.r").as("right"), col("freq"))
+      val top = pairs.groupBy("left", "right").agg(sum("freq").as("pair_freq"))
+        .orderBy(col("pair_freq").desc, col("left"), col("right"))
+        .limit(1)
+        .select(lit(r).as("rank"), col("left"), col("right"), col("pair_freq"))
+      val mt = Iterate.materialize(top)
+      if (mt.df.isEmpty) { mt.release(); done = true }
+      else {
+        tops = mt :: tops
+        val merged = words.df.crossJoin(broadcast(mt.df))
+          .select(regexp_replace(col("syms"),
+            concat(lit("(?<=^| )"), col("left"), lit(" "), col("right"), lit("(?=$| )")),
+            concat(col("left"), col("right"))).as("syms"),
+            col("freq"))
+        val next = Iterate.materialize(merged)
+        words.release()
+        words = next
+        r += 1
+      }
+    }
+    val merges =
+      if (tops.isEmpty) df.sparkSession.emptyDataFrame
+        .select(lit(0).as("rank"), lit("").as("left"), lit("").as("right"),
+          lit(0L).as("pair_freq")).limit(0)
+      else tops.reverse.map(_.df).reduce(_ unionAll _).orderBy("rank")
+    val out = Iterate.scoped(merges)
+    tops.foreach(_.release())
+    words.release()
+    out
+  }
+
+  /** Apply learned merges (a tiny driver-side artifact, like a broadcast
+    * dictionary) to tokenize a text column: each doc's words become
+    * space-joined BPE symbol strings in `bpe_syms`, words separated by a
+    * unit-separator char (U+001F) so merges never cross word boundaries.
+    */
+  def encode(df: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame = {
+    val sep = "\u001f"
+    val start = concat_ws(sep, expr(
+      s"""transform(filter(split($textCol, ' '), w -> w <> ''),
+         | w -> concat_ws(' ', concat(filter(split(w, ''), x -> x <> ''),
+         |                            array('</w>'))))"""
+        .stripMargin.replace("\n", " ")))
+    val encoded = merges.foldLeft(start) { case (acc, (l, r)) =>
+      regexp_replace(acc,
+        lit(s"(?<=^|[ $sep])" + java.util.regex.Pattern.quote(l) + " " +
+          java.util.regex.Pattern.quote(r) + s"(?=$$|[ $sep])"),
+        lit(java.util.regex.Matcher.quoteReplacement(l + r)))
+    }
+    df.withColumn("bpe_syms", encoded)
+  }
+}

@@ -42,6 +42,23 @@ object Sampling {
         .when(pctBucket(col(keyCol)) < trainPct + valPct, "val")
         .otherwise("test"))
 
+  /** Deterministic weighted sample without replacement (Efraimidis &
+    * Spirakis '06 exponential race): each row gets key `−ln(u) / w` with
+    * `u ∈ (0,1]` hash-derived from the row key, and the k smallest keys
+    * win — inclusion probability proportional to weight, no RNG state,
+    * reproducible on any cluster. One top-k (`TakeOrderedAndProject`),
+    * never a global sort of the corpus.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    val u = (Dedup.md5Int(concat(lit("ws:"), col(keyCol).cast("string"))) + lit(1L))
+      .cast("double") / lit(4294967296.0)
+    df.withColumn("_ekey", -log(u) / col(weightCol).cast("double"))
+      .orderBy(col("_ekey"), col(keyCol))
+      .limit(k)
+      .drop("_ekey")
+  }
+
   /** Deterministic k-fold assignment for cross-validation: adds a `fold`
     * column in [0, k) from the key hash. Folds are stable across runs,
     * cluster sizes, and row order — fold i's contents never depend on

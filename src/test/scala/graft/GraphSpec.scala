@@ -64,4 +64,38 @@ class GraphSpec extends SparkSpec {
       assert(math.abs(r - ref(node)) < 1e-9, s"node $node: $r vs ${ref(node)}")
     }
   }
+
+  // ------------------------------------------------------------- triangles
+
+  private def tri(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+    val r = Graph.triangleCount(edges.toDF("s", "d"), "s", "d").collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("triangleCount: analytic graphs") {
+    // K4: 4 triangles, 6 edges
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(tri(k4) === ((4L, 6L, 4L)))
+    // 5-cycle: no triangles
+    val c5 = (1L to 5L).map(i => (i, i % 5 + 1))
+    assert(tri(c5) === ((5L, 5L, 0L)))
+    // duplicate/reversed edges and self-loops collapse
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L), (1L, 3L))
+    assert(tri(messy) === ((3L, 3L, 1L)))
+  }
+
+  test("triangleCount matches brute force on seeded random graphs") {
+    val rnd = new Random(7)
+    val edges = (1 to 300).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    val canon = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val eset = canon.toSet
+    val nodes = canon.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    var expected = 0L
+    for (i <- nodes.indices; j <- i + 1 until nodes.size; k <- j + 1 until nodes.size) {
+      val (a, b, c) = (nodes(i), nodes(j), nodes(k))
+      if (eset((a, b)) && eset((a, c)) && eset((b, c))) expected += 1
+    }
+    assert(tri(edges) === ((nodes.size.toLong, canon.size.toLong, expected)))
+  }
 }
