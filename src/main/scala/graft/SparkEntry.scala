@@ -389,6 +389,64 @@ object SparkEntry {
         .withColumnRenamed("item", "term")
     }),
 
+    // ---- snapshot lifecycle: diff / SCD2 history / CDC compaction ----
+
+    // What changed between two snapshots: full-outer key join, null-safe
+    // attribute compare, per-key verdict.
+    "table_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val aSnap = o.where(col("o_orderkey") % 10 < 9)
+      val bSnap = o.where(col("o_orderkey") % 10 > 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, round(col("o_totalprice") + 50, 2))
+            .otherwise(col("o_totalprice")))
+      graft.ops.Snapshot.diff(aSnap, bSnap, Seq("o_orderkey"),
+          Seq("o_totalprice", "o_orderstatus"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Type-2 slowly-changing dimension: changed open rows close at the
+    // batch timestamp and re-open with the new attributes; no-op updates
+    // leave the row alone; closed history never shuffles.
+    "scd2_history" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val current = c.select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("bigint"))
+      val updates = c.where(col("c_custkey") % 3 === 0 || col("c_custkey") % 5 === 1)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 3 === 0, round(col("c_acctbal") + 100, 2))
+            .otherwise(col("c_acctbal")).as("c_acctbal"),
+          col("c_mktsegment"), lit(1000L).as("ts"))
+      graft.ops.Snapshot.scd2Apply(current, updates, Seq("c_custkey"),
+          Seq("c_acctbal", "c_mktsegment"), "ts")
+        .orderBy("c_custkey", "valid_from")
+    }),
+
+    // CDC log compaction: last write per user under (ts, event_id) —
+    // µs-resolution ordering on BOTH engines (NOTES.md fact 13).
+    "cdc_latest" -> ((s, dir) =>
+      graft.ops.Snapshot.latest(
+          t(s, dir, "events")
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              expr("ts div 1000").as("ts_us")),
+          Seq("user_id"), Seq(col("ts_us").desc, col("event_id").desc))
+        .select("user_id", "event_id", "event_type", "ts_us")
+        .orderBy("user_id")),
+
+    // Salted equi-join on a 3-value (maximally hot) key: result equals
+    // the plain join; the salt spreads each flag over 16 reducers.
+    "skew_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val dim = li.select(col("l_returnflag")).distinct()
+        .withColumn("flag_label", concat(lit("flag_"), col("l_returnflag")))
+      graft.ops.Skew.saltedJoin(li, dim, "l_returnflag",
+          col("l_orderkey") * 10 + col("l_linenumber"), numSalts = 16)
+        .groupBy("flag_label")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("flag_label")
+    }),
+
     // Exact triangle census over the parts-co-ordered-together graph,
     // via degree-ordered orientation (out-degree O(√m) however skewed
     // the raw degrees — the scalable wedge join).
@@ -1490,6 +1548,65 @@ object SparkEntry {
         | n AS (SELECT count(*)::BIGINT AS n FROM tok WHERE term <> '')
         | SELECT term, cnt FROM tt, n WHERE cnt * 51 > n
         | ORDER BY cnt DESC, term""".stripMargin.replace("\n", " "),
+
+    "table_diff" ->
+      """WITH a AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |           WHERE o_orderkey % 10 < 9),
+        | b AS (SELECT o_orderkey,
+        |              CASE WHEN o_orderkey % 7 = 0 THEN round(o_totalprice + 50, 2)
+        |                   ELSE o_totalprice END AS o_totalprice,
+        |              o_orderstatus FROM orders WHERE o_orderkey % 10 > 0)
+        | SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |        a.o_totalprice AS a_o_totalprice, a.o_orderstatus AS a_o_orderstatus,
+        |        b.o_totalprice AS b_o_totalprice, b.o_orderstatus AS b_o_orderstatus,
+        |        CASE WHEN a.o_orderkey IS NULL THEN 'added'
+        |             WHEN b.o_orderkey IS NULL THEN 'removed'
+        |             WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+        |               OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus THEN 'changed'
+        |             ELSE 'unchanged' END AS status
+        | FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+        | ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
+
+    "scd2_history" ->
+      """WITH cur AS (SELECT c_custkey, c_acctbal, c_mktsegment,
+        |                    0::BIGINT AS valid_from, NULL::BIGINT AS valid_to FROM customer),
+        | upd AS (SELECT c_custkey,
+        |                CASE WHEN c_custkey % 3 = 0 THEN round(c_acctbal + 100, 2)
+        |                     ELSE c_acctbal END AS u_bal,
+        |                c_mktsegment AS u_seg, 1000::BIGINT AS uts
+        |         FROM customer WHERE c_custkey % 3 = 0 OR c_custkey % 5 = 1),
+        | keep AS (SELECT c.* FROM cur c LEFT JOIN upd u USING (c_custkey)
+        |          WHERE u.c_custkey IS NULL
+        |             OR (NOT c.c_acctbal IS DISTINCT FROM u.u_bal
+        |                 AND NOT c.c_mktsegment IS DISTINCT FROM u.u_seg)),
+        | closed_now AS (SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment,
+        |                       c.valid_from, u.uts AS valid_to
+        |                FROM cur c JOIN upd u USING (c_custkey)
+        |                WHERE c.c_acctbal IS DISTINCT FROM u.u_bal
+        |                   OR c.c_mktsegment IS DISTINCT FROM u.u_seg),
+        | new_open AS (SELECT u.c_custkey, u.u_bal AS c_acctbal, u.u_seg AS c_mktsegment,
+        |                     u.uts AS valid_from, NULL::BIGINT AS valid_to
+        |              FROM upd u LEFT JOIN cur c USING (c_custkey)
+        |              WHERE c.c_custkey IS NULL
+        |                 OR c.c_acctbal IS DISTINCT FROM u.u_bal
+        |                 OR c.c_mktsegment IS DISTINCT FROM u.u_seg)
+        | SELECT * FROM keep UNION ALL SELECT * FROM closed_now
+        | UNION ALL SELECT * FROM new_open
+        | ORDER BY c_custkey, valid_from""".stripMargin.replace("\n", " "),
+
+    "cdc_latest" ->
+      """SELECT user_id, event_id, event_type, ts_us FROM (
+        |   SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |          row_number() OVER (PARTITION BY user_id
+        |            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |   FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin.replace("\n", " "),
+
+    "skew_salted_join" ->
+      """WITH dim AS (SELECT DISTINCT l_returnflag, 'flag_' || l_returnflag AS flag_label
+        |             FROM lineitem)
+        | SELECT flag_label, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        | FROM lineitem JOIN dim USING (l_returnflag)
+        | GROUP BY flag_label ORDER BY flag_label""".stripMargin.replace("\n", " "),
 
     "graph_triangles" ->
       """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

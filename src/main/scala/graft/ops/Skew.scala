@@ -31,4 +31,23 @@ object Skew {
       .groupBy(col(keyCol))
       .agg(sort_array(array_distinct(flatten(collect_list(col("_partial")))))
         .as("values"))
+
+  /** Salted equi-join for a LOW-CARDINALITY (hence hot-keyed) join key:
+    * without salting, a shuffle join on a 3-value key lands the entire
+    * fact table on 3 reducers whatever the cluster size. The small side
+    * replicates `numSalts`× (it is small — that's the premise); each
+    * fact row picks a deterministic salt from a secondary column, so the
+    * hot key spreads over `numSalts` reducers and the result is exactly
+    * the plain join's. Prefer `broadcast()` when the small side fits —
+    * this is the fallback when it doesn't (or the build side must
+    * shuffle anyway, e.g. under storage-partitioned constraints).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keyCol: String,
+                 saltSource: Column, numSalts: Int = 16): DataFrame = {
+    val salted = fact.withColumn("_salt",
+      pmod(Dedup.md5Int(saltSource.cast("string")), lit(numSalts)))
+    val replicated = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(numSalts - 1))))
+    salted.join(replicated, Seq(keyCol, "_salt")).drop("_salt")
+  }
 }
