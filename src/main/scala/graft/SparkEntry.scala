@@ -1618,7 +1618,8 @@ object SparkEntry {
         | tri AS (SELECT count(*)::BIGINT AS n_triangles
         |         FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
         |                   JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
-        | SELECT n_nodes, n_edges, n_triangles FROM nodes, edges, tri""".stripMargin.replace("\n", " "),
+        | SELECT n_nodes, n_edges, n_triangles FROM nodes, edges, tri
+        | ORDER BY n_nodes""".stripMargin.replace("\n", " "),
 
     "text_entropy" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

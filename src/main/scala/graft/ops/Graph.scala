@@ -71,6 +71,50 @@ object Graph {
     out
   }
 
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. '07): every node starts as its own label; each round, every
+    * node adopts its neighbors' most frequent label (ties → smallest
+    * label). Synchronous updates + deterministic tie-break make the
+    * result a pure function of the edge list and round count — no RNG,
+    * no visit order (the async variant's nondeterminism is exactly what
+    * a reproducible pipeline cannot have).
+    *
+    * Per round: one join (neighbor labels) + one hash aggregation — the
+    * per-node argmax is `max(struct(cnt, -label))`, a partial-aggregable
+    * agg rather than a window sort. Rounds are lineage-cut and
+    * storage-released like the other iterative ops. Output: (node,
+    * label).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iterations: Int = 10): DataFrame = {
+    val dir1 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val e = dir1.unionAll(dir1.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = Iterate.materialize(nodes.withColumn("label", col("node")))
+    var i = 0
+    while (i < iterations) {
+      val neigh = e.join(
+        labels.df.select(col("node").as("dst"), col("label")), "dst")
+      val best = neigh.groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("src").as("node"), (-col("m.nl")).as("label"))
+      val next = Iterate.materialize(best)
+      labels.release()
+      labels = next
+      i += 1
+    }
+    val out = labels.df
+    e.unpersist(); nodes.unpersist()
+    out
+  }
+
   /** Exact triangle count by degree-ordered orientation (the MapReduce
     * classic — Suri & Vassilvitskii '11): orient each undirected edge
     * from its lower-(degree, id) endpoint, so every out-degree is

@@ -65,6 +65,44 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------------------- label propagation
+
+  private def lpa(edges: Seq[(Long, Long)], iters: Int = 10): Map[Long, Long] =
+    Graph.labelPropagation(edges.toDF("s", "d"), "s", "d", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def clique(ids: Seq[Long]): Seq[(Long, Long)] =
+    for (i <- ids.indices; j <- i + 1 until ids.size) yield (ids(i), ids(j))
+
+  test("labelPropagation: disjoint cliques get distinct uniform labels") {
+    val got = lpa(clique(1L to 5L) ++ clique(10L to 14L))
+    assert(got.filterKeys(_ <= 5L).values.toSet.size === 1)
+    assert(got.filterKeys(_ >= 10L).values.toSet.size === 1)
+    assert(got(1L) !== got(10L))
+  }
+
+  test("labelPropagation: bridged cliques keep their own communities") {
+    // two 6-cliques joined by a single bridge edge — the bridge must not
+    // merge the communities (each side's internal majority dominates)
+    val got = lpa(clique(1L to 6L) ++ clique(11L to 16L) :+ (6L, 11L))
+    val left = (1L to 6L).map(got).toSet
+    val right = (11L to 16L).map(got).toSet
+    assert(left.size === 1, s"left clique split: $got")
+    assert(right.size === 1, s"right clique split: $got")
+    assert(left !== right)
+  }
+
+  test("labelPropagation is deterministic across partitionings") {
+    val rnd = new Random(11)
+    val edges = (1 to 150).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2)
+    val a = Graph.labelPropagation(edges.toDF("s", "d").repartition(1), "s", "d", 8)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = Graph.labelPropagation(edges.toDF("s", "d").repartition(13), "s", "d", 8)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sameElements(b))
+  }
+
   // ------------------------------------------------------------- triangles
 
   private def tri(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
