@@ -465,6 +465,20 @@ object SparkEntry {
     "bpe_merges" -> ((s, dir) =>
       graft.ops.Bpe.learnMerges(t(s, dir, "documents"), "text", 10)),
 
+    // Applying a PINNED tokenizer artifact (the production op — training
+    // versions the artifact separately): regex-free literal-replace
+    // merge chain over the double-gap wire format, bit-identical strings
+    // on both engines (no lookaround — RE2 oracles lack it).
+    "text_bpe_apply" -> ((s, dir) => {
+      val merges = Seq(("e", "r"), ("er", "</w>"), ("i", "n"), ("o", "w"), ("s", "t"))
+      graft.ops.Bpe.encode(t(s, dir, "documents"), "text", merges)
+        .select(col("doc_id"),
+          size(split(regexp_replace(col("bpe_syms"), "\\u001f", " "), " "))
+            .as("n_bpe_tokens"),
+          col("bpe_syms"))
+        .orderBy("doc_id")
+    }),
+
     // Token Shannon entropy per doc (low entropy = repetitive/degenerate
     // text). Float determinism: the c·ln(c) terms fold in TERM-SORTED
     // order on both engines (a plain float sum would be partition-order
@@ -1620,6 +1634,28 @@ object SparkEntry {
         |                   JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
         | SELECT n_nodes, n_edges, n_triangles FROM nodes, edges, tri
         | ORDER BY n_nodes""".stripMargin.replace("\n", " "),
+
+    "text_bpe_apply" ->
+      """WITH w AS (SELECT doc_id,
+        |         list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
+        |           w -> ' ' || array_to_string(list_concat(
+        |                  list_filter(string_split(w, ''), x -> x <> ''), ['</w>']),
+        |                  '  ') || ' ') AS lw
+        |       FROM documents),
+        | s0 AS (SELECT doc_id, array_to_string(lw, chr(31)) AS s FROM w),
+        | s1 AS (SELECT doc_id, replace(s, ' e  r ', ' er ') AS s FROM s0),
+        | s2 AS (SELECT doc_id, replace(s, ' er  </w> ', ' er</w> ') AS s FROM s1),
+        | s3 AS (SELECT doc_id, replace(s, ' i  n ', ' in ') AS s FROM s2),
+        | s4 AS (SELECT doc_id, replace(s, ' o  w ', ' ow ') AS s FROM s3),
+        | s5 AS (SELECT doc_id, replace(s, ' s  t ', ' st ') AS s FROM s4),
+        | fin AS (SELECT doc_id,
+        |         trim(replace(replace(replace(s, '  ', ' '),
+        |              ' ' || chr(31), chr(31)), chr(31) || ' ', chr(31))) AS bpe_syms
+        |         FROM s5)
+        | SELECT doc_id,
+        |        len(string_split(replace(bpe_syms, chr(31), ' '), ' '))::INT AS n_bpe_tokens,
+        |        bpe_syms
+        | FROM fin ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "text_entropy" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding vocabulary induction (Sennrich et al. '16) as
@@ -80,24 +80,37 @@ object Bpe {
     out
   }
 
-  /** Apply learned merges (a tiny driver-side artifact, like a broadcast
+  /** Apply merges (a tiny driver-side artifact, like a broadcast
     * dictionary) to tokenize a text column: each doc's words become
     * space-joined BPE symbol strings in `bpe_syms`, words separated by a
     * unit-separator char (U+001F) so merges never cross word boundaries.
+    *
+    * Wire format is regex-free and engine-portable: symbols are padded
+    * to DOUBLE internal gaps with single-space edges, so a literal
+    * `replace(" l  r ", " lr ")` is exactly one greedy left-to-right
+    * non-overlapping merge pass — consuming one space of each
+    * neighboring gap leaves the single space the adjacent pair needs,
+    * and the invariant (edges 1, gaps 2) is restored by the
+    * replacement's own edge spaces. A SQL oracle mirrors the chain with
+    * the same literal `replace`, no lookaround (which RE2 engines lack).
     */
   def encode(df: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame = {
     val sep = "\u001f"
+    // " c1  c2  ...  </w> " per word, words joined by U+001F
     val start = concat_ws(sep, expr(
       s"""transform(filter(split($textCol, ' '), w -> w <> ''),
-         | w -> concat_ws(' ', concat(filter(split(w, ''), x -> x <> ''),
-         |                            array('</w>'))))"""
+         | w -> concat(' ', concat_ws('  ',
+         |   concat(filter(split(w, ''), x -> x <> ''), array('</w>'))), ' '))"""
         .stripMargin.replace("\n", " ")))
     val encoded = merges.foldLeft(start) { case (acc, (l, r)) =>
-      regexp_replace(acc,
-        lit(s"(?<=^|[ $sep])" + java.util.regex.Pattern.quote(l) + " " +
-          java.util.regex.Pattern.quote(r) + s"(?=$$|[ $sep])"),
-        lit(java.util.regex.Matcher.quoteReplacement(l + r)))
+      expr_replace(acc, s" $l  $r ", s" ${l}${r} ")
     }
-    df.withColumn("bpe_syms", encoded)
+    val singleSpaced = expr_replace(encoded, "  ", " ")
+    val clean = trim(expr_replace(expr_replace(singleSpaced, s" $sep", sep), s"$sep ", sep))
+    df.withColumn("bpe_syms", clean)
   }
+
+  /** Literal (non-regex) global replace via the SQL `replace` function. */
+  private def expr_replace(c: Column, find: String, repl: String): Column =
+    call_function("replace", c, lit(find), lit(repl))
 }
