@@ -61,6 +61,33 @@ object EventStream {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("approx_users"))
 
+  /** Windowed count-min frequency sketch as STREAMING state: the same
+    * sparse `(window, row, bucket, cnt)` linear-counter encoding as the
+    * batch [[graft.ops.Sketch.cmsBuild]], maintained incrementally —
+    * per-window state is bounded by d·w counters whatever the event
+    * rate, and watermark expiry drops whole windows. A reader estimates
+    * any item's windowed frequency with the batch `cmsEstimate` over
+    * this table; counters are linear, so windows also roll up to
+    * coarser grains by re-summing (no replay).
+    */
+  def windowedCms(events: DataFrame, itemCol: String,
+                  windowLen: String = "1 hour", lateness: String = "2 hours",
+                  w: Int = 1024, d: Int = 4): DataFrame =
+    eventTime(events)
+      .select(col("event_time"), col(itemCol).cast("string").as("_v"))
+      .where(col("_v").isNotNull)
+      .withWatermark("event_time", lateness)
+      .select(col("event_time"), col("_v"),
+        explode(sequence(lit(0), lit(d - 1))).as("row"))
+      .select(col("event_time"), col("row"),
+        pmod(graft.ops.Dedup.md5Int(
+          concat(col("row").cast("string"), lit(":"), col("_v"))), lit(w.toLong))
+          .as("bucket"))
+      .groupBy(window(col("event_time"), windowLen), col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("row"), col("bucket"),
+        col("cnt"))
+
   /** Arbitrary stateful processing: running per-user counters via
     * `mapGroupsWithState` — the engine's `KeyValueGroupedDataset` custom
     * state surface (processing-time timeout clears idle users).

@@ -64,6 +64,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedCms: streaming sketch equals the batch sketch; estimates bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.windowedCms(input.toDF(), "event_type", w = 64, d = 3)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      val evs1 = (1 to 40).map(i =>
+        Event(i.toLong, 0L * H + i, (i % 5).toLong, s"type${i % 3}", 1.0))
+      val evs2 = (41 to 60).map(i =>
+        Event(i.toLong, 0L * H + i, (i % 5).toLong, "type0", 1.0))
+      input.addData(evs1: _*)
+      q.processAllAvailable()
+      input.addData(evs2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cms_stream")
+        .select("row", "bucket", "cnt")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      // the same events through the batch builder
+      val batch = graft.ops.Sketch.cmsBuild(
+          (evs1 ++ evs2).map(_.event_type).toDF("v"), "v", w = 64, d = 3)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(streamed === batch)
+      // and the batch estimator reads the streamed table: type0 appeared
+      // 13 times in batch 1 (i divisible by 3) + 20 in batch 2 = 33
+      val est = graft.ops.Sketch.cmsEstimate(
+          spark.table("cms_stream").select("row", "bucket", "cnt"),
+          Seq("type0").toDF("v"), "v", w = 64, d = 3)
+        .collect().head.getLong(1)
+      assert(est >= 33L && est <= 33L + 3 * 60 / 64 + 3) // n=60, w=64 bound (+slack)
+    } finally q.stop()
+  }
+
   test("runningUserStats keeps per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
