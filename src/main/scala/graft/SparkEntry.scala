@@ -451,7 +451,10 @@ object SparkEntry {
     // via degree-ordered orientation (out-degree O(√m) however skewed
     // the raw degrees — the scalable wedge join).
     "graph_triangles" -> ((s, dir) => {
+      // first 4 line numbers per order: bounds pairs/order at C(4,2)=6,
+      // so the graph (and the oracle's 3-way join) stays wedge-sparse
       val li = t(s, dir, "lineitem")
+        .where(col("l_linenumber") <= 4)
         .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
       val e = li.as("a").join(li.as("b"), Seq("k"))
         .where(col("a.p") < col("b.p"))
@@ -1623,8 +1626,9 @@ object SparkEntry {
         | GROUP BY flag_label ORDER BY flag_label""".stripMargin.replace("\n", " "),
 
     "graph_triangles" ->
-      """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-        |           FROM lineitem a JOIN lineitem b
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_linenumber <= 4),
+        | e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |           FROM li a JOIN li b
         |           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
         | nodes AS (SELECT count(DISTINCT n)::BIGINT AS n_nodes
         |           FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)),

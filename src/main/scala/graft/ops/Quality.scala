@@ -61,6 +61,11 @@ object Quality {
     * (`(x - s/n) / sqrt(ss/n - (s/n)²)`) that the oracle mirrors term by
     * term. Groups with zero variance produce no outliers.
     *
+    * Range contract: Σx² must fit int64 — for values up to ~10⁴ that is
+    * ~9×10¹⁰ rows per group (far beyond 100 TB of documents); for larger
+    * value domains, rescale (the z-score is scale-invariant) rather than
+    * switching to float sums, which would break run-to-run determinism.
+    *
     * Scale shape: one aggregate to a tiny per-group stats table,
     * broadcast back over the corpus — no second shuffle of the data.
     */

@@ -47,6 +47,10 @@ object Snapshot {
     * One full-outer join of OPEN rows against the batch (both sides
     * keyed — closed history never shuffles), then unions. At deploy
     * scale the same plan runs as MERGE INTO on a table format.
+    *
+    * Precondition: at most ONE update row per key per batch (the SCD2
+    * contract — intra-batch versions have no defined order here). Fold a
+    * multi-version feed with [[latest]] first.
     */
   def scd2Apply(current: DataFrame, updates: DataFrame, keyCols: Seq[String],
                 compareCols: Seq[String], tsCol: String): DataFrame = {
