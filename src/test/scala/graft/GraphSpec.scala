@@ -122,6 +122,18 @@ class GraphSpec extends SparkSpec {
     assert(tri(messy) === ((3L, 3L, 1L)))
   }
 
+  test("graph ops leave no persisted storage behind") {
+    spark.catalog.clearCache()
+    val sc = spark.sparkContext
+    val base = sc.getPersistentRDDs.size
+    val edges = (1L to 30L).map(i => (i, i % 7 + 1)).toDF("s", "d")
+    Graph.pageRank(edges, "s", "d", iterations = 3).collect()
+    Graph.labelPropagation(edges, "s", "d", iterations = 3).collect()
+    Graph.triangleCount(edges, "s", "d").collect()
+    assert(sc.getPersistentRDDs.size === base,
+      s"graph ops leaked persisted RDDs: ${sc.getPersistentRDDs.values.map(_.name)}")
+  }
+
   test("triangleCount matches brute force on seeded random graphs") {
     val rnd = new Random(7)
     val edges = (1 to 300).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
