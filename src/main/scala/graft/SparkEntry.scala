@@ -504,6 +504,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Unigram LM score (CCNet-style perplexity proxy, honest about being
+    // unigram): avg log-prob of each doc under the CORPUS distribution —
+    // (Σ c·ln gf)/n_tok − ln N from integer counts, c·ln(gf) folded in
+    // term-sorted order (same float-determinism pattern as text_entropy).
+    // Low score = tokens the corpus finds improbable (gibberish/OCR
+    // noise); distinct from entropy, which is blind to the corpus.
+    "text_lm_score" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .where(col("term") =!= "")
+      val global = toks.groupBy("term").agg(count(lit(1)).as("gf"))
+      val totals = toks.agg(count(lit(1)).as("n"))
+      toks.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+        .join(broadcast(global), "term")
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tok"),
+          expr("""aggregate(array_sort(collect_list(struct(term, c, gf))),
+                 | cast(0.0 as double),
+                 | (acc, x) -> acc + cast(x.c as double) * ln(cast(x.gf as double)))"""
+            .stripMargin.replace("\n", " ")).as("_clngf"))
+        .crossJoin(broadcast(totals))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("_clngf") / col("n_tok").cast("double")
+            - log(col("n").cast("double")), 3).as("avg_logp_r3"))
+        .orderBy("doc_id")
+    }),
+
     // Count-min sketch point estimates for the heavy terms: the oracle
     // pins exact counts and expects both error-bound flags to be 1 —
     // lower_ok (CMS never undercounts) must ALWAYS hold; upper_ok uses
@@ -1673,6 +1700,21 @@ object SparkEntry {
         |          list_prepend(0.0, [x.c::DOUBLE * ln(x.c::DOUBLE) for x in lst]),
         |          (a, b) -> a + b) / n::DOUBLE, 3) AS entropy_r3
         | FROM per ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "text_lm_score" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        | tnz AS (SELECT * FROM tok WHERE term <> ''),
+        | cnt AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM tnz GROUP BY doc_id, term),
+        | gf AS (SELECT term, count(*)::BIGINT AS gf FROM tnz GROUP BY term),
+        | n AS (SELECT count(*)::BIGINT AS n FROM tnz),
+        | per AS (SELECT doc_id, sum(c)::BIGINT AS n_tok,
+        |         list_sort(list(struct_pack(term := term, c := c, gf := gf))) AS lst
+        |         FROM cnt JOIN gf USING (term) GROUP BY doc_id)
+        | SELECT doc_id, n_tok,
+        |        round(list_reduce(
+        |          list_prepend(0.0, [x.c::DOUBLE * ln(x.gf::DOUBLE) for x in lst]),
+        |          (a, b) -> a + b) / n_tok::DOUBLE - ln(n.n::DOUBLE), 3) AS avg_logp_r3
+        | FROM per, n ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "sketch_cms" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),

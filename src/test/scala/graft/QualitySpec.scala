@@ -88,6 +88,22 @@ class QualitySpec extends SparkSpec {
     assert(out(3L) > 0.0 && out(3L) < math.log(8))
   }
 
+  test("text_lm_score query: corpus-common tokens outscore corpus-rare ones") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    Seq(
+      (1L, "common common common", "en", "s", 20L),
+      (2L, "rare1 rare2 rare3", "en", "s", 17L),
+      (3L, "common common rare4", "en", "s", 19L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("text_lm_score")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // gf(common)=5, N=9: doc1 = ln 5 − ln 9; doc2 = ln 1 − ln 9
+    assert(math.abs(out(1L) - (math.log(5) - math.log(9))) < 0.001)
+    assert(math.abs(out(2L) - (0.0 - math.log(9))) < 0.001)
+    assert(out(1L) > out(3L) && out(3L) > out(2L))
+  }
+
   test("histogram: bins partition the input, counts sum to total") {
     val df = Seq(0.5, 1.5, 1.6, 2.0, 9.9, 10.0).toDF("v")
     val h = Profile.histogram(df, "v", 1.0).orderBy("bin").collect()
