@@ -1158,6 +1158,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ORC round-trip: the second columnar format (built into Spark; no
+    // external package). Bit-exact against the parquet-sourced oracle —
+    // same columnar guarantees, different container.
+    "source_orc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+      docs.write.mode("overwrite").orc(path)
+      s.read.schema(docs.schema).orc(path)
+        .orderBy("doc_id")
+    }),
+
     // Semantic dedup end-to-end: embedding-cosine near-dup pairs →
     // connected components → per-cluster size and a keep/drop verdict
     // (keep = the minimum-id member, which IS the component label).
@@ -2204,6 +2215,10 @@ object SparkEntry {
         | ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "source_csv" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "source_orc" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         | ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
