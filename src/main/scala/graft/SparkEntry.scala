@@ -1158,6 +1158,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Schema evolution: files written before a column existed read as
+    // NULL for it under mergeSchema — the lake contract that lets a
+    // 100 TB table add columns without rewriting history.
+    "source_evolution" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = java.nio.file.Files.createTempDirectory("graft_evo_").toString
+      docs.where(col("doc_id") % 2 === 0)
+        .select("doc_id", "text", "source", "n_chars") // v1: pre-`lang` era
+        .write.mode("overwrite").parquet(s"$path/v1")
+      docs.where(col("doc_id") % 2 === 1)              // v2: full schema
+        .write.mode("overwrite").parquet(s"$path/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$path/v1", s"$path/v2")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // ORC round-trip: the second columnar format (built into Spark; no
     // external package). Bit-exact against the parquet-sourced oracle —
     // same columnar guarantees, different container.
@@ -2221,6 +2237,12 @@ object SparkEntry {
     "source_orc" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "source_evolution" ->
+      """SELECT doc_id, text,
+        |        CASE WHEN doc_id % 2 = 1 THEN lang ELSE NULL END AS lang,
+        |        source, n_chars
+        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "embed_clusters" ->
       s"""WITH RECURSIVE pairs AS (
