@@ -389,6 +389,16 @@ object SparkEntry {
         .withColumnRenamed("item", "term")
     }),
 
+    // Global ranking at scale: range partition → LOCAL windows → offset
+    // join over a parts-row count table — never the single-partition
+    // global window (the demo plan that dies at 100 TB).
+    "q41_global_rank" -> ((s, dir) =>
+      graft.ops.Rank.globalRowNumber(
+          t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+          Seq(col("o_totalprice"), col("o_orderkey")))
+        .select("o_orderkey", "rn")
+        .orderBy("o_orderkey")),
+
     // ---- snapshot lifecycle: diff / SCD2 history / CDC compaction ----
 
     // What changed between two snapshots: full-outer key join, null-safe
@@ -1619,6 +1629,11 @@ object SparkEntry {
         | n AS (SELECT count(*)::BIGINT AS n FROM tok WHERE term <> '')
         | SELECT term, cnt FROM tt, n WHERE cnt * 51 > n
         | ORDER BY cnt DESC, term""".stripMargin.replace("\n", " "),
+
+    "q41_global_rank" ->
+      """SELECT o_orderkey,
+        |        row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+        | FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
 
     "table_diff" ->
       """WITH a AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders

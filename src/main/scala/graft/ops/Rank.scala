@@ -66,4 +66,40 @@ object Rank {
           round(col("score"), 4).as("score")),
       tf)
   }
+
+  /** Global row numbers WITHOUT the single-partition window trap: an
+    * un-partitioned `row_number().over(Window.orderBy(...))` moves every
+    * row of the table into ONE task — the classic plan that works in a
+    * demo and dies at 100 TB. Here the data range-partitions on the sort
+    * key (a real range exchange, parallel at any size), each partition
+    * windows LOCALLY (partitioned by partition id), and a tiny
+    * per-partition count table — at most `parts` rows — turns local
+    * ranks into global ones via cumulative offsets and a broadcast join.
+    *
+    * `sortCols` must be a total order (include a unique tiebreaker).
+    * The range-partitioned frame materializes once (checkpoint/persist
+    * via [[Iterate.materialize]]) because the partition boundaries are
+    * sampled per execution — the count pass and the rank pass MUST see
+    * the same physical partitioning, and two independent executions of
+    * a range exchange need not agree. Result frame carries `rn`; caller
+    * releases nothing (the materialized input is dropped with the
+    * returned frame's lineage on session cleanup).
+    */
+  def globalRowNumber(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
+                      parts: Int = 32): DataFrame = {
+    val ranged = Iterate.materialize(
+      df.repartitionByRange(parts, sortCols: _*)
+        .withColumn("_pid", spark_partition_id())).df
+    val offsets = ranged.groupBy("_pid").agg(count(lit(1)).as("_c"))
+      .withColumn("_offset",
+        coalesce(sum("_c").over(Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_pid", "_offset")
+    val localW = Window.partitionBy("_pid").orderBy(sortCols: _*)
+    ranged
+      .withColumn("_local", row_number().over(localW))
+      .join(broadcast(offsets), "_pid")
+      .withColumn("rn", col("_offset") + col("_local"))
+      .drop("_pid", "_local", "_offset")
+  }
 }

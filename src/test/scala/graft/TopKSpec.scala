@@ -72,4 +72,18 @@ class TopKSpec extends SparkSpec {
     TopK.frequentItems(df, "w", 10).count()
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  test("globalRowNumber matches the single-window reference at any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = (1 to 5000).map(i => ((i * 7919) % 1000, i.toLong)) // dup sort keys
+    val expected = rows.sortBy(r => (r._1, r._2)).zipWithIndex
+      .map { case ((_, id), idx) => (id, idx + 1L) }.toMap
+    for (parts <- Seq(1, 7)) {
+      val df = spark.sparkContext.parallelize(rows, parts).toDF("v", "id")
+      val got = graft.ops.Rank.globalRowNumber(df, Seq(col("v"), col("id")), parts = 5)
+        .select("id", "rn").as[(Long, Long)].collect().toMap
+      assert(got === expected, s"input parts=$parts")
+    }
+  }
 }
