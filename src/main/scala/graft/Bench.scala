@@ -57,13 +57,13 @@ object Bench {
     val ctlMax = results.map(_._3).max
     // The driver captures only the last ~3KB of output; with 80+ queries the
     // line must stay well under that (r3 and r4 both tripped this). Queries
-    // at 10ms resolution, steal map capped at the 8 worst — the full
+    // at 10ms resolution, steal map capped at the 5 worst — the full
     // per-query control series goes to stderr instead.
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + cs(v) }
       .mkString("{", ",", "}")
     val stolen = results.collect { case (k, _, c) if c > 2 * ctlMin => (k, c) }
     stolen.foreach { case (k, c) => System.err.println(s"[bench] steal $k control=${ms(c)}") }
-    val steal = stolen.sortBy(-_._2).take(8).map { case (k, c) => "\"" + k + "\":" + cs(c) }
+    val steal = stolen.sortBy(-_._2).take(5).map { case (k, c) => "\"" + k + "\":" + cs(c) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +

@@ -399,6 +399,23 @@ object SparkEntry {
         .select("o_orderkey", "rn")
         .orderBy("o_orderkey")),
 
+    // Equi-depth histogram riding on the scalable global rank: bucket =
+    // (rn−1)·k div n — pure integer arithmetic on exact ranks, no
+    // interpolated percentiles (which diverge across engines, NOTES.md
+    // fact 2).
+    "profile_equidepth" -> ((s, dir) => {
+      val ranked = graft.ops.Rank.globalRowNumber(
+        t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+        Seq(col("o_totalprice"), col("o_orderkey")))
+      val n = ranked.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(n))
+        .withColumn("bucket", expr("(rn - 1) * 10 div n + 1"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"), min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"))
+        .orderBy("bucket")
+    }),
+
     // ---- snapshot lifecycle: diff / SCD2 history / CDC compaction ----
 
     // What changed between two snapshots: full-outer key join, null-safe
@@ -1634,6 +1651,14 @@ object SparkEntry {
       """SELECT o_orderkey,
         |        row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
         | FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
+
+    "profile_equidepth" ->
+      """WITH r AS (SELECT o_totalprice,
+        |             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+        |             count(*) OVER () AS n FROM orders)
+        | SELECT ((rn - 1) * 10 // n + 1)::BIGINT AS bucket, count(*) AS cnt,
+        |        min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        | FROM r GROUP BY 1 ORDER BY bucket""".stripMargin.replace("\n", " "),
 
     "table_diff" ->
       """WITH a AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
