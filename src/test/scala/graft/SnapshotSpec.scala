@@ -60,6 +60,35 @@ class SnapshotSpec extends SparkSpec {
     assert(out === Map(1L -> "b", 2L -> "d")) // id 11 beats 10 at equal ts
   }
 
+  test("diff is a faithful delta: applying it to A reconstructs B") {
+    val rnd = new scala.util.Random(23)
+    for (_ <- 1 to 3) {
+      val a = (1 to 200).filter(_ => rnd.nextBoolean())
+        .map(k => (k.toLong, rnd.nextInt(5), rnd.nextBoolean().toString))
+      val b = (1 to 200).filter(_ => rnd.nextBoolean())
+        .map(k => (k.toLong, rnd.nextInt(5), rnd.nextBoolean().toString))
+      val d = Snapshot.diff(a.toDF("k", "v", "s"), b.toDF("k", "v", "s"),
+          Seq("k"), Seq("v", "s"))
+        .collect().map(r => (r.getLong(0), r.getString(5))).toMap
+      // reconstruct B's key set and rows from A + the delta verdicts
+      val aMap = a.map(r => r._1 -> r).toMap
+      val bMap = b.map(r => r._1 -> r).toMap
+      val rebuilt = (aMap.keySet ++ bMap.keySet).flatMap { k =>
+        d(k) match {
+          case "removed"   => None
+          case "unchanged" => Some(aMap(k))
+          case _           => Some(bMap(k)) // added / changed take B's row
+        }
+      }
+      assert(rebuilt === bMap.values.toSet)
+      // and diff(x, x) reports every key unchanged
+      val self = Snapshot.diff(a.toDF("k", "v", "s"), a.toDF("k", "v", "s"),
+          Seq("k"), Seq("v", "s"))
+        .where(col("status") =!= "unchanged").count()
+      assert(self === 0L)
+    }
+  }
+
   test("saltedJoin equals the plain join") {
     val fact = (1 to 3000).map(i => (s"k${i % 3}", i.toLong)).toDF("key", "v")
     val dim = Seq(("k0", "zero"), ("k1", "one"), ("k2", "two")).toDF("key", "label")
