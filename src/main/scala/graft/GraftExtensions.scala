@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Md5Long, NormalizeLabelExpr, NormalizeSingularExpr, NtUnescape, ParseNt, RollingHash, VecDot, VecSignBits, WordSetHits, WordShingles}
+import graft.functions.{BloomMightContain, Md5Long, NormalizeLabelExpr, NormalizeSingularExpr, NtUnescape, ParseNt, RollingHash, VecDot, VecSignBits, WordSetHits, WordShingles}
 
 /** Injectable extensions: makes the engine's native expressions available
   * in ANY session via `spark.sql.extensions=graft.GraftExtensions` (e.g.
@@ -57,5 +57,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("word_set_hits"),
       info("word_set_hits", "word_set_hits(text, csv) - count whitespace tokens present in the csv word set"),
       (exprs: Seq[Expression]) => WordSetHits(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain",
+        "bloom_might_contain(bits, h1, h2, k) - k-probe Bloom bit test over an ARRAY<BIGINT>"),
+      (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1), exprs(2), exprs(3))))
+    // analysis-time scale guardrail (opt-in via spark.graft.forbidGlobalWindows)
+    ext.injectCheckRule(s => graft.plans.GlobalWindowCheck(s))
   }
 }
