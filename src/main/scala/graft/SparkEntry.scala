@@ -821,6 +821,30 @@ object SparkEntry {
         .select("doc_id", "n_chars")
         .orderBy("doc_id")),
 
+    // Temperature-based source mixing (α = 0.5): per-source keep rate
+    // ∝ sqrt(n_min/n_s) — tail domains keep everything, head domains
+    // downsample, the standard anti-domination mix step. All arithmetic
+    // is IEEE-exact (÷, sqrt, ×, floor on integer-derived doubles), so
+    // the rates are engine-identical; selection is the usual hash gate.
+    "sample_temperature" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val minN = counts.agg(min("n_s").as("n_min"))
+      val rates = counts.crossJoin(broadcast(minN))
+        .withColumn("keep_bp", least(lit(10000L),
+          floor(lit(10000.0) *
+            sqrt(col("n_min").cast("double") / col("n_s").cast("double")))
+            .cast("long")))
+      docs.join(broadcast(rates.select("source", "n_s", "keep_bp")), "source")
+        .where(pmod(graft.ops.Dedup.md5Int(
+            concat(lit("ts:"), col("doc_id").cast("string"))), lit(10000L))
+          < col("keep_bp"))
+        .groupBy("source")
+        .agg(max("n_s").as("n_s"), max("keep_bp").as("keep_bp"),
+          count(lit(1)).as("kept"))
+        .orderBy("source")
+    }),
+
     // Deterministic k-fold: hash-assigned folds, stable at any cluster size.
     "split_kfold" -> ((s, dir) =>
       graft.ops.Sampling.kFold(t(s, dir, "documents"), "doc_id", 5)
@@ -1594,6 +1618,21 @@ object SparkEntry {
         |                + 1)::DOUBLE) / 4294967296.0) / n_chars::DOUBLE AS ekey
         |   FROM documents ORDER BY ekey, doc_id LIMIT 20)
         | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "sample_temperature" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY source),
+        | m AS (SELECT min(n_s)::BIGINT AS n_min FROM c),
+        | r AS (SELECT source, n_s,
+        |        least(10000, floor(10000.0 * sqrt(n_min::DOUBLE / n_s::DOUBLE))::BIGINT)::BIGINT
+        |          AS keep_bp
+        |        FROM c, m),
+        | k AS (SELECT d.source, r.n_s, r.keep_bp
+        |       FROM documents d JOIN r USING (source)
+        |       WHERE ('0x' || substr(md5('ts:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |             % 10000 < r.keep_bp)
+        | SELECT source, max(n_s)::BIGINT AS n_s, max(keep_bp)::BIGINT AS keep_bp,
+        |        count(*) AS kept
+        | FROM k GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
 
     "split_kfold" ->
       """SELECT doc_id,
