@@ -43,6 +43,20 @@ class BloomSpec extends SparkSpec {
     assert(prunedJoin.sameElements(plainJoin))
   }
 
+  test("filter survives a parquet round-trip: build once, prune later") {
+    val keys = (1 to 1000).map(_.toLong).toDF("k")
+    val bloom = Bloom.build(keys, "k", mBits = 1 << 14, k = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    bloom.write.mode("overwrite").parquet(dir)
+    // a later job (different session lifecycle) reads the stored filter
+    val reread = spark.read.parquet(dir)
+    val kept = Bloom.prune(keys, "k", reread, k = 4).count()
+    assert(kept === 1000L) // still zero false negatives
+    val fp = Bloom.prune((500001 to 510000).map(_.toLong).toDF("k"), "k", reread, k = 4)
+      .count().toDouble / 10000
+    assert(fp < 0.01) // and still selective
+  }
+
   test("filter is key-set deterministic: same keys, same bits") {
     val a = Bloom.build((1 to 100).map(_.toLong).toDF("k").repartition(1), "k",
       mBits = 1 << 10, k = 3).as[Seq[Long]].head()
