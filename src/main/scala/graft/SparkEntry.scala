@@ -821,6 +821,40 @@ object SparkEntry {
         .select("doc_id", "n_chars")
         .orderBy("doc_id")),
 
+    // Capstone composition of the round-5 curation ops — a pretraining
+    // data pipeline: quality gate → repetition gate (RELATIVE df: a
+    // gram is boilerplate in ≥0.5% of docs — the absolute minDocs
+    // saturates as the corpus grows) → exact-dedup keep-first →
+    // temperature source mix → per-source token budget. Every stage is
+    // an operator with its own green oracle; this proves they COMPOSE.
+    "pipeline_pretrain" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gated = docs
+        .withColumn("n_tok", size(split(col("text"), " ")))
+        .withColumn("stop_hits", Functions.wordSetHits(col("text"), stopEn))
+        .where(col("n_tok") >= 20 && col("stop_hits") > 0)
+      val keepIds = graft.ops.Quality
+        .dupGramFractionRelative(gated, "text", "doc_id", minPermille = 5)
+        .where(col("keep") === 1).select("doc_id")
+      val clean = gated.join(keepIds, "doc_id")
+      val firstIds = clean.groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      val deduped = clean.join(firstIds, "doc_id")
+      val counts = deduped.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val rates = counts.crossJoin(broadcast(counts.agg(min("n_s").as("n_min"))))
+        .withColumn("keep_bp", least(lit(10000L),
+          floor(lit(10000.0) *
+            sqrt(col("n_min").cast("double") / col("n_s").cast("double")))
+            .cast("long")))
+      deduped.join(broadcast(rates.select("source", "keep_bp")), "source")
+        .where(pmod(graft.ops.Dedup.md5Int(
+            concat(lit("ts:"), col("doc_id").cast("string"))), lit(10000L))
+          < col("keep_bp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+        .orderBy("source")
+    }),
+
     // Temperature-based source mixing (α = 0.5): per-source keep rate
     // ∝ sqrt(n_min/n_s) — tail domains keep everything, head domains
     // downsample, the standard anti-domination mix step. All arithmetic
@@ -1618,6 +1652,39 @@ object SparkEntry {
         |                + 1)::DOUBLE) / 4294967296.0) / n_chars::DOUBLE AS ekey
         |   FROM documents ORDER BY ekey, doc_id LIMIT 20)
         | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "pipeline_pretrain" ->
+      s"""WITH q AS (SELECT doc_id, text, source,
+         |             len(string_split(text, ' ')) AS n_tok,
+         |             len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopEn)})) AS stop_hits
+         |           FROM documents),
+         | g AS (SELECT * FROM q WHERE n_tok >= 20 AND stop_hits > 0),
+         | ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM g),
+         | shl AS (SELECT doc_id,
+         |         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+         |                        for i in range(1, greatest(len(ws) - 1, 1))]) AS shl
+         |         FROM ws),
+         | ex AS (SELECT doc_id, len(shl) AS n_sh,
+         |        ('0x' || substr(md5(unnest(shl)), 1, 15))::BIGINT AS sh FROM shl),
+         | dfq AS (SELECT sh, count(*) AS df FROM ex GROUP BY sh),
+         | nd AS (SELECT count(*) AS nd FROM g),
+         | per AS (SELECT ex.doc_id,
+         |         sum(CASE WHEN df * 1000 >= nd * 5 THEN 1 ELSE 0 END) * 10000 // max(n_sh) AS bp
+         |         FROM ex JOIN dfq USING (sh), nd GROUP BY ex.doc_id),
+         | clean AS (SELECT g.* FROM g LEFT JOIN per USING (doc_id)
+         |           WHERE coalesce(per.bp, 0) <= 8000),
+         | firstids AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)),
+         | dd AS (SELECT c.* FROM clean c JOIN firstids USING (doc_id)),
+         | c2 AS (SELECT source, count(*)::BIGINT AS n_s FROM dd GROUP BY source),
+         | m AS (SELECT min(n_s)::BIGINT AS n_min FROM c2),
+         | r AS (SELECT source,
+         |        least(10000, floor(10000.0 * sqrt(n_min::DOUBLE / n_s::DOUBLE))::BIGINT) AS keep_bp
+         |        FROM c2, m),
+         | k AS (SELECT dd.source, dd.n_tok FROM dd JOIN r USING (source)
+         |       WHERE ('0x' || substr(md5('ts:' || CAST(dd.doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |             % 10000 < r.keep_bp)
+         | SELECT source, count(*) AS n_docs, sum(n_tok)::BIGINT AS tokens
+         | FROM k GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
 
     "sample_temperature" ->
       """WITH c AS (SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY source),

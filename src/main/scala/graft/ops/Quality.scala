@@ -53,6 +53,37 @@ object Quality {
       .withColumn("keep", (col("dup_frac_bp") <= maxBp).cast("int"))
   }
 
+  /** [[dupGramFraction]] with a RELATIVE boilerplate threshold: a gram
+    * counts as duplicated when it appears in at least `minPermille`/1000
+    * of the corpus's documents. Scale-invariant where the absolute
+    * `minDocs` saturates (in any large corpus every common trigram
+    * appears twice somewhere); pure integer comparison
+    * (`df · 1000 ≥ N · minPermille`), so no float threshold to drift.
+    * Same linear topology plus one broadcast one-row corpus count.
+    */
+  def dupGramFractionRelative(df: DataFrame, textCol: String, idCol: String,
+                              k: Int = 3, minPermille: Int = 5,
+                              maxBp: Int = 8000): DataFrame = {
+    val n = df.agg(count(lit(1)).as("_nd"))
+    val sh = Dedup.shingleRows(df, textCol, idCol, k)
+      .select(col(idCol), col("n_sh"), Dedup.md5Int60(col("sh")).as("sh"))
+    val docFreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val perDoc = sh.join(docFreq, "sh").crossJoin(broadcast(n))
+      .groupBy(col(idCol))
+      .agg(max(col("n_sh")).cast("long").as("n_grams"),
+        sum(when(col("df") * 1000 >= col("_nd") * minPermille, 1L).otherwise(0L))
+          .as("dup_grams"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
+      .withColumn("dup_frac_bp",
+        when(col("n_grams") > 0, expr("dup_grams * 10000 div n_grams"))
+          .otherwise(lit(0L)))
+      .withColumn("keep", (col("dup_frac_bp") <= maxBp).cast("int"))
+  }
+
   /** Per-group z-score outliers of an integer-valued column (e.g. length
     * outliers per language — truncation artifacts and concatenation blobs
     * both show up here). Group stats come from INTEGER sums (n, Σx, Σx²),

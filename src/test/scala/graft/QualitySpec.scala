@@ -40,6 +40,26 @@ class QualitySpec extends SparkSpec {
     assert(bad === 0L)
   }
 
+  test("dupGramFractionRelative is scale-invariant under corpus replication") {
+    // duplicating the whole corpus doubles every df AND the doc count, so
+    // the RELATIVE verdicts must not move (the absolute minDocs gate
+    // saturates under exactly this growth — the sf0.1 lesson)
+    val base = (1 to 40).map(i =>
+      (i.toLong, if (i % 4 == 0) "shared boiler plate text here" else s"unique$i u$i v$i w$i x$i"))
+      .toDF("doc_id", "text")
+    val doubled = base.unionByName(
+      base.select((col("doc_id") + 1000L).as("doc_id"), col("text")))
+    val one = graft.ops.Quality.dupGramFractionRelative(base, "text", "doc_id",
+        minPermille = 100)
+      .select("doc_id", "dup_frac_bp").as[(Long, Long)].collect().toMap
+    val two = graft.ops.Quality.dupGramFractionRelative(doubled, "text", "doc_id",
+        minPermille = 100)
+      .select("doc_id", "dup_frac_bp").as[(Long, Long)].collect().toMap
+    one.foreach { case (id, bp) => assert(two(id) === bp, s"doc $id moved") }
+    // and the boilerplate docs are the flagged ones
+    assert(one.filter(_._2 === 10000L).keySet === (1 to 40).filter(_ % 4 == 0).map(_.toLong).toSet)
+  }
+
   test("zScoreOutliers: plants are found, zero-variance groups excluded") {
     val base = (1 to 100).map(i => (i.toLong, "g", 100L + (i % 10))) // tight cluster
     val planted = Seq((1000L, "g", 10000L))                         // far outlier
