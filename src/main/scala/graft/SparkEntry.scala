@@ -1650,7 +1650,7 @@ object SparkEntry {
         |   SELECT doc_id, n_chars,
         |          -ln(((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
         |                + 1)::DOUBLE) / 4294967296.0) / n_chars::DOUBLE AS ekey
-        |   FROM documents ORDER BY ekey, doc_id LIMIT 20)
+        |   FROM documents WHERE n_chars::DOUBLE > 0 ORDER BY ekey, doc_id LIMIT 20)
         | ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "pipeline_pretrain" ->

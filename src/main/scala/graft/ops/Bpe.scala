@@ -19,10 +19,21 @@ import org.apache.spark.sql.functions._
   * keep plans O(1); the per-round `isEmpty` convergence probe on the
   * one-row argmax is the driver's only data contact.
   *
-  * Symbols must be regex-literal-safe (true for alphanumeric corpora +
-  * the `</w>` end-of-word marker — `<`, `/`, `>` are regex literals).
+  * Learned symbols are regex-quoted before being spliced into the merge
+  * pattern (and `\`/`$` escaped in the replacement), so corpora containing
+  * regex metacharacters (`.`, `*`, `(`, `$`, …) merge correctly instead
+  * of mis-merging or throwing PatternSyntaxException.
   */
 object Bpe {
+
+  /** Escape every Java-regex metacharacter in a symbol column so it can be
+    * spliced into a pattern as a literal. */
+  private def rxQuote(c: Column): Column =
+    regexp_replace(c, "([.*+?^$(){}\\[\\]|\\\\])", "\\\\$1")
+
+  /** Escape `\` and `$` (special in Java replacement strings). */
+  private def replQuote(c: Column): Column =
+    regexp_replace(c, "([\\\\$])", "\\\\$1")
 
   /** Learn up to `numMerges` merge rules. Output: `(rank, left, right,
     * pair_freq)`, rank-ordered — merge r was the most frequent adjacent
@@ -60,8 +71,9 @@ object Bpe {
         tops = mt :: tops
         val merged = words.df.crossJoin(broadcast(mt.df))
           .select(regexp_replace(col("syms"),
-            concat(lit("(?<=^| )"), col("left"), lit(" "), col("right"), lit("(?=$| )")),
-            concat(col("left"), col("right"))).as("syms"),
+            concat(lit("(?<=^| )"), rxQuote(col("left")), lit(" "),
+              rxQuote(col("right")), lit("(?=$| )")),
+            concat(replQuote(col("left")), replQuote(col("right")))).as("syms"),
             col("freq"))
         val next = Iterate.materialize(merged)
         words.release()

@@ -28,13 +28,18 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 10, damping: Double = 0.85): DataFrame = {
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
+    val raw = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val e = raw
       .where(col("src") =!= col("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
+    // node set from the RAW edge list: a node whose only incident edge is a
+    // self-loop still exists (it becomes dangling and keeps receiving
+    // (1-d)/n + d*dmass/n) — deriving nodes after the self-loop filter
+    // would silently drop it from the output
+    val nodes = raw.select(col("src").as("node"))
+      .union(raw.select(col("dst").as("node")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
@@ -93,7 +98,11 @@ object Graph {
       .where(col("src") =!= col("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node")).distinct()
+    // node set from RAW edges (before the self-loop filter): a node whose
+    // only incident edges are self-loops has no neighbors but must still
+    // appear in the output with its own label, not vanish
+    val nodes = dir1.select(col("src").as("node"))
+      .unionAll(dir1.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = Iterate.materialize(nodes.withColumn("label", col("node")))
     var i = 0
@@ -105,7 +114,11 @@ object Graph {
         .groupBy(col("src"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
         .select(col("src").as("node"), (-col("m.nl")).as("label"))
-      val next = Iterate.materialize(best)
+      // isolated nodes (no non-self-loop neighbors) keep their own label
+      val complete = nodes
+        .join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+      val next = Iterate.materialize(complete)
       labels.release()
       labels = next
       i += 1

@@ -105,7 +105,11 @@ object Quality {
     val stats = df.groupBy(col(grpCol)).agg(
       count(lit(1)).cast("double").as("_n"),
       sum(col(valCol)).cast("double").as("_s"),
-      sum(col(valCol) * col(valCol)).cast("double").as("_ss"))
+      // widen BEFORE multiplying: int32 squares overflow silently (non-ANSI
+      // wrap) at |x| >= 46341; the int64 contract above assumes the product
+      // itself is computed in long arithmetic
+      sum(col(valCol).cast("long") * col(valCol).cast("long"))
+        .cast("double").as("_ss"))
     val mean = col("_s") / col("_n")
     val variance = col("_ss") / col("_n") - mean * mean
     df.join(broadcast(stats), grpCol)

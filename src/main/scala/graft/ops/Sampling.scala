@@ -53,7 +53,12 @@ object Sampling {
                      k: Int): DataFrame = {
     val u = (Dedup.md5Int(concat(lit("ws:"), col(keyCol).cast("string"))) + lit(1L))
       .cast("double") / lit(4294967296.0)
-    df.withColumn("_ekey", -log(u) / col(weightCol).cast("double"))
+    // Efraimidis-Spirakis assumes w > 0: w < 0 flips the key's sign (those
+    // rows would sort FIRST), w = 0 can yield 0/0 = NaN. Rows with
+    // non-positive weight have zero inclusion probability by definition —
+    // enforce that, don't corrupt the race.
+    df.where(col(weightCol).cast("double") > 0)
+      .withColumn("_ekey", -log(u) / col(weightCol).cast("double"))
       .orderBy(col("_ekey"), col(keyCol))
       .limit(k)
       .drop("_ekey")

@@ -44,8 +44,11 @@ object Skew {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, keyCol: String,
                  saltSource: Column, numSalts: Int = 16): DataFrame = {
+    // NULL saltSource must not become a NULL _salt (the inner join on
+    // (key, _salt) would silently drop the row, breaking the "exactly the
+    // plain join" contract) — default null salts deterministically to 0
     val salted = fact.withColumn("_salt",
-      pmod(Dedup.md5Int(saltSource.cast("string")), lit(numSalts)))
+      pmod(coalesce(Dedup.md5Int(saltSource.cast("string")), lit(0L)), lit(numSalts)))
     val replicated = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(numSalts - 1))))
     salted.join(replicated, Seq(keyCol, "_salt")).drop("_salt")

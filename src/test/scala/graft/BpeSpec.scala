@@ -36,6 +36,28 @@ class BpeSpec extends SparkSpec {
     assert(merges.length === 2)
   }
 
+  test("learnMerges is regex-metacharacter-safe") {
+    // '.' in the pattern position would match ANY char unquoted; '$' and
+    // '\' in the replacement position would throw or drop chars unquoted
+    val corpus = (Seq.fill(5)("a.b") ++ Seq.fill(3)("$$x")).mkString(" ")
+    val merges = Bpe.learnMerges(Seq(corpus).toDF("text"), "text", 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // "a . b </w>" fully merges in 3 rounds, then "$ $ x </w>" in 3 more
+    assert(merges.length === 6, merges.mkString(", "))
+    assert((merges(0)._2, merges(0)._3, merges(0)._4) === ((".", "b", 5L)))
+    assert((merges(3)._2, merges(3)._3, merges(3)._4) === (("$", "$", 3L)))
+  }
+
+  test("learnMerges quotes backslashes in pattern and replacement") {
+    val corpus = Seq.fill(4)("a\\b").mkString(" ")
+    val merges = Bpe.learnMerges(Seq(corpus).toDF("text"), "text", 10)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    // "a \ b </w>" fully merges in 3 rounds, backslash intact throughout
+    assert(merges.length === 3, merges.mkString(", "))
+    assert(merges(0) === (("\\", "b")))
+    assert(merges(2) === (("a", "\\b</w>")))
+  }
+
   test("encode applies merges greedily and never crosses word boundaries") {
     val corpus = Seq.fill(4)("abab").mkString(" ") + " " + Seq.fill(2)("ab").mkString(" ")
     val mergesDf = Bpe.learnMerges(Seq(corpus).toDF("text"), "text", 2)

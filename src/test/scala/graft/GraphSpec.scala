@@ -92,6 +92,18 @@ class GraphSpec extends SparkSpec {
     assert(left !== right)
   }
 
+  test("self-loop-only nodes survive: LPA keeps own label, PageRank sees dangling") {
+    // node 9's only incident edge is a self-loop — it must appear in both
+    // outputs (own label / dangling rank), not silently vanish
+    val edges = Seq((1L, 2L), (2L, 1L), (9L, 9L))
+    val l = lpa(edges, 5)
+    assert(l.keySet === Set(1L, 2L, 9L))
+    assert(l(9L) === 9L)
+    val pr = run(edges, 15)
+    assert(pr.keySet === Set(1L, 2L, 9L))
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, s"mass drifted: $pr")
+  }
+
   test("labelPropagation is deterministic across partitionings") {
     val rnd = new Random(11)
     val edges = (1 to 150).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))

@@ -69,6 +69,17 @@ class QualitySpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("id")).toSet === Set(1000L))
   }
 
+  test("zScoreOutliers: int32 value columns with large values don't overflow") {
+    // 50000² > Int.MaxValue: without widening before the multiply, the
+    // per-row square wraps (non-ANSI) and the variance is garbage
+    val base = (1 to 100).map(i => (i.toLong, "g", 50000 + (i % 10))) // Int col
+    val planted = Seq((1000L, "g", 90000))
+    val df = (base ++ planted).toDF("id", "grp", "v")
+    assert(df.schema("v").dataType.typeName === "integer")
+    val out = Quality.zScoreOutliers(df, "v", "grp", 2.0).collect()
+    assert(out.map(_.getAs[Long]("id")).toSet === Set(1000L))
+  }
+
   test("zScoreOutliers: result independent of partitioning") {
     val df = (1 to 500).map(i => (i.toLong, s"g${i % 3}", (i * 37 % 211).toLong))
       .toDF("id", "grp", "v")
@@ -77,6 +88,17 @@ class QualitySpec extends SparkSpec {
     val b = Quality.zScoreOutliers(df.repartition(13), "v", "grp", 1.0)
       .select("id").as[Long].collect().sorted
     assert(a.sameElements(b))
+  }
+
+  test("weightedSample: non-positive weights are never selected") {
+    // w < 0 would flip the race key's sign (sorting FIRST); w = 0 can be
+    // NaN — both must have zero inclusion probability instead
+    val df = ((1 to 50).map(i => (i.toLong, i.toLong)) ++
+      Seq((100L, 0L), (101L, -5L))).toDF("id", "w")
+    val picked = Sampling.weightedSample(df, "id", "w", 10)
+      .select("id").as[Long].collect().toSet
+    assert(!picked.contains(100L) && !picked.contains(101L))
+    assert(picked.size === 10)
   }
 
   test("kFold: stable assignment, all folds in range, roughly balanced") {

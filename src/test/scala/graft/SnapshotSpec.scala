@@ -98,4 +98,16 @@ class SnapshotSpec extends SparkSpec {
       .orderBy("v").select("key", "v", "label").as[(String, Long, String)].collect()
     assert(salted.sameElements(plain))
   }
+
+  test("saltedJoin keeps rows whose salt source is NULL") {
+    // a NULL salt source must default deterministically, not produce a NULL
+    // _salt that the inner join silently drops
+    val fact = Seq(("k0", Option(1L)), ("k0", Option.empty[Long]),
+      ("k1", Option(2L)), ("k1", Option.empty[Long])).toDF("key", "v")
+    val dim = Seq(("k0", "zero"), ("k1", "one")).toDF("key", "label")
+    val salted = Skew.saltedJoin(fact, dim, "key", col("v"), numSalts = 8)
+    val plain = fact.join(dim, "key")
+    assert(salted.count() === plain.count())
+    assert(salted.where(col("v").isNull).count() === 2L)
+  }
 }
