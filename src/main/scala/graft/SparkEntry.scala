@@ -489,9 +489,49 @@ object SparkEntry {
       graft.ops.Graph.triangleCount(e, "src", "dst")
     }),
 
-    // BPE vocabulary induction. No oracle: merge r+1 depends on merge r
-    // (a sequential recurrence SQL cannot express) → driver records the
-    // rows-only check; BpeSpec pins the classic golden corpus instead.
+    // Damped PageRank over the nation trade graph (customer nation →
+    // supplier nation, deduped): 25 nodes, so 3 unrolled rounds are
+    // cheap in the oracle and the float story is safe — both engines
+    // evaluate the same IEEE expression shapes on the same integer-
+    // derived doubles, the only divergence is sum order (~1e-15).
+    // Output is rank·1e8 rounded to a BIGINT: integer repr is exact
+    // cross-engine (a double `round(x, 8)` is not — Spark rounds via
+    // BigDecimal, DuckDB via multiply/divide, off-by-one-ulp hazard).
+    "graph_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val e = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      graft.ops.Graph.pageRank(e, "src", "dst", iterations = 3)
+        .select(col("node"), round(col("rank") * lit(1e8)).cast("long").as("rank_e8"))
+        .orderBy("node")
+    }),
+
+    // Synchronous label propagation on the parts-co-ordered graph
+    // (3 rounds, deterministic smallest-label tie-break): labels are
+    // integers, so the recurrence is EXACT on both engines — the oracle
+    // unrolls the three rounds as chained CTEs.
+    "graph_labelprop" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(col("l_linenumber") <= 4)
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      val e = li.as("a").join(li.as("b"), Seq("k"))
+        .where(col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      graft.ops.Graph.labelPropagation(e, "src", "dst", iterations = 3)
+        .orderBy("node")
+    }),
+
+    // BPE vocabulary induction. The merge recurrence is sequential
+    // (merge r+1's pair counts depend on merge r), which recursive SQL
+    // can't express — but a FIXED merge count unrolls into 10 chained
+    // CTE stages (pair-count + argmax + double-gap literal replace per
+    // stage), so the oracle is a full value check; BpeSpec additionally
+    // pins the classic golden corpus.
     "bpe_merges" -> ((s, dir) =>
       graft.ops.Bpe.learnMerges(t(s, dir, "documents"), "text", 10)),
 
@@ -1480,6 +1520,44 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- oracles
 
+  /** 10 BPE merge rounds unrolled as chained DuckDB CTE stages (the merge
+    * recurrence is sequential, so recursive SQL can't express it — but a
+    * fixed round count needs no recursion). Each stage re-derives pair
+    * counts from the current word-frequency table, takes the argmax
+    * (count desc, then lexicographic), and applies the merge via the same
+    * double-gap literal replace `text_bpe_apply` uses — greedy
+    * left-to-right non-overlapping, exactly one engine regex pass.
+    */
+  private lazy val bpeMergesOracle: String = {
+    def stage(r: Int): String = {
+      val p = r - 1
+      s""" c$r AS (SELECT z[1] AS l, z[2] AS r, sum(freq)::BIGINT AS pf FROM (
+         |        SELECT freq, unnest(list_zip(arr[1:len(arr)-1], arr[2:len(arr)])) AS z
+         |        FROM (SELECT string_split(syms, ' ') AS arr, freq FROM w$p)
+         |        WHERE len(arr) >= 2)
+         |      GROUP BY 1, 2),
+         | t$r AS (SELECT l, r, pf FROM c$r ORDER BY pf DESC, l, r LIMIT 1),
+         | w$r AS (SELECT trim(replace(
+         |           replace(' ' || replace(w$p.syms, ' ', '  ') || ' ',
+         |                   ' ' || t$r.l || '  ' || t$r.r || ' ',
+         |                   ' ' || t$r.l || t$r.r || ' '),
+         |           '  ', ' ')) AS syms, w$p.freq
+         |         FROM w$p CROSS JOIN t$r),""".stripMargin
+    }
+    val tail = (1 to 10)
+      .map(r => s"""SELECT $r AS "rank", l AS "left", r AS "right", pf AS pair_freq FROM t$r""")
+      .mkString(" UNION ALL ")
+    ("""WITH w0 AS (
+       |  SELECT array_to_string(list_filter(string_split(w, ''), x -> x <> ''), ' ')
+       |           || ' </w>' AS syms,
+       |         count(*) AS freq
+       |  FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+       |        FROM documents)
+       |  GROUP BY 1),""".stripMargin +
+      (1 to 10).map(stage).mkString.stripSuffix(",") +
+      s""" SELECT * FROM ($tail) ORDER BY "rank"""").replace("\n", " ")
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "q1_filter_project" ->
@@ -1839,6 +1917,86 @@ object SparkEntry {
         | SELECT n_nodes, n_edges, n_triangles FROM nodes, edges, tri
         | ORDER BY n_nodes""".stripMargin.replace("\n", " "),
 
+    // 3 PageRank rounds unrolled as chained CTEs; expression shapes
+    // mirror Graph.pageRank term by term ((1.0-0.85)/n, NOT 0.15/n —
+    // IEEE 1.0-0.85 != 0.15 exactly).
+    "graph_pagerank" ->
+      """WITH raw AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+        |             FROM lineitem l
+        |             JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |             JOIN customer c ON o.o_custkey = c.c_custkey
+        |             JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        | e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        | nodes AS (SELECT src AS node FROM raw UNION SELECT dst FROM raw),
+        | nn AS (SELECT count(*) AS n FROM nodes),
+        | deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        | r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
+        | d1 AS (SELECT coalesce(sum(r.rank), 0.0) AS dmass FROM r0 r
+        |        LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL),
+        | i1 AS (SELECT e.dst, sum(r.rank / deg.deg) AS inbound
+        |        FROM r0 r JOIN deg ON r.node = deg.src JOIN e ON e.src = r.node
+        |        GROUP BY e.dst),
+        | r1 AS (SELECT nodes.node, (1.0 - 0.85) / nn.n
+        |          + 0.85 * (coalesce(i1.inbound, 0.0) + d1.dmass / nn.n) AS rank
+        |        FROM nodes CROSS JOIN nn CROSS JOIN d1
+        |        LEFT JOIN i1 ON nodes.node = i1.dst),
+        | d2 AS (SELECT coalesce(sum(r.rank), 0.0) AS dmass FROM r1 r
+        |        LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL),
+        | i2 AS (SELECT e.dst, sum(r.rank / deg.deg) AS inbound
+        |        FROM r1 r JOIN deg ON r.node = deg.src JOIN e ON e.src = r.node
+        |        GROUP BY e.dst),
+        | r2 AS (SELECT nodes.node, (1.0 - 0.85) / nn.n
+        |          + 0.85 * (coalesce(i2.inbound, 0.0) + d2.dmass / nn.n) AS rank
+        |        FROM nodes CROSS JOIN nn CROSS JOIN d2
+        |        LEFT JOIN i2 ON nodes.node = i2.dst),
+        | d3 AS (SELECT coalesce(sum(r.rank), 0.0) AS dmass FROM r2 r
+        |        LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL),
+        | i3 AS (SELECT e.dst, sum(r.rank / deg.deg) AS inbound
+        |        FROM r2 r JOIN deg ON r.node = deg.src JOIN e ON e.src = r.node
+        |        GROUP BY e.dst),
+        | r3 AS (SELECT nodes.node, (1.0 - 0.85) / nn.n
+        |          + 0.85 * (coalesce(i3.inbound, 0.0) + d3.dmass / nn.n) AS rank
+        |        FROM nodes CROSS JOIN nn CROSS JOIN d3
+        |        LEFT JOIN i3 ON nodes.node = i3.dst)
+        | SELECT node::BIGINT AS node, round(rank * 1e8)::BIGINT AS rank_e8
+        | FROM r3 ORDER BY node""".stripMargin.replace("\n", " "),
+
+    // 3 synchronous LPA rounds unrolled; integer labels → exact
+    // recurrence; tie-break = highest count then smallest label,
+    // isolated nodes keep their own label each round.
+    "graph_labelprop" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_linenumber <= 4),
+        | d AS (SELECT a.l_partkey AS src, b.l_partkey AS dst FROM li a JOIN li b
+        |       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        | e AS (SELECT DISTINCT src, dst FROM
+        |         (SELECT src, dst FROM d UNION ALL SELECT dst AS src, src AS dst FROM d)
+        |       WHERE src <> dst),
+        | nodes AS (SELECT src AS node FROM d UNION SELECT dst FROM d),
+        | l0 AS (SELECT node, node AS label FROM nodes),
+        | c1 AS (SELECT e.src AS node, l.label, count(*) AS cnt
+        |        FROM e JOIN l0 l ON e.dst = l.node GROUP BY e.src, l.label),
+        | b1 AS (SELECT node, label FROM (SELECT node, label,
+        |          row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+        |        FROM c1) WHERE rn = 1),
+        | l1 AS (SELECT nodes.node, coalesce(b1.label, nodes.node) AS label
+        |        FROM nodes LEFT JOIN b1 ON nodes.node = b1.node),
+        | c2 AS (SELECT e.src AS node, l.label, count(*) AS cnt
+        |        FROM e JOIN l1 l ON e.dst = l.node GROUP BY e.src, l.label),
+        | b2 AS (SELECT node, label FROM (SELECT node, label,
+        |          row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+        |        FROM c2) WHERE rn = 1),
+        | l2 AS (SELECT nodes.node, coalesce(b2.label, nodes.node) AS label
+        |        FROM nodes LEFT JOIN b2 ON nodes.node = b2.node),
+        | c3 AS (SELECT e.src AS node, l.label, count(*) AS cnt
+        |        FROM e JOIN l2 l ON e.dst = l.node GROUP BY e.src, l.label),
+        | b3 AS (SELECT node, label FROM (SELECT node, label,
+        |          row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+        |        FROM c3) WHERE rn = 1),
+        | l3 AS (SELECT nodes.node, coalesce(b3.label, nodes.node) AS label
+        |        FROM nodes LEFT JOIN b3 ON nodes.node = b3.node)
+        | SELECT node::BIGINT AS node, label::BIGINT AS label
+        | FROM l3 ORDER BY node""".stripMargin.replace("\n", " "),
+
     "text_bpe_apply" ->
       """WITH w AS (SELECT doc_id,
         |         list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
@@ -1860,6 +2018,8 @@ object SparkEntry {
         |        len(string_split(replace(bpe_syms, chr(31), ' '), ' '))::INT AS n_bpe_tokens,
         |        bpe_syms
         | FROM fin ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "bpe_merges" -> bpeMergesOracle,
 
     "text_entropy" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

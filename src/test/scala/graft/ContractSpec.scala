@@ -8,14 +8,14 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ContractSpec extends AnyFunSuite with SparkSpec {
 
-  /** Queries whose semantics one SQL statement cannot express — BPE's
-    * merge r+1 depends on merge r (a sequential recurrence; recursive
-    * CTEs cannot re-aggregate per step). The driver records its
-    * documented rows-only check; BpeSpec pins golden merges. Additions
-    * here need the same two-part justification, or they silently weaken
-    * the gate.
+  /** Queries whose semantics one SQL statement cannot express. EMPTY as
+    * of round 6 — even bpe_merges' sequential merge recurrence unrolls
+    * into 10 chained CTE stages (recursive CTEs can't re-aggregate per
+    * step, but a FIXED merge count needs no recursion). Additions here
+    * need a written justification in the query's scaladoc plus a golden
+    * spec, or they silently weaken the gate.
     */
-  private val rowsOnlyByDesign = Set("bpe_merges")
+  private val rowsOnlyByDesign = Set.empty[String]
 
   test("every query has a DuckDB oracle (or a justified rows-only entry)") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
