@@ -4,7 +4,6 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Frequent-items (heavy hitters) over an item column — the two-pass
   * exact pattern a 100 TB profile job actually runs:
@@ -15,15 +14,22 @@ import org.apache.spark.storage.StorageLevel
   *      n_p/(k+1) in at least one partition, so the union of the
   *      per-partition candidate sets is a LOSSLESS superset of the global
   *      heavy hitters. The union is bounded by k × partitions rows —
-  *      broadcastable no matter how large n is.
-  *   2. *Exact pass*: semi-join the items against the broadcast candidate
-  *      set (narrow again — no shuffle of non-candidate rows), then one
-  *      hash aggregation over candidate rows only, filtered by the
-  *      threshold `cnt·(k+1) > n` in exact integer arithmetic.
+  *      broadcastable no matter how large n is. The same pass carries each
+  *      partition's exact row count out as a marker row, so the total `n`
+  *      for the threshold costs no extra scan.
+  *   2. *Exact pass*: re-scan the columnar source, semi-join against the
+  *      broadcast candidate set (narrow — no shuffle of non-candidate
+  *      rows), then one hash aggregation over candidate rows only,
+  *      filtered by the threshold `cnt·(k+1) > n` in exact integer
+  *      arithmetic.
   *
   * The result is EXACT (items and counts), not approximate: the sketch
   * only prunes the candidate space. One wide shuffle total, sized by the
-  * candidate row count, never by n.
+  * candidate row count, never by n — and NOTHING corpus-sized is ever
+  * persisted: the only materialized intermediate is the k×partitions
+  * sketch output (two cheap scans of the source instead of one cached
+  * scan, which at 100 TB is the right trade — a cache of the exploded
+  * token stream is O(corpus)).
   */
 object TopK {
 
@@ -46,25 +52,32 @@ object TopK {
     }
   }
 
-  /** Misra-Gries summary of one iterator: at most `k` surviving keys. */
-  private[graft] def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+  /** Misra-Gries summary of one iterator: at most `k` surviving candidate
+    * rows `(item, 0)`, plus ONE `(null, partitionCount)` marker row
+    * carrying the partition's exact row count (summed downstream into the
+    * global `n` — no separate counting scan).
+    */
+  private[graft] def misraGries(it: Iterator[String], k: Int): Iterator[(String, Long)] = {
     val counters = mutable.HashMap.empty[String, Long]
-    it.foreach(offer(counters, _, k))
-    counters.keysIterator.toList.iterator
+    var n = 0L
+    it.foreach { item => n += 1L; offer(counters, item, k) }
+    counters.keysIterator.map((_, 0L)).toList.iterator ++ Iterator((null, n))
   }
 
   /** Per-group Misra-Gries over (group, item) pairs: one MG(k) sketch per
-    * group present in the partition. State is k counters × groups seen in
-    * this partition.
+    * group present in the partition, plus one `(grp, null, count)` marker
+    * row per group carrying this partition's exact per-group row count.
     */
   private[graft] def misraGriesByGroup(it: Iterator[(String, String)], k: Int)
-      : Iterator[(String, String)] = {
+      : Iterator[(String, String, Long)] = {
     val sketches = mutable.HashMap.empty[String, mutable.HashMap[String, Long]]
+    val counts = mutable.HashMap.empty[String, Long]
     it.foreach { case (grp, item) =>
+      counts(grp) = counts.getOrElse(grp, 0L) + 1L
       offer(sketches.getOrElseUpdate(grp, mutable.HashMap.empty), item, k)
     }
-    sketches.iterator.flatMap { case (grp, cs) => cs.keysIterator.map((grp, _)) }
-      .toList.iterator
+    (sketches.iterator.flatMap { case (grp, cs) => cs.keysIterator.map((grp, _, 0L)) } ++
+      counts.iterator.map { case (grp, n) => (grp, null, n) }).toList.iterator
   }
 
   /** All items of `itemCol` whose exact count exceeds n/(k+1), with their
@@ -73,34 +86,35 @@ object TopK {
     */
   def frequentItems(items: DataFrame, itemCol: String, k: Int): DataFrame = {
     import items.sparkSession.implicits._
-    // three consumers (sketch pass, exact pass, total) — Spark shares no
-    // common subplans, so persist once; Iterate.scoped releases it
     val vals = items.select(col(itemCol).cast("string").as("item"))
       .where(col("item").isNotNull)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val candidates = vals.as[String]
-      .mapPartitions(it => misraGries(it, k))
-      .toDF("item")
-      .distinct()
-    val counted = vals
+    // one narrow pass yields BOTH the candidate superset and the exact
+    // total; only its k×partitions-bounded output is materialized
+    val sketch = Iterate.materialize(
+      vals.as[String].mapPartitions(it => misraGries(it, k)).toDF("item", "pn"))
+    val candidates = sketch.df.where(col("item").isNotNull).select("item").distinct()
+    val total = sketch.df.agg(sum(col("pn")).as("n"))
+    val counted = vals // exact pass: re-scan the columnar source
       .join(broadcast(candidates), Seq("item"), "left_semi")
       .groupBy("item")
       .agg(count(lit(1)).as("cnt"))
     // exact integer threshold: cnt > n/(k+1)  ⇔  cnt·(k+1) > n
-    val total = vals.agg(count(lit(1)).as("n"))
     val result = counted.crossJoin(broadcast(total))
       .where(col("cnt") * lit(k + 1L) > col("n"))
       .select(col("item"), col("cnt"))
       .orderBy(col("cnt").desc, col("item"))
-    Iterate.scoped(result, vals)
+    val out = Iterate.scoped(result)
+    sketch.release()
+    out
   }
 
   /** Grouped variant: items whose exact count within their group exceeds
     * n_group/(k+1). Same two-pass shape — the pigeonhole guarantee holds
     * per group over each partition's per-group substream, so the
     * per-partition per-group sketches still yield a lossless candidate
-    * superset. Candidate and total tables are group-bounded (≤ k×parts
-    * rows per group / one row per group) — broadcastable at any n.
+    * superset; per-group totals ride the same pass as marker rows.
+    * Candidate and total tables are group-bounded (≤ k×parts rows per
+    * group / one row per group per partition) — broadcastable at any n.
     */
   def frequentItemsByGroup(items: DataFrame, groupCol: String,
       itemCol: String, k: Int): DataFrame = {
@@ -108,20 +122,23 @@ object TopK {
     val vals = items.select(col(groupCol).cast("string").as("grp"),
         col(itemCol).cast("string").as("item"))
       .where(col("grp").isNotNull && col("item").isNotNull)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val candidates = vals.as[(String, String)]
-      .mapPartitions(it => misraGriesByGroup(it, k))
-      .toDF("grp", "item")
-      .distinct()
-    val counted = vals
+    val sketch = Iterate.materialize(
+      vals.as[(String, String)].mapPartitions(it => misraGriesByGroup(it, k))
+        .toDF("grp", "item", "pn"))
+    val candidates = sketch.df.where(col("item").isNotNull)
+      .select("grp", "item").distinct()
+    val totals = sketch.df.where(col("item").isNull)
+      .groupBy("grp").agg(sum(col("pn")).as("n"))
+    val counted = vals // exact pass: re-scan the columnar source
       .join(broadcast(candidates), Seq("grp", "item"), "left_semi")
       .groupBy("grp", "item")
       .agg(count(lit(1)).as("cnt"))
-    val totals = vals.groupBy("grp").agg(count(lit(1)).as("n"))
     val result = counted.join(broadcast(totals), "grp")
       .where(col("cnt") * lit(k + 1L) > col("n"))
       .select(col("grp"), col("item"), col("cnt"))
       .orderBy(col("grp"), col("cnt").desc, col("item"))
-    Iterate.scoped(result, vals)
+    val out = Iterate.scoped(result)
+    sketch.release()
+    out
   }
 }

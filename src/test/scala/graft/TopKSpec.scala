@@ -23,12 +23,15 @@ class TopKSpec extends SparkSpec {
       .filter { case (_, c) => c * (k + 1) > n }.toSet
   }
 
-  test("misraGries candidates contain every item above n/(k+1)") {
+  test("misraGries candidates contain every item above n/(k+1); marker is exact") {
     val genItems = Gen.listOf(Gen.oneOf((1 to 12).map(i => s"w$i")))
     val genK = Gen.choose(1, 6)
     check("mg-superset", Prop.forAll(genItems, genK) { (items, k) =>
-      val cands = TopK.misraGries(items.iterator, k).toSet
-      bruteFrequent(items, k).forall { case (t, _) => cands.contains(t) }
+      val out = TopK.misraGries(items.iterator, k).toList
+      val cands = out.collect { case (item, _) if item != null => item }.toSet
+      val markerTotal = out.collect { case (null, n) => n }.sum
+      markerTotal == items.size.toLong &&
+        bruteFrequent(items, k).forall { case (t, _) => cands.contains(t) }
     })
   }
 
