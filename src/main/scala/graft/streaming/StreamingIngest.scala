@@ -8,15 +8,31 @@ import graft.ingest.FastIngest
 
 /** Streaming variant of the ingest job: watch a directory for NT files,
   * parse/project incrementally, and merge each micro-batch into the
-  * persisted `fast` table via `foreachBatch` (read-union-merge-overwrite —
-  * at deploy scale this becomes a MERGE INTO on a table format with
-  * upserts; the merge semantics are identical to the batch A4 path).
+  * persisted `fast` table via `foreachBatch` — the in-sandbox
+  * approximation of MERGE INTO on a table format.
+  *
+  * The table is stored hash-bucketed on `_id` (`_bucket` partition
+  * column): the bucket is a pure function of the merge key, so a doc
+  * never moves between partitions, and a micro-batch therefore touches
+  * only the buckets its `_id`s hash into. The merge reads just those
+  * partitions (semi-join on the bucket key — dynamic partition pruning
+  * keeps the scan partition-bounded) and writes them back under
+  * `partitionOverwriteMode=dynamic`, leaving every untouched partition's
+  * files byte-identical. Per-batch work is O(batch + touched partitions),
+  * not O(table) — the property that matters when the table is 100 TB and
+  * a micro-batch is a few thousand docs.
   *
   * The per-id aggregation runs inside the batch; cross-batch duplicates
   * are resolved by the same deterministic merge the batch job uses, so
   * arrivals in any file order converge to the same table.
   */
 object StreamingIngest {
+
+  /** Bucket count for the stored table layout. At deploy scale pick
+    * ~table_size / target_partition_size; the merge cost scales with
+    * touched buckets, so more buckets = finer-grained rewrites.
+    */
+  val DefaultBuckets = 64
 
   /** Merge a batch of enriched docs into the stored fast table.
     *
@@ -28,14 +44,23 @@ object StreamingIngest {
     * the stored *merged* doc would inflate early winners via their unioned
     * arrays and make the outcome arrival-order dependent.
     */
-  def mergeBatch(spark: SparkSession, docs: DataFrame, tablePath: String): Unit = {
+  def mergeBatch(spark: SparkSession, docs: DataFrame, tablePath: String,
+                 numBuckets: Int = DefaultBuckets): Unit = {
+    val bucket = pmod(xxhash64(col("_id")), lit(numBuckets.toLong)).cast("int")
     val incoming = docs.select(col("*"),
-      richnessLen.as("_bestRich"), col("type").as("_bestType"),
-      col("prefLabel").as("_bestPref"), col("prefLabel").as("_fillPref"))
+        richnessLen.as("_bestRich"), col("type").as("_bestType"),
+        col("prefLabel").as("_bestPref"), col("prefLabel").as("_fillPref"))
+      .withColumn("_bucket", bucket)
     val existing =
       try Some(spark.read.parquet(tablePath)) catch { case _: Exception => None }
     val unioned = existing match {
-      case Some(prev) => prev.unionByName(incoming)
+      case Some(prev) =>
+        // only the stored partitions this batch's ids hash into
+        // participate in the merge — the semi-join on the partition
+        // column lets dynamic partition pruning skip the rest of the scan
+        val touched = incoming.select("_bucket").distinct()
+        prev.join(broadcast(touched), Seq("_bucket"), "left_semi")
+          .unionByName(incoming)
       case None => incoming
     }
     // same total order as MergeFastDocs.keyOrd: (richness, type, prefLabel)
@@ -60,10 +85,17 @@ object StreamingIngest {
         col("_best._bestType").as("_bestType"),
         col("_best._bestPref").as("_bestPref"),
         col("_fillPref"))
+      .withColumn("_bucket", bucket)
     // overwrite must not read from its own output mid-write → materialize
-    // fully first (reliable checkpoint when a dir is set, else cache)
+    // fully first (reliable checkpoint when a dir is set, else cache).
+    // Dynamic overwrite replaces ONLY the partitions present in the
+    // written data (= the touched buckets); untouched partitions' files
+    // are left as-is, byte for byte.
     val m = graft.ops.Iterate.materialize(merged)
-    m.df.write.mode("overwrite").parquet(tablePath)
+    m.df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_bucket")
+      .parquet(tablePath)
     m.release()
   }
 

@@ -96,4 +96,56 @@ class StreamingIngestSpec extends SparkSpec {
     assert(o1 === o2, "three-batch orderings diverged")
     assert(o1 === o3, "batched vs single-shot ingest diverged")
   }
+
+  // The scale property of the bucketed layout: a micro-batch must rewrite
+  // ONLY the partitions its ids hash into — every other partition's files
+  // stay byte-identical (same paths, same bytes), proving per-batch cost
+  // is O(batch + touched partitions), not O(table).
+  test("micro-batch merge leaves untouched partitions byte-identical") {
+    import spark.implicits._
+    import graft.model.FastDoc
+    val table = Files.createTempDirectory("graft_prune_tbl").toString + "/fast"
+
+    def md5s(root: String): Map[String, String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val base = java.nio.file.Paths.get(root)
+      val stream = Files.walk(base)
+      try {
+        val out = scala.collection.mutable.Map.empty[String, String]
+        stream.forEach { p =>
+          val name = p.getFileName.toString
+          if (Files.isRegularFile(p) && !name.startsWith(".") && !name.startsWith("_"))
+            out(base.relativize(p).toString) =
+              md.digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
+        }
+        out.toMap
+      } finally stream.close()
+    }
+
+    // wave 1: 200 ids spread across many buckets
+    val wave1 = (1 to 200).map(i => FastDoc(i, i, "Topical", s"Doc $i", Nil, Nil, Nil, Nil))
+    StreamingIngest.mergeBatch(spark, spark.createDataset(wave1).toDF(), table)
+    val before = md5s(table)
+    val bucketsBefore = before.keySet.map(_.split("/")(0)).filter(_.startsWith("_bucket="))
+    assert(bucketsBefore.size > 10, s"expected many buckets, got $bucketsBefore")
+
+    // wave 2: ONE doc → exactly one bucket may change
+    val wave2 = Seq(FastDoc(5, 5, "Topical", "Doc 5 enriched label", Nil, Nil, Nil, Nil))
+    StreamingIngest.mergeBatch(spark, spark.createDataset(wave2).toDF(), table)
+    val after = md5s(table)
+
+    val changedDirs = (before.keySet ++ after.keySet)
+      .filter(f => before.get(f) != after.get(f))
+      .map(_.split("/")(0)).filter(_.startsWith("_bucket="))
+    assert(changedDirs.size === 1, s"expected exactly one rewritten bucket: $changedDirs")
+    val untouched = before.keySet.filter(f => !changedDirs.exists(f.startsWith))
+    untouched.foreach(f => assert(after.get(f).contains(before(f)), s"file $f changed"))
+
+    // and the merge itself is correct: all 200 docs present, doc 5 enriched
+    val docs = spark.read.parquet(table).select("_id", "prefLabel")
+      .as[(Int, String)].collect().toMap
+    assert(docs.size === 200)
+    assert(docs(5) === "Doc 5 enriched label")
+    assert(docs(7) === "Doc 7")
+  }
 }
