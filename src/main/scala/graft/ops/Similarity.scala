@@ -146,25 +146,26 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
-  /** Spherical k-means as pure DataFrame iterations: assign to nearest
-    * centroid by cosine (broadcast pass), recompute centroids as
+  /** Spherical k-means centroids as pure DataFrame iterations: assign to
+    * nearest centroid by cosine (broadcast pass), recompute centroids as
     * element-wise means via posexplode → (cluster, dim) aggregation —
     * both stages are plain shuffles, no driver-side vectors beyond the K
     * centroid rows. Seeds = the first K corpus vectors; deterministic.
-    * Returns (idCol, cluster) assignments after `iterations` rounds.
-    * (No DuckDB oracle: iterated float means accumulate cross-engine ulp
-    * drift; pinned by separable-cluster specs instead.)
+    * Returns the centroid table `(c_id, c_emb)` after `iterations`
+    * update rounds — feed it straight into [[ivfTopK]] for a real IVF
+    * index (centroids that track the data beat raw seed vectors on
+    * recall; AnnRecallSpec measures exactly that).
     */
-  def sphericalKMeans(corpus: DataFrame, idCol: String, embCol: String,
-                      k: Int, iterations: Int): DataFrame = {
+  def sphericalKMeansCentroids(corpus: DataFrame, idCol: String, embCol: String,
+                               k: Int, iterations: Int): DataFrame = {
     // each round is lineage-cut and the previous round's K cached centroid
     // rows are released (Iterate.materialize) — no localCheckpoint pinning,
     // no storage growth with iteration count
     var round = Iterate.materialize(corpus.where(col(idCol) < k)
       .select(col(idCol).as("c_id"), col(embCol).as("c_emb")))
-    var assigned = ivfAssign(corpus, round.df, idCol, embCol, "c_id", "c_emb")
     var i = 0
     while (i < iterations) {
+      val assigned = ivfAssign(corpus, round.df, idCol, embCol, "c_id", "c_emb")
       val cents = assigned
         .select(col("cluster").as("c_id"), posexplode(col(embCol)))
         .groupBy(col("c_id"), col("pos"))
@@ -175,10 +176,21 @@ object Similarity {
       val materialized = Iterate.materialize(cents)
       round.release()
       round = materialized
-      assigned = ivfAssign(corpus, round.df, idCol, embCol, "c_id", "c_emb")
       i += 1
     }
-    assigned.select(col(idCol), col("cluster"))
+    round.df
+  }
+
+  /** k-means cluster assignments `(idCol, cluster)` after `iterations`
+    * rounds — [[sphericalKMeansCentroids]] composed with one final
+    * assignment pass. (No DuckDB oracle: iterated float means accumulate
+    * cross-engine ulp drift; pinned by separable-cluster specs instead.)
+    */
+  def sphericalKMeans(corpus: DataFrame, idCol: String, embCol: String,
+                      k: Int, iterations: Int): DataFrame = {
+    val cents = sphericalKMeansCentroids(corpus, idCol, embCol, k, iterations)
+    ivfAssign(corpus, cents, idCol, embCol, "c_id", "c_emb")
+      .select(col(idCol), col("cluster"))
   }
 
   /** LSH-pruned top-k: only corpus rows sharing the query's bucket are

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** Recall of the approximate ANN paths against exact brute-force top-k on
+  * the real embeddings fixture (500 × 64-d, 10 labeled clusters): the
+  * IVF index fed by REAL spherical-k-means centroids (the deploy path —
+  * `sphericalKMeansCentroids` → `ivfTopK`), the seed-centroid variant the
+  * oracle queries pin, and the sign-LSH path. Floors are pinned ~0.1
+  * under measured values; everything here is deterministic (hash-seeded
+  * planes, deterministic k-means seeds), so drift means a real change.
+  */
+class AnnRecallSpec extends SparkSpec {
+
+  private val K = 5
+  private val NQ = 30L
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("q_id", "neighbor_id").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+      .toSet
+
+  private lazy val truth: Set[(Long, Long)] = {
+    val q = emb.where(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    pairs(Similarity.bruteForceTopK(
+      emb, q, "vec_id", "embedding", "q_id", "q_emb", K, dim = 64))
+  }
+
+  private def recall(approx: Set[(Long, Long)]): Double =
+    (approx & truth).size.toDouble / truth.size
+
+  private def ivfRecall(cents: DataFrame, nprobe: Int): Double =
+    recall(pairs(Similarity.ivfTopK(emb, a => a.where(col("vec_id") < NQ),
+      "vec_id", "embedding", cents, "c_id", "c_emb", K, nprobe)))
+
+  test("kmeans-fed IVF clears the recall floor; multi-probe only helps") {
+    val learned = Similarity.sphericalKMeansCentroids(
+      emb, "vec_id", "embedding", k = 8, iterations = 3)
+    val r1 = ivfRecall(learned, nprobe = 1)
+    val r2 = ivfRecall(learned, nprobe = 2)
+    info(f"kmeans-IVF recall@$K: nprobe=1 $r1%.3f, nprobe=2 $r2%.3f")
+    assert(r2 >= r1, "a superset candidate list cannot lose true neighbors")
+    assert(r2 >= 0.6, f"kmeans-IVF nprobe=2 recall $r2%.3f under floor")
+  }
+
+  test("learned centroids match or beat raw seed centroids on recall") {
+    val learned = Similarity.sphericalKMeansCentroids(
+      emb, "vec_id", "embedding", k = 8, iterations = 3)
+    val seeds = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val rLearned = ivfRecall(learned, nprobe = 2)
+    val rSeeds = ivfRecall(seeds, nprobe = 2)
+    info(f"nprobe=2 recall@$K: learned $rLearned%.3f vs seeds $rSeeds%.3f")
+    assert(rLearned >= rSeeds,
+      f"k-means centroids ($rLearned%.3f) lost to raw seeds ($rSeeds%.3f)")
+  }
+
+  test("sign-LSH: plane count is the recall/cost dial, floors pinned") {
+    val q = emb.where(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def lshRecall(planes: Int): Double =
+      recall(pairs(Similarity.lshTopK(emb, q, "vec_id", "embedding",
+        "q_id", "q_emb", dim = 64, k = K, numPlanes = planes)))
+    val byPlanes = Seq(2, 4, 6).map(p => p -> lshRecall(p))
+    info(byPlanes.map { case (p, r) => f"$p planes $r%.3f" }
+      .mkString(s"LSH recall@$K: ", ", ", ""))
+    // fewer planes = bigger buckets = more candidates = higher recall;
+    // a single 6-plane table trades recall hard (deploy path: multi-table
+    // OR-amplification or fall back to IVF) — pin the measured profile
+    val r = byPlanes.toMap
+    assert(r(2) >= r(4) && r(4) >= r(6), s"recall not monotone in planes: $byPlanes")
+    assert(r(2) >= 0.35, f"LSH(2) recall ${r(2)}%.3f under floor")
+    assert(r(6) >= 0.05, f"LSH(6) recall ${r(6)}%.3f under floor")
+  }
+}
