@@ -52,6 +52,28 @@ object GraftSession {
     Functions.register(spark)
     spark
   }
+
+  /** Run `job` with a job-scoped checkpoint directory — the leak-free path
+    * for CLUSTER deploys by construction. Sessions built via [[builder]]
+    * have no checkpoint dir, so iterative ops ([[graft.ops.Iterate]]) fall
+    * back to caches that outlive the op (Iterate.scoped logs the warning).
+    * This helper points the session at `path` (HDFS/S3/local), runs the
+    * job, and ALWAYS deletes the directory afterwards — no per-round
+    * checkpoint files survive the job, even on failure. The previous
+    * checkpoint dir (if any) is restored on exit.
+    */
+  def withJobScopedCheckpoint[A](spark: SparkSession, path: String)(job: SparkSession => A): A = {
+    val sc = spark.sparkContext
+    val prev = sc.getCheckpointDir
+    sc.setCheckpointDir(path)
+    try job(spark)
+    finally {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(sc.hadoopConfiguration)
+      fs.delete(p, true)
+      prev.foreach(sc.setCheckpointDir)
+    }
+  }
 }
 
 /** Loaders for the driver-provided parquet fixtures (TESTDATA.md). */

@@ -224,6 +224,26 @@ class OpsSpec extends SparkSpec {
     assert(persisted <= mid + 1, s"kMeans leaked cached rounds: $mid -> $persisted")
   }
 
+  test("withJobScopedCheckpoint: dir used, deleted after, previous dir restored") {
+    import java.nio.file.{Files, Paths}
+    val prev = spark.sparkContext.getCheckpointDir
+    val scoped = Files.createTempDirectory("graft_jobckpt").toString
+    val result = GraftSession.withJobScopedCheckpoint(spark, scoped) { s =>
+      // an Iterate-backed op writes its rounds under the scoped dir
+      val pairs = (1L until 20L).map(i => (i, i + 1)).toDF("a", "b")
+      val n = Dedup.connectedComponents(pairs, "a", "b").count()
+      assert(Files.list(Paths.get(scoped)).count() > 0, "scoped dir unused")
+      n
+    }
+    assert(result === 20L)
+    assert(!Files.exists(Paths.get(scoped)), "job-scoped checkpoint dir survived")
+    // setCheckpointDir nests a fresh UUID dir, so assert the restored dir
+    // is back under the previous root (not the scoped one)
+    val restored = spark.sparkContext.getCheckpointDir
+    assert(prev.zip(restored).forall { case (p, r) => r.startsWith(p) },
+      s"previous dir not restored: $prev -> $restored")
+  }
+
   test("cappedPerGroup: exact cap per group, choice independent of partitioning") {
     val rows = (1L to 100L).map(i => (i, s"g${i % 4}"))
     val expected = graft.ops.Sampling.cappedPerGroup(
