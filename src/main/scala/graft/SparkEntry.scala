@@ -1093,6 +1093,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Canonical-copy selection — the step AFTER near-dup clustering:
+    // cluster via minhash+LSH+CC, then keep each cluster's best-quality
+    // member (stopword basis points; ties → smallest id). Singleton docs
+    // (no near-dup) keep themselves via the left join + coalesce.
+    "dedup_canonical" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidates(
+        Dedup.minhashSignature(docs, "text", "doc_id"), "doc_id", threshold = 0.25)
+      val clusters = Dedup.connectedComponents(pairs, "a_id", "b_id")
+        .withColumnsRenamed(Map("node" -> "doc_id"))
+      // integer quality: stopword hits per token in basis points — floor
+      // of a non-negative exact-integer ratio == integer division on both
+      // engines
+      val qualBp = floor((Functions.wordSetHits(col("text"), stopEn).cast("long") * lit(10000L))
+        .cast("double") / size(split(col("text"), " "))).cast("long")
+      val withCluster = docs.select(col("doc_id"), qualBp.as("quality_bp"))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      Dedup.keepBest(withCluster, "cluster_id", "doc_id", "quality_bp")
+        .orderBy("cluster_id")
+    }),
+
     "text_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -2374,6 +2396,37 @@ object SparkEntry {
          |   SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
          | SELECT s AS doc_id, least(s, min(d)) AS cluster_id
          | FROM reach GROUP BY s ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+
+    "dedup_canonical" -> {
+      val matches = (0 until 8).map(i => s"(a.s$i = b.s$i)::INT").mkString(" + ")
+      val bandsMatch = (0 until 4).map(b =>
+        s"(a.s${2 * b} = b.s${2 * b} AND a.s${2 * b + 1} = b.s${2 * b + 1})").mkString(" OR ")
+      s"""WITH RECURSIVE $minhashSigCte,
+         | pairs AS (
+         |   SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |   FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandsMatch)
+         |   WHERE round(($matches) / 8.0, 4) >= 0.25),
+         | edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+         |           UNION SELECT b_id, a_id FROM pairs),
+         | reach(s, d) AS (
+         |   SELECT s, d FROM edges
+         |   UNION
+         |   SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         | comp AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+         |          FROM reach GROUP BY s),
+         | q AS (SELECT doc_id,
+         |         (len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopEn)}))
+         |            * 10000) // len(string_split(text, ' ')) AS quality_bp
+         |       FROM documents),
+         | wc AS (SELECT q.doc_id, coalesce(c.cluster_id, q.doc_id) AS cluster_id,
+         |               q.quality_bp
+         |        FROM q LEFT JOIN comp c ON q.doc_id = c.doc_id),
+         | best AS (SELECT cluster_id, doc_id, quality_bp, row_number() OVER (
+         |            PARTITION BY cluster_id ORDER BY quality_bp DESC, doc_id) AS rn
+         |          FROM wc)
+         | SELECT cluster_id, doc_id AS keep_id, quality_bp
+         | FROM best WHERE rn = 1 ORDER BY cluster_id""".stripMargin.replace("\n", " ")
     },
 
     // NOTE: the outer sum() of BIGINT is HUGEINT in DuckDB; the driver's

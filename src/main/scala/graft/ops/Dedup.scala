@@ -331,4 +331,19 @@ object Dedup {
         expr("(inter * 10000) div uni").as("sim_bp"))
     Iterate.scoped(result, sh, prefix)
   }
+
+  /** Canonical-representative selection after clustering: one row per
+    * cluster — the member with the highest `qualityCol` (ties → smallest
+    * `idCol`). The curation step that decides WHICH copy of a near-dup
+    * cluster survives. One partial-aggregable `max_by` (the tie-break is
+    * folded into the order struct, so ties never reach max_by's
+    * nondeterminism), never a window sort of the corpus.
+    */
+  def keepBest(clustered: DataFrame, clusterCol: String, idCol: String,
+               qualityCol: String): DataFrame =
+    clustered.groupBy(col(clusterCol))
+      .agg(max_by(struct(col(idCol), col(qualityCol)),
+        struct(col(qualityCol), (-col(idCol)).as("_nid"))).as("_k"))
+      .select(col(clusterCol), col(s"_k.$idCol").as("keep_id"),
+        col(s"_k.$qualityCol"))
 }

@@ -208,6 +208,18 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("keepBest: highest quality per cluster, ties to smallest id") {
+    val rows = Seq(
+      (1L, 10L, 5L), (2L, 10L, 9L), (3L, 10L, 9L), // tie at q=9 → id 2
+      (4L, 20L, 1L)) // singleton cluster
+      .toDF("id", "cluster", "q")
+    for (parts <- Seq(1, 7)) {
+      val out = Dedup.keepBest(rows.repartition(parts), "cluster", "id", "q")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(out === Map(10L -> ((2L, 9L)), 20L -> ((4L, 1L))), s"parts=$parts")
+    }
+  }
+
   test("iterative ops release per-round storage (no block accumulation)") {
     val sc = spark.sparkContext
     def persisted = sc.getPersistentRDDs.size
