@@ -1115,6 +1115,15 @@ object SparkEntry {
         .orderBy("cluster_id")
     }),
 
+    // Cross-doc boilerplate removal: 2-word segments appearing in >5% of
+    // docs are dropped corpus-wide, docs reassembled from the survivors
+    // (relative df threshold — the same query means the same thing at
+    // any SF).
+    "text_boilerplate" -> ((s, dir) =>
+      graft.ops.Quality.dropBoilerplate(t(s, dir, "documents"), "text", "doc_id",
+          segWords = 2, maxDfPermille = 50)
+        .orderBy("doc_id")),
+
     "text_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -2467,6 +2476,29 @@ object SparkEntry {
         |       ELSE list_reduce([unicode(ch)::BIGINT for ch in string_split(text, '')],
         |                        (a, b) -> (a * 31 + b) % 999999999999989) END AS rh
         | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "text_boilerplate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+        | seg AS (SELECT doc_id,
+        |           unnest(range(0, (len(ws) + 1) // 2)) AS seg_idx,
+        |           unnest(list_transform(range(0, (len(ws) + 1) // 2),
+        |             i -> array_to_string(ws[i * 2 + 1:(i + 1) * 2], ' '))) AS seg
+        |         FROM w),
+        | sdf AS (SELECT seg, count(DISTINCT doc_id) AS seg_df FROM seg GROUP BY seg),
+        | boiler AS (SELECT seg FROM sdf, nd WHERE seg_df * 1000 > nd * 50),
+        | kept AS (SELECT s.doc_id, s.seg_idx, s.seg FROM seg s
+        |          ANTI JOIN boiler b USING (seg)),
+        | rebuilt AS (SELECT doc_id, count(*) AS n_kept,
+        |               array_to_string(list_transform(
+        |                 list_sort(list(struct_pack(seg_idx := seg_idx, seg := seg))),
+        |                 x -> x.seg), ' ') AS clean_text
+        |             FROM kept GROUP BY doc_id)
+        | SELECT w.doc_id, (len(ws) + 1) // 2 AS n_seg,
+        |        coalesce(n_kept, 0) AS n_kept,
+        |        coalesce(clean_text, '') AS clean_text
+        | FROM w LEFT JOIN rebuilt USING (doc_id)
+        | ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "text_quality" ->
       s"""SELECT doc_id, length(text) AS n_char, len(string_split(text, ' ')) AS n_tok,

@@ -100,6 +100,46 @@ object Quality {
     * Scale shape: one aggregate to a tiny per-group stats table,
     * broadcast back over the corpus — no second shuffle of the data.
     */
+  /** Cross-document boilerplate removal (the C4/CCNet cleaning step):
+    * split each doc into fixed NON-overlapping `segWords`-word segments,
+    * count each distinct segment's document frequency corpus-wide, drop
+    * segments whose df exceeds `maxDfPermille` of the corpus doc count
+    * (relative threshold — scale-invariant, like dupGramFractionRelative),
+    * and reassemble each doc's surviving segments in order. Returns
+    * `(idCol, n_seg, n_kept, clean_text)`.
+    *
+    * Scale shape: one (segment) shuffle for the df count and one for the
+    * anti-join; the threshold bounds the boilerplate table at
+    * ≤ total_segments·1000/(maxDfPermille·nDocs) rows, so Catalyst
+    * broadcasts it when small and falls back to a shuffle anti-join when
+    * not — either way no per-doc state beyond its own segment list.
+    */
+  def dropBoilerplate(df: DataFrame, textCol: String, idCol: String,
+                      segWords: Int = 2, maxDfPermille: Int = 50): DataFrame = {
+    val nSegExpr = s"int(ceil(size(split($textCol, ' ')) / $segWords.0))"
+    val segs = df.select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, $nSegExpr - 1),
+           | i -> array_join(slice(split($textCol, ' '), i * $segWords + 1, $segWords), ' '))"""
+          .stripMargin.replace("\n", " ")))
+      .as(Seq("seg_idx", "seg")))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("nd"))
+    val boiler = segs.groupBy("seg").agg(countDistinct(col(idCol)).as("seg_df"))
+      .crossJoin(broadcast(nDocs))
+      .where(col("seg_df") * lit(1000L) > col("nd") * lit(maxDfPermille.toLong))
+      .select("seg")
+    val rebuilt = segs.join(boiler, Seq("seg"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(seg_idx, seg))), s -> s.seg)"),
+          " ").as("clean_text"))
+    df.select(col(idCol), expr(nSegExpr).cast("long").as("n_seg"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_seg"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   def zScoreOutliers(df: DataFrame, valCol: String, grpCol: String,
                      zMax: Double = 2.0): DataFrame = {
     val stats = df.groupBy(col(grpCol)).agg(

@@ -60,6 +60,23 @@ class QualitySpec extends SparkSpec {
     assert(one.filter(_._2 === 10000L).keySet === (1 to 40).filter(_ % 4 == 0).map(_.toLong).toSet)
   }
 
+  test("dropBoilerplate removes only corpus-frequent segments, preserves order") {
+    // "ad ad" opens 6/10 docs (df 60% > 50% threshold → boilerplate);
+    // per-doc unique segments survive in their original order
+    val docs = (1 to 10).map { i =>
+      val boiler = if (i <= 6) "ad ad " else ""
+      (i.toLong, s"${boiler}u$i a u$i b")
+    }.toDF("doc_id", "text")
+    val out = Quality.dropBoilerplate(docs, "text", "doc_id",
+        segWords = 2, maxDfPermille = 500)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    (1 to 6).foreach { i =>
+      assert(out(i.toLong) === ((3L, 2L, s"u$i a u$i b")), s"doc $i") }
+    (7 to 10).foreach { i =>
+      assert(out(i.toLong) === ((2L, 2L, s"u$i a u$i b")), s"doc $i") }
+  }
+
   test("zScoreOutliers: plants are found, zero-variance groups excluded") {
     val base = (1 to 100).map(i => (i.toLong, "g", 100L + (i % 10))) // tight cluster
     val planted = Seq((1000L, "g", 10000L))                         // far outlier
