@@ -598,6 +598,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Bigram LM doc scoring (add-one smoothing): train the corpus bigram
+    // model IN the query (bigram + left-context count tables — two hash
+    // shuffles bounded by distinct bigrams, the n-gram-LM-at-corpus-scale
+    // shape) and score each doc by mean log p(w2|w1). Same float story as
+    // text_lm_score: integer counts, term-sorted fold, identical IEEE
+    // expression shapes on both engines; smoothing constants ride inside
+    // the fold struct so the lambda stays self-contained.
+    "text_lm_bigram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bg = docs
+        .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("a"))
+        .where(size(col("a")) >= 2)
+        .select(col("doc_id"), explode(arrays_zip(
+          expr("slice(a, 1, size(a) - 1)").as("l"),
+          expr("slice(a, 2, size(a) - 1)").as("r"))).as("z"))
+        .select(col("doc_id"), col("z.l").as("w1"), col("z.r").as("w2"))
+      val cnt = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
+      val bgf = bg.groupBy("w1", "w2").agg(count(lit(1)).as("bgf"))
+      val lcf = bg.groupBy("w1").agg(count(lit(1)).as("lcf"))
+      val vocab = docs
+        .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("t"))
+        .agg(countDistinct(col("t")).as("v"))
+      cnt.join(bgf, Seq("w1", "w2")).join(lcf, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_bigrams"),
+          expr("""aggregate(array_sort(collect_list(struct(w1, w2, c, bgf, lcf, v))),
+                 | cast(0.0 as double),
+                 | (acc, x) -> acc + cast(x.c as double) *
+                 |   (ln(cast(x.bgf as double) + 1.0) -
+                 |    ln(cast(x.lcf as double) + cast(x.v as double)))"""
+            .stripMargin.replace("\n", " ") + ")").as("_s"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("_s") / col("n_bigrams").cast("double"), 3).as("avg_logp_r3"))
+        .orderBy("doc_id")
+    }),
+
     // Count-min sketch point estimates for the heavy terms: the oracle
     // pins exact counts and expects both error-bound flags to be 1 —
     // lower_ok (CMS never undercounts) must ALWAYS hold; upper_ok uses
@@ -2079,6 +2116,29 @@ object SparkEntry {
         |          list_prepend(0.0, [x.c::DOUBLE * ln(x.gf::DOUBLE) for x in lst]),
         |          (a, b) -> a + b) / n_tok::DOUBLE - ln(n.n::DOUBLE), 3) AS avg_logp_r3
         | FROM per, n ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "text_lm_bigram" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a
+        |           FROM documents),
+        | bg AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM (
+        |          SELECT doc_id, unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS z
+        |          FROM w WHERE len(a) >= 2)),
+        | cnt AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS c FROM bg GROUP BY 1, 2, 3),
+        | bgf AS (SELECT w1, w2, count(*)::BIGINT AS bgf FROM bg GROUP BY 1, 2),
+        | lcf AS (SELECT w1, count(*)::BIGINT AS lcf FROM bg GROUP BY 1),
+        | vv AS (SELECT count(DISTINCT t)::BIGINT AS v
+        |        FROM (SELECT unnest(a) AS t FROM w)),
+        | per AS (SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+        |           list_sort(list(struct_pack(w1 := w1, w2 := w2, c := c,
+        |             bgf := bgf, lcf := lcf, v := v))) AS lst
+        |         FROM cnt JOIN bgf USING (w1, w2) JOIN lcf USING (w1) CROSS JOIN vv
+        |         GROUP BY doc_id)
+        | SELECT doc_id, n_bigrams,
+        |        round(list_reduce(list_prepend(0.0,
+        |          [x.c::DOUBLE * (ln(x.bgf::DOUBLE + 1.0)
+        |             - ln(x.lcf::DOUBLE + x.v::DOUBLE)) for x in lst]),
+        |          (a, b) -> a + b) / n_bigrams::DOUBLE, 3) AS avg_logp_r3
+        | FROM per ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "sketch_cms" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
