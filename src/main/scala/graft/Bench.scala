@@ -13,9 +13,10 @@ package graft
   *    cost landing in the record) and is never counted;
   *  - a fixed-work control job (`max(hash(id))` over a constant range) is
   *    timed after every query and the FULL per-query control series is
-  *    emitted in the JSON (`"ctl_ds"`: integer DECIseconds, aligned to the
-  *    sorted query order — ints keep the 115-entry series ~2 bytes/query
-  *    so the line stays under the driver's tail window) — an elevated
+  *    emitted in the JSON (`"ctl"`: integer DECIseconds, aligned to the
+  *    sorted query order — ints keep the 120-entry series ~2 bytes/query
+  *    so the line stays under the driver's tail window; min/max are
+  *    derivable from it, so no separate summary object) — an elevated
   *    entry means the host was stolen during that query's window, so any
   *    apparent regression there is machine-attributable to the host, not
   *    the plan.
@@ -70,10 +71,11 @@ object Bench {
       .mkString("{", ",", "}")
     results.collect { case (k, _, c) if c > 2 * ctlMin =>
       System.err.println(s"[bench] steal $k control=${ms(c)}") }
+    System.err.println(f"[bench] control min=${ctlMin}%.2f max=${ctlMax}%.2f")
     val ctl = results.map(r => math.round(r._3 * 10).toString).mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
-      s""""control":{"min":${cs(ctlMin)},"max":${cs(ctlMax)}},"ctl_ds":$ctl,"sf":"$sfDir"}"""
+      s""""ctl":$ctl,"sf":"$sfDir"}"""
     System.err.println(s"[bench] json line length: ${line.length}")
     println(line)
     spark.stop()
