@@ -1115,6 +1115,18 @@ object SparkEntry {
         "doc_id", threshold = 0.25)
         .orderBy("a_id", "b_id")),
 
+    // Incremental dedup — the continuous-ingest workflow: the stored
+    // corpus (even doc ids) is already signature-indexed; the incoming
+    // batch (odd ids) is banded and BROADCAST against it, so the stored
+    // side is touched only on colliding band keys. No corpus self-join.
+    "dedup_incremental" -> ((s, dir) => {
+      val sig = Dedup.minhashSignature(t(s, dir, "documents"), "text", "doc_id")
+      Dedup.incrementalMinhashDups(
+          sig.where(col("doc_id") % 2 === 0), sig.where(col("doc_id") % 2 === 1),
+          "doc_id", threshold = 0.25)
+        .orderBy("in_id", "stored_id")
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
@@ -2446,6 +2458,19 @@ object SparkEntry {
          | FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandsMatch)
          | WHERE round(($matches) / 8.0, 4) >= 0.25
          | ORDER BY a_id, b_id""".stripMargin.replace("\n", " ")
+    },
+
+    "dedup_incremental" -> {
+      val matches = (0 until 8).map(i => s"(a.s$i = b.s$i)::INT").mkString(" + ")
+      val bandsMatch = (0 until 4).map(b =>
+        s"(a.s${2 * b} = b.s${2 * b} AND a.s${2 * b + 1} = b.s${2 * b + 1})").mkString(" OR ")
+      s"""WITH $minhashSigCte
+         | SELECT a.doc_id AS in_id, b.doc_id AS stored_id,
+         |        round(($matches) / 8.0, 4) AS est_jaccard
+         | FROM sig a JOIN sig b
+         |   ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND ($bandsMatch)
+         | WHERE round(($matches) / 8.0, 4) >= 0.25
+         | ORDER BY in_id, stored_id""".stripMargin.replace("\n", " ")
     },
 
     "dedup_clusters" -> {

@@ -77,36 +77,78 @@ object Dedup {
     * cheaper at 100 TB than re-shuffling the signature table twice and
     * holding it cached across the query.
     */
-  def minhashCandidates(sigIn: DataFrame, idCol: String,
-                        numHashes: Int = 8, bandSize: Int = 2,
-                        threshold: Double = 0.5): DataFrame = {
+  /** Band-exploded signature rows: (idCol, band, key, s0..s{n-1}) — the
+    * signature rides each band row so candidate scoring never re-joins the
+    * signature table (see [[minhashCandidates]] scaladoc).
+    */
+  private def bandRows(sigIn: DataFrame, idCol: String,
+                       numHashes: Int, bandSize: Int): DataFrame = {
     val nBands = numHashes / bandSize
     val bandArr = array((0 until nBands).map(b =>
       struct(lit(b).as("band"),
         concat_ws("_", (0 until bandSize).map(j => col(s"s${b * bandSize + j}")): _*)
           .as("key"))): _*)
     val sigCols = (0 until numHashes).map(i => col(s"s$i"))
-    val withBands = sigIn
+    sigIn
       .select(col(idCol) +: sigCols :+ explode(bandArr).as("bk"): _*)
       .select(Seq(col(idCol), col("bk.band").as("band"), col("bk.key").as("key")) ++
         sigCols: _*)
+  }
+
+  /** Fraction of matching signature components between `a_s*` and `b_s*`. */
+  private def estJaccard(numHashes: Int): Column =
+    round((0 until numHashes)
+      .map(i => when(col(s"a_s$i") === col(s"b_s$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / numHashes, 4)
+
+  def minhashCandidates(sigIn: DataFrame, idCol: String,
+                        numHashes: Int = 8, bandSize: Int = 2,
+                        threshold: Double = 0.5): DataFrame = {
+    val withBands = bandRows(sigIn, idCol, numHashes, bandSize)
     val left = withBands.select(Seq(col(idCol).as("a_id"), col("band"), col("key")) ++
       (0 until numHashes).map(i => col(s"s$i").as(s"a_s$i")): _*)
     val right = withBands.select(Seq(col(idCol).as("b_id"), col("band").as("band_r"),
       col("key").as("key_r")) ++
       (0 until numHashes).map(i => col(s"s$i").as(s"b_s$i")): _*)
-    val matchCnt = (0 until numHashes)
-      .map(i => when(col(s"a_s$i") === col(s"b_s$i"), 1).otherwise(0))
-      .reduce(_ + _)
     left.join(right,
         col("band") === col("band_r") && col("key") === col("key_r") &&
           col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        round(matchCnt.cast("double") / numHashes, 4).as("est_jaccard"))
+      .select(col("a_id"), col("b_id"), estJaccard(numHashes).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
       .distinct() // a pair matching in k bands appears k times; est_jaccard
                   // is pair-deterministic so the wider distinct is the same
                   // cardinality as distinct(a_id, b_id)
+  }
+
+  /** Incremental near-dup check — which INCOMING docs near-duplicate the
+    * STORED corpus? The continuous-ingest workflow: the stored corpus is
+    * already deduped and its signature/band table persisted; each new
+    * batch is checked against it without any corpus rescan or self-join.
+    *
+    * Scale shape: the incoming band table is broadcast (a batch is small
+    * by construction) against the stored band table, so the stored side
+    * is touched only on colliding band keys — and when the stored band
+    * table is bucketed/partitioned by band key (the same layout trick as
+    * the streaming merge), each probe is a partition-pruned read.
+    * Output: one row per (in_id, stored_id) pair with
+    * `est_jaccard` ≥ `threshold`.
+    */
+  def incrementalMinhashDups(storedSig: DataFrame, incomingSig: DataFrame,
+                             idCol: String, numHashes: Int = 8, bandSize: Int = 2,
+                             threshold: Double = 0.5): DataFrame = {
+    val stored = bandRows(storedSig, idCol, numHashes, bandSize)
+      .select(Seq(col(idCol).as("b_id"), col("band").as("band_r"),
+        col("key").as("key_r")) ++
+        (0 until numHashes).map(i => col(s"s$i").as(s"b_s$i")): _*)
+    val incoming = bandRows(incomingSig, idCol, numHashes, bandSize)
+      .select(Seq(col(idCol).as("a_id"), col("band"), col("key")) ++
+        (0 until numHashes).map(i => col(s"s$i").as(s"a_s$i")): _*)
+    stored.join(broadcast(incoming),
+        col("band") === col("band_r") && col("key") === col("key_r"))
+      .select(col("a_id").as("in_id"), col("b_id").as("stored_id"),
+        estJaccard(numHashes).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+      .distinct()
   }
 
   /** Connected components over candidate-pair edges → duplicate clusters:

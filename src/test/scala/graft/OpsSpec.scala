@@ -208,6 +208,23 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("incrementalMinhashDups: incoming batch checked against stored only") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (1L, "alpha beta gamma delta epsilon zeta"), // incoming copy of stored 0
+      (3L, "totally different words over here now")) // novel incoming
+      .toDF("id", "text")
+    val sig = Dedup.minhashSignature(docs, "text", "id")
+    val out = Dedup.incrementalMinhashDups(
+        sig.where(col("id") % 2 === 0), sig.where(col("id") % 2 === 1),
+        "id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // only the (incoming 1, stored 0) pair — identical signatures; the
+    // novel doc matches nothing and stored docs are never paired together
+    assert(out === Seq((1L, 0L, 1.0)))
+  }
+
   test("keepBest: highest quality per cluster, ties to smallest id") {
     val rows = Seq(
       (1L, 10L, 5L), (2L, 10L, 9L), (3L, 10L, 9L), // tie at q=9 → id 2
