@@ -12,14 +12,15 @@ package graft
   *    queries — r5's apparent sketch regressions were exactly this rep-1
   *    cost landing in the record) and is never counted;
   *  - a fixed-work control job (`max(hash(id))` over a constant range) is
-  *    timed after every query and the FULL per-query control series is
-  *    emitted in the JSON (`"ctl"`: integer DECIseconds, aligned to the
-  *    sorted query order — ints keep the 120-entry series ~2 bytes/query
-  *    so the line stays under the driver's tail window; min/max are
-  *    derivable from it, so no separate summary object) — an elevated
-  *    entry means the host was stolen during that query's window, so any
-  *    apparent regression there is machine-attributable to the host, not
-  *    the plan.
+  *    timed after every query and the per-query control series is emitted
+  *    in the JSON as a SPARSE map (`"ctl"`: sorted-query-order index →
+  *    integer DECIseconds, only entries ≥ 2 ds; an absent index means the
+  *    control ran ≤ 0.15 s there, i.e. the window was clean) — an
+  *    elevated entry means the host was stolen during that query's
+  *    window, so any apparent regression there is machine-attributable
+  *    to the host, not the plan. Sparse because a clean run's series is
+  *    all-zero: the dense 121-entry array cost ~260 bytes of the ~3 KB
+  *    tail budget to say "nothing happened".
   *
   * Values are rounded (queries 10 ms, controls 100 ms) so the line stays
   * inside the driver's ~3 KB output-tail capture window (full-precision
@@ -61,18 +62,20 @@ object Bench {
     def cs(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val ctlMin = results.map(_._3).min
     val ctlMax = results.map(_._3).max
-    // The driver captures only the last ~3KB of output; with 115 queries
+    // The driver captures only the last ~3KB of output; with 129 queries
     // the line must stay under that (r3 and r4 both tripped this). Queries
-    // at 10ms resolution; the per-query control series rides as an
-    // integer-decisecond array aligned to the sorted query order
-    // (~2 bytes/query) so every entry is steal-attributable without
-    // blowing the tail budget.
+    // at 10ms resolution; the per-query control series rides as a SPARSE
+    // index→decisecond map (absent = clean window, ≤0.15s) so every entry
+    // stays steal-attributable without the dense array's ~260-byte cost.
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + cs(v) }
       .mkString("{", ",", "}")
     results.collect { case (k, _, c) if c > 2 * ctlMin =>
       System.err.println(s"[bench] steal $k control=${ms(c)}") }
     System.err.println(f"[bench] control min=${ctlMin}%.2f max=${ctlMax}%.2f")
-    val ctl = results.map(r => math.round(r._3 * 10).toString).mkString("[", ",", "]")
+    val ctl = results.zipWithIndex
+      .map { case ((_, _, c), i) => (i, math.round(c * 10)) }
+      .collect { case (i, ds) if ds >= 2 => "\"" + i + "\":" + ds }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
       s""""ctl":$ctl,"sf":"$sfDir"}"""

@@ -738,6 +738,43 @@ object SparkEntry {
         .orderBy("user_id", "hr")
     }),
 
+    // Cohort retention: users grouped by first-seen day, distinct-user
+    // counts per (cohort, day offset). Two key-local shuffles (user for
+    // the first-seen aggregate + co-partitioned join back, then the tiny
+    // cohort grid); pairs are pre-deduped so no count_distinct Expand.
+    // Day arithmetic at µs resolution on both engines (NOTES fact 13).
+    "cohort_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+        .distinct()
+      val firstDay = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ev.join(firstDay, "user_id")
+        .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"),
+          col("user_id"))
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(count(lit(1)).as("users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
+    // Trailing-window distinct count (7-day active users per day) WITHOUT
+    // a sliding count_distinct window: each distinct (user, day) activity
+    // row contributes to the 7 window-end days it falls inside; explode
+    // that bounded contribution, dedup pairs, count. Linear with a fixed
+    // 7× expansion — never a per-day set union or an Expand.
+    "q42_window_distinct" -> ((s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+        .distinct()
+      val bounds = ud.agg(max("day").as("_hi"))
+      ud.withColumn("wday", explode(expr("sequence(day, day + 6)")))
+        .crossJoin(broadcast(bounds))
+        .where(col("wday") <= col("_hi"))
+        .select("wday", "user_id").distinct()
+        .groupBy("wday").agg(count(lit(1)).as("u7"))
+        .orderBy("wday")
+    }),
+
     // UNPIVOT/melt: wide metric columns → long (metric, value) rows,
     // then a per-metric rollup. Decimal sums keep the rounding exact and
     // aggregation-order-independent cross-engine.
@@ -1171,6 +1208,25 @@ object SparkEntry {
     "text_boilerplate" -> ((s, dir) =>
       graft.ops.Quality.dropBoilerplate(t(s, dir, "documents"), "text", "doc_id",
           segWords = 2, maxDfPermille = 50)
+        .orderBy("doc_id")),
+
+    // Within-document repetition (the OTHER Gopher repetition family —
+    // text_dupfrac is cross-document): fraction of a doc's characters
+    // covered by its single most frequent word bigram. Integer basis
+    // points; deterministic (count desc, bigram asc) tie-break as one
+    // partial-aggregable min(struct).
+    "text_repetition" -> ((s, dir) =>
+      graft.ops.Quality.topBigramFraction(t(s, dir, "documents"),
+          "text", "doc_id", "n_chars")
+        .orderBy("doc_id")),
+
+    // Corpus-wide segment dedup, keep-first (CCNet paragraph dedup):
+    // exactly one copy of every distinct 2-word segment survives,
+    // "first" = smallest (doc_id, seg_idx). Complements text_boilerplate
+    // (df-threshold drop-everywhere).
+    "dedup_segments" -> ((s, dir) =>
+      graft.ops.Dedup.dedupSegments(t(s, dir, "documents"), "text", "doc_id",
+          segWords = 2)
         .orderBy("doc_id")),
 
     "text_tokens" -> ((s, dir) =>
@@ -2292,6 +2348,23 @@ object SparkEntry {
         |              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         | ORDER BY user_id, ts_us, event_id""".stripMargin.replace("\n", " "),
 
+    "cohort_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        | f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+        | SELECT cohort_day, day - cohort_day AS day_offset,
+        |        count(DISTINCT e.user_id) AS users
+        | FROM e JOIN f USING (user_id)
+        | GROUP BY cohort_day, day_offset
+        | ORDER BY cohort_day, day_offset""".stripMargin.replace("\n", " "),
+
+    "q42_window_distinct" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        | b AS (SELECT max(day) AS hi FROM ud),
+        | c AS (SELECT user_id, unnest(range(day, day + 7)) AS wday FROM ud)
+        | SELECT wday::BIGINT AS wday, count(DISTINCT user_id) AS u7
+        | FROM c, b WHERE wday <= hi
+        | GROUP BY wday ORDER BY wday""".stripMargin.replace("\n", " "),
+
     "q39_resample" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr, value
         |            FROM events WHERE user_id < 50),
@@ -2574,6 +2647,46 @@ object SparkEntry {
         | boiler AS (SELECT seg FROM sdf, nd WHERE seg_df * 1000 > nd * 50),
         | kept AS (SELECT s.doc_id, s.seg_idx, s.seg FROM seg s
         |          ANTI JOIN boiler b USING (seg)),
+        | rebuilt AS (SELECT doc_id, count(*) AS n_kept,
+        |               array_to_string(list_transform(
+        |                 list_sort(list(struct_pack(seg_idx := seg_idx, seg := seg))),
+        |                 x -> x.seg), ' ') AS clean_text
+        |             FROM kept GROUP BY doc_id)
+        | SELECT w.doc_id, (len(ws) + 1) // 2 AS n_seg,
+        |        coalesce(n_kept, 0) AS n_kept,
+        |        coalesce(clean_text, '') AS clean_text
+        | FROM w LEFT JOIN rebuilt USING (doc_id)
+        | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ws FROM documents),
+        | bg AS (SELECT doc_id, unnest(list_transform(range(0, len(ws) - 1),
+        |          i -> ws[i + 1] || ' ' || ws[i + 2])) AS bg
+        |        FROM w WHERE len(ws) >= 2),
+        | cnt AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY doc_id, bg),
+        | rk AS (SELECT doc_id, bg, cnt,
+        |          sum(cnt) OVER (PARTITION BY doc_id)::BIGINT AS n_bigrams,
+        |          row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bg) AS rn
+        |        FROM cnt),
+        | top AS (SELECT doc_id, n_bigrams, bg, cnt FROM rk WHERE rn = 1)
+        | SELECT w.doc_id, coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+        |        coalesce(bg, '') AS top_bigram, coalesce(cnt, 0)::BIGINT AS top_cnt,
+        |        (CASE WHEN n_chars > 0
+        |              THEN coalesce(cnt, 0) * length(coalesce(bg, '')) * 10000 // n_chars
+        |              ELSE 0 END)::BIGINT AS rep_bp
+        | FROM w LEFT JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "dedup_segments" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | seg AS (SELECT doc_id,
+        |           unnest(range(0, (len(ws) + 1) // 2)) AS seg_idx,
+        |           unnest(list_transform(range(0, (len(ws) + 1) // 2),
+        |             i -> array_to_string(ws[i * 2 + 1:(i + 1) * 2], ' '))) AS seg
+        |         FROM w),
+        | win AS (SELECT doc_id, seg_idx, seg,
+        |           row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+        |         FROM seg),
+        | kept AS (SELECT doc_id, seg_idx, seg FROM win WHERE rn = 1),
         | rebuilt AS (SELECT doc_id, count(*) AS n_kept,
         |               array_to_string(list_transform(
         |                 list_sort(list(struct_pack(seg_idx := seg_idx, seg := seg))),

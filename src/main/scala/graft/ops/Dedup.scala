@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines.
@@ -381,6 +382,124 @@ object Dedup {
     * folded into the order struct, so ties never reach max_by's
     * nondeterminism), never a window sort of the corpus.
     */
+  /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken 2003, the
+    * MOSS local fingerprinting scheme): hash every k-char gram, slide a
+    * w-hash window over the positions, keep each window's MINIMUM hash,
+    * dedup the selections per document. Guarantees at least one shared
+    * fingerprint for any verbatim match of length ≥ w + k − 1 — a
+    * detection floor exact dedup lacks and minhash only gives in
+    * probability. (The classic rightmost-tie rule only disambiguates
+    * which POSITION is selected; the fingerprint SET — all this emits —
+    * is identical under any tie rule, so plain `min` suffices.)
+    *
+    * Output: (idCol, n_fp, fp_xor) — count plus an order-independent XOR
+    * digest of the distinct selected fingerprints (two docs with equal
+    * (n_fp, fp_xor) are near-certain duplicates; join on exploded
+    * fingerprints for containment detection).
+    *
+    * Scale shape: narrow generators, a per-DOCUMENT window (bounded by
+    * document length — never a global frame), one doc-key aggregate;
+    * linear in corpus characters.
+    */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+                         k: Int = 8, w: Int = 4): DataFrame = {
+    val grams = df.where(length(col(textCol)) >= k + w - 1)
+      .select(col(idCol), col(textCol),
+        explode(expr(s"sequence(1, length($textCol) - ${k - 1})")).as("pos"))
+      .select(col(idCol),
+        (length(col(textCol)) - (k - 1)).as("n_pos"),
+        col("pos"),
+        md5Int60(expr(s"substr($textCol, pos, $k)")).as("fp"))
+    val win = Window.partitionBy(idCol).orderBy("pos").rowsBetween(0, w - 1)
+    val sel = grams
+      .withColumn("_sel", min(col("fp")).over(win))
+      // only full windows: starts past n_pos − (w−1) see fewer than w hashes
+      .where(col("pos") <= col("n_pos") - (w - 1))
+      .select(col(idCol), col("_sel").as("fp"))
+      .distinct()
+    val agg = sel.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fp"), expr("bit_xor(fp)").as("fp_xor"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("fp_xor"), lit(0L)).as("fp_xor"))
+  }
+
+  /** Bag-of-words cosine similarity join over an inverted term index:
+    * per-doc term frequencies, df-capped discriminative terms (df ≤
+    * `dfCap`, the same blowup bound as [[ngramCandidates]]), pair dot
+    * products via the term-key equi-join, and an INTEGER similarity:
+    * cos²·10⁴ = dot²·10⁴ div (‖a‖²·‖b‖²), where norms are taken in the
+    * same capped-term subspace so the score is the exact cosine² of the
+    * discriminative-term vectors — nothing floats, nothing drifts.
+    *
+    * Range contract: dot²·10⁴ must fit int64 — by Cauchy–Schwarz that is
+    * ‖v‖² ≤ 3·10⁷ per doc (≈ a 10⁷-token document of distinct terms),
+    * far past any real document; chunk first if exceeded.
+    *
+    * Scale shape: linear inverted-index topology — term-key shuffle, the
+    * df cap bounds each term's pair contribution at dfCap², one (a,b)
+    * shuffle for the dot aggregate; never an all-pairs product.
+    */
+  def cosinePairs(df: DataFrame, textCol: String, idCol: String,
+                  minCos2Bp: Int = 2500, dfCap: Int = 100): DataFrame = {
+    val terms = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfq = terms.groupBy("term").agg(count(lit(1)).as("df"))
+    val idx = terms.join(dfq.where(col("df") <= dfCap), "term")
+      .select(col("term"), col(idCol), col("tf"))
+    val norms = idx.groupBy(col(idCol)).agg(sum(col("tf") * col("tf")).as("n2"))
+    val a = idx.select(col("term"), col(idCol).as("a"), col("tf").as("tfa"))
+    val b = idx.select(col("term"), col(idCol).as("b"), col("tf").as("tfb"))
+    a.join(b, "term").where(col("a") < col("b"))
+      .groupBy("a", "b").agg(sum(col("tfa") * col("tfb")).as("dot"))
+      .join(norms.select(col(idCol).as("a"), col("n2").as("na")), "a")
+      .join(norms.select(col(idCol).as("b"), col("n2").as("nb")), "b")
+      .withColumn("cos2_bp", expr("dot * dot * 10000 div (na * nb)"))
+      .where(col("cos2_bp") >= minCos2Bp)
+      .select("a", "b", "dot", "cos2_bp")
+  }
+
+  /** Corpus-wide segment-level dedup, keep-first (the CCNet paragraph
+    * dedup step): split each document into fixed non-overlapping
+    * `segWords`-word segments (the same segmentation as
+    * [[Quality.dropBoilerplate]]), keep only the globally FIRST occurrence
+    * of each distinct segment — "first" = smallest (doc id, segment index),
+    * a deterministic total order — and reassemble each document's surviving
+    * segments in order. Unlike dropBoilerplate (which drops high-df
+    * segments from EVERY document), this keeps exactly one copy corpus-wide.
+    *
+    * Scale shape: one shuffle on the segment text for the winner aggregate
+    * (partial-aggregable `min(struct(id, idx))` — no window over segment
+    * groups), one shuffle on the doc id to reassemble. Linear; the winner
+    * table is bounded by the number of DISTINCT segments.
+    *
+    * Output: (idCol, n_seg, n_kept, clean_text).
+    */
+  def dedupSegments(df: DataFrame, textCol: String, idCol: String,
+                    segWords: Int = 2): DataFrame = {
+    val nSegExpr = s"int(ceil(size(split($textCol, ' ')) / $segWords.0))"
+    val segs = df.select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, $nSegExpr - 1),
+           | i -> array_join(slice(split($textCol, ' '), i * $segWords + 1, $segWords), ' '))"""
+          .stripMargin.replace("\n", " ")))
+      .as(Seq("seg_idx", "seg")))
+    val winners = segs.groupBy("seg")
+      .agg(min(struct(col(idCol), col("seg_idx"))).as("_w"))
+      .select(col(s"_w.$idCol").as(idCol), col("_w.seg_idx").as("seg_idx"), col("seg"))
+    val rebuilt = winners.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(seg_idx, seg))), s -> s.seg)"),
+          " ").as("clean_text"))
+    df.select(col(idCol), expr(nSegExpr).cast("long").as("n_seg"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_seg"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   def keepBest(clustered: DataFrame, clusterCol: String, idCol: String,
                qualityCol: String): DataFrame =
     clustered.groupBy(col(clusterCol))

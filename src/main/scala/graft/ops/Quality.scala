@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level quality signals for training-data curation, beyond the
@@ -138,6 +139,95 @@ object Quality {
       .select(col(idCol), col("n_seg"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Robust per-group location/spread: lower median (the ⌈n/2⌉-th order
+    * statistic) and MAD (median absolute deviation), plus outlier counts
+    * at 1/2/3 MADs. The robust twin of [[zScoreOutliers]] — immune to the
+    * heavy tail that drags a mean-based z.
+    *
+    * Medians are selected from VALUE-COUNT tables, never a per-row sort:
+    * aggregate (group, value) counts, cumulative-sum over the
+    * value-ordered per-group window (bounded by DISTINCT values, not
+    * rows — the same aggregate-first shape as the equi-depth histogram),
+    * pick the value whose cumulative count straddles ⌈n/2⌉. Repeat on
+    * |v − med| for the MAD. Everything integer → bit-exact on any
+    * engine and partition count.
+    *
+    * Output: (grpCol, n, med, mad, out_1mad, out_2mad, out_3mad).
+    */
+  def madStats(df: DataFrame, valCol: String, grpCol: String): DataFrame = {
+    def lowerMedian(in: DataFrame, v: String, out: String): DataFrame = {
+      val counts = in.groupBy(col(grpCol), col(v)).agg(count(lit(1)).as("_c"))
+      val wCum = Window.partitionBy(grpCol).orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      counts
+        .withColumn("_cum", sum("_c").over(wCum))
+        .withColumn("_n", sum("_c").over(Window.partitionBy(grpCol)))
+        // the lower median sits at position ⌈n/2⌉ = (n+1) div 2
+        .where(col("_cum") - col("_c") < expr("(_n + 1) div 2") &&
+          expr("(_n + 1) div 2") <= col("_cum"))
+        .select(col(grpCol), col(v).cast("long").as(out))
+    }
+    val med = lowerMedian(df.select(col(grpCol), col(valCol)), valCol, "med")
+    val withDev = df.select(col(grpCol), col(valCol))
+      .join(med, grpCol)
+      .withColumn("_dev", abs(col(valCol).cast("long") - col("med")))
+    val mad = lowerMedian(withDev, "_dev", "mad")
+    withDev.join(mad, grpCol)
+      .groupBy(col(grpCol))
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("med"), max(col("mad")).as("mad"),
+        sum(when(col("_dev") > col("mad"), 1L).otherwise(0L)).as("out_1mad"),
+        sum(when(col("_dev") > col("mad") * 2, 1L).otherwise(0L)).as("out_2mad"),
+        sum(when(col("_dev") > col("mad") * 3, 1L).otherwise(0L)).as("out_3mad"))
+  }
+
+  /** Top-bigram repetition signal (the second Gopher/Dolma repetition
+    * family, complementing [[dupGramFraction]]'s cross-document signal):
+    * for each document, the fraction of its characters covered by its
+    * single most frequent word bigram — catches WITHIN-document loops
+    * ("click here click here …") that corpus-level df never sees.
+    *
+    * Tie-break is deterministic: highest count, then lexicographically
+    * smallest bigram, expressed as one partial-aggregable
+    * `min(struct(-cnt, bigram))` — no window, no driver state. Fraction
+    * is integer basis points (`cnt · len(bigram) · 10000 div chars`), so
+    * nothing floats.
+    *
+    * Scale shape: one (doc, bigram) shuffle + one doc shuffle, both
+    * map-side combinable; linear in corpus tokens.
+    *
+    * Output: (idCol, n_bigrams, top_bigram, top_cnt, rep_bp); documents
+    * with fewer than two words get (0, '', 0, 0).
+    */
+  def topBigramFraction(df: DataFrame, textCol: String, idCol: String,
+                        charsCol: String): DataFrame = {
+    val bi = df
+      .where(expr(s"size(split($textCol, ' ')) >= 2"))
+      .select(col(idCol), explode(expr(
+        s"""transform(sequence(0, size(split($textCol, ' ')) - 2),
+           | i -> concat(element_at(split($textCol, ' '), i + 1), ' ',
+           |             element_at(split($textCol, ' '), i + 2)))"""
+          .stripMargin.replace("\n", " "))).as("bg"))
+    val top = bi.groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        min(struct((-col("cnt")).as("neg"), col("bg").as("bg"))).as("_t"))
+      .select(col(idCol), col("n_bigrams"),
+        col("_t.bg").as("top_bigram"), (-col("_t.neg")).as("top_cnt"))
+    df.select(col(idCol), col(charsCol))
+      .join(top, Seq(idCol), "left")
+      .select(col(idCol), col(charsCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+        coalesce(col("top_cnt"), lit(0L)).as("top_cnt"))
+      // integer div (not Column./, which is double division)
+      .withColumn("rep_bp",
+        when(col(charsCol) > 0,
+          expr(s"top_cnt * length(top_bigram) * 10000 div $charsCol"))
+          .otherwise(lit(0L)))
+      .drop(charsCol)
   }
 
   def zScoreOutliers(df: DataFrame, valCol: String, grpCol: String,

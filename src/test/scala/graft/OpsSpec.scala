@@ -237,6 +237,22 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("dedupSegments: one global copy per segment, keep-first, order preserved") {
+    val docs = Seq(
+      (1L, "a b c d"),   // wins both its segments
+      (2L, "a b e f"),   // "a b" already taken by doc 1 → only "e f" survives
+      (3L, "c d"))       // "c d" taken by doc 1 → empty
+      .toDF("doc_id", "text")
+    for (parts <- Seq(1, 7)) {
+      val out = Dedup.dedupSegments(docs.repartition(parts), "text", "doc_id")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(out(1L) === ((2L, 2L, "a b c d")), s"parts=$parts")
+      assert(out(2L) === ((2L, 1L, "e f")), s"parts=$parts")
+      assert(out(3L) === ((1L, 0L, "")), s"parts=$parts")
+    }
+  }
+
   test("iterative ops release per-round storage (no block accumulation)") {
     val sc = spark.sparkContext
     def persisted = sc.getPersistentRDDs.size

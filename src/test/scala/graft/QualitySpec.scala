@@ -77,6 +77,32 @@ class QualitySpec extends SparkSpec {
       assert(out(i.toLong) === ((2L, 2L, s"u$i a u$i b")), s"doc $i") }
   }
 
+  test("topBigramFraction: repetition found, deterministic tie-break, short docs zeroed") {
+    val docs = Seq(
+      (1L, "a b a b a b", 11L),          // "a b"×3, "b a"×2 → top "a b"
+      (2L, "x y x z x y x z", 15L),      // "x y"×2 ties "x z"×2 → smaller "x y"
+      (3L, "solo", 4L),                  // < 2 words → zeros
+      (4L, "w1 w2 w3 w4", 11L)           // all bigrams unique → top cnt 1
+    ).toDF("doc_id", "text", "n_chars")
+    val out = Quality.topBigramFraction(docs, "text", "doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((5L, "a b", 3L, 3L * 3 * 10000 / 11)))
+    assert(out(2L) === ((7L, "x y", 2L, 2L * 3 * 10000 / 15)))
+    assert(out(3L) === ((0L, "", 0L, 0L)))
+    assert(out(4L)._3 === 1L)
+  }
+
+  test("topBigramFraction: result independent of partitioning") {
+    val docs = (1 to 60).map(i => (i.toLong, s"p$i q$i p$i q$i r$i", 20L))
+      .toDF("doc_id", "text", "n_chars")
+    val a = Quality.topBigramFraction(docs.repartition(1), "text", "doc_id", "n_chars")
+      .orderBy("doc_id").collect().toSeq
+    val b = Quality.topBigramFraction(docs.repartition(13), "text", "doc_id", "n_chars")
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
   test("zScoreOutliers: plants are found, zero-variance groups excluded") {
     val base = (1 to 100).map(i => (i.toLong, "g", 100L + (i % 10))) // tight cluster
     val planted = Seq((1000L, "g", 10000L))                         // far outlier
