@@ -775,6 +775,38 @@ object SparkEntry {
         .orderBy("wday")
     }),
 
+    // Gap-fill with LINEAR interpolation (q39_resample forward-fills):
+    // per-user daily purchase counts on a dense day grid; missing days
+    // get (pv·(nd−day) + nv·(day−pd))·1000 div (nd−pd) — the numerator
+    // is a nonnegative integer, so truncating div == floor div and both
+    // engines agree without a float in sight. Grid spans each user's
+    // own [min_day, max_day], so prev/next anchors always exist.
+    "q43_interpolate" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+        .groupBy("user_id", "day").agg(count(lit(1)).as("cnt"))
+      val grid = daily.groupBy("user_id")
+        .agg(min("day").as("_lo"), max("day").as("_hi"))
+        .select(col("user_id"), explode(sequence(col("_lo"), col("_hi"))).as("day"))
+      val wA = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wB = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"), col("cnt"),
+          last("cnt", ignoreNulls = true).over(wA).as("_pv"),
+          last(when(col("cnt").isNotNull, col("day")), ignoreNulls = true).over(wA).as("_pd"),
+          first("cnt", ignoreNulls = true).over(wB).as("_nv"),
+          first(when(col("cnt").isNotNull, col("day")), ignoreNulls = true).over(wB).as("_nd"))
+        .withColumn("filled_x1000",
+          when(col("cnt").isNotNull, col("cnt") * 1000)
+            .otherwise(expr("(_pv * (_nd - day) + _nv * (day - _pd)) * 1000 div (_nd - _pd)")))
+        .select(col("user_id"), col("day"), col("filled_x1000"),
+          col("cnt").isNull.cast("int").as("gap"))
+        .orderBy("user_id", "day")
+    }),
+
     // UNPIVOT/melt: wide metric columns → long (metric, value) rows,
     // then a per-metric rollup. Decimal sums keep the rounding exact and
     // aggregation-order-independent cross-engine.
@@ -1017,6 +1049,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"),
           round(col("z"), 3).as("z_r3"))
         .orderBy("doc_id")),
+
+    // Robust per-language length stats: lower median + MAD + outlier
+    // counts at 1/2/3 MADs, medians selected from value-count tables
+    // (aggregate-first — no per-row sort at any scale). The robust twin
+    // of quality_outliers' mean/z-score.
+    "quality_mad" -> ((s, dir) =>
+      graft.ops.Quality.madStats(
+          t(s, dir, "documents").select("lang", "n_chars"), "n_chars", "lang")
+        .orderBy("lang")),
 
     // Token-id encoding: vocabulary = top-64 terms by (freq desc, term),
     // dense ids 1..64 (0 = OOV); documents become bounded-vocab id
@@ -1264,6 +1305,14 @@ object SparkEntry {
         col("doc_id"), expr("rolling_hash(text)").as("rh"))
         .orderBy("doc_id")),
 
+    // Winnowing (MOSS) fingerprints: every verbatim match of length
+    // ≥ w+k−1 = 11 chars is guaranteed a shared fingerprint; output is
+    // the per-doc fingerprint count + order-independent XOR digest.
+    "text_winnowing" -> ((s, dir) =>
+      Dedup.winnowFingerprints(t(s, dir, "documents"), "text", "doc_id",
+          k = 8, w = 4)
+        .orderBy("doc_id")),
+
     "text_quality" -> ((s, dir) => {
       val tokens = split(col("text"), " ")
       // native word_set_hits: one compiled loop per row vs two interpreted
@@ -1476,6 +1525,15 @@ object SparkEntry {
       Dedup.ngramCandidates(t(s, dir, "documents"), "text", "doc_id",
           k = 3, dfCap = 100, threshold = 0.5)
         .orderBy("a_id", "b_id")),
+
+    // Bag-of-words cosine similarity join (integer cos²·10⁴ over the
+    // df-capped discriminative-term subspace) — the weighted-vector
+    // complement of dedup_ngram's set Jaccard, same linear
+    // inverted-index topology.
+    "dedup_cosine_pairs" -> ((s, dir) =>
+      Dedup.cosinePairs(t(s, dir, "documents"), "text", "doc_id",
+          minCos2Bp = 2500, dfCap = 100)
+        .orderBy("a", "b")),
 
     // Prefix-filter set-similarity self-join (PPJoin-style candidate
     // generation under a global rare-first shingle order, exact
@@ -2348,6 +2406,59 @@ object SparkEntry {
         |              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         | ORDER BY user_id, ts_us, event_id""".stripMargin.replace("\n", " "),
 
+    "quality_mad" ->
+      """WITH v AS (SELECT lang, n_chars AS v FROM documents),
+        | c AS (SELECT lang, v, count(*) AS c FROM v GROUP BY lang, v),
+        | cum AS (SELECT lang, v, c,
+        |   sum(c) OVER (PARTITION BY lang ORDER BY v
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+        |   sum(c) OVER (PARTITION BY lang) AS n FROM c),
+        | med AS (SELECT lang, v::BIGINT AS med FROM cum
+        |   WHERE cm - c < (n + 1) // 2 AND (n + 1) // 2 <= cm),
+        | dev AS (SELECT t.lang, t.v, abs(t.v - m.med) AS d, m.med
+        |   FROM v t JOIN med m USING (lang)),
+        | dc AS (SELECT lang, d, count(*) AS c FROM dev GROUP BY lang, d),
+        | dcum AS (SELECT lang, d, c,
+        |   sum(c) OVER (PARTITION BY lang ORDER BY d
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+        |   sum(c) OVER (PARTITION BY lang) AS n FROM dc),
+        | mad AS (SELECT lang, d::BIGINT AS mad FROM dcum
+        |   WHERE cm - c < (n + 1) // 2 AND (n + 1) // 2 <= cm)
+        | SELECT dev.lang, count(*) AS n, max(med)::BIGINT AS med,
+        |        max(mad)::BIGINT AS mad,
+        |        sum(CASE WHEN d > mad THEN 1 ELSE 0 END)::BIGINT AS out_1mad,
+        |        sum(CASE WHEN d > mad * 2 THEN 1 ELSE 0 END)::BIGINT AS out_2mad,
+        |        sum(CASE WHEN d > mad * 3 THEN 1 ELSE 0 END)::BIGINT AS out_3mad
+        | FROM dev JOIN mad USING (lang)
+        | GROUP BY dev.lang ORDER BY dev.lang""".stripMargin.replace("\n", " "),
+
+    "q43_interpolate" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        |            FROM events WHERE event_type = 'purchase'),
+        | daily AS (SELECT user_id, day, count(*) AS cnt FROM ev GROUP BY user_id, day),
+        | b AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY user_id),
+        | grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS day FROM b),
+        | j AS (SELECT g.user_id, g.day, d.cnt
+        |       FROM grid g LEFT JOIN daily d USING (user_id, day)),
+        | w AS (SELECT user_id, day, cnt,
+        |   last_value(cnt IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |   last_value(CASE WHEN cnt IS NOT NULL THEN day END IGNORE NULLS)
+        |     OVER (PARTITION BY user_id ORDER BY day
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |   first_value(cnt IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |   first_value(CASE WHEN cnt IS NOT NULL THEN day END IGNORE NULLS)
+        |     OVER (PARTITION BY user_id ORDER BY day
+        |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |   FROM j)
+        | SELECT user_id, day::BIGINT AS day,
+        |   (CASE WHEN cnt IS NOT NULL THEN cnt * 1000
+        |         ELSE (pv * (nd - day) + nv * (day - pd)) * 1000 // (nd - pd)
+        |    END)::BIGINT AS filled_x1000,
+        |   (cnt IS NULL)::INT AS gap
+        | FROM w ORDER BY user_id, day""".stripMargin.replace("\n", " "),
+
     "cohort_retention" ->
       """WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
         | f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
@@ -2698,6 +2809,23 @@ object SparkEntry {
         | FROM w LEFT JOIN rebuilt USING (doc_id)
         | ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
+    "text_winnowing" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        | g AS (SELECT doc_id, n - 7 AS n_pos, text,
+        |         unnest(range(1, n - 7 + 1)) AS pos FROM d WHERE n >= 11),
+        | h AS (SELECT doc_id, n_pos, pos,
+        |         ('0x' || substr(md5(substr(text, pos, 8)), 1, 15))::BIGINT AS fp
+        |       FROM g),
+        | w AS (SELECT doc_id, n_pos, pos,
+        |         min(fp) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+        |       FROM h),
+        | s AS (SELECT DISTINCT doc_id, sel AS fp FROM w WHERE pos <= n_pos - 3),
+        | a AS (SELECT doc_id, count(*) AS n_fp, bit_xor(fp) AS fp_xor
+        |       FROM s GROUP BY doc_id)
+        | SELECT d.doc_id, coalesce(n_fp, 0) AS n_fp, coalesce(fp_xor, 0) AS fp_xor
+        | FROM d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
+
     "text_quality" ->
       s"""SELECT doc_id, length(text) AS n_char, len(string_split(text, ' ')) AS n_tok,
          | len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopEn)})) AS stop_hits,
@@ -2849,6 +2977,24 @@ object SparkEntry {
          |        count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          |        (vec_id = cluster_id)::INT AS keep
          | FROM comp ORDER BY vec_id""".stripMargin.replace("\n", " "),
+
+    "dedup_cosine_pairs" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |        WHERE term <> '' GROUP BY doc_id, term),
+        | dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        | idx AS (SELECT tf.term, tf.doc_id, tf.tf FROM tf
+        |         JOIN dfq USING (term) WHERE df <= 100),
+        | norms AS (SELECT doc_id, sum(tf * tf)::BIGINT AS n2 FROM idx GROUP BY doc_id),
+        | dot AS (SELECT x.doc_id AS a, y.doc_id AS b, sum(x.tf * y.tf)::BIGINT AS dot
+        |         FROM idx x JOIN idx y ON x.term = y.term AND x.doc_id < y.doc_id
+        |         GROUP BY x.doc_id, y.doc_id)
+        | SELECT a, b, dot,
+        |        (dot * dot * 10000 // (na.n2 * nb.n2))::BIGINT AS cos2_bp
+        | FROM dot JOIN norms na ON dot.a = na.doc_id
+        |          JOIN norms nb ON dot.b = nb.doc_id
+        | WHERE dot * dot * 10000 // (na.n2 * nb.n2) >= 2500
+        | ORDER BY a, b""".stripMargin.replace("\n", " "),
 
     "dedup_ngram" ->
       """WITH sh AS (

@@ -237,6 +237,49 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("winnowFingerprints: digest is content-determined, short docs zeroed") {
+    val long1 = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq((1L, long1), (2L, long1), (3L, "entirely different words here today"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    for (parts <- Seq(1, 5)) {
+      val out = Dedup.winnowFingerprints(docs.repartition(parts), "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(out(1L) === out(2L), s"parts=$parts")      // same text → same digest
+      assert(out(1L)._1 > 0, s"parts=$parts")
+      assert(out(1L) !== out(3L), s"parts=$parts")
+      assert(out(4L) === ((0L, 0L)), s"parts=$parts")   // < k+w−1 chars
+    }
+  }
+
+  test("winnowFingerprints: density — every w consecutive gram positions yield a selection") {
+    // winnowing's guarantee rests on ≥1 fingerprint per window of w
+    // hashes; with w=4, k=8 a doc with P gram positions has P−w+1
+    // windows but selections dedup, so n_fp ∈ [⌈(P−w+1)/w⌉, P−w+1]
+    val text = (1 to 30).map(i => s"tok$i").mkString(" ") // long, no repeats
+    val p = text.length - 7
+    val nFp = Dedup.winnowFingerprints(
+      Seq((1L, text)).toDF("doc_id", "text"), "text", "doc_id")
+      .collect().head.getLong(1)
+    assert(nFp >= (p - 3 + 3) / 4 && nFp <= p - 3)
+  }
+
+  test("cosinePairs: identical and scaled docs hit cos²=10⁴, df-cap drops stopwords") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),   // identical
+      (3L, "alpha alpha beta"), (4L, "alpha alpha alpha alpha beta beta"), // scaled
+      (5L, "unrelated terms entirely")).toDF("doc_id", "text")
+    val out = Dedup.cosinePairs(docs, "text", "doc_id", minCos2Bp = 9000, dfCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(out((1L, 2L)) === 10000L)
+    assert(out((3L, 4L)) === 10000L)  // colinear tf vectors
+    assert(!out.keySet.exists { case (a, b) => a == 5L || b == 5L })
+    // df-cap: "alpha" appears in 4 docs; cap 3 removes it from the index,
+    // so docs 3/4 (mostly alpha) lose their dominant component
+    val capped = Dedup.cosinePairs(docs, "text", "doc_id", minCos2Bp = 9000, dfCap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(capped((1L, 2L)) === 10000L) // beta/gamma still carry the identical pair
+  }
+
   test("dedupSegments: one global copy per segment, keep-first, order preserved") {
     val docs = Seq(
       (1L, "a b c d"),   // wins both its segments

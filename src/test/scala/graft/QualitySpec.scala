@@ -103,6 +103,26 @@ class QualitySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("madStats: lower median, MAD, outlier counts — exact on a hand case") {
+    val df = Seq(1L, 2L, 3L, 4L, 100L).map(v => ("g", v)) ++ Seq(("h", 7L), ("h", 9L))
+    val out = Quality.madStats(df.toDF("grp", "v"), "v", "grp")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // g: med = 3 (pos ⌈5/2⌉), devs {2,1,0,1,97} → mad = 1;
+    //    d>1 → {2,97}, d>2 → {97}, d>3 → {97}
+    assert(out("g") === ((5L, 3L, 1L, 2L, 1L, 1L)))
+    // h: n=2, med = 7 (lower), devs {0,2} → mad = 0; d>0 → one row
+    assert(out("h") === ((2L, 7L, 0L, 1L, 1L, 1L)))
+  }
+
+  test("madStats: robust where the mean is not — one huge value moves nothing") {
+    val base = (1 to 99).map(i => ("g", 100L + (i % 5)))
+    val out = Quality.madStats((base :+ (("g", 1000000L))).toDF("grp", "v"), "v", "grp")
+      .collect().head
+    assert(out.getAs[Long]("med") === 102L)
+    assert(out.getAs[Long]("mad") <= 2L)
+  }
+
   test("zScoreOutliers: plants are found, zero-variance groups excluded") {
     val base = (1 to 100).map(i => (i.toLong, "g", 100L + (i % 10))) // tight cluster
     val planted = Seq((1000L, "g", 10000L))                         // far outlier
