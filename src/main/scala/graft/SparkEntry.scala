@@ -775,6 +775,25 @@ object SparkEntry {
         .orderBy("wday")
     }),
 
+    // Explicit GROUPING SETS with grouping_id — the general form of
+    // q12_rollup/q20_cube: exactly the (status), (priority), and ()
+    // groupings, nothing else, disambiguated by grouping ids.
+    "q44_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("v_orders_gs")
+      // NULL-free output + coalesced sort keys: Spark orders NULLS FIRST,
+      // DuckDB NULLS LAST — don't let a NULL near the positional compare
+      s.sql(
+        """SELECT coalesce(o_orderstatus, '*') AS status,
+          |       coalesce(o_orderpriority, '*') AS priority,
+          |       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          |       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+          |       count(*) AS n,
+          |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(20,2))), 2) AS DOUBLE) AS total
+          |FROM v_orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY g_status, g_prio, status, priority""".stripMargin)
+    }),
+
     // Gap-fill with LINEAR interpolation (q39_resample forward-fills):
     // per-user daily purchase counts on a dense day grid; missing days
     // get (pv·(nd−day) + nv·(day−pd))·1000 div (nd−pd) — the numerator
@@ -1311,6 +1330,26 @@ object SparkEntry {
     "text_winnowing" -> ((s, dir) =>
       Dedup.winnowFingerprints(t(s, dir, "documents"), "text", "doc_id",
           k = 8, w = 4)
+        .orderBy("doc_id")),
+
+    // Shared-winnowing-fingerprint pair candidates: substring-level
+    // overlap detection (containment), which whole-document minhash
+    // dilutes away. df-capped fp join — same blowup bound as dedup_ngram.
+    "dedup_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowPairs(t(s, dir, "documents"), "text", "doc_id",
+          k = 8, w = 4, dfCap = 20, minShared = 10, minContainBp = 2500)
+        .orderBy("a", "b")),
+
+    // Within-document token dedup, keep-first (the self-repetition
+    // cleaning step; dedup_segments is the corpus-wide version). Pure
+    // narrow projection — array_distinct preserves first-occurrence
+    // order — so the plan has ZERO exchanges before the output sort.
+    "text_selfdedup" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_kept"),
+        array_join(array_distinct(split(col("text"), " ")), " ").as("dedup_text"))
         .orderBy("doc_id")),
 
     "text_quality" -> ((s, dir) => {
@@ -2432,6 +2471,17 @@ object SparkEntry {
         | FROM dev JOIN mad USING (lang)
         | GROUP BY dev.lang ORDER BY dev.lang""".stripMargin.replace("\n", " "),
 
+    "q44_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, '*') AS status,
+        |       coalesce(o_orderpriority, '*') AS priority,
+        |       GROUPING(o_orderstatus)::INT AS g_status,
+        |       GROUPING(o_orderpriority)::INT AS g_prio,
+        |       count(*) AS n,
+        |       round(sum(o_totalprice::DECIMAL(20,2)), 2)::DOUBLE AS total
+        | FROM orders
+        | GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        | ORDER BY g_status, g_prio, status, priority""".stripMargin.replace("\n", " "),
+
     "q43_interpolate" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
         |            FROM events WHERE event_type = 'purchase'),
@@ -2808,6 +2858,44 @@ object SparkEntry {
         |        coalesce(clean_text, '') AS clean_text
         | FROM w LEFT JOIN rebuilt USING (doc_id)
         | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "dedup_winnow_pairs" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        | g AS (SELECT doc_id, n - 7 AS n_pos, text,
+        |         unnest(range(1, n - 7 + 1)) AS pos FROM d WHERE n >= 11),
+        | h AS (SELECT doc_id, n_pos, pos,
+        |         ('0x' || substr(md5(substr(text, pos, 8)), 1, 15))::BIGINT AS fp
+        |       FROM g),
+        | w AS (SELECT doc_id, n_pos, pos,
+        |         min(fp) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+        |       FROM h),
+        | s AS (SELECT DISTINCT doc_id, sel AS fp FROM w WHERE pos <= n_pos - 3),
+        | cnts AS (SELECT doc_id, count(*) AS n_fp FROM s GROUP BY doc_id),
+        | dfq AS (SELECT fp, count(*) AS df FROM s GROUP BY fp),
+        | idx AS (SELECT s.fp, s.doc_id FROM s JOIN dfq USING (fp) WHERE df <= 20),
+        | pr AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+        |        FROM idx x JOIN idx y ON x.fp = y.fp AND x.doc_id < y.doc_id
+        |        GROUP BY x.doc_id, y.doc_id HAVING count(*) >= 10)
+        | SELECT a, b, shared,
+        |        (shared * 10000 // least(ca.n_fp, cb.n_fp))::BIGINT AS contain_bp
+        | FROM pr JOIN cnts ca ON pr.a = ca.doc_id
+        |         JOIN cnts cb ON pr.b = cb.doc_id
+        | WHERE shared * 10000 // least(ca.n_fp, cb.n_fp) >= 2500
+        | ORDER BY a, b""".stripMargin.replace("\n", " "),
+
+    "text_selfdedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | tok AS (SELECT doc_id, unnest(ws) AS tk,
+        |           generate_subscripts(ws, 1) AS i FROM w),
+        | firsts AS (SELECT doc_id, tk, min(i) AS i FROM tok GROUP BY doc_id, tk),
+        | reb AS (SELECT doc_id, count(*) AS n_kept,
+        |           array_to_string(list(tk ORDER BY i), ' ') AS dedup_text
+        |         FROM firsts GROUP BY doc_id)
+        | SELECT w.doc_id, len(ws)::BIGINT AS n_tok,
+        |        coalesce(n_kept, 0)::BIGINT AS n_kept,
+        |        coalesce(dedup_text, '') AS dedup_text
+        | FROM w LEFT JOIN reb USING (doc_id) ORDER BY w.doc_id""".stripMargin.replace("\n", " "),
 
     "text_winnowing" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),

@@ -401,8 +401,12 @@ object Dedup {
     * document length — never a global frame), one doc-key aggregate;
     * linear in corpus characters.
     */
-  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
-                         k: Int = 8, w: Int = 4): DataFrame = {
+  /** The distinct winnowing-selected fingerprints per document:
+    * (idCol, fp) rows. Shared by [[winnowFingerprints]] (digest) and
+    * [[winnowPairs]] (cross-document match candidates).
+    */
+  def winnowSelections(df: DataFrame, textCol: String, idCol: String,
+                       k: Int = 8, w: Int = 4): DataFrame = {
     val grams = df.where(length(col(textCol)) >= k + w - 1)
       .select(col(idCol), col(textCol),
         explode(expr(s"sequence(1, length($textCol) - ${k - 1})")).as("pos"))
@@ -411,17 +415,56 @@ object Dedup {
         col("pos"),
         md5Int60(expr(s"substr($textCol, pos, $k)")).as("fp"))
     val win = Window.partitionBy(idCol).orderBy("pos").rowsBetween(0, w - 1)
-    val sel = grams
+    grams
       .withColumn("_sel", min(col("fp")).over(win))
       // only full windows: starts past n_pos − (w−1) see fewer than w hashes
       .where(col("pos") <= col("n_pos") - (w - 1))
       .select(col(idCol), col("_sel").as("fp"))
       .distinct()
-    val agg = sel.groupBy(col(idCol))
+  }
+
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+                         k: Int = 8, w: Int = 4): DataFrame = {
+    val agg = winnowSelections(df, textCol, idCol, k, w).groupBy(col(idCol))
       .agg(count(lit(1)).as("n_fp"), expr("bit_xor(fp)").as("fp_xor"))
     df.select(col(idCol)).join(agg, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_fp"), lit(0L)).as("n_fp"),
         coalesce(col("fp_xor"), lit(0L)).as("fp_xor"))
+  }
+
+  /** Cross-document match candidates from shared winnowing fingerprints
+    * (the pair-space payoff of [[winnowSelections]]'s guarantee: any
+    * verbatim overlap of length ≥ w + k − 1 shares a fingerprint, so
+    * substring-level plagiarism/containment — which whole-document
+    * minhash dilutes away — lands here). Pairs sharing ≥ `minShared`
+    * fingerprints are emitted with a containment score in basis points:
+    * shared·10⁴ div min(|fp_a|, |fp_b|), where |fp| is the doc's FULL
+    * selection count (the df cap prunes only the join, not the
+    * denominator, so the score stays a true containment estimate).
+    *
+    * Scale shape: fingerprint-key equi-join with the same df-cap bound
+    * as [[ngramCandidates]] — a fingerprint in more than `dfCap` docs
+    * (boilerplate) is dropped before the join, so each key contributes
+    * ≤ dfCap² pairs; never an all-pairs product.
+    */
+  def winnowPairs(df: DataFrame, textCol: String, idCol: String,
+                  k: Int = 8, w: Int = 4, dfCap: Int = 50,
+                  minShared: Int = 3, minContainBp: Int = 0): DataFrame = {
+    val sel = winnowSelections(df, textCol, idCol, k, w)
+    val counts = sel.groupBy(col(idCol)).agg(count(lit(1)).as("n_fp"))
+    val dfq = sel.groupBy("fp").agg(count(lit(1)).as("df"))
+    val idx = sel.join(dfq.where(col("df") <= dfCap), "fp")
+      .select(col("fp"), col(idCol))
+    val a = idx.select(col("fp"), col(idCol).as("a"))
+    val b = idx.select(col("fp"), col(idCol).as("b"))
+    a.join(b, "fp").where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+      .join(counts.select(col(idCol).as("a"), col("n_fp").as("nfa")), "a")
+      .join(counts.select(col(idCol).as("b"), col("n_fp").as("nfb")), "b")
+      .withColumn("contain_bp", expr("shared * 10000 div least(nfa, nfb)"))
+      .where(col("contain_bp") >= minContainBp)
+      .select("a", "b", "shared", "contain_bp")
   }
 
   /** Bag-of-words cosine similarity join over an inverted term index:

@@ -263,6 +263,23 @@ class OpsSpec extends SparkSpec {
     assert(nFp >= (p - 3 + 3) / 4 && nFp <= p - 3)
   }
 
+  test("winnowPairs: containment found, unrelated docs silent") {
+    val core = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, core),
+      (2L, s"prefix words first $core suffix words after"), // contains doc 1
+      (3L, "completely unrelated content with different characters entirely"))
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowPairs(docs, "text", "doc_id",
+        dfCap = 10, minShared = 1, minContainBp = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // doc 1's interior selections reappear inside doc 2 (winnowing's
+    // guarantee); only boundary windows can differ
+    assert(out.contains((1L, 2L)))
+    assert(out((1L, 2L)) >= 5000L, s"contain_bp = ${out((1L, 2L))}")
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("cosinePairs: identical and scaled docs hit cos²=10⁴, df-cap drops stopwords") {
     val docs = Seq(
       (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),   // identical
