@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST ~2000 chars of `sbt runMain` output for the
+// Bench JSON line. Two things broke that in rounds 1-5 (every BENCH_r*.json
+// has parsed:null): sbt's trailing "[success] Total time" line, and the
+// "[info] " prefix sbt's logger adds to forked stdout. Inherit the real
+// stdout for forked runs and drop the success banner so the payload line
+// is the final, unprefixed line of output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -59,28 +59,74 @@ object Bench {
     }
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
     def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def cs(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // 10ms resolution with trailing zeros stripped ("0.20"→"0.2", "3.00"→"3").
+    def cs(v: Double): String = java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .stripTrailingZeros.toPlainString
     val ctlMin = results.map(_._3).min
     val ctlMax = results.map(_._3).max
-    // The driver captures only the last ~3KB of output; with 129 queries
-    // the line must stay under that (r3 and r4 both tripped this). Queries
-    // at 10ms resolution; the per-query control series rides as a SPARSE
-    // index→decisecond map (absent = clean window, ≤0.15s) so every entry
-    // stays steal-attributable without the dense array's ~260-byte cost.
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + cs(v) }
-      .mkString("{", ",", "}")
     results.collect { case (k, _, c) if c > 2 * ctlMin =>
       System.err.println(s"[bench] steal $k control=${ms(c)}") }
     System.err.println(f"[bench] control min=${ctlMin}%.2f max=${ctlMax}%.2f")
-    val ctl = results.zipWithIndex
-      .map { case ((_, _, c), i) => (i, math.round(c * 10)) }
-      .collect { case (i, ds) if ds >= 2 => "\"" + i + "\":" + ds }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
-      s""""ctl":$ctl,"sf":"$sfDir"}"""
+    // The driver keeps only the last ~2000 chars of output (measured:
+    // every BENCH_r1..r5 record stores a 2000-char tail and parsed:null —
+    // the full per-query map never fit). Two-tier record instead:
+    //  - BENCH_FULL.json (repo root, committed per round): every query as
+    //    [steady_sec, control_sec] at 3-dp — the complete, steal-
+    //    attributable record;
+    //  - the stdout line: total + the HEADLINE subset (reference-core
+    //    dataflow + the heaviest operator families), sized ≤ ~1.8KB so the
+    //    line survives the tail capture whole.
+    val fullQs = results.map { case (k, v, c) => s""""$k":[${ms(v)},${ms(c)}]""" }
+      .mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+      s""""n":${results.size},"queries_ctl":$fullQs,"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullLine)
+    val qs = results.collect { case (k, v, _) if headline(k) => "\"" + k + "\":" + cs(v) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},""" +
+      s""""queries":$qs,"ctl":{"min":${cs(ctlMin)},"max":${cs(ctlMax)}},""" +
+      s""""full":"BENCH_FULL.json","sf":"$sfDir"}"""
     System.err.println(s"[bench] json line length: ${line.length}")
-    println(line)
+    // The payload line must be the LAST thing in a combined stdout+stderr
+    // capture: silence Spark (shutdown-hook logs included) and stop the
+    // session BEFORE printing, so nothing can trail the line.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(line)
   }
+
+  /** The stdout line's query subset: the reference-core dataflow plus the
+    * most scale-relevant representative of each operator family. The
+    * complete 130+-query record is in BENCH_FULL.json — this set only has
+    * to keep the driver-visible line under the ~2000-char tail capture.
+    */
+  private val headline: Set[String] = Set(
+    // reference core
+    "fast_docs", "merge_fast_docs", "nt_parse", "nt_quarantine", "viaf_update",
+    "q1_filter_project", "q4_groupby_collect", "q5_first_nonnull",
+    "q6_join_chain", "q7_disjunctive_join", "q8_semi_join", "q9_merge_dedup",
+    // relational heavies
+    "q13_window", "q20_cube", "q22_range_join", "q23_asof_join",
+    "q24_percentile", "q33_sql_surface", "q35_sessionize", "q39_resample",
+    "q41_global_rank", "q42_window_distinct", "q43_interpolate", "table_diff",
+    // dedup family
+    "dedup_exact", "dedup_minhash_pairs", "dedup_clusters", "dedup_ppjoin",
+    "dedup_ngram", "dedup_simhash", "dedup_winnow_pairs", "dedup_cosine_pairs",
+    "dedup_incremental", "dedup_canonical",
+    // ANN / embeddings
+    "ann_topk", "ann_ivf", "ann_lsh", "embed_neardup", "embed_clusters",
+    // sketches
+    "sketch_cms", "sketch_distinct", "sketch_frequent_by_lang",
+    "sketch_quantiles", "sketch_hll_merge",
+    // graph
+    "graph_triangles", "graph_pagerank", "graph_labelprop",
+    // text / quality / tokenization
+    "text_langid", "text_quality", "text_lm_bigram", "text_bm25",
+    "text_entropy", "text_boilerplate", "text_encode_ids", "bpe_merges",
+    "decontaminate",
+    // pipelines, sampling, layout
+    "pipeline_curate", "pipeline_pretrain", "sample_temperature",
+    "sample_weighted", "pack_sequences", "layout_zorder", "scd2_history")
 }

@@ -1129,6 +1129,90 @@ object SparkEntry {
           round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"))
         .orderBy("l_returnflag")),
 
+    // Per-group OLS regression from sufficient statistics — the
+    // distributed shape for "fit a line per key" at corpus scale: ONE
+    // partial-aggregable pass accumulates (n, Σx, Σy, Σxy, Σx²) per
+    // group; slope and intercept leave as exact integer rationals
+    // (slope = slope_num/slope_den, intercept = icept_num/slope_den) so
+    // the compare is float-free. x = chars, y = whitespace tokens; at
+    // 100 TB the products want DECIMAL(38) but the plan shape (one
+    // key-local shuffle of five counters) is unchanged.
+    "stats_regression" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("lang"),
+        col("n_chars").as("x"),
+        size(expr("filter(split(text, ' '), t -> t <> '')")).cast("long").as("y"))
+      d.groupBy("lang").agg(
+          count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("lang"), col("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+          (col("sy") * col("sxx") - col("sx") * col("sxy")).as("icept_num"))
+        .orderBy("lang")
+    }),
+
+    // Corpus drift detection: which terms' relative frequencies moved
+    // most between two corpora (here en vs non-en)? Score is the exact
+    // integer |a·NB − b·NA| — the difference of relative frequencies
+    // cross-multiplied by NA·NB — so there's no division, no floats,
+    // and the (drift, term) order is total. One term-key shuffle with
+    // partial aggregation; the two corpus totals ride in as a one-row
+    // broadcast.
+    "corpus_drift" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("lang"),
+          explode(expr("filter(split(text, ' '), t -> t <> '')")).as("term"))
+      val cnt = toks.groupBy("term").agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("a"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("b"))
+      val tot = toks.agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("na"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("nb"))
+      cnt.crossJoin(broadcast(tot))
+        .select(col("term"), col("a"), col("b"),
+          abs(col("a") * col("nb") - col("b") * col("na")).as("drift"))
+        .orderBy(col("drift").desc, col("term"))
+        .limit(30)
+    }),
+
+    // Vocabulary coverage curve: what fraction of corpus tokens do the
+    // top-k vocabulary entries cover (tokenizer/vocab sizing input)?
+    // The window runs over the AGGREGATED term table — corpus-bounded,
+    // the same post-aggregation exemption as text_encode_ids — never
+    // over raw tokens. Coverage in exact basis points: cum·10⁴ div
+    // total, nonnegative, so truncating div == floor div cross-engine.
+    "vocab_coverage" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(expr("filter(split(text, ' '), t -> t <> '')")).as("term"))
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("c").desc, col("term"))
+      val tot = toks.agg(count(lit(1)).as("n"))
+      vocab.select(col("term"), col("c"),
+          row_number().over(w).as("k"),
+          sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).as("cum"))
+        .where(col("k").isin(1, 3, 10, 30))
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("term"), col("c"), col("cum"),
+          expr("cum * 10000 div n").as("coverage_bp"))
+        .orderBy("k")
+    }),
+
+    // Cluster-size profile after near-dup clustering — "how duplicated
+    // is the corpus, and in what cluster sizes?" Composes the
+    // dedup_clusters output with two more key-local aggregations; the
+    // profile is what sizes a dedup budget/ETA estimate reads.
+    "dedup_cluster_stats" -> ((s, dir) => {
+      val pairs = Dedup.minhashCandidates(
+        Dedup.minhashSignature(t(s, dir, "documents"), "text", "doc_id"),
+        "doc_id", threshold = 0.25)
+      Dedup.connectedComponents(pairs, "a_id", "b_id")
+        .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("sz")
+    }),
+
     // As-of join: even events ("trades") pick up the value of the latest
     // odd event ("quote") at-or-before their timestamp, per user.
     "q23_asof_join" -> ((s, dir) => {
@@ -2650,6 +2734,63 @@ object SparkEntry {
         |        round(stddev_samp(l_quantity), 4) AS sd_qty,
         |        round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+
+    "stats_regression" ->
+      """WITH d AS (SELECT lang, n_chars AS x,
+        |   len(list_filter(string_split(text, ' '), t -> t <> ''))::BIGINT AS y
+        |   FROM documents),
+        | g AS (SELECT lang, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |       sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+        |       sum(x * x)::BIGINT AS sxx FROM d GROUP BY lang)
+        | SELECT lang, n, n * sxy - sx * sy AS slope_num,
+        |        n * sxx - sx * sx AS slope_den,
+        |        sy * sxx - sx * sxy AS icept_num
+        | FROM g ORDER BY lang""".stripMargin.replace("\n", " "),
+
+    "corpus_drift" ->
+      """WITH tok AS (SELECT lang, unnest(list_filter(string_split(text, ' '),
+        |                    t -> t <> '')) AS term FROM documents),
+        | cnt AS (SELECT term,
+        |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS a,
+        |         sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)::BIGINT AS b
+        |         FROM tok GROUP BY term),
+        | tot AS (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS na,
+        |         sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)::BIGINT AS nb FROM tok)
+        | SELECT term, a, b, abs(a * nb - b * na) AS drift FROM cnt, tot
+        | ORDER BY drift DESC, term LIMIT 30""".stripMargin.replace("\n", " "),
+
+    "vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '),
+        |                    t -> t <> '')) AS term FROM documents),
+        | v AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY term),
+        | r AS (SELECT term, c, row_number() OVER (ORDER BY c DESC, term) AS k,
+        |       sum(c) OVER (ORDER BY c DESC, term
+        |         ROWS UNBOUNDED PRECEDING)::BIGINT AS cum FROM v),
+        | n AS (SELECT count(*)::BIGINT AS n FROM tok)
+        | SELECT k::INT AS k, term, c, cum, cum * 10000 // n.n AS coverage_bp
+        | FROM r, n WHERE k IN (1, 3, 10, 30) ORDER BY k""".stripMargin.replace("\n", " "),
+
+    "dedup_cluster_stats" -> {
+      val matches = (0 until 8).map(i => s"(a.s$i = b.s$i)::INT").mkString(" + ")
+      val bandsMatch = (0 until 4).map(b =>
+        s"(a.s${2 * b} = b.s${2 * b} AND a.s${2 * b + 1} = b.s${2 * b + 1})").mkString(" OR ")
+      s"""WITH RECURSIVE $minhashSigCte,
+         | pairs AS (
+         |   SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |   FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandsMatch)
+         |   WHERE round(($matches) / 8.0, 4) >= 0.25),
+         | edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+         |           UNION SELECT b_id, a_id FROM pairs),
+         | reach(s, d) AS (
+         |   SELECT s, d FROM edges
+         |   UNION
+         |   SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         | cl AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+         |        FROM reach GROUP BY s),
+         | szs AS (SELECT cluster_id, count(*)::BIGINT AS sz FROM cl GROUP BY cluster_id)
+         | SELECT sz, count(*)::BIGINT AS n_clusters FROM szs GROUP BY sz
+         | ORDER BY sz""".stripMargin.replace("\n", " ")
+    },
 
     "q23_asof_join" ->
       """SELECT l.event_id, r.q_id AS asof_q_id, r.q_val AS asof_q_val
