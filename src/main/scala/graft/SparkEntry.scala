@@ -1213,6 +1213,52 @@ object SparkEntry {
         .orderBy("sz")
     }),
 
+    // Robust pipeline monitoring: which (event_type, day) intake volumes
+    // are anomalous against the type's own history? Median + MAD — not
+    // mean + σ, so one heavy day cannot drag its own baseline — via
+    // madOutlierRows' value-count median selection (windows bounded by
+    // DISTINCT daily volumes, never raw rows). >3·MAD flags; integers
+    // end to end.
+    "events_anomaly" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      graft.ops.Quality.madOutlierRows(daily, "cnt", "event_type", k = 3)
+        .select(col("event_type"), col("day"), col("cnt"),
+          col("med"), col("dev"), col("mad"))
+        .orderBy("event_type", "day")
+    }),
+
+    // Collocation mining: top word pairs by a linear-scale PMI proxy —
+    // cab·N·10⁴ div (c1·c2), the integer cross-multiplication of
+    // p(ab)/(p(a)p(b)) — so ordering is exact with no logs or floats
+    // (log is monotone: the top-k set is identical to true PMI's).
+    // min-count 5 kills the hapax noise, the classic collocation gate.
+    // One bigram shuffle; unigram side is vocabulary-bounded (broadcast
+    // joins); at 100 TB cab·N·10⁴ wants DECIMAL(38) but the topology
+    // stands.
+    "text_pmi" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(expr("filter(split(text, ' '), x -> x <> '')").as("a"))
+      val toks = docs.select(explode(col("a")).as("w"))
+      val uni = toks.groupBy("w").agg(count(lit(1)).as("cw"))
+      val n = toks.agg(count(lit(1)).as("n"))
+      val bg = docs.where(size(col("a")) >= 2)
+        .select(explode(arrays_zip(
+          expr("slice(a, 1, size(a) - 1)").as("l"),
+          expr("slice(a, 2, size(a) - 1)").as("r"))).as("z"))
+        .select(col("z.l").as("w1"), col("z.r").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+      bg.where(col("cab") >= 5)
+        .join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+        .crossJoin(broadcast(n))
+        .select(col("w1"), col("w2"), col("cab"),
+          expr("cab * n * 10000 div (c1 * c2)").as("pmi_bp"))
+        .orderBy(col("pmi_bp").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
     // As-of join: even events ("trades") pick up the value of the latest
     // odd event ("quote") at-or-before their timestamp, per user.
     "q23_asof_join" -> ((s, dir) => {
@@ -2791,6 +2837,44 @@ object SparkEntry {
          | SELECT sz, count(*)::BIGINT AS n_clusters FROM szs GROUP BY sz
          | ORDER BY sz""".stripMargin.replace("\n", " ")
     },
+
+    "events_anomaly" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events),
+        | daily AS (SELECT event_type, day, count(*)::BIGINT AS cnt FROM ev GROUP BY 1, 2),
+        | c AS (SELECT event_type, cnt AS v, count(*) AS c FROM daily GROUP BY 1, 2),
+        | cum AS (SELECT event_type, v, c,
+        |   sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |     ROWS UNBOUNDED PRECEDING) AS cm,
+        |   sum(c) OVER (PARTITION BY event_type) AS n FROM c),
+        | med AS (SELECT event_type, v::BIGINT AS med FROM cum
+        |   WHERE cm - c < (n + 1) // 2 AND (n + 1) // 2 <= cm),
+        | d AS (SELECT daily.event_type, day, cnt, med, abs(cnt - med) AS dev
+        |   FROM daily JOIN med USING (event_type)),
+        | dc AS (SELECT event_type, dev AS v, count(*) AS c FROM d GROUP BY 1, 2),
+        | dcum AS (SELECT event_type, v, c,
+        |   sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |     ROWS UNBOUNDED PRECEDING) AS cm,
+        |   sum(c) OVER (PARTITION BY event_type) AS n FROM dc),
+        | mad AS (SELECT event_type, v::BIGINT AS mad FROM dcum
+        |   WHERE cm - c < (n + 1) // 2 AND (n + 1) // 2 <= cm)
+        | SELECT event_type, day::BIGINT AS day, cnt, med, dev, mad
+        | FROM d JOIN mad USING (event_type)
+        | WHERE dev > 3 * mad ORDER BY event_type, day""".stripMargin.replace("\n", " "),
+
+    "text_pmi" ->
+      """WITH w AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS a
+        |           FROM documents),
+        | tok AS (SELECT unnest(a) AS w FROM w),
+        | uni AS (SELECT w, count(*)::BIGINT AS cw FROM tok GROUP BY w),
+        | n AS (SELECT count(*)::BIGINT AS n FROM tok),
+        | bg AS (SELECT z[1] AS w1, z[2] AS w2 FROM (
+        |          SELECT unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS z
+        |          FROM w WHERE len(a) >= 2)),
+        | cab AS (SELECT w1, w2, count(*)::BIGINT AS cab FROM bg GROUP BY 1, 2)
+        | SELECT w1, w2, cab, cab * n.n * 10000 // (u1.cw * u2.cw) AS pmi_bp
+        | FROM cab JOIN uni u1 ON cab.w1 = u1.w JOIN uni u2 ON cab.w2 = u2.w
+        | CROSS JOIN n WHERE cab >= 5
+        | ORDER BY pmi_bp DESC, w1, w2 LIMIT 20""".stripMargin.replace("\n", " "),
 
     "q23_asof_join" ->
       """SELECT l.event_id, r.q_id AS asof_q_id, r.q_val AS asof_q_val

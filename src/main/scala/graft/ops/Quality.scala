@@ -156,24 +156,32 @@ object Quality {
     *
     * Output: (grpCol, n, med, mad, out_1mad, out_2mad, out_3mad).
     */
+  /** Lower median (the ⌈n/2⌉-th order statistic) of `v` per `grpCol`,
+    * selected from a VALUE-COUNT table, never a per-row sort: the
+    * cumulative-sum window is bounded by DISTINCT values, not rows (the
+    * aggregate-first shape shared with the equi-depth histogram).
+    * Shared by [[madStats]] and [[madOutlierRows]].
+    */
+  private def lowerMedian(in: DataFrame, grpCol: String, v: String,
+                          out: String): DataFrame = {
+    val counts = in.groupBy(col(grpCol), col(v)).agg(count(lit(1)).as("_c"))
+    val wCum = Window.partitionBy(grpCol).orderBy(col(v))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    counts
+      .withColumn("_cum", sum("_c").over(wCum))
+      .withColumn("_n", sum("_c").over(Window.partitionBy(grpCol)))
+      // the lower median sits at position ⌈n/2⌉ = (n+1) div 2
+      .where(col("_cum") - col("_c") < expr("(_n + 1) div 2") &&
+        expr("(_n + 1) div 2") <= col("_cum"))
+      .select(col(grpCol), col(v).cast("long").as(out))
+  }
+
   def madStats(df: DataFrame, valCol: String, grpCol: String): DataFrame = {
-    def lowerMedian(in: DataFrame, v: String, out: String): DataFrame = {
-      val counts = in.groupBy(col(grpCol), col(v)).agg(count(lit(1)).as("_c"))
-      val wCum = Window.partitionBy(grpCol).orderBy(col(v))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      counts
-        .withColumn("_cum", sum("_c").over(wCum))
-        .withColumn("_n", sum("_c").over(Window.partitionBy(grpCol)))
-        // the lower median sits at position ⌈n/2⌉ = (n+1) div 2
-        .where(col("_cum") - col("_c") < expr("(_n + 1) div 2") &&
-          expr("(_n + 1) div 2") <= col("_cum"))
-        .select(col(grpCol), col(v).cast("long").as(out))
-    }
-    val med = lowerMedian(df.select(col(grpCol), col(valCol)), valCol, "med")
+    val med = lowerMedian(df.select(col(grpCol), col(valCol)), grpCol, valCol, "med")
     val withDev = df.select(col(grpCol), col(valCol))
       .join(med, grpCol)
       .withColumn("_dev", abs(col(valCol).cast("long") - col("med")))
-    val mad = lowerMedian(withDev, "_dev", "mad")
+    val mad = lowerMedian(withDev, grpCol, "_dev", "mad")
     withDev.join(mad, grpCol)
       .groupBy(col(grpCol))
       .agg(count(lit(1)).as("n"),
@@ -181,6 +189,23 @@ object Quality {
         sum(when(col("_dev") > col("mad"), 1L).otherwise(0L)).as("out_1mad"),
         sum(when(col("_dev") > col("mad") * 2, 1L).otherwise(0L)).as("out_2mad"),
         sum(when(col("_dev") > col("mad") * 3, 1L).otherwise(0L)).as("out_3mad"))
+  }
+
+  /** The anomalous ROWS behind [[madStats]]: rows whose |value − group
+    * median| exceeds `k`·MAD, with the evidence attached (med, dev,
+    * mad). All original columns ride through — the medians join back on
+    * the group key — so callers keep their secondary keys (e.g. the
+    * day of an anomalous daily volume). Integer-exact end to end; the
+    * robust baseline means one heavy day cannot mask itself by dragging
+    * the group mean.
+    */
+  def madOutlierRows(df: DataFrame, valCol: String, grpCol: String,
+                     k: Int = 3): DataFrame = {
+    val med = lowerMedian(df.select(col(grpCol), col(valCol)), grpCol, valCol, "med")
+    val withDev = df.join(med, grpCol)
+      .withColumn("dev", abs(col(valCol).cast("long") - col("med")))
+    val mad = lowerMedian(withDev.select(col(grpCol), col("dev")), grpCol, "dev", "mad")
+    withDev.join(mad, grpCol).where(col("dev") > col("mad") * k)
   }
 
   /** Top-bigram repetition signal (the second Gopher/Dolma repetition
@@ -203,13 +228,17 @@ object Quality {
     */
   def topBigramFraction(df: DataFrame, textCol: String, idCol: String,
                         charsCol: String): DataFrame = {
+    // split ONCE per doc, then zip shifted slices — the earlier
+    // per-element `element_at(split(...), i)` lambda re-split the text
+    // for every bigram position, an O(len²)-per-doc interpreter path
+    // that benched at 3.0 s vs 1.2 s for this shape at sf0.1
     val bi = df
-      .where(expr(s"size(split($textCol, ' ')) >= 2"))
-      .select(col(idCol), explode(expr(
-        s"""transform(sequence(0, size(split($textCol, ' ')) - 2),
-           | i -> concat(element_at(split($textCol, ' '), i + 1), ' ',
-           |             element_at(split($textCol, ' '), i + 2)))"""
-          .stripMargin.replace("\n", " "))).as("bg"))
+      .select(col(idCol), split(col(textCol), " ").as("_ws"))
+      .where(size(col("_ws")) >= 2)
+      .select(col(idCol), explode(arrays_zip(
+        expr("slice(_ws, 1, size(_ws) - 1)").as("l"),
+        expr("slice(_ws, 2, size(_ws) - 1)").as("r"))).as("z"))
+      .select(col(idCol), concat(col("z.l"), lit(" "), col("z.r")).as("bg"))
     val top = bi.groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("cnt"))
       .groupBy(col(idCol))
       .agg(sum(col("cnt")).as("n_bigrams"),

@@ -115,6 +115,30 @@ class QualitySpec extends SparkSpec {
     assert(out("h") === ((2L, 7L, 0L, 1L, 1L, 1L)))
   }
 
+  test("madOutlierRows: the rows behind the counts, evidence columns exact") {
+    val df = (Seq(1L, 2L, 3L, 4L, 100L).map(v => ("g", v)) ++ Seq(("h", 7L), ("h", 9L)))
+      .toDF("grp", "v")
+    val rows = Quality.madOutlierRows(df, "v", "grp", k = 3).collect()
+    // g: med 3, mad 1 → only v=100 (dev 97 > 3·1); h: med 7, mad 0 → v=9 (dev 2 > 0)
+    assert(rows.length === 2)
+    val g = rows.find(_.getString(0) == "g").get
+    assert(g.getAs[Long]("v") === 100L)
+    assert(g.getAs[Long]("med") === 3L)
+    assert(g.getAs[Long]("dev") === 97L)
+    assert(g.getAs[Long]("mad") === 1L)
+    assert(rows.find(_.getString(0) == "h").get.getAs[Long]("v") === 9L)
+  }
+
+  test("madOutlierRows: row count equals madStats' out_3mad on many groups") {
+    val data = (1 to 500).map(i =>
+      (s"g${i % 7}", ((i * 2654435761L) % 97) + (if (i % 50 == 0) 10000L else 0L)))
+    val df = data.toDF("grp", "v")
+    val nRows = Quality.madOutlierRows(df, "v", "grp", k = 3).count()
+    val nAgg = Quality.madStats(df, "v", "grp")
+      .agg(sum("out_3mad")).head().getLong(0)
+    assert(nRows === nAgg)
+  }
+
   test("madStats: robust where the mean is not — one huge value moves nothing") {
     val base = (1 to 99).map(i => ("g", 100L + (i % 5)))
     val out = Quality.madStats((base :+ (("g", 1000000L))).toDF("grp", "v"), "v", "grp")
