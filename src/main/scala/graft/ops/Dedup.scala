@@ -523,9 +523,13 @@ object Dedup {
   def dedupSegments(df: DataFrame, textCol: String, idCol: String,
                     segWords: Int = 2): DataFrame = {
     val nSegExpr = s"int(ceil(size(split($textCol, ' ')) / $segWords.0))"
-    val segs = df.select(col(idCol), posexplode(expr(
-        s"""transform(sequence(0, $nSegExpr - 1),
-           | i -> array_join(slice(split($textCol, ' '), i * $segWords + 1, $segWords), ' '))"""
+    // split ONCE per doc before the lambda — `slice(split(...), i...)`
+    // inside transform re-splits per segment (O(len²)/doc, interpreted)
+    val segs = df
+      .select(col(idCol), split(col(textCol), " ").as("_ws"))
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, int(ceil(size(_ws) / $segWords.0)) - 1),
+           | i -> array_join(slice(_ws, i * $segWords + 1, $segWords), ' '))"""
           .stripMargin.replace("\n", " ")))
       .as(Seq("seg_idx", "seg")))
     val winners = segs.groupBy("seg")

@@ -117,10 +117,15 @@ object Quality {
     */
   def dropBoilerplate(df: DataFrame, textCol: String, idCol: String,
                       segWords: Int = 2, maxDfPermille: Int = 50): DataFrame = {
+    // once-per-doc segment count for the final projection (cheap there);
+    // split ONCE per doc before the lambda — `slice(split(...), i...)`
+    // inside transform re-splits per segment (O(len²)/doc, interpreted)
     val nSegExpr = s"int(ceil(size(split($textCol, ' ')) / $segWords.0))"
-    val segs = df.select(col(idCol), posexplode(expr(
-        s"""transform(sequence(0, $nSegExpr - 1),
-           | i -> array_join(slice(split($textCol, ' '), i * $segWords + 1, $segWords), ' '))"""
+    val segs = df
+      .select(col(idCol), split(col(textCol), " ").as("_ws"))
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, int(ceil(size(_ws) / $segWords.0)) - 1),
+           | i -> array_join(slice(_ws, i * $segWords + 1, $segWords), ' '))"""
           .stripMargin.replace("\n", " ")))
       .as(Seq("seg_idx", "seg")))
     val nDocs = df.agg(countDistinct(col(idCol)).as("nd"))
