@@ -1213,6 +1213,44 @@ object SparkEntry {
         .orderBy("sz")
     }),
 
+    // Grouped top-k WITH ties (RANK ≤ 3): per order priority, the top
+    // spending customers — the grouped, tie-preserving complement of
+    // q11's global TakeOrderedAndProject and q37's LATERAL top-2 (which
+    // decorrelates to a tie-free row_number). One key shuffle, then a
+    // partition-local window; decimal sums so the rank key is
+    // aggregation-order-independent cross-engine.
+    "q45_topk_per_group" -> ((s, dir) => {
+      val spend = t(s, dir, "orders")
+        .groupBy("o_orderpriority", "o_custkey")
+        .agg(round(sum(col("o_totalprice").cast("decimal(20,6)")), 2)
+          .cast("double").as("spend"))
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("spend").desc, col("o_custkey"))
+      spend.withColumn("rk", rank().over(w)).where(col("rk") <= 3)
+        .orderBy("o_orderpriority", "rk", "o_custkey")
+    }),
+
+    // One-pass-per-column dataset profiler: null count, distinct count,
+    // min/max per profiled column. Each branch aggregates its own
+    // VALUE-COUNT table (one narrow column-pruned scan + a shuffle
+    // bounded by distinct values) — never a multi-count_distinct over
+    // the full row stream, which would Expand every input row once per
+    // distinct aggregate. The stats a pipeline's schema gate reads.
+    "profile_colstats" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def prof(c: String) = li
+        .groupBy(col(c).as("_v")).agg(count(lit(1)).as("_c"))
+        .agg(sum("_c").as("n"),
+          coalesce(sum(when(col("_v").isNull, col("_c"))), lit(0L)).as("n_null"),
+          count(when(col("_v").isNotNull, lit(1))).as("n_distinct"),
+          min(col("_v")).cast("string").as("min_s"),
+          max(col("_v")).cast("string").as("max_s"))
+        .select(lit(c).as("column_name"), col("n"), col("n_null"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+      Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+        .map(prof).reduce(_ unionByName _).orderBy("column_name")
+    }),
+
     // Robust pipeline monitoring: which (event_type, day) intake volumes
     // are anomalous against the type's own history? Median + MAD — not
     // mean + σ, so one heavy day cannot drag its own baseline — via
@@ -2837,6 +2875,26 @@ object SparkEntry {
          | SELECT sz, count(*)::BIGINT AS n_clusters FROM szs GROUP BY sz
          | ORDER BY sz""".stripMargin.replace("\n", " ")
     },
+
+    "q45_topk_per_group" ->
+      """WITH spend AS (SELECT o_orderpriority, o_custkey,
+        |   round(sum(o_totalprice::DECIMAL(20,6)), 2)::DOUBLE AS spend
+        |   FROM orders GROUP BY 1, 2),
+        | r AS (SELECT o_orderpriority, o_custkey, spend,
+        |   rank() OVER (PARTITION BY o_orderpriority
+        |     ORDER BY spend DESC, o_custkey) AS rk FROM spend)
+        | SELECT o_orderpriority, o_custkey, spend, rk::INT AS rk FROM r
+        | WHERE rk <= 3 ORDER BY o_orderpriority, rk, o_custkey"""
+        .stripMargin.replace("\n", " "),
+
+    "profile_colstats" -> Seq(
+      "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus").map { c =>
+      s"""SELECT '$c' AS column_name, count(*)::BIGINT AS n,
+         | (count(*) - count($c))::BIGINT AS n_null,
+         | count(DISTINCT $c)::BIGINT AS n_distinct,
+         | min($c)::VARCHAR AS min_s, max($c)::VARCHAR AS max_s
+         | FROM lineitem""".stripMargin.replace("\n", " ")
+    }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY column_name"),
 
     "events_anomaly" ->
       """WITH ev AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events),
