@@ -1213,6 +1213,27 @@ object SparkEntry {
         .orderBy("sz")
     }),
 
+    // BFS reachability levels: who is within 3 hops of nation-0
+    // customers over the undirected customer—supplier co-purchase graph
+    // (edges from lineitem×orders; supplier ids offset past the
+    // customer id space)? Frontier iteration — per round one
+    // frontier⋈edges shuffle + an anti-join against the visited set —
+    // the distributed-BFS shape CC/PageRank don't exercise. The oracle
+    // is the textbook recursive-CTE min-level.
+    "graph_bfs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val cs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + lit(1000000L)).as("sp"))
+      val e = cs.select(col("c").as("src"), col("sp").as("dst"))
+        .unionAll(cs.select(col("sp").as("src"), col("c").as("dst")))
+      val sources = t(s, dir, "customer").where(col("c_nationkey") === 0)
+        .select(col("c_custkey"))
+      graft.ops.Graph.bfsLevels(e, "src", "dst", sources, "c_custkey",
+          maxLevels = 3)
+        .orderBy("node")
+    }),
+
     // Grouped top-k WITH ties (RANK ≤ 3): per order priority, the top
     // spending customers — the grouped, tie-preserving complement of
     // q11's global TakeOrderedAndProject and q37's LATERAL top-2 (which
@@ -2875,6 +2896,19 @@ object SparkEntry {
          | SELECT sz, count(*)::BIGINT AS n_clusters FROM szs GROUP BY sz
          | ORDER BY sz""".stripMargin.replace("\n", " ")
     },
+
+    "graph_bfs" ->
+      """WITH RECURSIVE cs AS (SELECT o_custkey AS c, l_suppkey + 1000000 AS sp
+        |   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        | e AS (SELECT c AS src, sp AS dst FROM cs
+        |        UNION SELECT sp, c FROM cs),
+        | bfs(node, lvl) AS (
+        |   SELECT c_custkey::BIGINT, 0 FROM customer WHERE c_nationkey = 0
+        |   UNION
+        |   SELECT e.dst, b.lvl + 1 FROM bfs b JOIN e ON b.node = e.src
+        |   WHERE b.lvl < 3)
+        | SELECT node, min(lvl)::BIGINT AS level FROM bfs GROUP BY node
+        | ORDER BY node""".stripMargin.replace("\n", " "),
 
     "q45_topk_per_group" ->
       """WITH spend AS (SELECT o_orderpriority, o_custkey,

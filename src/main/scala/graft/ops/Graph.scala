@@ -128,6 +128,50 @@ object Graph {
     out
   }
 
+  /** BFS reachability levels over a directed edge list from a source
+    * node set: `(node, level)` where level is the first-arrival (=
+    * minimum) hop count, up to `maxLevels`. Pass a symmetrized edge
+    * list for undirected semantics.
+    *
+    * Scale shape: classic frontier iteration — each round is one
+    * frontier⋈edges key shuffle (cost bounded by the frontier's
+    * out-edges, not the graph) plus an anti-join against the visited
+    * set; rounds are lineage-cut via [[Iterate.materialize]] with
+    * per-round storage release, so memory/disk stay O(1) in rounds.
+    * The frontier rides as a level filter on the visited frame rather
+    * than a second materialized table. An empty frontier stops early
+    * (checked on the checkpointed round result, not by re-running the
+    * round's lineage).
+    */
+  def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
+                sources: DataFrame, sourceCol: String,
+                maxLevels: Int = 10): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = Iterate.materialize(
+      sources.select(col(sourceCol).cast("long").as("node")).distinct()
+        .withColumn("level", lit(0L)))
+    var lvl = 0L
+    var done = false
+    while (lvl < maxLevels && !done) {
+      val frontier = visited.df.where(col("level") === lvl)
+        .select(col("node").as("src"))
+      val next = frontier.join(e, "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited.df.select("node"), Seq("node"), "left_anti")
+        .withColumn("level", lit(lvl + 1L))
+      val grown = Iterate.materialize(visited.df.unionAll(next))
+      done = grown.df.where(col("level") === lvl + 1L).isEmpty
+      visited.release()
+      visited = grown
+      lvl += 1
+    }
+    e.unpersist()
+    visited.df
+  }
+
   /** Exact triangle count by degree-ordered orientation (the MapReduce
     * classic — Suri & Vassilvitskii '11): orient each undirected edge
     * from its lower-(degree, id) endpoint, so every out-degree is

@@ -146,6 +146,32 @@ class GraphSpec extends SparkSpec {
       s"graph ops leaked persisted RDDs: ${sc.getPersistentRDDs.values.map(_.name)}")
   }
 
+  test("bfsLevels: path graph levels, maxLevels cut, early stop") {
+    // directed path 1→2→3→4→5, source {1}
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    val got = Graph.bfsLevels(path, "s", "d", Seq(1L).toDF("src"), "src",
+        maxLevels = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L)) // 5 is 4 hops
+    // early stop: maxLevels far beyond the diameter still terminates with
+    // full reach, and min-level wins on the cycle closing edge
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val g2 = Graph.bfsLevels(cyc, "s", "d", Seq(1L).toDF("src"), "src",
+        maxLevels = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g2 === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("bfsLevels: multi-source takes the nearest source; unreachable absent") {
+    // two components: 1→2→3 and 10→11; sources {3, 10}
+    val e = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("s", "d")
+    val got = Graph.bfsLevels(e, "s", "d", Seq(3L, 10L).toDF("src"), "src",
+        maxLevels = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 3 has no out-edges (directed); 1 and 2 are upstream → absent
+    assert(got === Map(3L -> 0L, 10L -> 0L, 11L -> 1L))
+  }
+
   test("triangleCount matches brute force on seeded random graphs") {
     val rnd = new Random(7)
     val edges = (1 to 300).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
