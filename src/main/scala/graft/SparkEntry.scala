@@ -1213,6 +1213,49 @@ object SparkEntry {
         .orderBy("sz")
     }),
 
+    // Event-sequence transition profile (first-order Markov): per
+    // (prev → next) event-type pair, transition counts and permille of
+    // the source type's outgoing mass — the sequence-structure profile
+    // a behavioural pipeline reads. The lag window is per-user over a
+    // fully-determined (ts, event_id) order; the permille window runs
+    // over the AGGREGATED pair table (bounded by |types|²), never raw
+    // events.
+    "events_markov" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val tr = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .where(col("prev").isNotNull)
+      tr.groupBy("prev", "event_type").agg(count(lit(1)).as("cnt"))
+        .withColumn("out_total", sum("cnt").over(Window.partitionBy("prev")))
+        .select(col("prev"), col("event_type").as("next"), col("cnt"),
+          expr("cnt * 1000 div out_total").as("permille"))
+        .orderBy("prev", "next")
+    }),
+
+    // Collections-function surface over token arrays (sort, distinct,
+    // position, containment, slice, string reverse) — scalar outputs
+    // only (the driver compare bans complex types). array_position is
+    // 1-based on both engines, but Spark returns 0 for absent where
+    // DuckDB returns NULL — the oracle coalesces.
+    "q46_collections" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("a"))
+        .where(size(col("a")) >= 2)
+        .select(col("doc_id"),
+          size(col("a")).as("n"),
+          expr("element_at(array_sort(a), 1)").as("first_sorted"),
+          size(array_distinct(col("a"))).as("n_distinct"),
+          expr("array_position(a, 'data')").as("pos_data"),
+          expr("array_contains(a, 'spark')").cast("int").as("has_spark"),
+          expr("array_join(slice(array_sort(array_distinct(a)), 1, 3), ',')")
+            .as("top3_sorted"),
+          (expr("array_contains(a, 'data')").cast("int")
+            + expr("array_contains(a, 'table')").cast("int")
+            + expr("array_contains(a, 'row')").cast("int")).as("n_core"),
+          reverse(expr("array_join(slice(a, 1, 2), ' ')")).as("rev_head"))
+        .orderBy("doc_id")),
+
     // BFS reachability levels: who is within 3 hops of nation-0
     // customers over the undirected customer—supplier co-purchase graph
     // (edges from lineitem×orders; supplier ids offset past the
@@ -2896,6 +2939,31 @@ object SparkEntry {
          | SELECT sz, count(*)::BIGINT AS n_clusters FROM szs GROUP BY sz
          | ORDER BY sz""".stripMargin.replace("\n", " ")
     },
+
+    "events_markov" ->
+      """WITH tr AS (SELECT user_id, event_type,
+        |   lag(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) AS prev FROM events),
+        | c AS (SELECT prev, event_type AS next, count(*)::BIGINT AS cnt
+        |       FROM tr WHERE prev IS NOT NULL GROUP BY 1, 2)
+        | SELECT prev, next, cnt,
+        |        (cnt * 1000 // sum(cnt) OVER (PARTITION BY prev))::BIGINT AS permille
+        | FROM c ORDER BY prev, next""".stripMargin.replace("\n", " "),
+
+    "q46_collections" ->
+      """WITH d AS (SELECT doc_id,
+        |   list_filter(string_split(text, ' '), x -> x <> '') AS a
+        |   FROM documents)
+        | SELECT doc_id, len(a)::INT AS n,
+        |   list_sort(a)[1] AS first_sorted,
+        |   len(list_distinct(a))::INT AS n_distinct,
+        |   coalesce(list_position(a, 'data'), 0)::BIGINT AS pos_data,
+        |   list_contains(a, 'spark')::INT AS has_spark,
+        |   array_to_string(list_sort(list_distinct(a))[1:3], ',') AS top3_sorted,
+        |   (list_contains(a, 'data')::INT + list_contains(a, 'table')::INT
+        |     + list_contains(a, 'row')::INT) AS n_core,
+        |   reverse(array_to_string(a[1:2], ' ')) AS rev_head
+        | FROM d WHERE len(a) >= 2 ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "graph_bfs" ->
       """WITH RECURSIVE cs AS (SELECT o_custkey AS c, l_suppkey + 1000000 AS sp
