@@ -121,7 +121,7 @@ object Bench {
     "sketch_cms", "sketch_distinct", "sketch_frequent_by_lang",
     "sketch_quantiles", "sketch_hll_merge",
     // graph
-    "graph_triangles", "graph_pagerank", "graph_labelprop",
+    "graph_triangles", "graph_pagerank", "graph_labelprop", "graph_bfs",
     // text / quality / tokenization
     "text_langid", "text_quality", "text_lm_bigram", "text_bm25",
     "text_entropy", "text_boilerplate", "text_encode_ids", "bpe_merges",

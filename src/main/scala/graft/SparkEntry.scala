@@ -1213,6 +1213,19 @@ object SparkEntry {
         .orderBy("sz")
     }),
 
+    // Capture-group extraction into typed columns — the regexp-ETL
+    // surface (parse an id out of a tag, pull positional words):
+    // group-indexed regexp_extract has identical semantics on both
+    // engines; a no-match yields '' (never NULL), so the empty string
+    // is the honest sentinel and nothing trips ANSI casts.
+    "q47_regex_extract" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        regexp_extract(col("source"), "^src([0-9]+)$", 1).cast("long").as("src_num"),
+        regexp_extract(col("text"), "([a-z]+) ([a-z]+)", 2).as("second_word"),
+        regexp_extract(col("text"), "\\b(ta[a-z]+)", 1).as("first_ta"))
+        .orderBy("doc_id")),
+
     // Event-sequence transition profile (first-order Markov): per
     // (prev → next) event-type pair, transition counts and permille of
     // the source type's outgoing mass — the sequence-structure profile
@@ -2939,6 +2952,13 @@ object SparkEntry {
          | SELECT sz, count(*)::BIGINT AS n_clusters FROM szs GROUP BY sz
          | ORDER BY sz""".stripMargin.replace("\n", " ")
     },
+
+    "q47_regex_extract" ->
+      """SELECT doc_id,
+        |   regexp_extract(source, '^src([0-9]+)$', 1)::BIGINT AS src_num,
+        |   regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+        |   regexp_extract(text, '\b(ta[a-z]+)', 1) AS first_ta
+        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "events_markov" ->
       """WITH tr AS (SELECT user_id, event_type,
