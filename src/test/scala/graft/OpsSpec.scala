@@ -280,6 +280,33 @@ class OpsSpec extends SparkSpec {
     assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("winnowPairs: SWA guarantee — any planted (w+k−1)-char verbatim overlap is found") {
+    // Schleimer-Wilkerson-Aiken: with gram size k and window w, ANY
+    // verbatim overlap of ≥ w+k−1 chars shares ≥1 selected fingerprint.
+    // Plant exactly-threshold overlaps into random docs (seeded), assert
+    // every planted pair is found with no df cap in the way. k=8, w=4
+    // (the defaults) → threshold 11 chars.
+    val rnd = new scala.util.Random(42)
+    def randDoc(len: Int): String =
+      (1 to len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val planted = (0 until 10).map { i =>
+      val shared = randDoc(11)
+      val (a, b) = (randDoc(40), randDoc(40))
+      val posA = rnd.nextInt(a.length)
+      val posB = rnd.nextInt(b.length)
+      (100L + 2 * i, a.substring(0, posA) + shared + a.substring(posA),
+        101L + 2 * i, b.substring(0, posB) + shared + b.substring(posB))
+    }
+    val docs = planted.flatMap { case (ia, ta, ib, tb) => Seq((ia, ta), (ib, tb)) }
+      .toDF("doc_id", "text")
+    val found = Dedup.winnowPairs(docs, "text", "doc_id",
+        dfCap = 1000, minShared = 1, minContainBp = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    planted.foreach { case (ia, _, ib, _) =>
+      assert(found((ia, ib)), s"planted overlap ($ia,$ib) missed — SWA guarantee broken")
+    }
+  }
+
   test("cosinePairs: identical and scaled docs hit cos²=10⁴, df-cap drops stopwords") {
     val docs = Seq(
       (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),   // identical
