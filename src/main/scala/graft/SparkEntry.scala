@@ -1213,6 +1213,33 @@ object SparkEntry {
         .orderBy("sz")
     }),
 
+    // Sketch-vs-exact calibration: how well does the 8-component minhash
+    // estimate track the exact 3-shingle Jaccard on the pairs LSH
+    // actually surfaces? The matrix an engineer reads before trusting a
+    // dedup threshold: per (est, exact-decile) cell, pair count and
+    // total |est−exact| (both at 4 dp → exact integers). exact_dec = −1
+    // isolates LSH's false-positive band collisions (candidates with no
+    // shared rare shingle at all). Banded candidates ⋈ inverted-index
+    // exact pairs — both linear shapes; the matrix is ≤ 8×12 cells.
+    "dedup_calibration" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val est = Dedup.minhashCandidates(
+        Dedup.minhashSignature(docs, "text", "doc_id"), "doc_id",
+        threshold = 0.25)
+      val exact = Dedup.ngramCandidates(docs, "text", "doc_id",
+        k = 3, dfCap = 100, threshold = 0.0)
+      est.join(exact, Seq("a_id", "b_id"), "left")
+        .select(round(col("est_jaccard") * 10000).cast("long").as("est_e4"),
+          round(col("jaccard") * 10000).cast("long").as("_x"))
+        .select(col("est_e4"),
+          when(col("_x").isNull, lit(-1L)).otherwise(expr("_x div 1000")).as("exact_dec"),
+          coalesce(col("_x"), lit(0L)).as("_e4c"))
+        .groupBy("est_e4", "exact_dec")
+        .agg(count(lit(1)).as("n"),
+          sum(abs(col("est_e4") - col("_e4c"))).as("abs_err_e4"))
+        .orderBy("est_e4", "exact_dec")
+    }),
+
     // Capture-group extraction into typed columns — the regexp-ETL
     // surface (parse an id out of a tag, pull positional words):
     // group-indexed regexp_extract has identical semantics on both
@@ -2951,6 +2978,39 @@ object SparkEntry {
          | szs AS (SELECT cluster_id, count(*)::BIGINT AS sz FROM cl GROUP BY cluster_id)
          | SELECT sz, count(*)::BIGINT AS n_clusters FROM szs GROUP BY sz
          | ORDER BY sz""".stripMargin.replace("\n", " ")
+    },
+
+    "dedup_calibration" -> {
+      val matches = (0 until 8).map(i => s"(a.s$i = b.s$i)::INT").mkString(" + ")
+      val bandsMatch = (0 until 4).map(b =>
+        s"(a.s${2 * b} = b.s${2 * b} AND a.s${2 * b + 1} = b.s${2 * b + 1})").mkString(" OR ")
+      s"""WITH $minhashSigCte,
+         | cand AS (
+         |   SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |          round(($matches) / 8.0, 4) AS est_jaccard
+         |   FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandsMatch)
+         |   WHERE round(($matches) / 8.0, 4) >= 0.25),
+         | exsh AS (SELECT doc_id, len(shingles) AS n_sh,
+         |        ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS sh
+         |        FROM (SELECT doc_id,
+         |              list_distinct([ws2[i] || ' ' || ws2[i+1] || ' ' || ws2[i+2]
+         |                             for i in range(1, greatest(len(ws2) - 1, 1))]) AS shingles
+         |              FROM (SELECT doc_id, string_split(text, ' ') AS ws2 FROM documents))),
+         | rare AS (SELECT sh FROM exsh GROUP BY sh HAVING count(*) <= 100),
+         | exr AS (SELECT exsh.* FROM exsh JOIN rare USING (sh)),
+         | xj AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |        round(count(*)::DOUBLE /
+         |              (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 4) AS jaccard
+         |        FROM exr a JOIN exr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |        GROUP BY a.doc_id, b.doc_id),
+         | j AS (SELECT c.a_id, c.b_id, round(c.est_jaccard * 10000)::BIGINT AS est_e4,
+         |              round(x.jaccard * 10000)::BIGINT AS exact_e4
+         |       FROM cand c LEFT JOIN xj x USING (a_id, b_id))
+         | SELECT est_e4,
+         |   (CASE WHEN exact_e4 IS NULL THEN -1 ELSE exact_e4 // 1000 END)::BIGINT AS exact_dec,
+         |   count(*)::BIGINT AS n,
+         |   sum(abs(est_e4 - coalesce(exact_e4, 0)))::BIGINT AS abs_err_e4
+         | FROM j GROUP BY 1, 2 ORDER BY est_e4, exact_dec""".stripMargin.replace("\n", " ")
     },
 
     "q47_regex_extract" ->
