@@ -172,6 +172,32 @@ class GraphSpec extends SparkSpec {
     assert(got === Map(3L -> 0L, 10L -> 0L, 11L -> 1L))
   }
 
+  test("bfsLevels matches in-memory BFS on seeded random directed graphs") {
+    val rnd = new Random(11)
+    for (trial <- 1 to 4) {
+      val n = 20 + trial * 10
+      val edges = (1 to n * 3).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val sources = Seq(0L, (n / 2).toLong)
+      // reference: textbook queue BFS over the deduped self-loop-free list
+      val adj = edges.filter(e => e._1 != e._2).distinct
+        .groupBy(_._1).map { case (s, g) => s -> g.map(_._2) }
+      val level = scala.collection.mutable.Map(sources.map(_ -> 0L): _*)
+      var frontier = sources
+      var l = 0L
+      while (frontier.nonEmpty) {
+        l += 1
+        frontier = frontier.flatMap(f => adj.getOrElse(f, Nil))
+          .distinct.filterNot(level.contains)
+        frontier.foreach(v => level(v) = l)
+      }
+      val got = Graph.bfsLevels(edges.toDF("s", "d"), "s", "d",
+          sources.toDF("src"), "src", maxLevels = n)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === level.toMap, s"trial=$trial")
+    }
+  }
+
   test("triangleCount matches brute force on seeded random graphs") {
     val rnd = new Random(7)
     val edges = (1 to 300).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
