@@ -1806,6 +1806,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // binaryFile source — THE Spark entry point for object-store media
+    // corpora (image/audio shards arrive as files, not rows): one row
+    // per file with (path, modificationTime, length, content),
+    // distributed by file. A deterministic 25-file fixture is written at
+    // call time so the scan is a real file scan; identity = name,
+    // byte length, and content md5 (the oracle rebuilds all three
+    // relationally — UTF-8 ASCII, so string length == byte length).
+    "source_binary" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_binsrc_")
+      (0 until 25).foreach { i =>
+        java.nio.file.Files.write(tmp.resolve(f"f$i%02d.bin"),
+          s"file-$i:payload-${i * i}".getBytes("UTF-8"))
+      }
+      s.read.format("binaryFile").load(tmp.toString)
+        .select(
+          regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+          col("length"),
+          md5(col("content")).as("content_md5"))
+        .orderBy("fname")
+    }),
+
     // Semantic dedup end-to-end: embedding-cosine near-dup pairs →
     // connected components → per-cluster size and a keep/drop verdict
     // (keep = the minimum-id member, which IS the component label).
@@ -3507,6 +3528,12 @@ object SparkEntry {
     "source_orc" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "source_binary" ->
+      """SELECT printf('f%02d.bin', i) AS fname,
+        |        length('file-' || i || ':payload-' || (i * i))::BIGINT AS length,
+        |        md5('file-' || i || ':payload-' || (i * i)) AS content_md5
+        | FROM range(0, 25) t(i) ORDER BY fname""".stripMargin.replace("\n", " "),
 
     "source_evolution" ->
       """SELECT doc_id, text,
