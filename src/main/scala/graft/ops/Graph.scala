@@ -146,12 +146,18 @@ object Graph {
   def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
                 sources: DataFrame, sourceCol: String,
                 maxLevels: Int = 10): DataFrame = {
+    // NULL endpoints carry no reachability and a NULL source would emit a
+    // NULL node at level 0 — drop both explicitly (the =!= filter already
+    // rejects null-null rows, but null-to-value edges must not survive
+    // into the symmetric caller's union either)
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .where(col("src") =!= col("dst")).distinct()
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var visited = Iterate.materialize(
-      sources.select(col(sourceCol).cast("long").as("node")).distinct()
+      sources.select(col(sourceCol).cast("long").as("node"))
+        .where(col("node").isNotNull).distinct()
         .withColumn("level", lit(0L)))
     var lvl = 0L
     var done = false

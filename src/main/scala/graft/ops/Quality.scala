@@ -202,7 +202,8 @@ object Quality {
     * the group key — so callers keep their secondary keys (e.g. the
     * day of an anomalous daily volume). Integer-exact end to end; the
     * robust baseline means one heavy day cannot mask itself by dragging
-    * the group mean.
+    * the group mean. Output adds `med`, `dev`, `mad` — reserved names
+    * the input frame must not already carry.
     */
   def madOutlierRows(df: DataFrame, valCol: String, grpCol: String,
                      k: Int = 3): DataFrame = {

@@ -162,6 +162,16 @@ class GraphSpec extends SparkSpec {
     assert(g2 === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
   }
 
+  test("bfsLevels: NULL edge endpoints and NULL sources are dropped, not propagated") {
+    val e = Seq((Some(1L), Some(2L)), (Some(2L), None), (None, Some(3L)))
+      .toDF("s", "d")
+    val got = Graph.bfsLevels(e, "s", "d",
+        Seq(Some(1L), Option.empty[Long]).toDF("src"), "src", maxLevels = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // null→3 must not make 3 reachable; (2, null) must not emit a null node
+    assert(got === Map(1L -> 0L, 2L -> 1L))
+  }
+
   test("bfsLevels: multi-source takes the nearest source; unreachable absent") {
     // two components: 1→2→3 and 10→11; sources {3, 10}
     val e = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("s", "d")
