@@ -48,6 +48,31 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
     assert(bad.isEmpty, s"queries with a non-broadcast all-pairs join: $bad")
   }
 
+  // Scale guard #2: build EVERY query with the GlobalWindowCheck
+  // guardrail armed — no query may put a window with an empty
+  // PARTITION BY over raw (un-aggregated) data, the single-task shape
+  // that dies at 100 TB. Post-aggregation global windows (vocab ranking
+  // over the aggregated term table, the offset table inside
+  // globalRowNumber) are exempt by the rule itself. Eager queries
+  // (checkpointed iteration) execute here, which is the point: the
+  // check rule runs on every intermediate frame they analyze too.
+  test("no raw-data global window in any query (GlobalWindowCheck armed)") {
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.graft.forbidGlobalWindows", "true")
+    try {
+      val bad = SparkEntry.queries.flatMap { case (name, q) =>
+        try { q(spark, dir).queryExecution.analyzed; None }
+        catch {
+          case e: Throwable
+            if Option(e.getMessage).exists(_.contains("Global window")) ||
+              Option(e.getCause).flatMap(c => Option(c.getMessage))
+                .exists(_.contains("Global window")) => Some(name)
+        }
+      }
+      assert(bad.isEmpty, s"queries with a raw-data global window: $bad")
+    } finally spark.conf.unset("spark.graft.forbidGlobalWindows")
+  }
+
   // The driver's checker canonicalizes rows in pandas, which cannot sort
   // ndarray/dict cells — any ARRAY/STRUCT/MAP column in a query's output
   // schema makes that query un-adjudicable (CORRECTNESS_r01 regression).
