@@ -341,6 +341,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Which BENCHMARK leaked into which document? The attribution
+    // sibling of `decontaminate`: the eval side keeps its benchmark id
+    // (doc_id % 3 splits the % 7 == 0 docs into three pseudo-benchmark
+    // sets), so each (doc, benchmark) pair reports its own
+    // shared-shingle count — the evidence an exclusion decision cites.
+    // Same broadcast-bench / probe-in-place topology as Decontaminate:
+    // no corpus shingle shuffle; output fans out only to benchmarks
+    // actually hit (≥3 shared shingles).
+    "decontaminate_attrib" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = Dedup.shingleRows(
+          docs.where(col("doc_id") % 7 =!= 0), "text", "doc_id")
+        .select(col("doc_id"), col("n_sh"), Dedup.md5Int60(col("sh")).as("h"))
+      val bench = Dedup.shingleRows(
+          docs.where(col("doc_id") % 7 === 0), "text", "doc_id")
+        .select((col("doc_id") % 3).as("bench_id"), Dedup.md5Int60(col("sh")).as("h"))
+        .distinct()
+      corpus.join(broadcast(bench), "h")
+        .groupBy("doc_id", "bench_id")
+        .agg(max("n_sh").cast("long").as("n_sh"), count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 3)
+        .select(col("doc_id"), col("bench_id"), col("n_sh"), col("n_shared"),
+          expr("n_shared * 10000 div n_sh").as("overlap_bp"))
+        .orderBy("doc_id", "bench_id")
+    }),
+
     // BM25 term ranking (rational idf — see Rank scaladoc): top-3 terms
     // per document; the oracle recomputes the identical IEEE expression
     // tree, so the 4dp-rounded scores hash-match bit-for-bit.
@@ -2641,6 +2667,27 @@ object SparkEntry {
         | SELECT doc_id, n_sh, n_shared, round(n_shared / n_sh, 4) AS overlap_frac,
         |        (n_shared >= n_sh * 0.5)::INT AS contaminated
         | FROM hits ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "decontaminate_attrib" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | shl AS (SELECT doc_id,
+        |         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                        for i in range(1, greatest(len(ws) - 1, 1))]) AS shl
+        |         FROM ws),
+        | sh AS (SELECT doc_id, len(shl) AS n_sh, unnest(shl) AS sh FROM shl),
+        | corp AS (SELECT doc_id, n_sh,
+        |          ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh
+        |          WHERE doc_id % 7 <> 0),
+        | bench AS (SELECT DISTINCT doc_id % 3 AS bench_id,
+        |           ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+        |           FROM sh WHERE doc_id % 7 = 0),
+        | hits AS (SELECT c.doc_id, b.bench_id, max(c.n_sh)::BIGINT AS n_sh,
+        |          count(*)::BIGINT AS n_shared
+        |          FROM corp c JOIN bench b ON c.h = b.h GROUP BY 1, 2)
+        | SELECT doc_id, bench_id, n_sh, n_shared,
+        |        (n_shared * 10000 // n_sh)::BIGINT AS overlap_bp
+        | FROM hits WHERE n_shared >= 3
+        | ORDER BY doc_id, bench_id""".stripMargin.replace("\n", " "),
 
     // NB: expression tree (associativity, k1+1 as an ADD, no logs) must
     // mirror Rank.bm25TopTerms exactly — IEEE +,*,/ are deterministic,
