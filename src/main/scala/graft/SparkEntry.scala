@@ -1526,6 +1526,15 @@ object SparkEntry {
       Dedup.simhash(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
 
+    // SimHash PAIR detection (Manku web-dedup): 4×15-bit band join —
+    // lossless for Hamming ≤ 3 by pigeonhole — then exact bit_count
+    // verification. Completes the simhash story: dedup_simhash emits
+    // the signatures, this finds the near-duplicates.
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
+          maxHamming = 3)
+        .orderBy("a", "b")),
+
     // Full dedup endgame: LSH candidates → connected components → cluster
     // ids (the doc each duplicate group canonicalizes to).
     "dedup_clusters" -> ((s, dir) => {
@@ -3303,6 +3312,27 @@ object SparkEntry {
         | SELECT doc_id,
         |        CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
         | FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "dedup_simhash_pairs" ->
+      """WITH t AS (
+        |   SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        |   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        | v AS (
+        |   SELECT doc_id, r.b AS b, sum(((h >> r.b) & 1) * 2 - 1) AS vote
+        |   FROM t CROSS JOIN (SELECT unnest(range(0, 60)) AS b) r GROUP BY doc_id, r.b),
+        | s AS (SELECT doc_id,
+        |       CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b)
+        |                ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+        |       FROM v GROUP BY doc_id),
+        | bd AS (SELECT doc_id, simhash, r.b AS band,
+        |        (simhash >> (r.b * 15)) & 32767 AS key
+        |        FROM s CROSS JOIN (SELECT unnest(range(0, 4)) AS b) r),
+        | cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+        |          bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+        |          FROM bd a JOIN bd b
+        |            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        | SELECT a, b, hamming FROM cand WHERE hamming <= 3
+        | ORDER BY a, b""".stripMargin.replace("\n", " "),
 
     "text_tokens" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,

@@ -504,6 +504,41 @@ object Dedup {
       .select("a", "b", "dot", "cos2_bp")
   }
 
+  /** SimHash near-dup candidate pairs — the classic web-dedup pipeline
+    * (Manku-Jain-Sarma '07): split each 60-bit signature into `bands`
+    * contiguous 15-bit bands; by pigeonhole any pair within Hamming
+    * distance < `bands` agrees on at least one whole band, so the
+    * band-key equi-join is a LOSSLESS candidate generator for
+    * `maxHamming` ≤ bands − 1. Candidates verify by exact
+    * `bit_count(xor)`.
+    *
+    * Scale shape: identical to minhash LSH — band-key equi-join, never
+    * all-pairs; the signature rides the band row so verification is a
+    * projection, no re-join. Identical signatures concentrate in one
+    * bucket (AQE's skew-join case). Output: (a, b, hamming).
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming < bands,
+      s"banding is lossless only for hamming < bands (got $maxHamming/$bands)")
+    val width = 60 / bands
+    val mask = (1L << width) - 1
+    val sig = simhash(df, textCol, idCol)
+    val banded = sig.select(col(idCol).as("_id"), col("simhash"),
+        explode(expr(
+          s"""transform(sequence(0, ${bands - 1}), b ->
+             | struct(b AS band,
+             |   shiftright(simhash, b * $width) % ${mask + 1} AS key))"""
+            .stripMargin.replace("\n", " "))).as("z"))
+      .select(col("_id"), col("simhash"), col("z.band").as("band"), col("z.key").as("key"))
+    val a = banded.select(col("band"), col("key"), col("_id").as("a"), col("simhash").as("sa"))
+    val b = banded.select(col("band"), col("key"), col("_id").as("b"), col("simhash").as("sb"))
+    a.join(b, Seq("band", "key")).where(col("a") < col("b"))
+      .select(col("a"), col("b"), expr("cast(bit_count(sa ^ sb) as int)").as("hamming"))
+      .distinct() // a pair may agree on several bands; hamming is pair-determined
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Corpus-wide segment-level dedup, keep-first (the CCNet paragraph
     * dedup step): split each document into fixed non-overlapping
     * `segWords`-word segments (the same segmentation as

@@ -307,6 +307,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("simhashPairs: equals brute force for hamming ≤ bands−1 (lossless banding)") {
+    val rnd = new scala.util.Random(5)
+    val words = (1 to 30).map(i => s"w$i")
+    val base = (1 to 40).map { i =>
+      (i.toLong, (1 to 30).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    // planted twins (hamming 0) and one-word edits (small hamming) keep
+    // the equality non-vacuous
+    val docs = (base ++ base.take(5).map { case (i, t) => (i + 100, t) }
+      ++ base.take(5).map { case (i, t) => (i + 200, t.replaceFirst("\\w+", "zz")) })
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhash(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(expect.nonEmpty, "planted twins must produce at least one pair")
+    val got = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === expect)
+  }
+
   test("cosinePairs: identical and scaled docs hit cos²=10⁴, df-cap drops stopwords") {
     val docs = Seq(
       (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),   // identical
