@@ -1756,6 +1756,34 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // int8 scalar quantization audit: per-vector scale + integer summary
+    // of the quantized index (float32 → int8 is the 4× footprint cut that
+    // decides whether the ANN index fits executor memory at 100 TB).
+    "embed_quantize" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      emb.withColumn("_m", Similarity.maxAbs("embedding"))
+        .withColumn("_q", Similarity.quantizeInt8("embedding", "_m"))
+        .select(col("vec_id"),
+          round(col("_m"), 6).as("scale6"),
+          expr("CAST(aggregate(_q, 0L, (a, x) -> a + x) AS BIGINT)").as("q_sum"),
+          expr("CAST(aggregate(_q, 0L, (a, x) -> a + abs(x)) AS BIGINT)").as("q_l1"),
+          expr("CAST(array_max(transform(_q, x -> abs(x))) AS INT)").as("q_max"))
+        .orderBy("vec_id")
+    }),
+
+    // ANN over the int8 index: quantized-cosine top-k for the same query
+    // set as ann_topk — integer dot products under the sqrt keep the score
+    // exact cross-engine; AnnRecallSpec pins recall vs the float baseline.
+    "embed_quantized_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.quantizedTopK(emb, q, "vec_id", "embedding", "q_id", "q_emb", 5)
+        .select(col("q_id"), col("neighbor_id"), col("dot_q"),
+          round(col("cos_q"), 4).as("cos_sim"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
     // Binary-quantized similarity: 60-bit sign signatures, xor+popcount
     // Hamming distance — 8 bytes/vector, one instruction per comparison.
     "embed_hamming" -> ((s, dir) => {
@@ -3532,6 +3560,44 @@ object SparkEntry {
          |   FROM scored)
          | SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
          | FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin.replace("\n", " "),
+
+    "embed_quantize" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |   CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS ma
+        |   FROM embeddings),
+        | qv AS (SELECT vec_id, ma,
+        |   CASE WHEN ma = 0 THEN list_transform(embedding, x -> 0)
+        |        ELSE list_transform(embedding,
+        |               x -> CAST(round(127 * CAST(x AS DOUBLE) / ma) AS INTEGER)) END AS q
+        |   FROM m)
+        | SELECT vec_id, round(ma, 6) AS scale6,
+        |        CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |        CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+        |        CAST(list_max(list_transform(q, x -> abs(x))) AS INTEGER) AS q_max
+        | FROM qv ORDER BY vec_id""".stripMargin.replace("\n", " "),
+
+    "embed_quantized_topk" ->
+      """WITH m AS (SELECT vec_id,
+        |   CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS ma,
+        |   embedding FROM embeddings),
+        | qv AS (SELECT vec_id,
+        |   CASE WHEN ma = 0 THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+        |        ELSE list_transform(embedding,
+        |               x -> CAST(CAST(round(127 * CAST(x AS DOUBLE) / ma) AS INTEGER) AS DOUBLE)) END AS qd
+        |   FROM m),
+        | nn AS (SELECT vec_id, qd, sqrt(list_dot_product(qd, qd)) AS nrm FROM qv),
+        | qs AS (SELECT vec_id AS q_id, qd AS qqd, nrm AS qnrm FROM nn WHERE vec_id < 10),
+        | scored AS (
+        |   SELECT qs.q_id, e.vec_id AS neighbor_id,
+        |          CAST(list_dot_product(qs.qqd, e.qd) AS BIGINT) AS dot_q,
+        |          list_dot_product(qs.qqd, e.qd) / (qs.qnrm * e.nrm) AS cos
+        |   FROM qs CROSS JOIN nn e WHERE e.vec_id <> qs.q_id),
+        | ranked AS (
+        |   SELECT q_id, neighbor_id, dot_q, cos,
+        |          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+        |   FROM scored)
+        | SELECT q_id, neighbor_id, dot_q, round(cos, 4) AS cos_sim, rank
+        | FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replace("\n", " "),
 
     "embed_hamming" ->
       """WITH bits AS (

@@ -146,6 +146,60 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  // ------------------------------------------------------------ int8 path
+
+  /** max |v_i| of a float vector, widened to double (float abs/max are
+    * exact and the cast is lossless, so DuckDB reproduces the value).
+    */
+  def maxAbs(embCol: String): Column =
+    expr(s"CAST(array_max(transform($embCol, x -> abs(x))) AS DOUBLE)")
+
+  /** Symmetric int8 scalar quantization: q_i = round(127 · v_i / max|v|)
+    * ∈ [-127, 127] as `ARRAY<INT>` (an all-zero vector stays all-zero).
+    * One byte per dimension at deploy — a 4× cut of the ANN index
+    * footprint, which is what decides whether the index fits executor
+    * memory at 100 TB. Every downstream product/sum is integer-valued
+    * (|dot| ≤ dim·127² ≪ 2^31), so quantized similarity reproduces
+    * bit-for-bit in the DuckDB oracle. `maxAbsCol` is a precomputed
+    * [[maxAbs]] column so the lambda does one divide per element; the
+    * divide runs in double and `round` is half-away-from-zero in both
+    * engines.
+    */
+  def quantizeInt8(embCol: String, maxAbsCol: String): Column =
+    expr(s"""CASE WHEN $maxAbsCol = 0D THEN transform($embCol, x -> 0)
+            | ELSE transform($embCol,
+            |   x -> CAST(round(127D * CAST(x AS DOUBLE) / $maxAbsCol) AS INT))
+            | END""".stripMargin.replace("\n", " "))
+
+  /** Top-k by QUANTIZED cosine: both sides int8-quantized, score =
+    * dot_q / (‖a_q‖·‖b_q‖) — only exact integers sit under the sqrt, so
+    * the score is deterministic cross-engine. Same broadcast-small-query
+    * shape as [[bruteForceTopK]]; the int8 vectors ride the scan as
+    * `ARRAY<FLOAT>` so the native `vec_dot` codegen loop scores pairs
+    * (ints ≤ 127 are exact in float).
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    embCol: String, qIdCol: String, qEmbCol: String,
+                    k: Int): DataFrame = {
+    def prep(df: DataFrame, vec: String, id: String, qName: String, nName: String) =
+      df.withColumn("_m", maxAbs(vec))
+        .withColumn("_qi", quantizeInt8(vec, "_m"))
+        .select(col(id), expr("CAST(_qi AS ARRAY<FLOAT>)").as(qName))
+        .withColumn(nName, sqrt(expr(s"vec_dot($qName, $qName)")))
+    val c = prep(corpus, embCol, idCol, "_qf", "_nrm")
+    val q = prep(queries, qEmbCol, qIdCol, "_qqf", "_qnrm")
+    val scored = c.crossJoin(broadcast(q))
+      .where(col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col(idCol).as("neighbor_id"),
+        expr("CAST(vec_dot(_qqf, _qf) AS BIGINT)").as("dot_q"),
+        (expr("vec_dot(_qqf, _qf)") / (col("_qnrm") * col("_nrm"))).as("cos_q"))
+    scored.select(col(qIdCol), col("neighbor_id"), col("dot_q"), col("cos_q"),
+        row_number().over(
+          Window.partitionBy(qIdCol).orderBy(col("cos_q").desc, col("neighbor_id")))
+          .as("rank"))
+      .where(col("rank") <= k)
+  }
+
   /** Spherical k-means centroids as pure DataFrame iterations: assign to
     * nearest centroid by cosine (broadcast pass), recompute centroids as
     * element-wise means via posexplode → (cluster, dim) aggregation —

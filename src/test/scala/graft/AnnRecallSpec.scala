@@ -62,6 +62,41 @@ class AnnRecallSpec extends SparkSpec {
       f"k-means centroids ($rLearned%.3f) lost to raw seeds ($rSeeds%.3f)")
   }
 
+  test("int8 quantized cosine keeps near-full recall vs float brute force") {
+    val q = emb.where(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val r = recall(pairs(Similarity.quantizedTopK(
+      emb, q, "vec_id", "embedding", "q_id", "q_emb", K)))
+    info(f"int8 quantized-cosine recall@$K: $r%.3f")
+    assert(r >= 0.7, f"int8 recall $r%.3f under floor — quantizer broken")
+  }
+
+  test("int8 dequantization error is bounded by scale/254 per element") {
+    // |v_i − q_i·ma/127| ≤ ma/254 by construction (round-half error of a
+    // 1/127-step grid); a violation means the quantizer drifted off-grid.
+    val bad = emb
+      .withColumn("_m", Similarity.maxAbs("embedding"))
+      .withColumn("_q", Similarity.quantizeInt8("embedding", "_m"))
+      .where(expr(
+        """exists(zip_with(embedding, _q,
+          |  (v, qi) -> abs(CAST(v AS DOUBLE) - CAST(qi AS DOUBLE) * _m / 127D)
+          |             > _m / 254D * 1.0000001D), e -> e)""".stripMargin))
+      .count()
+    assert(bad == 0L, s"$bad vectors exceed the int8 grid error bound")
+  }
+
+  test("all-zero vectors quantize to all zeros, not NaN") {
+    val df = spark.createDataFrame(Seq(
+        (1L, Array(0f, 0f, 0f, 0f)), (2L, Array(1f, -2f, 0.5f, 0f))))
+      .toDF("vec_id", "embedding")
+      .withColumn("_m", Similarity.maxAbs("embedding"))
+      .withColumn("_q", Similarity.quantizeInt8("embedding", "_m"))
+    val rows = df.orderBy("vec_id").select("_q").collect()
+      .map(_.getSeq[Int](0).toList)
+    assert(rows(0) == List(0, 0, 0, 0))
+    assert(rows(1) == List(64, -127, 32, 0))
+  }
+
   test("sign-LSH: plane count is the recall/cost dial, floors pinned") {
     val q = emb.where(col("vec_id") < NQ)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
