@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 
 import graft.ingest.FastIngest
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Dedup, Similarity, Urls}
 
 /** Driver contract (see SURVEY.md §7 + the builder prompt): one `queries`
   * entry per implemented operator from SURVEY.md §2, each with a DuckDB
@@ -52,6 +52,30 @@ object SparkEntry {
     s"""(list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
        | / (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))
        |    * sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))))""".stripMargin.replace("\n", " ")
+
+  /** Deterministic raw-URL builder over `documents` — ONE snippet valid in
+    * both Spark SQL and DuckDB (concat/CASE/% only), so both engines build
+    * byte-identical inputs and the oracle tests the NORMALIZER, not the
+    * generator. Exercises: mixed-case scheme/host, www/m. subdomains,
+    * default and non-default ports, trailing slashes, utm_* params (alone,
+    * first, last), fragments, and cross-doc canonical collisions.
+    */
+  private val rawUrlSql: String =
+    """concat(
+      | CASE doc_id % 3 WHEN 0 THEN 'https://' WHEN 1 THEN 'http://' ELSE 'HTTPS://' END,
+      | CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN 'www.' WHEN 2 THEN 'WWW.' ELSE 'm.' END,
+      | source, '.example',
+      | CASE doc_id % 2 WHEN 0 THEN '.com' ELSE '.ORG' END,
+      | CASE doc_id % 5 WHEN 0 THEN ':443' WHEN 1 THEN ':8080' ELSE '' END,
+      | '/p', CAST(doc_id % 50 AS STRING),
+      | CASE doc_id % 6 WHEN 0 THEN '/' ELSE '' END,
+      | CASE doc_id % 7
+      |   WHEN 0 THEN concat('?utm_source=feed&id=', CAST(doc_id % 11 AS STRING))
+      |   WHEN 1 THEN concat('?id=', CAST(doc_id % 11 AS STRING), '&utm_campaign=x')
+      |   WHEN 2 THEN concat('?id=', CAST(doc_id % 11 AS STRING))
+      |   WHEN 3 THEN '?utm_medium=email'
+      |   ELSE '' END,
+      | CASE doc_id % 8 WHEN 0 THEN '#frag' ELSE '' END)""".stripMargin.replace("\n", " ")
 
   // ---------------------------------------------------------------- entry
 
@@ -1754,6 +1778,39 @@ object SparkEntry {
         .select(col("q_id"), col("neighbor_id"),
           round(col("cos"), 4).as("cos_sim"), col("rank"))
         .orderBy("q_id", "rank")
+    }),
+
+    // URL canonicalization: raw → canonical + registered domain. The
+    // normalizer (ops/Urls.scala) is pure codegen'd regex/string built-ins.
+    "url_normalize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("raw_url", expr(rawUrlSql))
+      docs.select(col("doc_id"), col("raw_url"),
+          Urls.canonicalize(col("raw_url")).as("url_canon"),
+          Urls.registeredDomain(col("raw_url")).as("domain"))
+        .orderBy("doc_id")
+    }),
+
+    // Dedup by canonical URL (keep-first): the first-line dedup of a web
+    // corpus — one hash shuffle on the canonical string key.
+    "url_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("raw_url", expr(rawUrlSql))
+      docs.select(col("doc_id"), Urls.canonicalize(col("raw_url")).as("url_canon"))
+        .groupBy("url_canon")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+        .orderBy("url_canon")
+    }),
+
+    // Per-domain rollup: URL inventory + doc counts — the report behind
+    // domain blocklists and per-domain sampling quotas.
+    "url_domain_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("raw_url", expr(rawUrlSql))
+      docs.select(col("doc_id"),
+          Urls.canonicalize(col("raw_url")).as("url_canon"),
+          Urls.registeredDomain(col("raw_url")).as("domain"))
+        .groupBy("domain")
+        .agg(countDistinct("url_canon").as("n_urls"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("domain")
     }),
 
     // int8 scalar quantization audit: per-vector scale + integer summary
@@ -3560,6 +3617,79 @@ object SparkEntry {
          |   FROM scored)
          | SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
          | FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin.replace("\n", " "),
+
+    "url_normalize" ->
+      s"""WITH u AS (SELECT doc_id, $rawUrlSql AS raw_url FROM documents),
+         | p AS (SELECT doc_id, raw_url,
+         |   lower(regexp_extract(raw_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+         |   regexp_replace(lower(regexp_extract(raw_url, '^[^:/?#]+://([^/?#:]+)', 1)), '^www\\.', '') AS hst,
+         |   regexp_extract(raw_url, '^[^:/?#]+://[^/?#:]+:([0-9]+)', 1) AS prt,
+         |   regexp_extract(raw_url, '^[^:/?#]+://[^/?#]+([^?#]*)', 1) AS pth0,
+         |   regexp_extract(raw_url, '\\?([^#]*)', 1) AS qry
+         |   FROM u),
+         | c AS (SELECT doc_id, raw_url, sch, hst,
+         |   CASE WHEN prt <> '' AND NOT (sch = 'https' AND prt = '443')
+         |             AND NOT (sch = 'http' AND prt = '80')
+         |        THEN ':' || prt ELSE '' END AS prtpart,
+         |   CASE WHEN regexp_replace(pth0, '/+$$', '') = '' THEN '/'
+         |        ELSE regexp_replace(pth0, '/+$$', '') END AS pth,
+         |   coalesce(array_to_string(list_filter(string_split(qry, '&'),
+         |     x -> NOT starts_with(x, 'utm_')), '&'), '') AS qkept
+         |   FROM p)
+         | SELECT doc_id, raw_url,
+         |   sch || '://' || hst || prtpart || pth ||
+         |     CASE WHEN qkept = '' THEN '' ELSE '?' || qkept END AS url_canon,
+         |   regexp_extract(hst, '([^.]+\\.[^.]+)$$', 1) AS domain
+         | FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "url_dedup" ->
+      s"""WITH u AS (SELECT doc_id, $rawUrlSql AS raw_url FROM documents),
+         | p AS (SELECT doc_id, raw_url,
+         |   lower(regexp_extract(raw_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+         |   regexp_replace(lower(regexp_extract(raw_url, '^[^:/?#]+://([^/?#:]+)', 1)), '^www\\.', '') AS hst,
+         |   regexp_extract(raw_url, '^[^:/?#]+://[^/?#:]+:([0-9]+)', 1) AS prt,
+         |   regexp_extract(raw_url, '^[^:/?#]+://[^/?#]+([^?#]*)', 1) AS pth0,
+         |   regexp_extract(raw_url, '\\?([^#]*)', 1) AS qry
+         |   FROM u),
+         | c AS (SELECT doc_id,
+         |   sch || '://' || hst ||
+         |   CASE WHEN prt <> '' AND NOT (sch = 'https' AND prt = '443')
+         |             AND NOT (sch = 'http' AND prt = '80')
+         |        THEN ':' || prt ELSE '' END ||
+         |   CASE WHEN regexp_replace(pth0, '/+$$', '') = '' THEN '/'
+         |        ELSE regexp_replace(pth0, '/+$$', '') END ||
+         |   CASE WHEN coalesce(array_to_string(list_filter(string_split(qry, '&'),
+         |          x -> NOT starts_with(x, 'utm_')), '&'), '') = '' THEN ''
+         |        ELSE '?' || coalesce(array_to_string(list_filter(string_split(qry, '&'),
+         |          x -> NOT starts_with(x, 'utm_')), '&'), '') END AS url_canon
+         |   FROM p)
+         | SELECT url_canon, min(doc_id) AS keep_id, count(*) AS n_docs
+         | FROM c GROUP BY url_canon ORDER BY url_canon""".stripMargin.replace("\n", " "),
+
+    "url_domain_stats" ->
+      s"""WITH u AS (SELECT doc_id, $rawUrlSql AS raw_url FROM documents),
+         | p AS (SELECT doc_id, raw_url,
+         |   lower(regexp_extract(raw_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+         |   regexp_replace(lower(regexp_extract(raw_url, '^[^:/?#]+://([^/?#:]+)', 1)), '^www\\.', '') AS hst,
+         |   regexp_extract(raw_url, '^[^:/?#]+://[^/?#:]+:([0-9]+)', 1) AS prt,
+         |   regexp_extract(raw_url, '^[^:/?#]+://[^/?#]+([^?#]*)', 1) AS pth0,
+         |   regexp_extract(raw_url, '\\?([^#]*)', 1) AS qry
+         |   FROM u),
+         | c AS (SELECT doc_id,
+         |   regexp_extract(hst, '([^.]+\\.[^.]+)$$', 1) AS domain,
+         |   sch || '://' || hst ||
+         |   CASE WHEN prt <> '' AND NOT (sch = 'https' AND prt = '443')
+         |             AND NOT (sch = 'http' AND prt = '80')
+         |        THEN ':' || prt ELSE '' END ||
+         |   CASE WHEN regexp_replace(pth0, '/+$$', '') = '' THEN '/'
+         |        ELSE regexp_replace(pth0, '/+$$', '') END ||
+         |   CASE WHEN coalesce(array_to_string(list_filter(string_split(qry, '&'),
+         |          x -> NOT starts_with(x, 'utm_')), '&'), '') = '' THEN ''
+         |        ELSE '?' || coalesce(array_to_string(list_filter(string_split(qry, '&'),
+         |          x -> NOT starts_with(x, 'utm_')), '&'), '') END AS url_canon
+         |   FROM p)
+         | SELECT domain, count(DISTINCT url_canon) AS n_urls, count(*) AS n_docs
+         | FROM c GROUP BY domain ORDER BY domain""".stripMargin.replace("\n", " "),
 
     "embed_quantize" ->
       """WITH m AS (SELECT vec_id, embedding,
