@@ -1780,6 +1780,44 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // Gopher-style quality rule battery (Rae et al. 2021 §A1.1 shape):
+    // per-rule pass flags + a keep verdict, all integer-exact. Rules are
+    // rationals over per-doc token stats (no float thresholds): word count
+    // in [10, 200], mean word length in [3, 10] (sum_len vs 3·n / 10·n),
+    // max word length ≤ 20, ≥ 2 stopword hits, ≥ 50% unique words, top
+    // word ≤ 20% of tokens. One (doc, word) shuffle feeds every rule.
+    "quality_gopher" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        Functions.wordSetHits(col("text"), stopEn).as("sh"),
+        explode(split(col("text"), " ")).as("w"))
+      val st = toks.groupBy("doc_id", "w")
+        .agg(count(lit(1)).as("c"), first("sh").as("sh"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tok"), count(lit(1)).as("n_uniq"),
+          max("c").as("top_c"),
+          sum(length(col("w")) * col("c")).as("sum_len"),
+          max(length(col("w"))).as("max_len"),
+          first("sh").as("stop_hits"))
+      val fWords = col("n_tok") >= 10 && col("n_tok") <= 200
+      val fMeanLen = col("sum_len") >= col("n_tok") * 3 &&
+        col("sum_len") <= col("n_tok") * 10
+      val fMaxLen = col("max_len") <= 20
+      val fStop = col("stop_hits") >= 2
+      val fUniq = col("n_uniq") * 2 >= col("n_tok")
+      val fTop = col("top_c") * 5 <= col("n_tok")
+      st.select(col("doc_id"), col("n_tok"),
+          fWords.cast("int").as("f_words"),
+          fMeanLen.cast("int").as("f_meanlen"),
+          fMaxLen.cast("int").as("f_maxlen"),
+          fStop.cast("int").as("f_stop"),
+          fUniq.cast("int").as("f_uniq"),
+          fTop.cast("int").as("f_topword"),
+          (fWords && fMeanLen && fMaxLen && fStop && fUniq && fTop)
+            .cast("int").as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // URL canonicalization: raw → canonical + registered domain. The
     // normalizer (ops/Urls.scala) is pure codegen'd regex/string built-ins.
     "url_normalize" -> ((s, dir) => {
@@ -3617,6 +3655,27 @@ object SparkEntry {
          |   FROM scored)
          | SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
          | FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin.replace("\n", " "),
+
+    "quality_gopher" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         | wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+         | st AS (SELECT doc_id, sum(c) AS n_tok, count(*) AS n_uniq, max(c) AS top_c,
+         |        sum(length(w) * c) AS sum_len, max(length(w)) AS max_len
+         |        FROM wc GROUP BY doc_id),
+         | sh AS (SELECT doc_id,
+         |        len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopEn)})) AS stop_hits
+         |        FROM documents)
+         | SELECT st.doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         |   CAST(n_tok >= 10 AND n_tok <= 200 AS INTEGER) AS f_words,
+         |   CAST(sum_len >= n_tok * 3 AND sum_len <= n_tok * 10 AS INTEGER) AS f_meanlen,
+         |   CAST(max_len <= 20 AS INTEGER) AS f_maxlen,
+         |   CAST(stop_hits >= 2 AS INTEGER) AS f_stop,
+         |   CAST(n_uniq * 2 >= n_tok AS INTEGER) AS f_uniq,
+         |   CAST(top_c * 5 <= n_tok AS INTEGER) AS f_topword,
+         |   CAST(n_tok >= 10 AND n_tok <= 200 AND sum_len >= n_tok * 3
+         |        AND sum_len <= n_tok * 10 AND max_len <= 20 AND stop_hits >= 2
+         |        AND n_uniq * 2 >= n_tok AND top_c * 5 <= n_tok AS INTEGER) AS keep
+         | FROM st JOIN sh ON st.doc_id = sh.doc_id ORDER BY st.doc_id""".stripMargin.replace("\n", " "),
 
     "url_normalize" ->
       s"""WITH u AS (SELECT doc_id, $rawUrlSql AS raw_url FROM documents),
