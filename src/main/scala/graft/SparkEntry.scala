@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 
 import graft.ingest.FastIngest
-import graft.ops.{Dedup, Similarity, Urls}
+import graft.ops.{Dedup, Similarity, Urls, Validate}
 
 /** Driver contract (see SURVEY.md §7 + the builder prompt): one `queries`
   * entry per implemented operator from SURVEY.md §2, each with a DuckDB
@@ -1778,6 +1778,30 @@ object SparkEntry {
         .select(col("q_id"), col("neighbor_id"),
           round(col("cos"), 4).as("cos_sim"), col("rank"))
         .orderBy("q_id", "rank")
+    }),
+
+    // Data-validation battery (ops/Validate.scala): row-rule violation
+    // counts in ONE scan per table + referential-integrity anti-joins,
+    // unioned into one (rule, n_viol, n_rows) report. Two rules are
+    // deliberately tight so the report carries non-zero counts.
+    "validate_orders" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val c = t(s, dir, "customer")
+      val oRules = Validate.checkRows(o, Seq(
+        "o_custkey_not_null" -> col("o_custkey").isNotNull,
+        "o_date_not_null" -> col("o_orderdate").isNotNull,
+        "o_status_in_set" -> col("o_orderstatus").isin("O", "F", "P"),
+        "o_totalprice_positive" -> (col("o_totalprice") > 0),
+        "o_totalprice_under_400k" -> (col("o_totalprice") <= 400000)))
+      val lRules = Validate.checkRows(l, Seq(
+        "l_discount_bounds" -> (col("l_discount") >= 0 && col("l_discount") <= 0.1),
+        "l_quantity_in_1_50" -> (col("l_quantity") >= 1 && col("l_quantity") <= 50),
+        "l_quantity_under_45" -> (col("l_quantity") <= 45)))
+      val fk1 = Validate.checkFk("fk_lineitem_orders", l, "l_orderkey", o, "o_orderkey")
+      val fk2 = Validate.checkFk("fk_orders_customer", o, "o_custkey", c, "c_custkey")
+      oRules.unionByName(lRules).unionByName(fk1).unionByName(fk2)
+        .orderBy("rule")
     }),
 
     // Gopher-style quality rule battery (Rae et al. 2021 §A1.1 shape):
@@ -3655,6 +3679,36 @@ object SparkEntry {
          |   FROM scored)
          | SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
          | FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin.replace("\n", " "),
+
+    "validate_orders" ->
+      """WITH ov AS (SELECT
+        |   sum(CASE WHEN coalesce(o_custkey IS NOT NULL, false) THEN 0 ELSE 1 END) AS v_custkey,
+        |   sum(CASE WHEN coalesce(o_orderdate IS NOT NULL, false) THEN 0 ELSE 1 END) AS v_date,
+        |   sum(CASE WHEN coalesce(o_orderstatus IN ('O', 'F', 'P'), false) THEN 0 ELSE 1 END) AS v_status,
+        |   sum(CASE WHEN coalesce(o_totalprice > 0, false) THEN 0 ELSE 1 END) AS v_pos,
+        |   sum(CASE WHEN coalesce(o_totalprice <= 400000, false) THEN 0 ELSE 1 END) AS v_400k,
+        |   count(*) AS n FROM orders),
+        | lv AS (SELECT
+        |   sum(CASE WHEN coalesce(l_discount >= 0 AND l_discount <= 0.1, false) THEN 0 ELSE 1 END) AS v_disc,
+        |   sum(CASE WHEN coalesce(l_quantity >= 1 AND l_quantity <= 50, false) THEN 0 ELSE 1 END) AS v_q50,
+        |   sum(CASE WHEN coalesce(l_quantity <= 45, false) THEN 0 ELSE 1 END) AS v_q45,
+        |   count(*) AS n FROM lineitem),
+        | fk1 AS (SELECT count(*) AS v, (SELECT count(*) FROM lineitem) AS n FROM lineitem li
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = li.l_orderkey)),
+        | fk2 AS (SELECT count(*) AS v, (SELECT count(*) FROM orders) AS n FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        | SELECT rule, CAST(n_viol AS BIGINT) AS n_viol, CAST(n_rows AS BIGINT) AS n_rows FROM (
+        |   SELECT 'o_custkey_not_null' AS rule, v_custkey AS n_viol, n AS n_rows FROM ov
+        |   UNION ALL SELECT 'o_date_not_null', v_date, n FROM ov
+        |   UNION ALL SELECT 'o_status_in_set', v_status, n FROM ov
+        |   UNION ALL SELECT 'o_totalprice_positive', v_pos, n FROM ov
+        |   UNION ALL SELECT 'o_totalprice_under_400k', v_400k, n FROM ov
+        |   UNION ALL SELECT 'l_discount_bounds', v_disc, n FROM lv
+        |   UNION ALL SELECT 'l_quantity_in_1_50', v_q50, n FROM lv
+        |   UNION ALL SELECT 'l_quantity_under_45', v_q45, n FROM lv
+        |   UNION ALL SELECT 'fk_lineitem_orders', v, n FROM fk1
+        |   UNION ALL SELECT 'fk_orders_customer', v, n FROM fk2)
+        | ORDER BY rule""".stripMargin.replace("\n", " "),
 
     "quality_gopher" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
