@@ -235,6 +235,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_val"))
         .orderBy("window_start", "event_type")),
 
+    // Hopping (sliding) window: 2h windows every 1h — each event lands in
+    // exactly two windows via a 2-element generator, then one grouped agg
+    // (the batch twin of a Structured Streaming sliding window; no
+    // self-join, no window table build).
+    "q49_hopping_window" -> ((s, dir) => {
+      val hop = 3600000000000L
+      val s0 = col("ts") - (col("ts") % hop)
+      t(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          explode(array(s0, s0 - hop)).as("window_start"))
+        .groupBy("window_start", "event_type")
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_val"))
+        .orderBy("window_start", "event_type")
+    }),
+
     "q15_normalize" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), Functions.normalizeSingular(col("text")).as("norm_text"))
@@ -1465,6 +1480,45 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // RFM customer segmentation: recency/frequency/monetary quintiles.
+    // Each quintile rank comes from the range-partitioned globalRowNumber
+    // (never a single-task global window) and the tile is the explicit
+    // integer rational 1 + (rn−1)·5 div n — identical arithmetic in the
+    // oracle, no cross-engine ntile edge cases.
+    "q50_rfm" -> ((s, dir) => {
+      val m = t(s, dir, "orders").groupBy("o_custkey").agg(
+        max("o_orderdate").as("last_date"),
+        count(lit(1)).as("freq"),
+        round(sum("o_totalprice"), 2).as("monetary"))
+      val r1 = graft.ops.Rank.globalRowNumber(m,
+        Seq(col("last_date").desc, col("o_custkey"))).withColumnRenamed("rn", "r_rn")
+      val r2 = graft.ops.Rank.globalRowNumber(r1,
+        Seq(col("freq").desc, col("o_custkey"))).withColumnRenamed("rn", "f_rn")
+      val r3 = graft.ops.Rank.globalRowNumber(r2,
+        Seq(col("monetary").desc, col("o_custkey"))).withColumnRenamed("rn", "m_rn")
+      def tile(c: String) = expr(s"CAST(1 + (($c - 1) * 5) div _n AS INT)")
+      r3.crossJoin(broadcast(m.agg(count(lit(1)).as("_n"))))
+        .select(col("o_custkey"), col("last_date"), col("freq"), col("monetary"),
+          tile("r_rn").as("r_q"), tile("f_rn").as("f_q"), tile("m_rn").as("m_q"),
+          concat(tile("r_rn").cast("string"), tile("f_rn").cast("string"),
+            tile("m_rn").cast("string")).as("segment"))
+        .orderBy("o_custkey")
+    }),
+
+    // Forward as-of: earliest quote at or after each trade — the other
+    // merge_asof direction (lead-time / next-event attribution).
+    "q48_asof_forward" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val trades = e.where(col("event_id") % 2 === 0)
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val quotes = e.where(col("event_id") % 2 === 1)
+        .select(col("user_id"), col("ts").as("q_ts"),
+          col("event_id").as("q_id"), round(col("value"), 2).as("q_val"))
+      graft.ops.AsOfJoin.asOfForward(trades, quotes, "user_id", "ts", "q_ts", Seq("q_id", "q_val"))
+        .select(col("event_id"), col("asof_q_id"), col("asof_q_val"))
+        .orderBy("event_id")
+    }),
+
     // PII-style scrubbing: pattern redaction + a count of replacements
     // (the audit trail a redaction pipeline must emit).
     "text_redact" -> ((s, dir) =>
@@ -2349,6 +2403,14 @@ object SparkEntry {
       """SELECT epoch_ns(ts) - (epoch_ns(ts) % 3600000000000) AS window_start, event_type,
         |        count(*) AS cnt, round(sum(value), 2) AS sum_val
         | FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin.replace("\n", " "),
+
+    "q49_hopping_window" ->
+      """WITH h AS (SELECT event_type, value,
+        |   unnest([epoch_ns(ts) - (epoch_ns(ts) % 3600000000000),
+        |           epoch_ns(ts) - (epoch_ns(ts) % 3600000000000) - 3600000000000]) AS window_start
+        |   FROM events)
+        | SELECT window_start, event_type, count(*) AS cnt, round(sum(value), 2) AS sum_val
+        | FROM h GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin.replace("\n", " "),
 
     "q15_normalize" ->
       s"SELECT doc_id, ${nsSql("text")} AS norm_text FROM documents ORDER BY doc_id",
@@ -3346,6 +3408,33 @@ object SparkEntry {
         | ASOF LEFT JOIN (SELECT user_id, ts AS q_ts, event_id AS q_id,
         |                        round(value, 2) AS q_val FROM events WHERE event_id % 2 = 1) r
         |   ON l.user_id = r.user_id AND l.ts >= r.q_ts
+        | ORDER BY l.event_id""".stripMargin.replace("\n", " "),
+
+    "q50_rfm" ->
+      """WITH m AS (SELECT o_custkey, max(o_orderdate) AS last_date, count(*) AS freq,
+        |                  round(sum(o_totalprice), 2) AS monetary
+        |           FROM orders GROUP BY o_custkey),
+        | n AS (SELECT count(*) AS _n FROM m),
+        | r AS (SELECT m.*,
+        |   row_number() OVER (ORDER BY last_date DESC, o_custkey) AS r_rn,
+        |   row_number() OVER (ORDER BY freq DESC, o_custkey) AS f_rn,
+        |   row_number() OVER (ORDER BY monetary DESC, o_custkey) AS m_rn
+        |   FROM m)
+        | SELECT o_custkey, last_date, freq, monetary,
+        |   CAST(1 + ((r_rn - 1) * 5) // _n AS INTEGER) AS r_q,
+        |   CAST(1 + ((f_rn - 1) * 5) // _n AS INTEGER) AS f_q,
+        |   CAST(1 + ((m_rn - 1) * 5) // _n AS INTEGER) AS m_q,
+        |   CAST(1 + ((r_rn - 1) * 5) // _n AS STRING) ||
+        |     CAST(1 + ((f_rn - 1) * 5) // _n AS STRING) ||
+        |     CAST(1 + ((m_rn - 1) * 5) // _n AS STRING) AS segment
+        | FROM r, n ORDER BY o_custkey""".stripMargin.replace("\n", " "),
+
+    "q48_asof_forward" ->
+      """SELECT l.event_id, r.q_id AS asof_q_id, r.q_val AS asof_q_val
+        | FROM (SELECT user_id, event_id, ts FROM events WHERE event_id % 2 = 0) l
+        | ASOF LEFT JOIN (SELECT user_id, ts AS q_ts, event_id AS q_id,
+        |                        round(value, 2) AS q_val FROM events WHERE event_id % 2 = 1) r
+        |   ON l.user_id = r.user_id AND l.ts <= r.q_ts
         | ORDER BY l.event_id""".stripMargin.replace("\n", " "),
 
     "text_redact" ->
