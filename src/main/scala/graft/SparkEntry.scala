@@ -2015,6 +2015,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // XML twin (Spark 4 native source): entity escaping on write, explicit
+    // schema + FAILFAST on read — same contract as the other text sources.
+    "source_xml" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = java.nio.file.Files.createTempDirectory("graft_xml_").toString
+      graft.sources.TextTables.writeXml(docs, path)
+      graft.sources.TextTables.readXml(s, docs.schema, path)
+        .orderBy("doc_id")
+    }),
+
     // Schema evolution: files written before a column existed read as
     // NULL for it under mergeSchema — the lake contract that lets a
     // 100 TB table add columns without rewriting history.
@@ -3997,6 +4007,10 @@ object SparkEntry {
         | ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "source_csv" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "source_xml" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         | ORDER BY doc_id""".stripMargin.replace("\n", " "),
 

@@ -49,4 +49,21 @@ object TextTables {
       .option("header", "true").option("nullValue", CsvNull)
       .option("mode", "FAILFAST")
       .csv(path)
+
+  /** XML via the Spark 4 native source (the spark-xml lineage merged
+    * upstream): one `<doc>` element per record under a `<docs>` root.
+    * The writer entity-escapes markup characters, so text content
+    * round-trips; absent elements read back as null, which keeps the
+    * null/empty distinction out of band like JSONL (unlike CSV's in-band
+    * sentinel). Row elements split per file; files parallelize per block.
+    */
+  def writeXml(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("rootTag", "docs").option("rowTag", "doc")
+      .format("xml").save(path)
+
+  def readXml(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read.schema(schema)
+      .option("rowTag", "doc").option("mode", "FAILFAST")
+      .format("xml").load(path)
 }

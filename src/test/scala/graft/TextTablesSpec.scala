@@ -40,4 +40,16 @@ class TextTablesSpec extends SparkSpec {
       .sortBy(_._1).toSeq
     assert(back === flat)
   }
+
+  test("xml round-trips markup chars, nulls, unicode, newlines") {
+    val xmlRows = rows :+ (6L, Some("<tag> & \"entities\" 'quoted'"), Some("en"))
+    val path = Files.createTempDirectory("graft_xml_spec").toString
+    TextTables.writeXml(xmlRows.toDF("id", "text", "lang"), path)
+    val back = TextTables.readXml(spark, df.schema, path)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2))))
+      .sortBy(_._1).toSeq
+    // the writer entity-escapes <>&"' so markup survives; null fields are
+    // absent elements and read back as null, empty string stays empty
+    assert(back === xmlRows)
+  }
 }
