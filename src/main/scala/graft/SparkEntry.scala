@@ -1480,6 +1480,19 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Join-key skew report: top-10 heaviest keys with basis-point share —
+    // the diagnosis that decides salting/AQE-skew settings. Grouped count,
+    // one-row total broadcast, TakeOrderedAndProject for the top-k (never
+    // a global sort).
+    "profile_skew" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(e.agg(count(lit(1)).as("_n"))))
+        .select(col("user_id"), col("cnt"),
+          expr("CAST(cnt * 10000 div _n AS INT)").as("share_bp"))
+        .orderBy(col("cnt").desc, col("user_id")).limit(10)
+    }),
+
     // RFM customer segmentation: recency/frequency/monetary quintiles.
     // Each quintile rank comes from the range-partitioned globalRowNumber
     // (never a single-task global window) and the tile is the explicit
@@ -3419,6 +3432,12 @@ object SparkEntry {
         |                        round(value, 2) AS q_val FROM events WHERE event_id % 2 = 1) r
         |   ON l.user_id = r.user_id AND l.ts >= r.q_ts
         | ORDER BY l.event_id""".stripMargin.replace("\n", " "),
+
+    "profile_skew" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+        | n AS (SELECT count(*) AS _n FROM events)
+        | SELECT user_id, cnt, CAST(cnt * 10000 // _n AS INTEGER) AS share_bp
+        | FROM c, n ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin.replace("\n", " "),
 
     "q50_rfm" ->
       """WITH m AS (SELECT o_custkey, max(o_orderdate) AS last_date, count(*) AS freq,
