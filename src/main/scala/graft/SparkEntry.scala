@@ -1480,6 +1480,59 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Leakage-safe train/val/test split: hash the near-dup CLUSTER id,
+    // not the doc id, so near-duplicates can never straddle train/test
+    // (the eval-contamination failure mode of naive splits). Singletons
+    // cluster as themselves via the left join + coalesce.
+    "split_leakage_safe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidates(
+        Dedup.minhashSignature(docs, "text", "doc_id"), "doc_id", threshold = 0.25)
+      val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
+        .withColumnsRenamed(Map("node" -> "doc_id"))
+      val withCluster = docs.select(col("doc_id")).join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      graft.ops.Sampling.trainValTestSplit(withCluster, "cluster_id")
+        .orderBy("doc_id")
+    }),
+
+    // DSIR-style data selection (Xie et al. 2023 shape): score each doc
+    // by the avg unigram log-likelihood RATIO between a target domain
+    // (source = 'src0') and the raw corpus, add-one smoothed. Both
+    // models are in-query count tables (vocab-bounded broadcasts); the
+    // per-doc fold runs term-sorted so floats are partition-order-free
+    // (the text_lm_score pattern). High score = looks like the target.
+    "sample_dsir" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("term"))
+        .where(col("term") =!= "")
+      val raw = toks.groupBy("term").agg(count(lit(1)).as("rf"))
+      val tgt = toks.where(col("source") === "src0")
+        .groupBy("term").agg(count(lit(1)).as("tf"))
+      val model = raw.join(tgt, Seq("term"), "left")
+        .select(col("term"), col("rf"), coalesce(col("tf"), lit(0L)).as("tf"))
+      val consts = raw.agg(sum("rf").as("rn"), count(lit(1)).as("v"))
+        .crossJoin(toks.where(col("source") === "src0")
+          .agg(count(lit(1)).as("tn")))
+      toks.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+        .join(broadcast(model), "term")
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tok"),
+          expr("""aggregate(array_sort(collect_list(struct(term, c, tf, rf))),
+                 | cast(0.0 as double),
+                 | (acc, x) -> acc + cast(x.c as double) *
+                 |   (ln(cast(x.tf as double) + 1.0d) - ln(cast(x.rf as double) + 1.0d)))"""
+            .stripMargin.replace("\n", " ")).as("_fold"))
+        .crossJoin(broadcast(consts))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("_fold") / col("n_tok").cast("double")
+            + log(col("rn").cast("double") + col("v").cast("double"))
+            - log(col("tn").cast("double") + col("v").cast("double")), 3)
+            .plus(lit(0.0d)).as("dsir_r3"))  // −0.0 + 0.0 = +0.0 (IEEE), matches oracle
+        .orderBy("doc_id")
+    }),
+
     // Join-key skew report: top-10 heaviest keys with basis-point share —
     // the diagnosis that decides salting/AQE-skew settings. Grouped count,
     // one-row total broadcast, TakeOrderedAndProject for the top-k (never
@@ -3432,6 +3485,54 @@ object SparkEntry {
         |                        round(value, 2) AS q_val FROM events WHERE event_id % 2 = 1) r
         |   ON l.user_id = r.user_id AND l.ts >= r.q_ts
         | ORDER BY l.event_id""".stripMargin.replace("\n", " "),
+
+    "split_leakage_safe" -> {
+      val matches = (0 until 8).map(i => s"(a.s$i = b.s$i)::INT").mkString(" + ")
+      val bandsMatch = (0 until 4).map(b =>
+        s"(a.s${2 * b} = b.s${2 * b} AND a.s${2 * b + 1} = b.s${2 * b + 1})").mkString(" OR ")
+      s"""WITH RECURSIVE $minhashSigCte,
+         | pairs AS (
+         |   SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |   FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandsMatch)
+         |   WHERE round(($matches) / 8.0, 4) >= 0.25),
+         | edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+         |           UNION SELECT b_id, a_id FROM pairs),
+         | reach(s, d) AS (
+         |   SELECT s, d FROM edges
+         |   UNION
+         |   SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         | cc AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+         |        FROM reach GROUP BY s),
+         | wc AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+         |        FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id)
+         | SELECT doc_id, cluster_id,
+         |   CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+         | FROM (SELECT doc_id, cluster_id,
+         |         ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS h
+         |       FROM wc)
+         | ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+
+    "sample_dsir" ->
+      """WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term FROM documents),
+        | tnz AS (SELECT * FROM tok WHERE term <> ''),
+        | raw AS (SELECT term, count(*)::BIGINT AS rf FROM tnz GROUP BY term),
+        | tgt AS (SELECT term, count(*)::BIGINT AS tf FROM tnz WHERE source = 'src0' GROUP BY term),
+        | model AS (SELECT raw.term, rf, coalesce(tf, 0)::BIGINT AS tf
+        |           FROM raw LEFT JOIN tgt ON raw.term = tgt.term),
+        | consts AS (SELECT (SELECT sum(rf) FROM raw)::BIGINT AS rn,
+        |                   (SELECT count(*) FROM raw)::BIGINT AS v,
+        |                   (SELECT count(*) FROM tnz WHERE source = 'src0')::BIGINT AS tn),
+        | cnt AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM tnz GROUP BY doc_id, term),
+        | per AS (SELECT doc_id, sum(c)::BIGINT AS n_tok,
+        |         list_sort(list(struct_pack(term := term, c := c, tf := tf, rf := rf))) AS lst
+        |         FROM cnt JOIN model USING (term) GROUP BY doc_id)
+        | SELECT doc_id, n_tok,
+        |   round(list_reduce(
+        |       list_prepend(0.0, [x.c::DOUBLE * (ln(x.tf::DOUBLE + 1.0) - ln(x.rf::DOUBLE + 1.0)) for x in lst]),
+        |       (a, b) -> a + b) / n_tok::DOUBLE
+        |     + ln(rn::DOUBLE + v::DOUBLE) - ln(tn::DOUBLE + v::DOUBLE), 3) + 0.0 AS dsir_r3
+        | FROM per, consts ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "profile_skew" ->
       """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
