@@ -1480,6 +1480,56 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Dataset-card report: the (metric, dim, value) summary a corpus
+    // release ships with — per-source doc/token counts, language mix,
+    // exact-dup count, mean length — unioned tagged aggregates, every
+    // value an integer. The per-source branch unpivots via stack so
+    // docs+tokens ride one scan.
+    "pipeline_dataset_card" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bySource = docs.groupBy("source").agg(count(lit(1)).as("n"),
+          sum(size(split(col("text"), " "))).as("tok"))
+        .select(expr("""stack(2, 'docs', source, CAST(n AS BIGINT),
+                       | 'tokens', source, CAST(tok AS BIGINT))
+                       | AS (metric, dim, value)""".stripMargin.replace("\n", " ")))
+      val byLang = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .select(lit("docs_lang").as("metric"), col("lang").as("dim"),
+          col("n").as("value"))
+      val dup = docs.agg(
+          (count(lit(1)) - countDistinct(md5(col("text")))).as("value"))
+        .select(lit("exact_dup_docs").as("metric"), lit("all").as("dim"), col("value"))
+      val meanc = docs.agg(
+          expr("CAST(100 * sum(n_chars) div count(1) AS BIGINT)").as("value"))
+        .select(lit("mean_chars_x100").as("metric"), lit("all").as("dim"), col("value"))
+      bySource.unionByName(byLang).unionByName(dup).unionByName(meanc)
+        .orderBy("metric", "dim")
+    }),
+
+    // Market-basket co-occurrence with lift: part pairs within an order
+    // (canonical a < b), support counts and integer-basis-point lift =
+    // 10000·N·c(a,b) div (c(a)·c(b)). The pair generator is an order-key
+    // self-join bounded by basket size (never a global cross join); item
+    // marginals broadcast. Top-20 pairs by support for a stable report.
+    "orders_basket_lift" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li.as("a").join(li.as("b"), Seq("ok"))
+        .where(col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("cab"))
+      val marg = li.groupBy("pk").agg(count(lit(1)).as("cp"))
+      val n = li.select(countDistinct("ok").as("n_orders"))
+      // marginals are dimension-sized: no forced broadcast — AQE picks
+      // broadcast vs shuffle by the actual build size at runtime
+      pairs
+        .join(marg.withColumnsRenamed(Map("pk" -> "pa", "cp" -> "ca")), "pa")
+        .join(marg.withColumnsRenamed(Map("pk" -> "pb", "cp" -> "cb")), "pb")
+        .crossJoin(broadcast(n))
+        .select(col("pa"), col("pb"), col("cab"),
+          expr("CAST(10000 * n_orders * cab div (ca * cb) AS BIGINT)").as("lift_bp"))
+        .orderBy(col("cab").desc, col("pa"), col("pb")).limit(20)
+    }),
+
     // Leakage-safe train/val/test split: hash the near-dup CLUSTER id,
     // not the doc id, so near-duplicates can never straddle train/test
     // (the eval-contamination failure mode of naive splits). Singletons
@@ -3485,6 +3535,33 @@ object SparkEntry {
         |                        round(value, 2) AS q_val FROM events WHERE event_id % 2 = 1) r
         |   ON l.user_id = r.user_id AND l.ts >= r.q_ts
         | ORDER BY l.event_id""".stripMargin.replace("\n", " "),
+
+    "pipeline_dataset_card" ->
+      """WITH bs AS (SELECT source, count(*) AS n,
+        |            sum(len(string_split(text, ' '))) AS tok
+        |            FROM documents GROUP BY source)
+        | SELECT metric, dim, CAST(value AS BIGINT) AS value FROM (
+        |   SELECT 'docs' AS metric, source AS dim, n AS value FROM bs
+        |   UNION ALL SELECT 'tokens', source, tok FROM bs
+        |   UNION ALL SELECT 'docs_lang', lang, count(*) FROM documents GROUP BY lang
+        |   UNION ALL SELECT 'exact_dup_docs', 'all',
+        |     count(*) - count(DISTINCT md5(text)) FROM documents
+        |   UNION ALL SELECT 'mean_chars_x100', 'all',
+        |     (100 * sum(n_chars)) // count(*) FROM documents)
+        | ORDER BY metric, dim""".stripMargin.replace("\n", " "),
+
+    "orders_basket_lift" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        | pairs AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS cab
+        |           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |           GROUP BY a.pk, b.pk),
+        | marg AS (SELECT pk, count(*) AS cp FROM li GROUP BY pk),
+        | n AS (SELECT count(DISTINCT ok) AS n_orders FROM li)
+        | SELECT pa, pb, cab,
+        |   CAST((10000 * n_orders * cab) // (ca.cp * cb.cp) AS BIGINT) AS lift_bp
+        | FROM pairs JOIN marg ca ON pairs.pa = ca.pk
+        |            JOIN marg cb ON pairs.pb = cb.pk, n
+        | ORDER BY cab DESC, pa, pb LIMIT 20""".stripMargin.replace("\n", " "),
 
     "split_leakage_safe" -> {
       val matches = (0 until 8).map(i => s"(a.s$i = b.s$i)::INT").mkString(" + ")
