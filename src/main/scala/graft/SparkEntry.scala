@@ -1480,6 +1480,61 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // TPC-H classics over the fixture subset — the recognizable relational
+    // benchmark shapes. Money sums accumulate as DECIMAL(20,6) per the
+    // q45 pattern (order-independent, no float drift); doubles only at
+    // the rounded output surface. Joins stay hint-free: dims broadcast by
+    // AQE at this scale, shuffle-join at 1000× — both correct.
+    "tpch_q1" -> ((s, dir) => {
+      def dec(c: Column) = c.cast("decimal(20,6)")
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(dec(col("l_quantity"))), 2).cast("double").as("sum_qty"),
+          round(sum(dec(col("l_extendedprice"))), 2).cast("double").as("sum_base_price"),
+          round(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))), 2)
+            .cast("double").as("sum_disc_price"),
+          round(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax")))), 2).cast("double").as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "tpch_q3" -> ((s, dir) => {
+      def dec(c: Column) = c.cast("decimal(20,6)")
+      val cst = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cst, col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(round(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))), 2)
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "tpch_q5" -> ((s, dir) => {
+      def dec(c: Column) = c.cast("decimal(20,6)")
+      val asia = t(s, dir, "region").where(col("r_name") === "ASIA")
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(asia, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))), 2)
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // Dataset-card report: the (metric, dim, value) summary a corpus
     // release ships with — per-source doc/token counts, language mix,
     // exact-dup count, mean length — unioned tagged aggregates, every
@@ -3535,6 +3590,42 @@ object SparkEntry {
         |                        round(value, 2) AS q_val FROM events WHERE event_id % 2 = 1) r
         |   ON l.user_id = r.user_id AND l.ts >= r.q_ts
         | ORDER BY l.event_id""".stripMargin.replace("\n", " "),
+
+    "tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |   CAST(round(sum(CAST(l_quantity AS DECIMAL(20,6))), 2) AS DOUBLE) AS sum_qty,
+        |   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(20,6))), 2) AS DOUBLE) AS sum_base_price,
+        |   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))), 2) AS DOUBLE) AS sum_disc_price,
+        |   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(20,6))), 2) AS DOUBLE) AS sum_charge,
+        |   count(*) AS count_order
+        | FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        | GROUP BY l_returnflag, l_linestatus
+        | ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " "),
+
+    "tpch_q3" ->
+      """SELECT l_orderkey,
+        |   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))), 2) AS DOUBLE) AS revenue,
+        |   o_orderdate
+        | FROM customer JOIN orders ON c_custkey = o_custkey
+        |               JOIN lineitem ON o_orderkey = l_orderkey
+        | WHERE c_mktsegment = 'BUILDING'
+        |   AND o_orderdate < TIMESTAMP '1998-01-01'
+        |   AND l_shipdate > TIMESTAMP '1998-01-01'
+        | GROUP BY l_orderkey, o_orderdate
+        | ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin.replace("\n", " "),
+
+    "tpch_q5" ->
+      """SELECT n_name,
+        |   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))), 2) AS DOUBLE) AS revenue
+        | FROM customer JOIN orders ON c_custkey = o_custkey
+        |               JOIN lineitem ON o_orderkey = l_orderkey
+        |               JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |               JOIN nation ON s_nationkey = n_nationkey
+        |               JOIN region ON n_regionkey = r_regionkey
+        | WHERE r_name = 'ASIA'
+        |   AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |   AND o_orderdate < TIMESTAMP '1997-01-01'
+        | GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin.replace("\n", " "),
 
     "pipeline_dataset_card" ->
       """WITH bs AS (SELECT source, count(*) AS n,
