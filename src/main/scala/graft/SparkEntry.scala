@@ -1480,6 +1480,41 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Chi-square contingency cells: event_type × weekday observed counts
+    // with per-cell chi contribution (O−E)²/E. E = rt·ct/N is row-local
+    // double arithmetic over exact integer marginals — no float folds —
+    // so every cell reproduces bit-for-bit; the reader sums contributions
+    // for the statistic. Marginals are tiny broadcast aggregates.
+    "events_chisq" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_type"),
+          // ts is INT64 nanos (GraftSession nanosAsLong); UTC session
+          expr("dayofweek(CAST(timestamp_micros(ts div 1000) AS DATE))").as("dow"))
+      val cells = e.groupBy("event_type", "dow").agg(count(lit(1)).as("obs"))
+      val rowT = e.groupBy("event_type").agg(count(lit(1)).as("rt"))
+      val colT = e.groupBy("dow").agg(count(lit(1)).as("ct"))
+      val n = e.agg(count(lit(1)).as("_n"))
+      cells.join(broadcast(rowT), "event_type").join(broadcast(colT), "dow")
+        .crossJoin(broadcast(n))
+        .select(col("event_type"), col("dow"), col("obs"),
+          round(
+            pow(col("obs").cast("double")
+              - col("rt").cast("double") * col("ct").cast("double") / col("_n").cast("double"), 2)
+            / (col("rt").cast("double") * col("ct").cast("double") / col("_n").cast("double")), 6)
+            .as("chi_r6"))
+        .orderBy("event_type", "dow")
+    }),
+
+    // Keyed pseudonymization (GDPR-style): user ids replaced by a salted
+    // SHA-256 token — deterministic (joinable across tables pseudonymized
+    // with the same key), irreversible without the salt. Narrow
+    // projection, zero shuffles.
+    "privacy_pseudonymize" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+          substring(sha2(concat(lit("k1:"), col("user_id").cast("string")), 256), 1, 16)
+            .as("user_pseudo"))
+        .orderBy("event_id")),
+
     // TPC-H classics over the fixture subset — the recognizable relational
     // benchmark shapes. Money sums accumulate as DECIMAL(20,6) per the
     // q45 pattern (order-independent, no float drift); doubles only at
@@ -3590,6 +3625,23 @@ object SparkEntry {
         |                        round(value, 2) AS q_val FROM events WHERE event_id % 2 = 1) r
         |   ON l.user_id = r.user_id AND l.ts >= r.q_ts
         | ORDER BY l.event_id""".stripMargin.replace("\n", " "),
+
+    "events_chisq" ->
+      """WITH e AS (SELECT event_type, dayofweek(ts) + 1 AS dow FROM events),
+        | cells AS (SELECT event_type, dow, count(*) AS obs FROM e GROUP BY event_type, dow),
+        | rt AS (SELECT event_type, count(*) AS rt FROM e GROUP BY event_type),
+        | ct AS (SELECT dow, count(*) AS ct FROM e GROUP BY dow),
+        | n AS (SELECT count(*) AS _n FROM e)
+        | SELECT cells.event_type, cells.dow, obs,
+        |   round(pow(obs::DOUBLE - rt::DOUBLE * ct::DOUBLE / _n::DOUBLE, 2)
+        |         / (rt::DOUBLE * ct::DOUBLE / _n::DOUBLE), 6) AS chi_r6
+        | FROM cells JOIN rt USING (event_type) JOIN ct USING (dow), n
+        | ORDER BY event_type, dow""".stripMargin.replace("\n", " "),
+
+    "privacy_pseudonymize" ->
+      """SELECT event_id,
+        |   substr(sha256('k1:' || CAST(user_id AS VARCHAR)), 1, 16) AS user_pseudo
+        | FROM events ORDER BY event_id""".stripMargin.replace("\n", " "),
 
     "tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
