@@ -1480,6 +1480,28 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Fuzzy entity matching: top-3 Jaro-Winkler name neighbors per part
+    // within (brand, size) blocks — the blocked record-linkage shape
+    // (never an all-pairs join). jaro_winkler is the native codegen
+    // expression, empirically BIT-EXACT vs DuckDB's rapidfuzz-lineage
+    // implementation on 285k name pairs (JaroWinklerSpec pins cases),
+    // so ranking on the raw double is deterministic cross-engine.
+    "fuzzy_name_match" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey").as("k"),
+        col("p_brand").as("brand"), col("p_size").as("sz"), col("p_name").as("nm"))
+      val pairs = p.as("a").join(p.as("b"),
+          col("a.brand") === col("b.brand") && col("a.sz") === col("b.sz") &&
+            col("a.k") =!= col("b.k"))
+        .select(col("a.k").as("part_a"), col("b.k").as("part_b"),
+          expr("jaro_winkler(a.nm, b.nm)").as("jw"))
+      pairs.select(col("part_a"), col("part_b"), round(col("jw"), 4).as("jw_r4"),
+          row_number().over(
+            Window.partitionBy("part_a").orderBy(col("jw").desc, col("part_b")))
+            .as("rank"))
+        .where(col("rank") <= 3)
+        .orderBy("part_a", "rank")
+    }),
+
     // Chi-square contingency cells: event_type × weekday observed counts
     // with per-cell chi contribution (O−E)²/E. E = rt·ct/N is row-local
     // double arithmetic over exact integer marginals — no float folds —
@@ -3625,6 +3647,17 @@ object SparkEntry {
         |                        round(value, 2) AS q_val FROM events WHERE event_id % 2 = 1) r
         |   ON l.user_id = r.user_id AND l.ts >= r.q_ts
         | ORDER BY l.event_id""".stripMargin.replace("\n", " "),
+
+    "fuzzy_name_match" ->
+      """WITH p AS (SELECT p_partkey AS k, p_brand AS brand, p_size AS sz, p_name AS nm FROM part),
+        | pairs AS (SELECT a.k AS part_a, b.k AS part_b,
+        |     jaro_winkler_similarity(a.nm, b.nm) AS jw
+        |   FROM p a JOIN p b ON a.brand = b.brand AND a.sz = b.sz AND a.k <> b.k),
+        | ranked AS (SELECT part_a, part_b, jw,
+        |     row_number() OVER (PARTITION BY part_a ORDER BY jw DESC, part_b) AS rank
+        |   FROM pairs)
+        | SELECT part_a, part_b, round(jw, 4) AS jw_r4, rank
+        | FROM ranked WHERE rank <= 3 ORDER BY part_a, rank""".stripMargin.replace("\n", " "),
 
     "events_chisq" ->
       """WITH e AS (SELECT event_type, dayofweek(ts) + 1 AS dow FROM events),

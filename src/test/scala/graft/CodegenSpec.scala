@@ -34,6 +34,7 @@ class CodegenSpec extends SparkSpec {
         expr("vec_dot(vec, vec)").as("dot"),
         expr("vec_sign_bits(vec)").as("bits"),
         expr("word_set_hits(line, 'more,words')").as("wh"),
+        expr("jaro_winkler(line, reverse(line))").as("jw"),
         expr("bloom_might_contain(array(-1L, -1L), md5_long(line, 8), md5_long(line, 15), 3)")
           .as("bm"))
       .where(col("h8") =!= 0L && col("rh") =!= 1L)
