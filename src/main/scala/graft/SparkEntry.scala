@@ -1480,6 +1480,39 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Theta-sketch set operations: distinct-user overlap/union/difference
+    // of two event cohorts from mergeable sketches (HLL can union but
+    // never intersect — theta is the set-operation family). Output is the
+    // sketch_distinct pattern: exact values + in-tolerance flags; at
+    // fixture cardinalities theta runs in exact mode so flags assert
+    // estimate == exact.
+    "sketch_theta_overlap" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .where(col("event_type").isin("click", "view"))
+        .select(col("event_type"), col("user_id"))
+      val prof = graft.ops.Sketch.thetaProfile(e, "user_id", "event_type")
+      val est = prof.where(col("event_type") === "click").select(col("theta").as("ta"))
+        .crossJoin(broadcast(
+          prof.where(col("event_type") === "view").select(col("theta").as("tb"))))
+        .select(
+          graft.ops.Sketch.thetaIntersectEst(col("ta"), col("tb")).as("est_i"),
+          graft.ops.Sketch.thetaUnionEst(col("ta"), col("tb")).as("est_u"),
+          graft.ops.Sketch.thetaDiffEst(col("ta"), col("tb")).as("est_d"))
+      val exact = e.groupBy("user_id").agg(
+          max((col("event_type") === "click").cast("int")).as("c"),
+          max((col("event_type") === "view").cast("int")).as("v"))
+        .agg(sum(col("c") * col("v")).cast("long").as("exact_overlap"),
+          count(lit(1)).as("exact_union"),
+          sum(col("c") * (lit(1) - col("v"))).cast("long").as("exact_diff"))
+      exact.crossJoin(broadcast(est)).select(
+        col("exact_overlap"),
+        graft.ops.Sketch.withinTol(col("est_i"), col("exact_overlap"), 0.02).as("overlap_ok"),
+        col("exact_union"),
+        graft.ops.Sketch.withinTol(col("est_u"), col("exact_union"), 0.02).as("union_ok"),
+        col("exact_diff"),
+        graft.ops.Sketch.withinTol(col("est_d"), col("exact_diff"), 0.02).as("diff_ok"))
+    }),
+
     // Fuzzy entity matching: top-3 Jaro-Winkler name neighbors per part
     // within (brand, size) blocks — the blocked record-linkage shape
     // (never an all-pairs join). jaro_winkler is the native codegen
@@ -3647,6 +3680,16 @@ object SparkEntry {
         |                        round(value, 2) AS q_val FROM events WHERE event_id % 2 = 1) r
         |   ON l.user_id = r.user_id AND l.ts >= r.q_ts
         | ORDER BY l.event_id""".stripMargin.replace("\n", " "),
+
+    "sketch_theta_overlap" ->
+      """WITH f AS (SELECT user_id,
+        |   max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+        |   max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v
+        |   FROM events WHERE event_type IN ('click', 'view') GROUP BY user_id)
+        | SELECT CAST(sum(c * v) AS BIGINT) AS exact_overlap, 1 AS overlap_ok,
+        |        count(*) AS exact_union, 1 AS union_ok,
+        |        CAST(sum(c * (1 - v)) AS BIGINT) AS exact_diff, 1 AS diff_ok
+        | FROM f""".stripMargin.replace("\n", " "),
 
     "fuzzy_name_match" ->
       """WITH p AS (SELECT p_partkey AS k, p_brand AS brand, p_size AS sz, p_name AS nm FROM part),

@@ -82,6 +82,98 @@ object Sketch {
   def withinTol(approx: Column, exact: Column, tol: Double): Column =
     (abs(approx - exact) <= abs(exact) * tol).cast("int")
 
+  // ------------------------------------------------------------ theta
+
+  /** Apache DataSketches THETA sketches — the set-OPERATION sketch
+    * family. HLL unions but cannot intersect; theta sketches support
+    * union, intersection, and difference, so "users who did A ∩ B" over
+    * 100 TB needs no exact sets. Build is per-partition: one
+    * `UpdateSketch` per group in a map, so only compact sketch bytes
+    * (≤ ~2^lgK · 8 B) cross the exchange per (partition × group); the
+    * group-level merge is a byte-level Union aggregator. Below 2^lgK
+    * distinct values a theta sketch is in exact mode — estimates are
+    * exact integers (what the fixture scales exercise); above, the
+    * relative error is ~1/√(2^lgK).
+    */
+  def thetaProfile(df: DataFrame, valueCol: String, groupCol: String,
+                   lgK: Int = 12): DataFrame = {
+    import org.apache.datasketches.theta.UpdateSketch
+    val spark = df.sparkSession
+    import spark.implicits._
+    val built = df
+      .select(col(groupCol).cast("string"), col(valueCol).cast("string"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val sk = scala.collection.mutable.HashMap.empty[String, UpdateSketch]
+        it.foreach { case (g, v) =>
+          if (v != null)
+            sk.getOrElseUpdate(g,
+              UpdateSketch.builder().setLogNominalEntries(lgK).build()).update(v)
+        }
+        sk.iterator.map { case (g, s) => (g, s.compact().toByteArray) }
+      }
+      .toDF(groupCol, "_sk")
+    built.groupBy(groupCol)
+      .agg(udaf(new ThetaUnionAgg(lgK)).apply(col("_sk")).as("theta"))
+  }
+
+  private def wrapTheta(b: Array[Byte]) =
+    org.apache.datasketches.theta.Sketches.wrapSketch(
+      org.apache.datasketches.memory.Memory.wrap(b))
+
+  /** Byte-level theta Union aggregator (commutative/associative). */
+  class ThetaUnionAgg(lgK: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    import org.apache.datasketches.theta.SetOperation
+    private def union2(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+        u.union(wrapTheta(a))
+        u.union(wrapTheta(b))
+        u.getResult.toByteArray
+      }
+    def zero: Array[Byte] = Array.empty
+    def reduce(buf: Array[Byte], in: Array[Byte]): Array[Byte] = union2(buf, in)
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = union2(a, b)
+    def finish(r: Array[Byte]): Array[Byte] = r
+    def bufferEncoder = org.apache.spark.sql.Encoders.BINARY
+    def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** Set-operation estimates over two sketch-byte columns. Scala UDFs by
+    * necessity (no built-in theta SQL surface) — but they run on
+    * POST-AGGREGATION rows (one per group pair), never on the data path,
+    * so codegen on the scan is untouched.
+    */
+  def thetaIntersectEst(a: Column, b: Column): Column = {
+    val f = udf { (x: Array[Byte], y: Array[Byte]) =>
+      val i = org.apache.datasketches.theta.SetOperation.builder().buildIntersection()
+      i.intersect(wrapTheta(x)); i.intersect(wrapTheta(y))
+      math.round(i.getResult.getEstimate)
+    }
+    f(a, b)
+  }
+
+  def thetaUnionEst(a: Column, b: Column): Column = {
+    val f = udf { (x: Array[Byte], y: Array[Byte]) =>
+      val u = org.apache.datasketches.theta.SetOperation.builder().buildUnion()
+      u.union(wrapTheta(x)); u.union(wrapTheta(y))
+      math.round(u.getResult.getEstimate)
+    }
+    f(a, b)
+  }
+
+  /** |A ∖ B| estimate. */
+  def thetaDiffEst(a: Column, b: Column): Column = {
+    val f = udf { (x: Array[Byte], y: Array[Byte]) =>
+      val d = org.apache.datasketches.theta.SetOperation.builder().buildANotB()
+      math.round(d.aNotB(wrapTheta(x), wrapTheta(y)).getEstimate)
+    }
+    f(a, b)
+  }
+
   // ------------------------------------------------------------ count-min
 
   /** Hash of an item for count-min row `row` (salted md5 — portable,

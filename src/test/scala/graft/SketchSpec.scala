@@ -104,6 +104,38 @@ class SketchSpec extends SparkSpec {
     assert(merged.sameElements(direct))
   }
 
+  test("theta: exact mode below 2^lgK, set identities hold") {
+    import spark.implicits._
+    // A = 0..599, B = 400..999 → |A∩B| = 200, |A∪B| = 1000, |A∖B| = 400
+    val df = ((0 until 600).map(i => ("a", i)) ++
+        (400 until 1000).map(i => ("b", i))).toDF("g", "v")
+    val prof = Sketch.thetaProfile(df, "v", "g", lgK = 12)
+    val out = prof.where(col("g") === "a").select(col("theta").as("ta"))
+      .crossJoin(prof.where(col("g") === "b").select(col("theta").as("tb")))
+      .select(Sketch.thetaIntersectEst(col("ta"), col("tb")).as("i"),
+        Sketch.thetaUnionEst(col("ta"), col("tb")).as("u"),
+        Sketch.thetaDiffEst(col("ta"), col("tb")).as("d"))
+      .collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) == ((200L, 1000L, 400L)))
+  }
+
+  test("theta: estimation mode error within 5% at 20x nominal entries") {
+    import spark.implicits._
+    val n = 80000 // ≫ 2^12 nominal entries → genuine estimation mode
+    val df = ((0 until n).map(i => ("a", i)) ++
+        ((n / 2) until (3 * n / 2)).map(i => ("b", i))).toDF("g", "v")
+    val prof = Sketch.thetaProfile(df, "v", "g", lgK = 12)
+    val out = prof.where(col("g") === "a").select(col("theta").as("ta"))
+      .crossJoin(prof.where(col("g") === "b").select(col("theta").as("tb")))
+      .select(Sketch.thetaIntersectEst(col("ta"), col("tb")).as("i"),
+        Sketch.thetaUnionEst(col("ta"), col("tb")).as("u"))
+      .collect().head
+    assert(math.abs(out.getLong(0) - n / 2.0) <= 0.05 * (n / 2.0),
+      s"intersection est ${out.getLong(0)} vs ${n / 2}")
+    assert(math.abs(out.getLong(1) - 1.5 * n) <= 0.05 * (1.5 * n),
+      s"union est ${out.getLong(1)} vs ${1.5 * n}")
+  }
+
   test("approxQuantiles: rank error within 1/accuracy of exact ranks") {
     val accuracy = 1000
     val probs = Seq(0.1, 0.5, 0.9)
