@@ -3689,7 +3689,7 @@ object SparkEntry {
         | SELECT CAST(sum(c * v) AS BIGINT) AS exact_overlap, 1 AS overlap_ok,
         |        count(*) AS exact_union, 1 AS union_ok,
         |        CAST(sum(c * (1 - v)) AS BIGINT) AS exact_diff, 1 AS diff_ok
-        | FROM f""".stripMargin.replace("\n", " "),
+        | FROM f ORDER BY exact_overlap""".stripMargin.replace("\n", " "),
 
     "fuzzy_name_match" ->
       """WITH p AS (SELECT p_partkey AS k, p_brand AS brand, p_size AS sz, p_name AS nm FROM part),
