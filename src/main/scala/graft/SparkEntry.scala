@@ -1480,6 +1480,30 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Percentile winsorization: clip per-lang doc lengths at element-valued
+    // p05/p95 (rank-index selection — integers end to end, no interpolated
+    // floats), then report the clipped mean ×100 as an integer rational.
+    // The outlier-robust preprocessing step before any length-based gate.
+    "quality_winsorize" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+      val ranked = t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(Window.partitionBy("lang")).as("n"))
+      val bounds = ranked.groupBy("lang").agg(
+        max(when(col("rn") === ceil(col("n") * 0.05), col("n_chars"))).as("p05"),
+        max(when(col("rn") === ceil(col("n") * 0.95), col("n_chars"))).as("p95"),
+        max(col("n")).as("n"))
+      ranked.select(col("lang"), col("n_chars"))
+        .join(broadcast(bounds), "lang")
+        .select(col("lang"), col("n"), col("p05"), col("p95"),
+          greatest(col("p05"), least(col("p95"), col("n_chars"))).as("_clip"))
+        .groupBy("lang")
+        .agg(first("n").as("n_docs"), first("p05").as("p05"), first("p95").as("p95"),
+          expr("CAST(100 * sum(_clip) div count(1) AS BIGINT)").as("clip_mean_x100"))
+        .orderBy("lang")
+    }),
+
     // Theta-sketch set operations: distinct-user overlap/union/difference
     // of two event cohorts from mergeable sketches (HLL can union but
     // never intersect — theta is the set-operation family). Output is the
@@ -3680,6 +3704,21 @@ object SparkEntry {
         |                        round(value, 2) AS q_val FROM events WHERE event_id % 2 = 1) r
         |   ON l.user_id = r.user_id AND l.ts >= r.q_ts
         | ORDER BY l.event_id""".stripMargin.replace("\n", " "),
+
+    "quality_winsorize" ->
+      """WITH ranked AS (SELECT lang, doc_id, n_chars,
+        |     row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |     count(*) OVER (PARTITION BY lang) AS n
+        |   FROM documents),
+        | bounds AS (SELECT lang,
+        |     max(CASE WHEN rn = ceil(n * 0.05) THEN n_chars END) AS p05,
+        |     max(CASE WHEN rn = ceil(n * 0.95) THEN n_chars END) AS p95,
+        |     max(n) AS n FROM ranked GROUP BY lang)
+        | SELECT r.lang, max(b.n) AS n_docs, max(b.p05) AS p05, max(b.p95) AS p95,
+        |   CAST((100 * sum(greatest(b.p05, least(b.p95, r.n_chars)))) // count(*) AS BIGINT)
+        |     AS clip_mean_x100
+        | FROM ranked r JOIN bounds b ON r.lang = b.lang
+        | GROUP BY r.lang ORDER BY r.lang""".stripMargin.replace("\n", " "),
 
     "sketch_theta_overlap" ->
       """WITH f AS (SELECT user_id,
