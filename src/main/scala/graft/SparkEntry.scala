@@ -1480,10 +1480,32 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Top user journeys: each user's first-3-event path (ts order, id
+    // tiebreak) counted across users — the sequence-mining companion of
+    // q36's funnel and events_markov's transitions. Per-user state is 3
+    // rows via the ranked filter; paths aggregate on a bounded key space.
+    "events_paths" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          row_number().over(w).as("rn"))
+        .where(col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(concat_ws(">",
+          expr("transform(array_sort(collect_list(struct(rn, event_type))), s -> s.event_type)"))
+          .as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path")).limit(15)
+    }),
+
     // Percentile winsorization: clip per-lang doc lengths at element-valued
     // p05/p95 (rank-index selection — integers end to end, no interpolated
     // floats), then report the clipped mean ×100 as an integer rational.
     // The outlier-robust preprocessing step before any length-based gate.
+    // Scale note: the per-lang rank window sorts each lang in one task —
+    // exact, and what the oracle needs; at 100 TB with a dominant lang,
+    // swap the bound selection for Sketch.approxQuantiles (clipping needs
+    // no exactness there) or the range-partitioned profile_equidepth path.
     "quality_winsorize" -> ((s, dir) => {
       val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
       val ranked = t(s, dir, "documents")
@@ -3704,6 +3726,15 @@ object SparkEntry {
         |                        round(value, 2) AS q_val FROM events WHERE event_id % 2 = 1) r
         |   ON l.user_id = r.user_id AND l.ts >= r.q_ts
         | ORDER BY l.event_id""".stripMargin.replace("\n", " "),
+
+    "events_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |   FROM events),
+        | p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |   FROM r WHERE rn <= 3 GROUP BY user_id)
+        | SELECT path, count(*) AS n_users FROM p GROUP BY path
+        | ORDER BY n_users DESC, path LIMIT 15""".stripMargin.replace("\n", " "),
 
     "quality_winsorize" ->
       """WITH ranked AS (SELECT lang, doc_id, n_chars,
