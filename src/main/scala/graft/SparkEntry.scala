@@ -1480,6 +1480,35 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Product-quantization codes (Jégou et al. — the IVF-PQ index family's
+    // second stage): 8 subspaces × 8 dims, 16 codewords per subspace from
+    // deterministic seed vectors (k-means at deploy, same as IVF). Each
+    // (vector, subspace) picks its nearest codeword — argmin as
+    // min(struct(dist², code)) so ties break on the code id — giving a
+    // 8-byte code per 256-byte vector (32× compression). The codebook is
+    // a 128-row broadcast; distances are row-local folds over 8 elements.
+    "embed_pq_codes" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      def subs(df: DataFrame, idAs: String, vecAs: String) = df
+        .select(col("vec_id").as(idAs), explode(expr("sequence(0, 7)")).as("m"),
+          col("embedding"))
+        .select(col(idAs), col("m"),
+          expr("slice(embedding, m * 8 + 1, 8)").as(vecAs))
+      val cb = subs(emb.where(col("vec_id") < 16), "code", "cb_sub")
+      subs(emb, "vec_id", "sub")
+        .join(broadcast(cb), "m")
+        .select(col("vec_id"), col("m"), col("code"),
+          expr("""aggregate(zip_with(sub, cb_sub,
+                 | (x, y) -> pow(CAST(x AS DOUBLE) - CAST(y AS DOUBLE), 2D)),
+                 | CAST(0 AS DOUBLE), (a, b) -> a + b)"""
+            .stripMargin.replace("\n", " ")).as("d2"))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("d2"), col("code"))).as("_best"))
+        .select(col("vec_id"), col("m"), col("_best.code").as("code"),
+          round(col("_best.d2"), 6).as("err_r6"))
+        .orderBy("vec_id", "m")
+    }),
+
     // Top user journeys: each user's first-3-event path (ts order, id
     // tiebreak) counted across users — the sequence-mining companion of
     // q36's funnel and events_markov's transitions. Per-user state is 3
@@ -3726,6 +3755,21 @@ object SparkEntry {
         |                        round(value, 2) AS q_val FROM events WHERE event_id % 2 = 1) r
         |   ON l.user_id = r.user_id AND l.ts >= r.q_ts
         | ORDER BY l.event_id""".stripMargin.replace("\n", " "),
+
+    "embed_pq_codes" ->
+      """WITH m AS (SELECT unnest(range(0, 8)) AS m),
+        | subs AS (SELECT vec_id, m.m AS m,
+        |     embedding[m.m * 8 + 1 : m.m * 8 + 8] AS sub
+        |   FROM embeddings, m),
+        | cb AS (SELECT vec_id AS code, m, sub AS cb_sub FROM subs WHERE vec_id < 16),
+        | scored AS (SELECT s.vec_id, s.m, cb.code,
+        |     list_sum([pow(CAST(s.sub[i] AS DOUBLE) - CAST(cb.cb_sub[i] AS DOUBLE), 2)
+        |               for i in range(1, 9)]) AS d2
+        |   FROM subs s JOIN cb ON s.m = cb.m),
+        | best AS (SELECT vec_id, m, min(struct_pack(d2 := d2, code := code)) AS b
+        |   FROM scored GROUP BY vec_id, m)
+        | SELECT vec_id, m, CAST(b.code AS BIGINT) AS code, round(b.d2, 6) AS err_r6
+        | FROM best ORDER BY vec_id, m""".stripMargin.replace("\n", " "),
 
     "events_paths" ->
       """WITH r AS (SELECT user_id, event_type,
