@@ -77,6 +77,34 @@ object SparkEntry {
       |   ELSE '' END,
       | CASE doc_id % 8 WHEN 0 THEN '#frag' ELSE '' END)""".stripMargin.replace("\n", " ")
 
+  /** PQ decomposition helpers (embed_pq_codes / embed_pq_adc): 8 subspaces
+    * × 8 dims over the 64-d embeddings; codewords = subvectors of the
+    * first 16 corpus vectors (k-means codebooks at deploy).
+    */
+  private def pqSubs(df: DataFrame, idAs: String, vecAs: String): DataFrame = df
+    .select(col("vec_id").as(idAs), explode(expr("sequence(0, 7)")).as("m"),
+      col("embedding"))
+    .select(col(idAs), col("m"), expr("slice(embedding, m * 8 + 1, 8)").as(vecAs))
+
+  /** Squared L2 between two 8-dim float slices, as an in-order fold. */
+  private def pqD2(a: String, b: String): Column =
+    expr(s"""aggregate(zip_with($a, $b,
+            | (x, y) -> pow(CAST(x AS DOUBLE) - CAST(y AS DOUBLE), 2D)),
+            | CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""
+      .stripMargin.replace("\n", " "))
+
+  /** Nearest codeword per (vector, subspace): (vec_id, m, code, d2). */
+  private def pqAssign(emb: DataFrame): DataFrame = {
+    val cb = pqSubs(emb.where(col("vec_id") < 16), "code", "cb_sub")
+    pqSubs(emb, "vec_id", "sub")
+      .join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("code"), pqD2("sub", "cb_sub").as("d2"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d2"), col("code"))).as("_best"))
+      .select(col("vec_id"), col("m"), col("_best.code").as("code"),
+        col("_best.d2").as("d2"))
+  }
+
   // ---------------------------------------------------------------- entry
 
   /** Flagship: the reference's whole term-ingest dataflow (parse → project →
@@ -1487,26 +1515,38 @@ object SparkEntry {
     // min(struct(dist², code)) so ties break on the code id — giving a
     // 8-byte code per 256-byte vector (32× compression). The codebook is
     // a 128-row broadcast; distances are row-local folds over 8 elements.
-    "embed_pq_codes" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      def subs(df: DataFrame, idAs: String, vecAs: String) = df
-        .select(col("vec_id").as(idAs), explode(expr("sequence(0, 7)")).as("m"),
-          col("embedding"))
-        .select(col(idAs), col("m"),
-          expr("slice(embedding, m * 8 + 1, 8)").as(vecAs))
-      val cb = subs(emb.where(col("vec_id") < 16), "code", "cb_sub")
-      subs(emb, "vec_id", "sub")
-        .join(broadcast(cb), "m")
+    "embed_pq_codes" -> ((s, dir) =>
+      pqAssign(t(s, dir, "embeddings"))
         .select(col("vec_id"), col("m"), col("code"),
-          expr("""aggregate(zip_with(sub, cb_sub,
-                 | (x, y) -> pow(CAST(x AS DOUBLE) - CAST(y AS DOUBLE), 2D)),
-                 | CAST(0 AS DOUBLE), (a, b) -> a + b)"""
-            .stripMargin.replace("\n", " ")).as("d2"))
-        .groupBy("vec_id", "m")
-        .agg(min(struct(col("d2"), col("code"))).as("_best"))
-        .select(col("vec_id"), col("m"), col("_best.code").as("code"),
-          round(col("_best.d2"), 6).as("err_r6"))
-        .orderBy("vec_id", "m")
+          round(col("d2"), 6).as("err_r6"))
+        .orderBy("vec_id", "m")),
+
+    // PQ asymmetric distance (ADC) top-k — the IVF-PQ SEARCH path: each
+    // query scores corpus vectors by the distance from its own subvectors
+    // to each vector's ASSIGNED codewords (codes + codebook only, never
+    // the corpus floats). Per-pair total folds m-sorted so the float sum
+    // is partition-order-free. AnnRecallSpec pins ADC recall vs exact.
+    "embed_pq_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val codes = pqAssign(emb).select(col("vec_id"), col("m"), col("code"))
+      val cb = pqSubs(emb.where(col("vec_id") < 16), "code", "cb_sub")
+      val q = pqSubs(emb.where(col("vec_id") < 5), "q_id", "q_sub")
+      codes.join(broadcast(cb), Seq("m", "code"))
+        .join(broadcast(q), "m")
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("m"),
+          pqD2("q_sub", "cb_sub").as("d2"))
+        .groupBy("q_id", "vec_id")
+        .agg(expr("""aggregate(array_sort(collect_list(struct(m, d2))),
+               | CAST(0 AS DOUBLE), (a, x) -> a + x.d2)"""
+          .stripMargin.replace("\n", " ")).as("adc2"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          round(col("adc2"), 6).as("adc2_r6"),
+          row_number().over(
+            Window.partitionBy("q_id").orderBy(col("adc2"), col("vec_id")))
+            .as("rank"))
+        .where(col("rank") <= 5)
+        .orderBy("q_id", "rank")
     }),
 
     // Top user journeys: each user's first-3-event path (ts order, id
@@ -3770,6 +3810,36 @@ object SparkEntry {
         |   FROM scored GROUP BY vec_id, m)
         | SELECT vec_id, m, CAST(b.code AS BIGINT) AS code, round(b.d2, 6) AS err_r6
         | FROM best ORDER BY vec_id, m""".stripMargin.replace("\n", " "),
+
+    "embed_pq_adc" ->
+      """WITH m AS (SELECT unnest(range(0, 8)) AS m),
+        | subs AS (SELECT vec_id, m.m AS m,
+        |     embedding[m.m * 8 + 1 : m.m * 8 + 8] AS sub
+        |   FROM embeddings, m),
+        | cb AS (SELECT vec_id AS code, m, sub AS cb_sub FROM subs WHERE vec_id < 16),
+        | scored AS (SELECT s.vec_id, s.m, cb.code,
+        |     list_sum([pow(CAST(s.sub[i] AS DOUBLE) - CAST(cb.cb_sub[i] AS DOUBLE), 2)
+        |               for i in range(1, 9)]) AS d2
+        |   FROM subs s JOIN cb ON s.m = cb.m),
+        | codes AS (SELECT vec_id, m, min(struct_pack(d2 := d2, code := code)).code AS code
+        |   FROM scored GROUP BY vec_id, m),
+        | q AS (SELECT vec_id AS q_id, m, sub AS q_sub FROM subs WHERE vec_id < 5),
+        | pair AS (SELECT q.q_id, c.vec_id, c.m,
+        |     list_sum([pow(CAST(q.q_sub[i] AS DOUBLE) - CAST(cb.cb_sub[i] AS DOUBLE), 2)
+        |               for i in range(1, 9)]) AS d2
+        |   FROM codes c JOIN cb ON c.m = cb.m AND c.code = cb.code
+        |               JOIN q ON q.m = c.m
+        |   WHERE c.vec_id <> q.q_id),
+        | tot AS (SELECT q_id, vec_id,
+        |     list_reduce(list_prepend(0.0,
+        |       [x.d2 for x in list_sort(list(struct_pack(m := m, d2 := d2)))]),
+        |       (a, b) -> a + b) AS adc2
+        |   FROM pair GROUP BY q_id, vec_id),
+        | ranked AS (SELECT q_id, vec_id AS neighbor_id, adc2,
+        |     row_number() OVER (PARTITION BY q_id ORDER BY adc2, vec_id) AS rank
+        |   FROM tot)
+        | SELECT q_id, neighbor_id, round(adc2, 6) AS adc2_r6, rank
+        | FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replace("\n", " "),
 
     "events_paths" ->
       """WITH r AS (SELECT user_id, event_type,

@@ -71,6 +71,17 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.7, f"int8 recall $r%.3f under floor — quantizer broken")
   }
 
+  test("PQ-ADC recall clears its floor (coarse 16-codeword codebooks)") {
+    val adc = SparkEntry.queries("embed_pq_adc")(spark, "/root/testdata/sf0.001")
+    val got = pairs(adc)
+    val truth5 = truth.filter(_._1 < 5)
+    val r = (got & truth5).size.toDouble / truth5.size
+    info(f"PQ-ADC recall@$K (5 queries): $r%.3f")
+    // 8-byte codes from seed codebooks are a coarse sieve — the point is
+    // candidate generation before exact re-rank, not final ranking
+    assert(r >= 0.2, f"PQ-ADC recall $r%.3f under floor")
+  }
+
   test("int8 dequantization error is bounded by scale/254 per element") {
     // |v_i − q_i·ma/127| ≤ ma/254 by construction (round-half error of a
     // 1/127-step grid); a violation means the quantizer drifted off-grid.
