@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan contracts for the parquet scan path: predicates must reach the
+  * scan (`PushedFilters`) and the scan must read ONLY the referenced
+  * columns (`ReadSchema`) — a scan reading 11 lineitem columns for a
+  * 2-column projection is wrong at any scale (the briefing's exact
+  * criterion). Asserting on the executed plan keeps a Catalyst upgrade
+  * or a careless refactor from silently un-pushing the scan.
+  */
+class PushdownSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection push into the parquet scan") {
+    val plan = planOf(
+      spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .where(col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_quantity")))
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThan(l_quantity,45.0)"),
+      s"quantity predicate not pushed:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity") &&
+      !readSchema.contains("l_extendedprice") && !readSchema.contains("l_shipdate"),
+      s"scan reads more than the 2 projected columns: $readSchema")
+  }
+
+  test("column pruning survives joins and aggregation") {
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val plan = planOf(
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n")))
+    // orders contributes only its join key; customer only key + segment
+    val schemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!schemas.contains("o_totalprice") && !schemas.contains("o_orderdate"),
+      s"orders scan not pruned to the join key:\n$schemas")
+    assert(!schemas.contains("c_name") && !schemas.contains("c_acctbal"),
+      s"customer scan not pruned:\n$schemas")
+  }
+
+  test("IsNotNull implied by an inner join key is pushed to the scan") {
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val plan = planOf(o.join(c, col("o_custkey") === col("c_custkey")))
+    assert(plan.contains("IsNotNull(o_custkey)") || plan.contains("IsNotNull(c_custkey)"),
+      s"join-key null filter not pushed:\n$plan")
+  }
+}
