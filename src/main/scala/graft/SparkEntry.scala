@@ -2391,6 +2391,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Hive-style partitioned layout: write docs partitioned by lang, read
+    // back with a partition predicate — the filter prunes DIRECTORIES
+    // (PartitionFilters, zero I/O for other langs), the lake layout that
+    // makes per-lang pipelines at 100 TB read only their shard.
+    // PushdownSpec asserts the pruned plan; the oracle checks the rows.
+    "source_partition_prune" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = java.nio.file.Files.createTempDirectory("graft_part_").toString
+      docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+      s.read.parquet(path).where(col("lang") === "en")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // XML twin (Spark 4 native source): entity escaping on write, explicit
     // schema + FAILFAST on read — same contract as the other text sources.
     "source_xml" -> ((s, dir) => {
@@ -4609,6 +4623,10 @@ object SparkEntry {
     "source_csv" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "source_partition_prune" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        | WHERE lang = 'en' ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "source_xml" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents

@@ -43,6 +43,18 @@ class PushdownSpec extends SparkSpec {
       s"customer scan not pruned:\n$schemas")
   }
 
+  test("partition predicate prunes directories, not rows") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft_prune_spec").toString
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    val plan = planOf(spark.read.parquet(path).where(col("lang") === "en"))
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"lang predicate did not become a partition filter:\n$plan")
+    // a pruned partition filter never appears as a pushed data filter
+    assert(!plan.contains("PushedFilters: [IsNotNull(lang)"),
+      s"partition column leaked into data filters:\n$plan")
+  }
+
   test("IsNotNull implied by an inner join key is pushed to the scan") {
     val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
