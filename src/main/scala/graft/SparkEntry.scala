@@ -2556,6 +2556,37 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Quality-gate ablation sweep: docs/tokens retained at each stopword-
+    // ratio threshold (basis points, 0..1800 by 200) — the curve that
+    // justifies a gate value before a 100 TB filter run. One pass for the
+    // per-doc score, a 10-row threshold broadcast, one grouped agg.
+    "pipeline_quality_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val stops = stopEn.mkString(",")
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          expr(s"word_set_hits(text, '$stops') * 10000L div size(split(text, ' '))")
+            .as("q_bp"))
+      val thresholds = (0 to 1800 by 200).toDF("thr_bp")
+      scored.join(broadcast(thresholds), col("q_bp") >= col("thr_bp"))
+        .groupBy("thr_bp")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .orderBy("thr_bp")
+    }),
+
+    // Safety blocklist gate: per-doc hits against a term blocklist (the
+    // word-filter stage every release pipeline runs) — native
+    // word_set_hits loop, narrow projection; flags + hit counts.
+    "text_blocklist" -> ((s, dir) => {
+      val blocked = Seq("error", "slow", "dup", "spill", "skew")
+      t(s, dir, "documents").select(col("doc_id"),
+          Functions.wordSetHits(col("text"), blocked).as("block_hits"))
+        .select(col("doc_id"), col("block_hits"),
+          (col("block_hits") > 0).cast("int").as("flagged"))
+        .orderBy("doc_id")
+    }),
+
     "mm_meta" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -4422,6 +4453,26 @@ object SparkEntry {
         |   UNION ALL SELECT 'fk_lineitem_orders', v, n FROM fk1
         |   UNION ALL SELECT 'fk_orders_customer', v, n FROM fk2)
         | ORDER BY rule""".stripMargin.replace("\n", " "),
+
+    "pipeline_quality_sweep" ->
+      s"""WITH scored AS (SELECT doc_id,
+         |     len(string_split(text, ' '))::BIGINT AS n_tok,
+         |     (len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopEn)})) * 10000)
+         |       // len(string_split(text, ' ')) AS q_bp
+         |   FROM documents),
+         | thr AS (SELECT unnest(range(0, 1801, 200)) AS thr_bp)
+         | SELECT thr_bp, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+         | FROM scored JOIN thr ON q_bp >= thr_bp
+         | GROUP BY thr_bp ORDER BY thr_bp""".stripMargin.replace("\n", " "),
+
+    "text_blocklist" ->
+      """SELECT doc_id,
+        |   len(list_filter(string_split(text, ' '),
+        |       t -> t IN ('error', 'slow', 'dup', 'spill', 'skew'))) AS block_hits,
+        |   CASE WHEN len(list_filter(string_split(text, ' '),
+        |       t -> t IN ('error', 'slow', 'dup', 'spill', 'skew'))) > 0
+        |     THEN 1 ELSE 0 END AS flagged
+        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "quality_gopher" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
