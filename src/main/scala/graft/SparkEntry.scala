@@ -308,6 +308,44 @@ object SparkEntry {
         .except(t(s, dir, "lineitem").select(col("l_partkey").as("p_partkey")))
         .orderBy("p_partkey")),
 
+    // Bag-semantics set ops (the ALL variants q18/q19 don't cover):
+    // multiplicities survive — INTERSECT ALL keeps min(count), EXCEPT ALL
+    // subtracts counts. Both engines implement the SQL-standard bag rules.
+    "q51_set_ops_all" -> ((s, dir) => {
+      val a = t(s, dir, "lineitem").select(col("l_suppkey").as("k"))
+      val b = t(s, dir, "orders")
+        .select((col("o_custkey") % 100).as("k"))
+      val ia = a.intersectAll(b).groupBy("k").agg(count(lit(1)).as("n_inter"))
+      val ea = a.exceptAll(b).groupBy("k").agg(count(lit(1)).as("n_except"))
+      ia.join(ea, Seq("k"), "full_outer")
+        .select(col("k"),
+          coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+          coalesce(col("n_except"), lit(0L)).as("n_except"))
+        .orderBy("k")
+    }),
+
+    // Pareto concentration: revenue share of the top-k% customers (the
+    // 80/20 report). Customer ranks from the range-partitioned
+    // globalRowNumber; decile shares as integer basis points.
+    "orders_pareto" -> ((s, dir) => {
+      // integer CENTS end to end: decimal sums are exact but the two
+      // engines promote precision differently at the *10000 step — cents
+      // as BIGINT make every later op integer arithmetic
+      val spend = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(expr("CAST(round(sum(CAST(o_totalprice AS DECIMAL(20,6))) * 100) AS BIGINT)")
+          .as("cents"))
+      val ranked = graft.ops.Rank.globalRowNumber(spend,
+        Seq(col("cents").desc, col("o_custkey")))
+      val totals = spend.agg(count(lit(1)).as("_n"), sum("cents").as("_tot"))
+      ranked.crossJoin(broadcast(totals))
+        .select(expr("CAST(((rn - 1) * 10) div _n AS INT) + 1").as("decile"),
+          col("cents"), col("_tot"))
+        .groupBy("decile")
+        .agg(expr("CAST(sum(cents) * 10000 div max(_tot) AS BIGINT)").as("share_bp"),
+          count(lit(1)).as("n_cust"))
+        .orderBy("decile")
+    }),
+
     "q20_cube" -> ((s, dir) =>
       t(s, dir, "orders")
         .cube(col("o_orderstatus"), year(col("o_orderdate")).as("yr"))
@@ -2866,6 +2904,29 @@ object SparkEntry {
       """SELECT p_partkey FROM part
         | EXCEPT SELECT l_partkey FROM lineitem
         | ORDER BY p_partkey""".stripMargin.replace("\n", " "),
+
+    "q51_set_ops_all" ->
+      """WITH a AS (SELECT l_suppkey AS k FROM lineitem),
+        | b AS (SELECT o_custkey % 100 AS k FROM orders),
+        | ia AS (SELECT k, count(*) AS n_inter
+        |   FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY k),
+        | ea AS (SELECT k, count(*) AS n_except
+        |   FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY k)
+        | SELECT coalesce(ia.k, ea.k) AS k, coalesce(n_inter, 0) AS n_inter,
+        |   coalesce(n_except, 0) AS n_except
+        | FROM ia FULL OUTER JOIN ea ON ia.k = ea.k ORDER BY k""".stripMargin.replace("\n", " "),
+
+    "orders_pareto" ->
+      """WITH spend AS (SELECT o_custkey,
+        |     CAST(round(sum(CAST(o_totalprice AS DECIMAL(20,6))) * 100) AS BIGINT) AS cents
+        |   FROM orders GROUP BY o_custkey),
+        | r AS (SELECT o_custkey, cents,
+        |     row_number() OVER (ORDER BY cents DESC, o_custkey) AS rn FROM spend),
+        | t AS (SELECT count(*) AS _n, sum(cents)::BIGINT AS _tot FROM spend)
+        | SELECT CAST(((rn - 1) * 10) // _n AS INTEGER) + 1 AS decile,
+        |   CAST((sum(cents) * 10000) // max(_tot) AS BIGINT) AS share_bp,
+        |   count(*) AS n_cust
+        | FROM r, t GROUP BY 1 ORDER BY decile""".stripMargin.replace("\n", " "),
 
     "q20_cube" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS status,
