@@ -1688,6 +1688,33 @@ object SparkEntry {
         .orderBy("part_a", "rank")
     }),
 
+    // Welch two-sample t statistic per event_type (A/B analytics): cohorts
+    // = user_id parity; sufficient stats (n, Σx, Σx²) accumulate as
+    // DECIMAL so the floats appear only in the final t formula — exact,
+    // partition-order-free, and partial-aggregable (the 100 TB shape for
+    // any experiment readout).
+    "events_ab_ttest" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"),
+        (col("user_id") % 2).as("cohort"), col("value"))
+      val stats = e.groupBy("event_type", "cohort").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(24,6)")).as("sx"),
+        sum((col("value") * col("value")).cast("decimal(30,10)")).as("sxx"))
+      val a = stats.where(col("cohort") === 0)
+        .select(col("event_type"), col("n").as("na"), col("sx").as("sxa"), col("sxx").as("sxxa"))
+      val b = stats.where(col("cohort") === 1)
+        .select(col("event_type"), col("n").as("nb"), col("sx").as("sxb"), col("sxx").as("sxxb"))
+      a.join(b, "event_type")
+        .select(col("event_type"), col("na"), col("nb"),
+          expr("""round(
+                 | (CAST(sxa AS DOUBLE) / na - CAST(sxb AS DOUBLE) / nb) /
+                 | sqrt(
+                 |  ((CAST(sxxa AS DOUBLE) - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE) / na) / (na - 1)) / na +
+                 |  ((CAST(sxxb AS DOUBLE) - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE) / nb) / (nb - 1)) / nb)
+                 | , 4) + 0.0""".stripMargin.replace("\n", " ")).as("t_r4"))
+        .orderBy("event_type")
+    }),
+
     // Chi-square contingency cells: event_type × weekday observed counts
     // with per-cell chi contribution (O−E)²/E. E = rt·ct/N is row-local
     // double arithmetic over exact integer marginals — no float folds —
@@ -3991,6 +4018,24 @@ object SparkEntry {
         |   FROM pairs)
         | SELECT part_a, part_b, round(jw, 4) AS jw_r4, rank
         | FROM ranked WHERE rank <= 3 ORDER BY part_a, rank""".stripMargin.replace("\n", " "),
+
+    "events_ab_ttest" ->
+      """WITH e AS (SELECT event_type, user_id % 2 AS cohort, value FROM events),
+        | stats AS (SELECT event_type, cohort, count(*) AS n,
+        |     sum(CAST(value AS DECIMAL(24,6))) AS sx,
+        |     sum(CAST(value * value AS DECIMAL(30,10))) AS sxx
+        |   FROM e GROUP BY event_type, cohort),
+        | a AS (SELECT event_type, n AS na, sx AS sxa, sxx AS sxxa FROM stats WHERE cohort = 0),
+        | b AS (SELECT event_type, n AS nb, sx AS sxb, sxx AS sxxb FROM stats WHERE cohort = 1)
+        | SELECT a.event_type, na, nb,
+        |   round(
+        |     (CAST(sxa AS DOUBLE) / na - CAST(sxb AS DOUBLE) / nb) /
+        |     sqrt(
+        |      ((CAST(sxxa AS DOUBLE) - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE) / na) / (na - 1)) / na +
+        |      ((CAST(sxxb AS DOUBLE) - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE) / nb) / (nb - 1)) / nb)
+        |     , 4) + 0.0 AS t_r4
+        | FROM a JOIN b ON a.event_type = b.event_type
+        | ORDER BY a.event_type""".stripMargin.replace("\n", " "),
 
     "events_chisq" ->
       """WITH e AS (SELECT event_type, dayofweek(ts) + 1 AS dow FROM events),
