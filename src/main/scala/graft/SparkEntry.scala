@@ -1688,6 +1688,35 @@ object SparkEntry {
         .orderBy("part_a", "rank")
     }),
 
+    // Embedding-distribution drift monitor: per label, cosine between the
+    // centroids of two cohorts (vec_id parity — at deploy: two time
+    // windows). Every float reduction is an explicitly ORDERED fold
+    // (vec_id order per cell, index order for the dot), so the doubles
+    // reproduce bit-for-bit; drift < 1 means the cohorts' mean vectors
+    // diverge — the embedding-pipeline regression alarm.
+    "embed_drift" -> ((s, dir) => {
+      def dotf(a: String, b: String) = expr(
+        s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (p, q) -> p + q)")
+      val pe = t(s, dir, "embeddings")
+        .select(col("label"), (col("vec_id") % 2).as("par"), col("vec_id"),
+          posexplode(col("embedding")))
+      val cell = pe.groupBy("label", "par", "pos")
+        .agg(expr("""aggregate(array_sort(collect_list(struct(vec_id, col))),
+               | CAST(0 AS DOUBLE), (a, x) -> a + CAST(x.col AS DOUBLE))"""
+            .stripMargin.replace("\n", " ")).as("sv"),
+          count(lit(1)).as("nv"))
+        .select(col("label"), col("par"), col("pos"), (col("sv") / col("nv")).as("cv"))
+      val cent = cell.groupBy("label", "par")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("c"))
+      val a = cent.where(col("par") === 0).select(col("label"), col("c").as("ca"))
+      val b = cent.where(col("par") === 1).select(col("label"), col("c").as("cb"))
+      a.join(b, "label")
+        .select(col("label"),
+          (round(dotf("ca", "cb") / (sqrt(dotf("ca", "ca")) * sqrt(dotf("cb", "cb"))), 4)
+            + lit(0.0)).as("drift_cos_r4"))
+        .orderBy("label")
+    }),
+
     // Welch two-sample t statistic per event_type (A/B analytics): cohorts
     // = user_id parity; sufficient stats (n, Σx, Σx²) accumulate as
     // DECIMAL so the floats appear only in the final t formula — exact,
@@ -4018,6 +4047,24 @@ object SparkEntry {
         |   FROM pairs)
         | SELECT part_a, part_b, round(jw, 4) AS jw_r4, rank
         | FROM ranked WHERE rank <= 3 ORDER BY part_a, rank""".stripMargin.replace("\n", " "),
+
+    "embed_drift" ->
+      """WITH pos AS (SELECT unnest(range(1, 65)) AS pos),
+        | pe AS (SELECT label, vec_id % 2 AS par, vec_id, pos.pos AS pos,
+        |     CAST(embedding[pos.pos] AS DOUBLE) AS v FROM embeddings, pos),
+        | cell AS (SELECT label, par, pos,
+        |     list_reduce(list_prepend(0.0,
+        |       [x.v for x in list_sort(list(struct_pack(vec_id := vec_id, v := v)))]),
+        |       (a, b) -> a + b) / count(*) AS cv
+        |   FROM pe GROUP BY label, par, pos),
+        | cent AS (SELECT label, par, list(cv ORDER BY pos) AS c FROM cell GROUP BY label, par),
+        | ca AS (SELECT label, c AS ca FROM cent WHERE par = 0),
+        | cb AS (SELECT label, c AS cb FROM cent WHERE par = 1)
+        | SELECT ca.label,
+        |   round(list_sum([ca[i] * cb[i] for i in range(1, 65)]) /
+        |     (sqrt(list_sum([ca[i] * ca[i] for i in range(1, 65)])) *
+        |      sqrt(list_sum([cb[i] * cb[i] for i in range(1, 65)]))), 4) + 0.0 AS drift_cos_r4
+        | FROM ca JOIN cb ON ca.label = cb.label ORDER BY ca.label""".stripMargin.replace("\n", " "),
 
     "events_ab_ttest" ->
       """WITH e AS (SELECT event_type, user_id % 2 AS cohort, value FROM events),
