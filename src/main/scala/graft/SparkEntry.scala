@@ -1688,6 +1688,25 @@ object SparkEntry {
         .orderBy("part_a", "rank")
     }),
 
+    // Gini coefficient of user activity (concentration in one number):
+    // G·1e4 = (2·Σ rank·x − (n+1)·Σx) · 1e4 div (n·Σx) over ascending
+    // per-user event counts — pure integer arithmetic on globalRowNumber
+    // ranks, so the coefficient is exact. The concentration metric behind
+    // "do a few users dominate the stream".
+    "events_gini" -> ((s, dir) => {
+      val cnt = t(s, dir, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("x"))
+      val ranked = graft.ops.Rank.globalRowNumber(cnt,
+        Seq(col("x"), col("user_id")))
+      ranked
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(col("rn") * col("x")).as("srx"))
+        .select(
+          expr("CAST((2 * srx - (n + 1) * sx) * 10000 div (n * sx) AS BIGINT)")
+            .as("gini_bp"),
+          col("n").as("n_users"))
+    }),
+
     // Embedding-distribution drift monitor: per label, cosine between the
     // centroids of two cohorts (vec_id parity — at deploy: two time
     // windows). Every float reduction is an explicitly ORDERED fold
@@ -4047,6 +4066,14 @@ object SparkEntry {
         |   FROM pairs)
         | SELECT part_a, part_b, round(jw, 4) AS jw_r4, rank
         | FROM ranked WHERE rank <= 3 ORDER BY part_a, rank""".stripMargin.replace("\n", " "),
+
+    "events_gini" ->
+      """WITH cnt AS (SELECT user_id, count(*) AS x FROM events GROUP BY user_id),
+        | r AS (SELECT user_id, x, row_number() OVER (ORDER BY x, user_id) AS rn FROM cnt),
+        | s AS (SELECT count(*) AS n, sum(x)::BIGINT AS sx, sum(rn * x)::BIGINT AS srx FROM r)
+        | SELECT CAST(((2 * srx - (n + 1) * sx) * 10000) // (n * sx) AS BIGINT) AS gini_bp,
+        |        n AS n_users
+        | FROM s ORDER BY gini_bp""".stripMargin.replace("\n", " "),
 
     "embed_drift" ->
       """WITH pos AS (SELECT unnest(range(1, 65)) AS pos),
