@@ -4682,7 +4682,7 @@ object SparkEntry {
          |   regexp_replace(lower(regexp_extract(raw_url, '^[^:/?#]+://([^/?#:]+)', 1)), '^www\\.', '') AS hst,
          |   regexp_extract(raw_url, '^[^:/?#]+://[^/?#:]+:([0-9]+)', 1) AS prt,
          |   regexp_extract(raw_url, '^[^:/?#]+://[^/?#]+([^?#]*)', 1) AS pth0,
-         |   regexp_extract(raw_url, '\\?([^#]*)', 1) AS qry
+         |   regexp_extract(raw_url, '^[^#?]*\\?([^#]*)', 1) AS qry
          |   FROM u),
          | c AS (SELECT doc_id, raw_url, sch, hst,
          |   CASE WHEN prt <> '' AND NOT (sch = 'https' AND prt = '443')
@@ -4706,7 +4706,7 @@ object SparkEntry {
          |   regexp_replace(lower(regexp_extract(raw_url, '^[^:/?#]+://([^/?#:]+)', 1)), '^www\\.', '') AS hst,
          |   regexp_extract(raw_url, '^[^:/?#]+://[^/?#:]+:([0-9]+)', 1) AS prt,
          |   regexp_extract(raw_url, '^[^:/?#]+://[^/?#]+([^?#]*)', 1) AS pth0,
-         |   regexp_extract(raw_url, '\\?([^#]*)', 1) AS qry
+         |   regexp_extract(raw_url, '^[^#?]*\\?([^#]*)', 1) AS qry
          |   FROM u),
          | c AS (SELECT doc_id,
          |   sch || '://' || hst ||
@@ -4730,7 +4730,7 @@ object SparkEntry {
          |   regexp_replace(lower(regexp_extract(raw_url, '^[^:/?#]+://([^/?#:]+)', 1)), '^www\\.', '') AS hst,
          |   regexp_extract(raw_url, '^[^:/?#]+://[^/?#:]+:([0-9]+)', 1) AS prt,
          |   regexp_extract(raw_url, '^[^:/?#]+://[^/?#]+([^?#]*)', 1) AS pth0,
-         |   regexp_extract(raw_url, '\\?([^#]*)', 1) AS qry
+         |   regexp_extract(raw_url, '^[^#?]*\\?([^#]*)', 1) AS qry
          |   FROM u),
          | c AS (SELECT doc_id,
          |   regexp_extract(hst, '([^.]+\\.[^.]+)$$', 1) AS domain,

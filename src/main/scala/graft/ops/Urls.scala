@@ -35,7 +35,11 @@ object Urls {
   def path(u: Column): Column =
     regexp_extract(u, "^[^:/?#]+://[^/?#]+([^?#]*)", 1)
 
-  def query(u: Column): Column = regexp_extract(u, "\\?([^#]*)", 1)
+  /** Query text between the first `?` BEFORE any `#` and the fragment —
+    * a `?` inside the fragment is fragment content, not a query (caught
+    * by the differential property test in UrlsSpec).
+    */
+  def query(u: Column): Column = regexp_extract(u, "^[^#?]*\\?([^#]*)", 1)
 
   /** Registered domain = last two dot-labels of the canonical host (a
     * public-suffix list refines this at deploy; the two-label rule is the

@@ -39,6 +39,64 @@ class UrlsSpec extends SparkSpec {
     }
   }
 
+  test("differential property: column form equals an independent Scala reference on seeded random URLs") {
+    // reference canonicalizer: direct string surgery, no regexes — an
+    // implementation-independent cross-check of the column's regex logic
+    def reference(u: String): String = {
+      val schemeEnd = u.indexOf("://")
+      val scheme = u.substring(0, schemeEnd).toLowerCase
+      val rest = u.substring(schemeEnd + 3)
+      val authEnd = rest.indexWhere(c => c == '/' || c == '?' || c == '#') match {
+        case -1 => rest.length
+        case i => i
+      }
+      val auth = rest.substring(0, authEnd)
+      val afterAuth = rest.substring(authEnd)
+      val (hostRaw, port) = auth.indexOf(':') match {
+        case -1 => (auth, "")
+        case i => (auth.substring(0, i), auth.substring(i + 1))
+      }
+      val host = {
+        val h = hostRaw.toLowerCase
+        if (h.startsWith("www.")) h.substring(4) else h
+      }
+      val keepPort = port.nonEmpty &&
+        !(scheme == "https" && port == "443") && !(scheme == "http" && port == "80")
+      val noFrag = afterAuth.indexOf('#') match {
+        case -1 => afterAuth
+        case i => afterAuth.substring(0, i)
+      }
+      val (pathRaw, query) = noFrag.indexOf('?') match {
+        case -1 => (noFrag, "")
+        case i => (noFrag.substring(0, i), noFrag.substring(i + 1))
+      }
+      val trimmed = pathRaw.reverse.dropWhile(_ == '/').reverse
+      val path = if (trimmed.isEmpty) "/" else trimmed
+      val kept = query.split("&", -1).filterNot(_.startsWith("utm_"))
+        .mkString("&")
+      scheme + "://" + host + (if (keepPort) ":" + port else "") + path +
+        (if (kept.isEmpty) "" else "?" + kept)
+    }
+    val rnd = new scala.util.Random(20260813L)
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+    val urls = (1 to 500).map { _ =>
+      pick(Seq("http://", "https://", "HTTP://", "HtTpS://")) +
+        pick(Seq("", "www.", "WWW.", "m.", "api.")) +
+        pick(Seq("example", "Test", "a-b", "x9")) +
+        pick(Seq(".com", ".ORG", ".co.uk")) +
+        pick(Seq("", ":80", ":443", ":8080", ":9")) +
+        pick(Seq("", "/", "/a", "/a/b", "/a//", "/a/b///")) +
+        pick(Seq("", "?id=1", "?utm_s=1", "?utm_s=1&id=2", "?a=1&utm_x=2&b=3", "?x=")) +
+        pick(Seq("", "#f", "#a/b?c"))
+    }
+    import spark.implicits._
+    val got = urls.toDF("u").select(graft.ops.Urls.canonicalize(col("u")).as("c"))
+      .collect().map(_.getString(0))
+    urls.zip(got).foreach { case (u, g) =>
+      assert(g == reference(u), s"mismatch for $u: column=$g ref=${reference(u)}")
+    }
+  }
+
   test("idempotence: canonicalizing a canonical URL is a no-op") {
     val df = spark.createDataFrame(cases.map(c => Tuple1(c._2))).toDF("u")
       .where(Urls.canonicalize(col("u")) =!= col("u"))
