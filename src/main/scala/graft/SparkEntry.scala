@@ -2031,6 +2031,19 @@ object SparkEntry {
         .select(col("subject"), col("predicate"), col("obj"))
         .orderBy("subject", "predicate", "obj")),
 
+    // RDF shape report: per-predicate triple counts + distinct subjects —
+    // the first profiling query anyone runs on an unknown RDF dump
+    // (which predicates exist, at what density). One grouped agg over the
+    // parsed stream; distinct-subject via pre-dedup (no Expand).
+    "nt_predicate_stats" -> ((s, dir) => {
+      val parsed = FastIngest.parse(ntFromPart(t(s, dir, "part")))
+        .select(col("predicate"), col("subject"))
+      val tri = parsed.groupBy("predicate").agg(count(lit(1)).as("n_triples"))
+      val subj = parsed.distinct()
+        .groupBy("predicate").agg(count(lit(1)).as("n_subjects"))
+      tri.join(subj, "predicate").orderBy("predicate")
+    }),
+
     // P5 quarantine: the malformed lines parse drops, surfaced as a side
     // channel (the demo corpus injects 'junk line N' rows — exactly those
     // must appear here, and nothing else).
@@ -4282,6 +4295,7 @@ object SparkEntry {
         | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "nt_parse" -> ntParseOracle,
+    "nt_predicate_stats" -> ntPredicateStatsOracle,
     "nt_quarantine" ->
       """SELECT 'junk line ' || p_partkey AS line FROM part
         | WHERE p_partkey % 10 = 0 ORDER BY line""".stripMargin.replace("\n", " "),
@@ -5066,8 +5080,8 @@ object SparkEntry {
   }
 
   /** Expected parse output reconstructed relationally (no string parsing). */
-  private def ntParseOracle: String =
-    """WITH lines AS (
+  private def ntLinesCte: String =
+    """lines AS (
       |   SELECT 'http://id.worldcat.org/fast/' || p_partkey AS subject,
       |          'http://www.w3.org/2004/02/skos/core#prefLabel' AS predicate,
       |          '"' || p_name || '"' AS obj FROM part
@@ -5088,7 +5102,19 @@ object SparkEntry {
       |   UNION ALL
       |   SELECT 'http://id.worldcat.org/fast/NaN',
       |          'http://www.w3.org/2004/02/skos/core#prefLabel', '"Bad"' FROM part WHERE p_partkey % 25 = 0)
-      | SELECT subject, predicate, obj FROM lines ORDER BY subject, predicate, obj""".stripMargin.replace("\n", " ")
+      |)""".stripMargin.replace("\n", " ").dropRight(1)
+
+  private def ntParseOracle: String =
+    s"WITH $ntLinesCte SELECT subject, predicate, obj FROM lines ORDER BY subject, predicate, obj"
+
+  private def ntPredicateStatsOracle: String =
+    s"""WITH $ntLinesCte,
+       | tri AS (SELECT predicate, count(*) AS n_triples FROM lines GROUP BY predicate),
+       | subj AS (SELECT predicate, count(*) AS n_subjects
+       |   FROM (SELECT DISTINCT predicate, subject FROM lines) GROUP BY predicate)
+       | SELECT tri.predicate, n_triples, n_subjects
+       | FROM tri JOIN subj ON tri.predicate = subj.predicate
+       | ORDER BY tri.predicate""".stripMargin.replace("\n", " ")
 
   /** The ingest pipeline's expected output, computed relationally. */
   private def fastDocsOracle: String = {
