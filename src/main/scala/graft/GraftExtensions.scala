@@ -64,5 +64,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1), exprs(2), exprs(3))))
     // analysis-time scale guardrail (opt-in via spark.graft.forbidGlobalWindows)
     ext.injectCheckRule(s => graft.plans.GlobalWindowCheck(s))
+    // whole-operator extension: bounded per-group top-k with a map-side
+    // partial phase (graft.plans.TopKPerGroup)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

@@ -308,6 +308,18 @@ object SparkEntry {
         .except(t(s, dir, "lineitem").select(col("l_partkey").as("p_partkey")))
         .orderBy("p_partkey")),
 
+    // The custom two-phase physical operator (plans/TopKPerGroup —
+    // logical node + strategy + SparkPlan via SparkSessionExtensions):
+    // map-side bounded heaps prune to ≤ k rows/group/partition BEFORE the
+    // exchange, where the window form shuffles and sorts everything.
+    // Oracle = the window formulation in DuckDB; TopKPerGroupSpec pins
+    // plan shape and equivalence.
+    "q52_topk_exec" -> ((s, dir) =>
+      graft.ops.TopK.topKPerGroupExec(t(s, dir, "orders"),
+          Seq("o_orderstatus"), Seq(("o_totalprice", true), ("o_orderkey", false)), 3)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy("o_orderstatus", "o_orderkey")),
+
     // Bag-semantics set ops (the ALL variants q18/q19 don't cover):
     // multiplicities survive — INTERSECT ALL keeps min(count), EXCEPT ALL
     // subtracts counts. Both engines implement the SQL-standard bag rules.
@@ -2992,6 +3004,14 @@ object SparkEntry {
       """SELECT p_partkey FROM part
         | EXCEPT SELECT l_partkey FROM lineitem
         | ORDER BY p_partkey""".stripMargin.replace("\n", " "),
+
+    "q52_topk_exec" ->
+      """WITH r AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |     row_number() OVER (PARTITION BY o_orderstatus
+        |                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |   FROM orders)
+        | SELECT o_orderkey, o_orderstatus, o_totalprice FROM r
+        | WHERE rn <= 3 ORDER BY o_orderstatus, o_orderkey""".stripMargin.replace("\n", " "),
 
     "q51_set_ops_all" ->
       """WITH a AS (SELECT l_suppkey AS k FROM lineitem),

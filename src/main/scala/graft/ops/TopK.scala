@@ -33,6 +33,26 @@ import org.apache.spark.sql.functions._
   */
 object TopK {
 
+  /** Top-k rows per group via the custom two-phase physical operator
+    * ([[graft.plans.TopKPerGroup]]): map-side bounded heaps prune to ≤ k
+    * rows per group per partition BEFORE the exchange — the window
+    * formulation shuffles and sorts everything first. `orderCols` are
+    * (name, descending) pairs; pass a TOTAL order for deterministic
+    * results (ties beyond k drop row_number-style).
+    */
+  def topKPerGroupExec(df: DataFrame, groupCols: Seq[String],
+                       orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    val lp = df.queryExecution.analyzed
+    def attr(n: String) = lp.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $n not in ${lp.output.map(_.name).mkString(", ")}"))
+    val order = orderCols.map { case (c, desc) =>
+      SortOrder(attr(c), if (desc) Descending else Ascending) }
+    org.apache.spark.sql.GraftDatasetBridge.ofRows(df.sparkSession,
+      graft.plans.TopKPerGroup(k, groupCols.map(attr), order, lp))
+  }
+
   /** One Misra-Gries counter-maintenance step: increment a tracked item,
     * admit an untracked one while under capacity, else decrement-all
     * (each decrement is paid for by a prior increment → O(1) amortized).
