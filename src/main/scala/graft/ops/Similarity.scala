@@ -65,6 +65,23 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Rank the per-query top-k of a scored pair table: the custom
+    * two-phase [[graft.plans.TopKPerGroup]] exec prunes map-side (the
+    * exchange carries ≤ k rows per query per partition instead of the
+    * whole |corpus|×|queries| scored set), then a window ranks the ≤ k
+    * survivors per query — the window's input is already tiny.
+    */
+  private def rankTopK(scored: DataFrame, qIdCol: String, scoreCol: String,
+                       k: Int): DataFrame = {
+    val pruned = TopK.topKPerGroupExec(scored, Seq(qIdCol),
+      Seq((scoreCol, true), ("neighbor_id", false)), k)
+    pruned.select(col("*"),
+        row_number().over(
+          Window.partitionBy(qIdCol).orderBy(col(scoreCol).desc, col("neighbor_id")))
+          .as("rank"))
+      .where(col("rank") <= k)
+  }
+
   /** Exact top-k neighbors for each query row (small query side broadcast
     * against the full corpus; linear in corpus size).
     */
@@ -80,11 +97,7 @@ object Similarity {
       .where(col(idCol) =!= col(qIdCol))
       .select(col(qIdCol), col(idCol).as("neighbor_id"),
         (dotFixed(qEmbCol, embCol, dim) / (col("_qnrm") * col("_nrm"))).as("cos"))
-    scored.select(col(qIdCol), col("neighbor_id"), col("cos"),
-        row_number().over(
-          Window.partitionBy(qIdCol).orderBy(col("cos").desc, col("neighbor_id")))
-          .as("rank"))
-      .where(col("rank") <= k)
+    rankTopK(scored, qIdCol, "cos", k)
   }
 
   /** IVF-style clustering: assign every vector to its nearest centroid
@@ -140,10 +153,7 @@ object Similarity {
       .where(col(idCol) =!= col("q_id"))
       .select(col("q_id"), col(idCol).as("neighbor_id"),
         (dotFixed("q_emb", embCol) / (col("_qnrm") * col("_nrm"))).as("cos"))
-    scored.select(col("q_id"), col("neighbor_id"), col("cos"),
-        row_number().over(
-          Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))).as("rank"))
-      .where(col("rank") <= k)
+    rankTopK(scored, "q_id", "cos", k)
   }
 
   // ------------------------------------------------------------ int8 path
@@ -193,11 +203,7 @@ object Similarity {
       .select(col(qIdCol), col(idCol).as("neighbor_id"),
         expr("CAST(vec_dot(_qqf, _qf) AS BIGINT)").as("dot_q"),
         (expr("vec_dot(_qqf, _qf)") / (col("_qnrm") * col("_nrm"))).as("cos_q"))
-    scored.select(col(qIdCol), col("neighbor_id"), col("dot_q"), col("cos_q"),
-        row_number().over(
-          Window.partitionBy(qIdCol).orderBy(col("cos_q").desc, col("neighbor_id")))
-          .as("rank"))
-      .where(col("rank") <= k)
+    rankTopK(scored, qIdCol, "cos_q", k)
   }
 
   /** Spherical k-means centroids as pure DataFrame iterations: assign to
@@ -262,10 +268,6 @@ object Similarity {
       .where(col(idCol) =!= col(qIdCol))
       .select(col(qIdCol), col(idCol).as("neighbor_id"),
         (dotFixed(qEmbCol, embCol, dim) / (col("_qnrm") * col("_nrm"))).as("cos"))
-    scored.select(col(qIdCol), col("neighbor_id"), col("cos"),
-        row_number().over(
-          Window.partitionBy(qIdCol).orderBy(col("cos").desc, col("neighbor_id")))
-          .as("rank"))
-      .where(col("rank") <= k)
+    rankTopK(scored, qIdCol, "cos", k)
   }
 }
