@@ -2102,6 +2102,40 @@ object SparkEntry {
         "doc_id", threshold = 0.25)
         .orderBy("a_id", "b_id")),
 
+    // Per-doc nearest near-duplicates: symmetrized LSH candidate pairs →
+    // top-3 per doc by estimated Jaccard via the custom two-phase exec
+    // (map-side pruned; the ranking window sees ≤ 3 rows per doc) — the
+    // "show me this doc's closest copies" review surface.
+    "dedup_topk_similar" -> ((s, dir) => {
+      val pairs = Dedup.minhashCandidates(
+        Dedup.minhashSignature(t(s, dir, "documents"), "text", "doc_id"),
+        "doc_id", threshold = 0.25)
+      val sym = pairs.select(col("a_id").as("doc_id"),
+          col("b_id").as("neighbor_id"), col("est_jaccard"))
+        .unionByName(pairs.select(col("b_id").as("doc_id"),
+          col("a_id").as("neighbor_id"), col("est_jaccard")))
+      graft.ops.TopK.topKPerGroupExec(sym, Seq("doc_id"),
+          Seq(("est_jaccard", true), ("neighbor_id", false)), 3)
+        .select(col("doc_id"), col("neighbor_id"), col("est_jaccard"),
+          row_number().over(Window.partitionBy("doc_id")
+            .orderBy(col("est_jaccard").desc, col("neighbor_id"))).as("rank"))
+        .orderBy("doc_id", "rank")
+    }),
+
+    // DAU / total-users stickiness per day — the engagement ratio report;
+    // distinct-first pre-dedup (no Expand), one-row total broadcast.
+    "events_stickiness" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        expr("CAST(timestamp_micros(ts div 1000) AS DATE)").as("day"),
+        col("user_id"))
+      e.distinct().groupBy("day").agg(count(lit(1)).as("dau"))
+        .crossJoin(broadcast(
+          e.select("user_id").distinct().agg(count(lit(1)).as("_u"))))
+        .select(col("day"), col("dau"),
+          expr("CAST(dau * 10000 div _u AS INT)").as("stickiness_bp"))
+        .orderBy("day")
+    }),
+
     // Incremental dedup — the continuous-ingest workflow: the stored
     // corpus (even doc ids) is already signature-indexed; the incoming
     // batch (odd ids) is banded and BROADCAST against it, so the stored
@@ -4340,6 +4374,33 @@ object SparkEntry {
          | WHERE round(($matches) / 8.0, 4) >= 0.25
          | ORDER BY a_id, b_id""".stripMargin.replace("\n", " ")
     },
+
+    "dedup_topk_similar" -> {
+      val matches = (0 until 8).map(i => s"(a.s$i = b.s$i)::INT").mkString(" + ")
+      val bandsMatch = (0 until 4).map(b =>
+        s"(a.s${2 * b} = b.s${2 * b} AND a.s${2 * b + 1} = b.s${2 * b + 1})").mkString(" OR ")
+      s"""WITH $minhashSigCte,
+         | pairs AS (
+         |   SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |          round(($matches) / 8.0, 4) AS est_jaccard
+         |   FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandsMatch)
+         |   WHERE round(($matches) / 8.0, 4) >= 0.25),
+         | sym AS (SELECT a_id AS doc_id, b_id AS neighbor_id, est_jaccard FROM pairs
+         |         UNION ALL SELECT b_id, a_id, est_jaccard FROM pairs),
+         | ranked AS (SELECT doc_id, neighbor_id, est_jaccard,
+         |     row_number() OVER (PARTITION BY doc_id
+         |                        ORDER BY est_jaccard DESC, neighbor_id) AS rank
+         |   FROM sym)
+         | SELECT doc_id, neighbor_id, est_jaccard, rank FROM ranked
+         | WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin.replace("\n", " ")
+    },
+
+    "events_stickiness" ->
+      """WITH e AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        | dau AS (SELECT day, count(*) AS dau FROM e GROUP BY day),
+        | u AS (SELECT count(DISTINCT user_id) AS _u FROM events)
+        | SELECT day, dau, CAST((dau * 10000) // _u AS INTEGER) AS stickiness_bp
+        | FROM dau, u ORDER BY day""".stripMargin.replace("\n", " "),
 
     "dedup_incremental" -> {
       val matches = (0 until 8).map(i => s"(a.s$i = b.s$i)::INT").mkString(" + ")
