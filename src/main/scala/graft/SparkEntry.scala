@@ -308,6 +308,21 @@ object SparkEntry {
         .except(t(s, dir, "lineitem").select(col("l_partkey").as("p_partkey")))
         .orderBy("p_partkey")),
 
+    // Value-window family: first/last/nth over explicit frames (the
+    // UNBOUNDED FOLLOWING last_value trap included — the default frame
+    // would return the current row; both engines get the full frame).
+    "q53_value_windows" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          first("o_orderkey").over(full).as("top_key"),
+          last("o_orderkey").over(full).as("bottom_key"),
+          nth_value(col("o_orderkey"), 2).over(full).as("second_key"))
+        .orderBy("o_orderkey")
+    }),
+
     // The custom two-phase physical operator (plans/TopKPerGroup —
     // logical node + strategy + SparkPlan via SparkSessionExtensions):
     // map-side bounded heaps prune to ≤ k rows/group/partition BEFORE the
@@ -3038,6 +3053,17 @@ object SparkEntry {
       """SELECT p_partkey FROM part
         | EXCEPT SELECT l_partkey FROM lineitem
         | ORDER BY p_partkey""".stripMargin.replace("\n", " "),
+
+    "q53_value_windows" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |   first_value(o_orderkey) OVER w AS top_key,
+        |   last_value(o_orderkey) OVER w AS bottom_key,
+        |   nth_value(o_orderkey, 2) OVER w AS second_key
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_orderstatus
+        |              ORDER BY o_totalprice DESC, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        | ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
 
     "q52_topk_exec" ->
       """WITH r AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
