@@ -308,6 +308,19 @@ object SparkEntry {
         .except(t(s, dir, "lineitem").select(col("l_partkey").as("p_partkey")))
         .orderBy("p_partkey")),
 
+    // SQL:2023 LISTAGG (new in Spark 4) with WITHIN GROUP ordering and
+    // DISTINCT — the ordered string-aggregation surface, vs DuckDB's
+    // string_agg. Distinct statuses keep the strings bounded.
+    "q54_listagg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.createOrReplaceTempView("orders_la")
+      s.sql("""SELECT o_orderpriority,
+              | listagg(DISTINCT o_orderstatus, ',') WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+              | count(*) AS n
+              |FROM orders_la GROUP BY o_orderpriority
+              |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // Value-window family: first/last/nth over explicit frames (the
     // UNBOUNDED FOLLOWING last_value trap included — the default frame
     // would return the current row; both engines get the full frame).
@@ -3053,6 +3066,13 @@ object SparkEntry {
       """SELECT p_partkey FROM part
         | EXCEPT SELECT l_partkey FROM lineitem
         | ORDER BY p_partkey""".stripMargin.replace("\n", " "),
+
+    "q54_listagg" ->
+      """SELECT o_orderpriority,
+        |   string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |   count(*) AS n
+        | FROM orders GROUP BY o_orderpriority
+        | ORDER BY o_orderpriority""".stripMargin.replace("\n", " "),
 
     "q53_value_windows" ->
       """SELECT o_orderkey, o_orderstatus,
