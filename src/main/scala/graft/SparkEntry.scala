@@ -1875,6 +1875,37 @@ object SparkEntry {
         .limit(10)
     }),
 
+    "tpch_q10" -> ((s, dir) => {
+      def dec(c: Column) = c.cast("decimal(20,6)")
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_returnflag") === "R")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(round(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))), 2)
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    "tpch_q18" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val big = li.groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("_q")).where(col("_q") > 180)
+        .select(col("l_orderkey").as("_big_ok"))
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(big, col("o_orderkey") === col("_big_ok"), "left_semi")
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(round(sum("l_quantity"), 2).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
     "tpch_q5" -> ((s, dir) => {
       def dec(c: Column) = c.cast("decimal(20,6)")
       val asia = t(s, dir, "region").where(col("r_name") === "ASIA")
@@ -4263,6 +4294,28 @@ object SparkEntry {
         |   AND l_shipdate > TIMESTAMP '1998-01-01'
         | GROUP BY l_orderkey, o_orderdate
         | ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin.replace("\n", " "),
+
+    "tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))), 2) AS DOUBLE) AS revenue
+        | FROM customer JOIN orders ON c_custkey = o_custkey
+        |               JOIN lineitem ON o_orderkey = l_orderkey
+        |               JOIN nation ON c_nationkey = n_nationkey
+        | WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |   AND o_orderdate < TIMESTAMP '1996-04-01'
+        |   AND l_returnflag = 'R'
+        | GROUP BY c_custkey, c_name, c_acctbal, n_name
+        | ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin.replace("\n", " "),
+
+    "tpch_q18" ->
+      """SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |   round(sum(l_quantity), 2) AS total_qty
+        | FROM customer JOIN orders ON c_custkey = o_custkey
+        |               JOIN lineitem ON o_orderkey = l_orderkey
+        | WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                      GROUP BY l_orderkey HAVING sum(l_quantity) > 180)
+        | GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+        | ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin.replace("\n", " "),
 
     "tpch_q5" ->
       """SELECT n_name,
