@@ -1875,6 +1875,35 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // Q6: the one-row forecast-revenue filter-aggregate — pure scan +
+    // pushed predicates, the simplest shape that must NOT shuffle.
+    "tpch_q6" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
+          col("l_quantity") < 24)
+        .agg(round(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(20,6)")), 2).cast("double").as("revenue"),
+          count(lit(1)).as("n"))),
+
+    // Q14: promo revenue share — conditional aggregation over one join,
+    // integer-exact via cents (cross-engine decimal-promotion rule).
+    "tpch_q14" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .agg(
+          expr("""CAST(round(sum(CASE WHEN p_type = 'PROMO'
+                 | THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))
+                 | ELSE CAST(0 AS DECIMAL(20,6)) END) * 100) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("promo_cents"),
+          expr("CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) * 100) AS BIGINT)")
+            .as("total_cents"))
+        .select(col("promo_cents"), col("total_cents"),
+          expr("CAST(promo_cents * 10000 div total_cents AS BIGINT)").as("promo_bp"))),
+
     "tpch_q10" -> ((s, dir) => {
       def dec(c: Column) = c.cast("decimal(20,6)")
       t(s, dir, "customer")
@@ -4294,6 +4323,28 @@ object SparkEntry {
         |   AND l_shipdate > TIMESTAMP '1998-01-01'
         | GROUP BY l_orderkey, o_orderdate
         | ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin.replace("\n", " "),
+
+    "tpch_q6" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(20,6))), 2) AS DOUBLE) AS revenue,
+        |        count(*) AS n
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |   AND l_discount >= 0.02 AND l_discount <= 0.04 AND l_quantity < 24
+        | ORDER BY revenue""".stripMargin.replace("\n", " "),
+
+    "tpch_q14" ->
+      """WITH j AS (SELECT l_extendedprice, l_discount, p_type
+        |   FROM lineitem JOIN part ON l_partkey = p_partkey
+        |   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'),
+        | c AS (SELECT
+        |   CAST(round(sum(CASE WHEN p_type = 'PROMO'
+        |     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))
+        |     ELSE CAST(0 AS DECIMAL(20,6)) END) * 100) AS BIGINT) AS promo_cents,
+        |   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) * 100) AS BIGINT) AS total_cents
+        |   FROM j)
+        | SELECT promo_cents, total_cents,
+        |   CAST((promo_cents * 10000) // total_cents AS BIGINT) AS promo_bp
+        | FROM c ORDER BY promo_bp""".stripMargin.replace("\n", " "),
 
     "tpch_q10" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
