@@ -60,6 +60,21 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(got == Seq(("a", 1, 5L), ("a", 1, 7L), ("a", 2, 3L), ("b", 1, 1L)))
   }
 
+  test("NULL group keys and NULL order values match the window form") {
+    import spark.implicits._
+    val df = Seq[(Option[String], Option[Long], Long)](
+      (None, Some(5L), 1L), (None, Some(9L), 2L), (None, None, 3L),
+      (Some("a"), None, 4L), (Some("a"), Some(1L), 5L), (Some("a"), Some(2L), 6L))
+      .toDF("g", "v", "id").repartition(3)
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+    val expected = df.withColumn("rn", row_number().over(w)).where(col("rn") <= 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val got = TopK.topKPerGroupExec(df, Seq("g"), Seq(("v", true), ("id", false)), 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // null keys form one group; desc null ordering (NULLS LAST) matches
+    assert(got == expected, s"got $got vs window $expected")
+  }
+
   test("property: equals window form on seeded random skewed data") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
