@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   * tracking parameters removed with remaining params kept in original
   * order, trailing path slashes trimmed (bare host → `/`), fragment
   * dropped.
+  *
+  * Input contract: absolute URLs with an explicit `scheme://` — the
+  * canonical web-corpus case (crawl records carry absolute URLs).
+  * Strings without `://` fall through the regexes as empty components;
+  * filter or repair relative references upstream.
   */
 object Urls {
 
