@@ -111,6 +111,7 @@ object Bench {
     "q13_window", "q20_cube", "q22_range_join", "q23_asof_join",
     "q24_percentile", "q33_sql_surface", "q35_sessionize", "q39_resample",
     "q41_global_rank", "q42_window_distinct", "q43_interpolate", "table_diff",
+    "tpch_q9", "tpch_q21",
     // dedup family
     "dedup_exact", "dedup_minhash_pairs", "dedup_clusters", "dedup_ppjoin",
     "dedup_ngram", "dedup_simhash", "dedup_winnow_pairs", "dedup_cosine_pairs",
