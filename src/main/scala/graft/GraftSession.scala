@@ -82,6 +82,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // Engine-wide invariant: `events.ts` is INT64 epoch NANOS (see
+    // GraftSession scaladoc — every downstream op does pure integer
+    // arithmetic on it). The fixture's physical type has varied across
+    // generations: TIMESTAMP(NANOS) already arrives as LongType via
+    // `nanosAsLong`; TIMESTAMP(MICROS/MILLIS) arrives as TimestampType
+    // and is converted here, at the single load chokepoint, so no
+    // operator ever sees a calendar type.
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      case Some(TimestampNTZType) =>
+        // NTZ carries no zone; the session zone is pinned to UTC, so the
+        // NTZ→LTZ cast reinterprets the wall-clock value as UTC — the same
+        // instant the generator wrote.
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ => df
+    }
+  }
 }
