@@ -104,7 +104,15 @@ object Graph {
     val nodes = dir1.select(col("src").as("node"))
       .unionAll(dir1.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = Iterate.materialize(nodes.withColumn("label", col("node")))
+    // The loop iterates ONLY over nodes that have neighbors: the neighbor
+    // join keys on e.dst, and every node with an incident (non-self-loop)
+    // edge appears as a src of the symmetrized edge list, so `best` covers
+    // exactly the node set the next round reads. Isolated nodes (self-loop
+    // only) never influence a neighbor and keep their own label, so they
+    // are grafted back ONCE after the loop — one fewer full-node-set
+    // shuffle per round than folding them in every iteration.
+    var labels = Iterate.materialize(
+      e.select(col("src").as("node")).distinct().withColumn("label", col("node")))
     var i = 0
     while (i < iterations) {
       val neigh = e.join(
@@ -114,18 +122,21 @@ object Graph {
         .groupBy(col("src"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
         .select(col("src").as("node"), (-col("m.nl")).as("label"))
-      // isolated nodes (no non-self-loop neighbors) keep their own label
-      val complete = nodes
-        .join(best, Seq("node"), "left")
-        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
-      val next = Iterate.materialize(complete)
+      val next = Iterate.materialize(best)
       labels.release()
       labels = next
       i += 1
     }
-    val out = labels.df
+    // isolated nodes (no non-self-loop neighbors) keep their own label;
+    // materialized so the returned frame stays cheap to re-consume after
+    // the backing caches are dropped (same contract as before: the caller
+    // gets a lineage-cut result, GC reclaims the checkpoint)
+    val out = Iterate.materialize(nodes
+      .join(labels.df, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label")))
+    labels.release()
     e.unpersist(); nodes.unpersist()
-    out
+    out.df
   }
 
   /** BFS reachability levels over a directed edge list from a source
