@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
@@ -450,14 +451,22 @@ object Dedup {
   def winnowPairs(df: DataFrame, textCol: String, idCol: String,
                   k: Int = 8, w: Int = 4, dfCap: Int = 50,
                   minShared: Int = 3, minContainBp: Int = 0): DataFrame = {
+    // Persisted: three consumers (per-doc counts, per-fp df, the join
+    // index) would each re-run the per-char explode + per-doc window —
+    // the most expensive subtree here (lesson: Spark shares no common
+    // subplans). The cache is the DISTINCT selections (~2/w of corpus
+    // chars), spill-safe, and released via Iterate.scoped as soon as the
+    // result frame is checkpointed — the same bounded-lifetime pattern
+    // as ppjoinPairs' shingle table.
     val sel = winnowSelections(df, textCol, idCol, k, w)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val counts = sel.groupBy(col(idCol)).agg(count(lit(1)).as("n_fp"))
     val dfq = sel.groupBy("fp").agg(count(lit(1)).as("df"))
     val idx = sel.join(dfq.where(col("df") <= dfCap), "fp")
       .select(col("fp"), col(idCol))
     val a = idx.select(col("fp"), col(idCol).as("a"))
     val b = idx.select(col("fp"), col(idCol).as("b"))
-    a.join(b, "fp").where(col("a") < col("b"))
+    val result = a.join(b, "fp").where(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
       .join(counts.select(col(idCol).as("a"), col("n_fp").as("nfa")), "a")
@@ -465,6 +474,7 @@ object Dedup {
       .withColumn("contain_bp", expr("shared * 10000 div least(nfa, nfb)"))
       .where(col("contain_bp") >= minContainBp)
       .select("a", "b", "shared", "contain_bp")
+    Iterate.scoped(result, sel)
   }
 
   /** Bag-of-words cosine similarity join over an inverted term index:
@@ -485,6 +495,10 @@ object Dedup {
     */
   def cosinePairs(df: DataFrame, textCol: String, idCol: String,
                   minCos2Bp: Int = 2500, dfCap: Int = 100): DataFrame = {
+    // Persisted: the capped index feeds three consumers (norms + both
+    // join sides), each of which would otherwise re-run the corpus
+    // explode + two aggregations. Spill-safe cache, released by
+    // Iterate.scoped once the result is checkpointed.
     val terms = df
       .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
       .where(col("term") =!= "")
@@ -492,16 +506,18 @@ object Dedup {
     val dfq = terms.groupBy("term").agg(count(lit(1)).as("df"))
     val idx = terms.join(dfq.where(col("df") <= dfCap), "term")
       .select(col("term"), col(idCol), col("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val norms = idx.groupBy(col(idCol)).agg(sum(col("tf") * col("tf")).as("n2"))
     val a = idx.select(col("term"), col(idCol).as("a"), col("tf").as("tfa"))
     val b = idx.select(col("term"), col(idCol).as("b"), col("tf").as("tfb"))
-    a.join(b, "term").where(col("a") < col("b"))
+    val result = a.join(b, "term").where(col("a") < col("b"))
       .groupBy("a", "b").agg(sum(col("tfa") * col("tfb")).as("dot"))
       .join(norms.select(col(idCol).as("a"), col("n2").as("na")), "a")
       .join(norms.select(col(idCol).as("b"), col("n2").as("nb")), "b")
       .withColumn("cos2_bp", expr("dot * dot * 10000 div (na * nb)"))
       .where(col("cos2_bp") >= minCos2Bp)
       .select("a", "b", "dot", "cos2_bp")
+    Iterate.scoped(result, idx)
   }
 
   /** SimHash near-dup candidate pairs — the classic web-dedup pipeline
