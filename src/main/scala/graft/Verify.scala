@@ -14,6 +14,7 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local("graft-verify", cpus)
     new java.io.File(outDir).mkdirs()
+    var failed = List.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -21,6 +22,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed ::= name
       }
       // per-query persisted data must not accumulate across 50+ queries
       spark.catalog.clearCache()
@@ -41,5 +43,16 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // A query that fails to run must be a LOUD gate failure, not a
+    // silently-absent output dir — round 6's correctness record quietly
+    // shrank by 14 queries because failures only went to stderr. The
+    // summary line + non-zero exit make a narrowed record
+    // machine-detectable (after oracle_sql.json is written, so the
+    // remaining queries stay adjudicable).
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] FAILED ${failed.size} queries: ${failed.sorted.mkString(",")}")
+      sys.exit(1)
+    }
   }
 }
