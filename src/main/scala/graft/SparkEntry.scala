@@ -1544,6 +1544,29 @@ object SparkEntry {
         .orderBy("event_type", "day")
     }),
 
+    // Per-user EWMA with α = 1/2 over the ts-ordered event stream — the
+    // smoothed-metric recurrence (monitoring / trend detection). The
+    // recurrence e_t = (x_t + e_{t-1}) div 2 runs as an ORDERED per-key
+    // fold in INTEGER cents, seeded with the first element on both
+    // engines, so nothing floats and no partial-order drift exists.
+    // Values are non-negative on this fixture so Spark's truncating
+    // `div` == DuckDB's flooring `//`. Scale shape: one user_id
+    // aggregation; the fold is per-group and bounded by the group's
+    // event count (the text_lm_score pattern — HOFs are interpreted,
+    // fine off the per-token hot path).
+    "events_ewma" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          expr("""aggregate(
+                 |  slice(array_sort(collect_list(struct(ts, event_id, cents))), 2, size(collect_list(cents))),
+                 |  element_at(array_sort(collect_list(struct(ts, event_id, cents))), 1).cents,
+                 |  (acc, x) -> (acc + x.cents) div 2)"""
+            .stripMargin.replace("\n", " ")).as("ewma_cents"))
+        .orderBy("user_id")),
+
     // Collocation mining: top word pairs by a linear-scale PMI proxy —
     // cab·N·10⁴ div (c1·c2), the integer cross-multiplication of
     // p(ab)/(p(a)p(b)) — so ordering is exact with no logs or floats
@@ -4431,6 +4454,13 @@ object SparkEntry {
          | min($c)::VARCHAR AS min_s, max($c)::VARCHAR AS max_s
          | FROM lineitem""".stripMargin.replace("\n", " ")
     }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY column_name"),
+
+    "events_ewma" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  list_reduce(list(CAST(floor(value * 100) AS BIGINT)
+        |    ORDER BY epoch_ns(ts), event_id),
+        |    (acc, x) -> (acc + x) // 2) AS ewma_cents
+        | FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "),
 
     "events_anomaly" ->
       """WITH ev AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events),
