@@ -92,8 +92,9 @@ object Tables {
     // and is converted here, at the single load chokepoint, so no
     // operator ever sees a calendar type.
     import org.apache.spark.sql.functions.{col, unix_micros}
-    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-    df.schema.find(_.name == "ts").map(_.dataType) match {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType,
+      TimestampNTZType, TimestampType}
+    val tsNormalized = df.schema.find(_.name == "ts").map(_.dataType) match {
       case Some(TimestampType) =>
         df.withColumn("ts", unix_micros(col("ts")) * 1000L)
       case Some(TimestampNTZType) =>
@@ -102,6 +103,16 @@ object Tables {
         // instant the generator wrote.
         df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
       case _ => df
+    }
+    // Same defense for the other asymmetric-breakage column: the native
+    // VecDot/VecSignBits expressions require ARRAY<FLOAT>. A generator
+    // switch to ARRAY<DOUBLE> would break Spark while DuckDB's
+    // list_dot_product shrugged — normalize here instead.
+    tsNormalized.schema.find(_.name == "embedding").map(_.dataType) match {
+      case Some(ArrayType(DoubleType, _)) =>
+        tsNormalized.withColumn("embedding",
+          col("embedding").cast(ArrayType(FloatType)))
+      case _ => tsNormalized
     }
   }
 }

@@ -53,6 +53,16 @@ class TablesSpec extends SparkSpec {
     assert(ns === micros * 1000L)
   }
 
+  test("embeddings: ARRAY<DOUBLE> parquet loads as ARRAY<FLOAT>") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tables").toString
+    Seq((1L, Seq(0.25d, -1.5d))).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val back = Tables.load(spark, dir, "embeddings")
+    assert(back.schema("embedding").dataType ===
+      ArrayType(FloatType, containsNull = true))
+    assert(back.select("embedding").as[Seq[Float]].head() === Seq(0.25f, -1.5f))
+  }
+
   test("driver fixture loads with LongType ts at sf0.001") {
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
     assert(ev.schema("ts").dataType === LongType)
