@@ -32,6 +32,7 @@ object Functions {
     native("word_set_hits", exprs => graft.functions.WordSetHits(exprs(0), exprs(1)))
     native("bloom_might_contain", exprs => graft.functions.BloomMightContain(
       exprs(0), exprs(1), exprs(2), exprs(3)))
+    native("bpe_apply", exprs => graft.functions.BpeApply(exprs(0), exprs(1)))
   }
 
   /** `normalize_label` as a Column op — pure built-ins (codegen'd, no UDF):

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomMightContain, Md5Long, NormalizeLabelExpr, NormalizeSingularExpr, NtUnescape, ParseNt, RollingHash, VecDot, VecSignBits, WordSetHits, WordShingles}
+import graft.functions.{BloomMightContain, BpeApply, Md5Long, NormalizeLabelExpr, NormalizeSingularExpr, NtUnescape, ParseNt, RollingHash, VecDot, VecSignBits, WordSetHits, WordShingles}
 
 /** Injectable extensions: makes the engine's native expressions available
   * in ANY session via `spark.sql.extensions=graft.GraftExtensions` (e.g.
@@ -62,6 +62,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("bloom_might_contain",
         "bloom_might_contain(bits, h1, h2, k) - k-probe Bloom bit test over an ARRAY<BIGINT>"),
       (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1), exprs(2), exprs(3))))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_apply"),
+      info("bpe_apply", "bpe_apply(text, 'l r,l r,...') - apply a pinned BPE merge list (double-gap chain semantics)"),
+      (exprs: Seq[Expression]) => BpeApply(exprs(0), exprs(1))))
     // analysis-time scale guardrail (opt-in via spark.graft.forbidGlobalWindows)
     ext.injectCheckRule(s => graft.plans.GlobalWindowCheck(s))
     // whole-operator extension: bounded per-group top-k with a map-side

@@ -107,6 +107,24 @@ object Bpe {
     * the same literal `replace`, no lookaround (which RE2 engines lack).
     */
   def encode(df: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame = {
+    // native one-pass expression (graft.functions.BpeApply) — byte-equal
+    // to encodeViaReplaceChain (BpeSpec pins the equivalence on the real
+    // corpus), without the chain's O(merges) intermediate strings per row
+    require(merges.forall { case (l, r) =>
+      l.nonEmpty && r.nonEmpty &&
+        !s"$l$r".contains(",") && !s"$l$r".contains(" ")
+    }, "bpe_apply merge symbols must be non-empty and contain no space/comma")
+    df.withColumn("bpe_syms", call_function("bpe_apply", col(textCol),
+      lit(merges.map { case (l, r) => s"$l $r" }.mkString(","))))
+  }
+
+  /** The SQL-spelled reference implementation of [[encode]]: the double-gap
+    * literal-replace chain (the same algebra the DuckDB oracle runs). Kept
+    * as the equivalence baseline — BpeSpec asserts byte-identical output
+    * against the native expression on the fixture corpus.
+    */
+  def encodeViaReplaceChain(df: DataFrame, textCol: String,
+                            merges: Seq[(String, String)]): DataFrame = {
     val sep = "\u001f"
     // " c1  c2  ...  </w> " per word, words joined by U+001F
     val start = concat_ws(sep, expr(

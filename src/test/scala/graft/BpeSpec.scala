@@ -71,4 +71,25 @@ class BpeSpec extends SparkSpec {
     assert(words(1) === "ab</w>")
     assert(words(2) === "b a </w>") // "ba" must NOT merge - (b,a) was never learned
   }
+
+  test("native bpe_apply is byte-identical to the replace-chain form on the corpus") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val merges = Seq(("e", "r"), ("er", "</w>"), ("i", "n"), ("o", "w"), ("s", "t"))
+    val native = Bpe.encode(docs, "text", merges)
+      .select("doc_id", "bpe_syms")
+    val chain = Bpe.encodeViaReplaceChain(docs, "text", merges)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("bpe_syms").as("chain_syms"))
+    val diff = native.join(chain, "doc_id")
+      .where(org.apache.spark.sql.functions.col("bpe_syms") =!=
+        org.apache.spark.sql.functions.col("chain_syms"))
+      .count()
+    assert(diff === 0L)
+    // degenerate inputs agree too (empty / whitespace-only / multi-space)
+    val edge = Seq("", "   ", "a  b", "x").toDF("text")
+    val n = Bpe.encode(edge, "text", merges).select("bpe_syms").as[String].collect()
+    val c = Bpe.encodeViaReplaceChain(edge, "text", merges)
+      .select("bpe_syms").as[String].collect()
+    assert(n.toSeq === c.toSeq)
+  }
 }

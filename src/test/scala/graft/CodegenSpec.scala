@@ -36,7 +36,8 @@ class CodegenSpec extends SparkSpec {
         expr("word_set_hits(line, 'more,words')").as("wh"),
         expr("jaro_winkler(line, reverse(line))").as("jw"),
         expr("bloom_might_contain(array(-1L, -1L), md5_long(line, 8), md5_long(line, 15), 3)")
-          .as("bm"))
+          .as("bm"),
+        expr("bpe_apply(line, 'o r,d s,e r')").as("bpe"))
       .where(col("h8") =!= 0L && col("rh") =!= 1L)
       .collect()
     assert(out.length === 2)
