@@ -2660,6 +2660,16 @@ object SparkEntry {
           segWords = 2)
         .orderBy("doc_id")),
 
+    // Exact-substring span dedup, keep-first (Lee et al. '22 at token-
+    // 5-gram granularity): any verbatim repeat of ≥ 5 tokens loses every
+    // copy but the globally first — alignment-free, unlike
+    // dedup_segments' fixed grid. No pair space: count+min gram
+    // aggregate, k-bounded covered-position explode, doc-key rebuild.
+    "dedup_spans" -> ((s, dir) =>
+      graft.ops.Dedup.dedupSpans(t(s, dir, "documents"), "text", "doc_id",
+          k = 5)
+        .orderBy("doc_id")),
+
     "text_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -5280,6 +5290,29 @@ object SparkEntry {
         |        coalesce(n_kept, 0) AS n_kept,
         |        coalesce(clean_text, '') AS clean_text
         | FROM w LEFT JOIN rebuilt USING (doc_id)
+        | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "dedup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | g AS (SELECT doc_id,
+        |         unnest(range(0, len(ws) - 4)) AS gpos,
+        |         unnest(list_transform(range(0, len(ws) - 4),
+        |           i -> ('0x' || substr(md5(array_to_string(ws[i + 1:i + 5], ' ')), 1, 15))::BIGINT)) AS gh
+        |       FROM w WHERE len(ws) >= 5),
+        | r AS (SELECT doc_id, gpos,
+        |         row_number() OVER (PARTITION BY gh ORDER BY doc_id, gpos) AS rn
+        |       FROM g),
+        | cov AS (SELECT DISTINCT doc_id, gpos + unnest(range(0, 5)) AS pos
+        |         FROM r WHERE rn >= 2),
+        | t AS (SELECT doc_id, unnest(range(0, len(ws))) AS pos, unnest(ws) AS tok FROM w),
+        | kept AS (SELECT t.doc_id, t.pos, t.tok FROM t ANTI JOIN cov USING (doc_id, pos)),
+        | rb AS (SELECT doc_id, count(*) AS n_kept,
+        |          array_to_string(list(tok ORDER BY pos), ' ') AS clean_text
+        |        FROM kept GROUP BY doc_id)
+        | SELECT w.doc_id, len(ws)::BIGINT AS n_tok,
+        |        coalesce(n_kept, 0)::BIGINT AS n_kept,
+        |        coalesce(clean_text, '') AS clean_text
+        | FROM w LEFT JOIN rb USING (doc_id)
         | ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "dedup_winnow_pairs" ->

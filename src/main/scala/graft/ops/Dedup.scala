@@ -598,6 +598,67 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Corpus-wide duplicated-SPAN removal, keep-first — the token-k-gram
+    * form of exact-substring dedup (Lee et al. '22, "Deduplicating
+    * Training Data Makes Language Models Better"): every occurrence of a
+    * token k-gram that appears more than once corpus-wide is removed
+    * EXCEPT the globally first ("first" = smallest (doc id, position), a
+    * deterministic total order); a token survives iff no losing
+    * duplicated-gram occurrence covers it. Any verbatim repeat of ≥ k
+    * tokens is caught (every k-gram inside the repeated region
+    * duplicates, so the whole span is covered), repeats shorter than k
+    * never trigger — the sensitivity knob between [[dedupSegments]]'s
+    * fixed non-overlapping segments (alignment-sensitive: a one-token
+    * shift defeats it) and a full suffix-array build (which needs a
+    * global sort of all suffixes). Removal is per covering gram — the
+    * documented approximation of suffix-array span extension.
+    *
+    * Scale shape: linear in corpus tokens, no pair space anywhere —
+    * unlike the candidate-pair ops there is nothing quadratic to cap: the
+    * gram aggregate is partial-aggregable `(count, min(struct))` (a hot
+    * boilerplate gram map-side-combines; no per-key row list), losing
+    * occurrences are ≤ one row per gram occurrence, the covered-position
+    * explode is a bounded k× expansion of LOSING occurrences only, and
+    * the rebuild is one doc-key aggregation. Three shuffles total:
+    * gram key, covered-position distinct, doc key.
+    *
+    * Output: (idCol, n_tok, n_kept, clean_text), one row per input doc;
+    * fully-duplicated docs keep n_kept = 0 and clean_text = ''.
+    */
+  def dedupSpans(df: DataFrame, textCol: String, idCol: String,
+                 k: Int = 5): DataFrame = {
+    val base = df.select(col(idCol), split(col(textCol), " ").as("_ws"))
+    val toks = base.select(col(idCol),
+      posexplode(col("_ws")).as(Seq("pos", "tok")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("tok"))
+    // grams only where the doc has ≥ k tokens (sequence(0, n-k) would run
+    // DESCENDING for shorter docs — Spark's sequence steps toward stop)
+    val grams = base.where(size(col("_ws")) >= k)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(_ws) - $k), i -> array_join(slice(_ws, i + 1, $k), ' '))"))
+        .as(Seq("gpos", "gram")))
+      .select(col(idCol), col("gpos").cast("long").as("gpos"),
+        md5Int60(col("gram")).as("gh"))
+    val stats = grams.groupBy("gh").agg(count(lit(1)).as("_cnt"),
+      min(struct(col(idCol), col("gpos"))).as("_w"))
+    val losing = grams.join(stats.where(col("_cnt") > 1), "gh")
+      .where(!(col(idCol) === col(s"_w.$idCol") && col("gpos") === col("_w.gpos")))
+    val covered = losing
+      .select(col(idCol), explode(expr(s"sequence(gpos, gpos + ${k - 1})")).as("pos"))
+      .distinct()
+    val rebuilt = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok)"),
+          " ").as("clean_text"))
+    df.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("n_tok"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tok"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   def keepBest(clustered: DataFrame, clusterCol: String, idCol: String,
                qualityCol: String): DataFrame =
     clustered.groupBy(col(clusterCol))

@@ -363,6 +363,34 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("dedupSpans: duplicated k-token spans removed keep-first, shifts caught") {
+    val docs = Seq(
+      (1L, "a b c d e x"),       // first copy of the span "a b c d e" — kept whole
+      (2L, "q a b c d e r"),     // same span, SHIFTED one token right → still caught
+      (3L, "a b c d f"),         // shares only a 4-gram with doc 1 → untouched at k=5
+      (4L, "a b c d e"))         // nothing but the span → fully removed
+      .toDF("doc_id", "text")
+    for (parts <- Seq(1, 7)) {
+      val out = Dedup.dedupSpans(docs.repartition(parts), "text", "doc_id", k = 5)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(out(1L) === ((6L, 6L, "a b c d e x")), s"parts=$parts")
+      assert(out(2L) === ((7L, 2L, "q r")), s"parts=$parts")
+      assert(out(3L) === ((5L, 5L, "a b c d f")), s"parts=$parts")
+      assert(out(4L) === ((5L, 0L, "")), s"parts=$parts")
+    }
+    // within-document repetition: the SECOND copy inside the same doc loses
+    val self = Seq((1L, "u v w x y z u v w x y z")).toDF("doc_id", "text")
+    val got = Dedup.dedupSpans(self, "text", "doc_id", k = 6)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3))).head
+    assert(got === ((12L, 6L, "u v w x y z")))
+    // docs shorter than k tokens are never candidates and never removed
+    val tiny = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val kept = Dedup.dedupSpans(tiny, "text", "doc_id", k = 5)
+      .collect().map(r => r.getLong(2)).toSeq
+    assert(kept === Seq(2L, 2L))
+  }
+
   test("iterative ops release per-round storage (no block accumulation)") {
     val sc = spark.sparkContext
     def persisted = sc.getPersistentRDDs.size
