@@ -33,6 +33,8 @@ object Functions {
     native("bloom_might_contain", exprs => graft.functions.BloomMightContain(
       exprs(0), exprs(1), exprs(2), exprs(3)))
     native("bpe_apply", exprs => graft.functions.BpeApply(exprs(0), exprs(1)))
+    native("winnow_fps", exprs => graft.functions.WinnowFps(
+      exprs(0), exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]))
   }
 
   /** `normalize_label` as a Column op — pure built-ins (codegen'd, no UDF):

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomMightContain, BpeApply, Md5Long, NormalizeLabelExpr, NormalizeSingularExpr, NtUnescape, ParseNt, RollingHash, VecDot, VecSignBits, WordSetHits, WordShingles}
+import graft.functions.{BloomMightContain, BpeApply, Md5Long, NormalizeLabelExpr, NormalizeSingularExpr, NtUnescape, ParseNt, RollingHash, VecDot, VecSignBits, WinnowFps, WordSetHits, WordShingles}
 
 /** Injectable extensions: makes the engine's native expressions available
   * in ANY session via `spark.sql.extensions=graft.GraftExtensions` (e.g.
@@ -66,6 +66,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bpe_apply"),
       info("bpe_apply", "bpe_apply(text, 'l r,l r,...') - apply a pinned BPE merge list (double-gap chain semantics)"),
       (exprs: Seq[Expression]) => BpeApply(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      info("winnow_fps", "winnow_fps(text, k, w) - distinct winnowing-selected k-gram fingerprints"),
+      (exprs: Seq[Expression]) => WinnowFps(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
     // analysis-time scale guardrail (opt-in via spark.graft.forbidGlobalWindows)
     ext.injectCheckRule(s => graft.plans.GlobalWindowCheck(s))
     // whole-operator extension: bounded per-group top-k with a map-side

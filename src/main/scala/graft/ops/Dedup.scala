@@ -405,9 +405,25 @@ object Dedup {
   /** The distinct winnowing-selected fingerprints per document:
     * (idCol, fp) rows. Shared by [[winnowFingerprints]] (digest) and
     * [[winnowPairs]] (cross-document match candidates).
+    *
+    * Computed by the native [[graft.functions.WinnowFps]] expression — one
+    * compiled pass per document inside whole-stage codegen, then a cheap
+    * explode of the per-doc result array. The relational formulation it
+    * replaced ([[winnowSelectionsPlan]], kept as the spec cross-check and
+    * the oracle's algebra) materialized a row per character and paid an
+    * explode → per-doc window sort → distinct pipeline for the same set.
     */
   def winnowSelections(df: DataFrame, textCol: String, idCol: String,
-                       k: Int = 8, w: Int = 4): DataFrame = {
+                       k: Int = 8, w: Int = 4): DataFrame =
+    df.select(col(idCol),
+        explode(call_function("winnow_fps", col(textCol), lit(k), lit(w))).as("fp"))
+
+  /** Relational formulation of [[winnowSelections]] — the DuckDB oracle's
+    * algebra (explode positions → window min → distinct), kept for the
+    * native-vs-plan equivalence spec. Requires only built-ins + md5_long.
+    */
+  private[graft] def winnowSelectionsPlan(df: DataFrame, textCol: String, idCol: String,
+                                          k: Int = 8, w: Int = 4): DataFrame = {
     val grams = df.where(length(col(textCol)) >= k + w - 1)
       .select(col(idCol), col(textCol),
         explode(expr(s"sequence(1, length($textCol) - ${k - 1})")).as("pos"))

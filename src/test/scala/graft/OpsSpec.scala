@@ -363,6 +363,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("winnow_fps native expression == relational winnowing formulation") {
+    // short docs (below k+w-1), exact-threshold lengths, repeats, unicode
+    // (multi-byte chars exercise substringSQL char semantics), empties
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "aaaaaaaaaaaaaaaaaaaaa"),
+      (4L, "abcdefghij"),          // 10 chars < k+w-1=11 → no selections
+      (5L, "abcdefghijk"),         // exactly 11 → one window
+      (6L, "héllo wörld déjà vu encore une fois"),
+      (7L, ""),
+      (8L, "x")).toDF("doc_id", "text")
+    for (parts <- Seq(1, 5)) {
+      val d = docs.repartition(parts)
+      val native = Dedup.winnowSelections(d, "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val plan = Dedup.winnowSelectionsPlan(d, "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(native === plan, s"parts=$parts")
+      assert(native.exists(_._1 == 5L) && !native.exists(_._1 == 4L))
+    }
+  }
+
   test("dedupSpans: duplicated k-token spans removed keep-first, shifts caught") {
     val docs = Seq(
       (1L, "a b c d e x"),       // first copy of the span "a b c d e" — kept whole
