@@ -51,7 +51,7 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
         // drop per-query persisted data so later queries aren't taxed by
         // earlier queries' cache (GC pressure dominates variance otherwise)
-        spark.catalog.clearCache()
+        GraftSession.releaseAll(spark)
         (System.nanoTime() - t0) / 1e9
       }
       // pass 1 pays codegen JIT — steady state is min over passes 2–3

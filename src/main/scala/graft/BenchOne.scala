@@ -14,7 +14,7 @@ object BenchOne {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"RUN$i=${(System.nanoTime() - t0) / 1e9}%.2f")
-      spark.catalog.clearCache()
+      GraftSession.releaseAll(spark)
     }
     spark.stop()
   }

@@ -53,6 +53,17 @@ object GraftSession {
     spark
   }
 
+  /** Drop ALL per-query storage between harness queries: CacheManager
+    * caches (`clearCache`) plus directly-persisted RDDs — the blocks
+    * behind `localCheckpoint` rounds live at the RDD level, which
+    * `clearCache` does not see, so a 200-query run would otherwise hold
+    * every iterative op's final round until a driver GC.
+    */
+  def releaseAll(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   /** Run `job` with a job-scoped checkpoint directory — the leak-free path
     * for CLUSTER deploys by construction. Sessions built via [[builder]]
     * have no checkpoint dir, so iterative ops ([[graft.ops.Iterate]]) fall
@@ -65,6 +76,11 @@ object GraftSession {
   def withJobScopedCheckpoint[A](spark: SparkSession, path: String)(job: SparkSession => A): A = {
     val sc = spark.sparkContext
     val prev = sc.getCheckpointDir
+    // explicit request for durable round state: force the reliable path
+    // even on a local master (Iterate defaults local sessions to
+    // localCheckpoint, where this dir would go unused)
+    val prevMode = spark.conf.getOption("spark.graft.iterate.localCheckpoint")
+    spark.conf.set("spark.graft.iterate.localCheckpoint", "false")
     sc.setCheckpointDir(path)
     try job(spark)
     finally {
@@ -72,6 +88,10 @@ object GraftSession {
       val fs = p.getFileSystem(sc.hadoopConfiguration)
       fs.delete(p, true)
       prev.foreach(sc.setCheckpointDir)
+      prevMode match {
+        case Some(v) => spark.conf.set("spark.graft.iterate.localCheckpoint", v)
+        case None => spark.conf.unset("spark.graft.iterate.localCheckpoint")
+      }
     }
   }
 }

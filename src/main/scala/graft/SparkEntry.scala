@@ -2830,6 +2830,47 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // Hybrid retrieval with reciprocal-rank fusion (the standard RAG
+    // two-retriever composition): lexical candidates (distinct shared
+    // lowercase terms via an inverted-index join — linear, never
+    // all-pairs) and vector candidates (brute-force cosine, query side
+    // broadcast) each produce a per-query top-20; RRF fuses them as
+    // sum(10^6 div (60 + rank)) — integer micro-units, so the fused
+    // score is exact cross-engine arithmetic, not float. doc_id and
+    // vec_id share the 0..N id space by fixture construction.
+    "retrieval_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+          explode(array_distinct(split(lower(col("text")), " "))).as("term"))
+        .where(col("term") =!= "")
+      val qt = toks.where(col("doc_id") < 10)
+        .select(col("doc_id").as("q_id"), col("term"))
+      val lexW = Window.partitionBy("q_id")
+        .orderBy(col("overlap").desc, col("doc_id"))
+      val lex = toks.join(qt, "term")
+        .where(col("doc_id") =!= col("q_id"))
+        .groupBy("q_id", "doc_id").agg(count(lit(1)).as("overlap"))
+        .select(col("q_id"), col("doc_id"), row_number().over(lexW).as("lrank"))
+        .where(col("lrank") <= 20)
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val vec = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+          "q_id", "q_emb", 20, dim = 64)
+        .select(col("q_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("vrank"))
+      val rrfW = Window.partitionBy("q_id")
+        .orderBy(col("rrf_ppm").desc, col("doc_id"))
+      lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
+        .select(col("q_id"), col("doc_id"),
+          (coalesce(expr("1000000 div (60 + lrank)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + vrank)"), lit(0L))).as("rrf_ppm"))
+        .select(col("q_id"), col("doc_id"), col("rrf_ppm"),
+          row_number().over(rrfW).as("rank"))
+        .where(col("rank") <= 10)
+        .orderBy("q_id", "rank")
+    }),
+
     // Data-validation battery (ops/Validate.scala): row-rule violation
     // counts in ONE scan per table + referential-integrity anti-joins,
     // unioned into one (rule, n_viol, n_rows) report. Two rules are
@@ -5661,6 +5702,35 @@ object SparkEntry {
          |   FROM scored)
          | SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
          | FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin.replace("\n", " "),
+
+    "retrieval_rrf" ->
+      s"""WITH toks0 AS (SELECT doc_id,
+         |          unnest(list_distinct(string_split(lower(text), ' '))) AS term
+         |        FROM documents),
+         | tk AS (SELECT doc_id, term FROM toks0 WHERE term <> ''),
+         | lex0 AS (SELECT q.doc_id AS q_id, d.doc_id AS doc_id, count(*) AS overlap
+         |          FROM tk q JOIN tk d USING (term)
+         |          WHERE q.doc_id < 10 AND d.doc_id <> q.doc_id
+         |          GROUP BY 1, 2),
+         | lex AS (SELECT q_id, doc_id,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY overlap DESC, doc_id) AS lrank
+         |         FROM lex0 QUALIFY lrank <= 20),
+         | vec0 AS (SELECT q.vec_id AS q_id, d.vec_id AS doc_id,
+         |            ${duckCosine("q.embedding", "d.embedding")} AS cos
+         |          FROM embeddings q CROSS JOIN embeddings d
+         |          WHERE q.vec_id < 10 AND d.vec_id <> q.vec_id),
+         | vec AS (SELECT q_id, doc_id,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS vrank
+         |         FROM vec0 QUALIFY vrank <= 20),
+         | fused AS (SELECT coalesce(l.q_id, v.q_id) AS q_id,
+         |             coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |             (CASE WHEN l.lrank IS NULL THEN 0 ELSE 1000000 // (60 + l.lrank) END
+         |            + CASE WHEN v.vrank IS NULL THEN 0 ELSE 1000000 // (60 + v.vrank) END)::BIGINT AS rrf_ppm
+         |           FROM lex l FULL JOIN vec v ON l.q_id = v.q_id AND l.doc_id = v.doc_id)
+         | SELECT q_id, doc_id, rrf_ppm,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY rrf_ppm DESC, doc_id) AS rank
+         | FROM fused QUALIFY rank <= 10
+         | ORDER BY q_id, rank""".stripMargin.replace("\n", " "),
 
     "embed_neardup" ->
       s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -25,7 +25,8 @@ object Verify {
         failed ::= name
       }
       // per-query persisted data must not accumulate across 50+ queries
-      spark.catalog.clearCache()
+      // (RDD-level blocks from localCheckpoint rounds included)
+      GraftSession.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -234,11 +234,19 @@ object Dedup {
       i += 1
     }
     // fixed point is a star forest: every edge points leaf → component-min
-    // center; centers label themselves
+    // center; centers label themselves. Materialized: multi-consumer
+    // callers (cluster stats' two aggregation branches) read the computed
+    // result instead of re-running the union+distinct per branch (Spark
+    // shares no common subplans), the final round's storage is released
+    // here, and the returned root frame is caller-releasable via
+    // [[Iterate.releaseCheckpoint]].
     val stars = round.df
-    stars.select(col("src").as("node"), col("dst").as("cluster_id"))
-      .union(stars.select(col("dst").as("node"), col("dst").as("cluster_id")))
-      .distinct()
+    val out = graft.ops.Iterate.materialize(
+      stars.select(col("src").as("node"), col("dst").as("cluster_id"))
+        .union(stars.select(col("dst").as("node"), col("dst").as("cluster_id")))
+        .distinct())
+    round.release()
+    out.df
   }
 
   /** Word-k-gram Jaccard near-dup candidates via an inverted shingle-index

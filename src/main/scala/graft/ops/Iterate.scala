@@ -13,6 +13,14 @@ import org.apache.spark.storage.StorageLevel
   * doubles every round and analysis time explodes — and (3) release the
   * previous round's storage so memory stays O(1) in the iteration count.
   *
+  * Local sessions (`sparkContext.isLocal`) take `localCheckpoint` — one
+  * job into executor storage; a reliable checkpoint's durability claim is
+  * vacuous in a single JVM, so its second job + file write per round is
+  * pure overhead there. Cluster sessions keep the reliable path below.
+  * Override either way with `spark.graft.iterate.localCheckpoint`
+  * ([[graft.GraftSession.withJobScopedCheckpoint]] forces the reliable
+  * path for the scope of a job that asks for durable rounds).
+  *
   * With a checkpoint directory configured ([[graft.GraftSession]]`.local`
   * sets one; cluster deploys that build their own session must call
   * `sparkContext.setCheckpointDir` — see [[scoped]]) the data goes through
@@ -48,15 +56,34 @@ object Iterate {
     def release(): Unit = if (released.compareAndSet(false, true)) releaseFn()
   }
 
+  /** Should rounds use `localCheckpoint` instead of a reliable checkpoint?
+    * Default: yes exactly when the master is local — in a single JVM
+    * "survives executor loss" is vacuous (driver death loses everything
+    * either way), so the reliable path's second job + checkpoint-file
+    * write per round is pure overhead. A cluster session keeps the
+    * reliable default; either side can force the choice via
+    * `spark.graft.iterate.localCheckpoint=true|false`.
+    */
+  private def useLocalCheckpoint(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.iterate.localCheckpoint")
+      .map(_.toBoolean)
+      .getOrElse(spark.sparkContext.isLocal)
+
   /** Run one action over `df` (completing any `observe` metrics attached to
     * it) and return a frame whose logical plan starts at the computed
     * result.
     */
   def materialize(df: DataFrame): Materialized = {
     val spark = df.sparkSession
-    if (spark.sparkContext.getCheckpointDir.isDefined) {
-      // reliable checkpoint: eager, fault-tolerant, truncates RDD lineage,
-      // serves InternalRows directly (no Row re-encode)
+    if (useLocalCheckpoint(spark)) {
+      // one job: materializes into executor storage, truncates both the
+      // logical plan and the RDD lineage, serves InternalRows directly
+      val cp = df.localCheckpoint()
+      Materialized(cp, () => deleteCheckpoint(cp))
+    } else if (spark.sparkContext.getCheckpointDir.isDefined) {
+      // reliable checkpoint: eager, fault-tolerant (survives executor
+      // loss), truncates RDD lineage, serves InternalRows directly (no
+      // Row re-encode); two jobs, shuffle map stages reused between them
       val cp = df.checkpoint()
       Materialized(cp, () => deleteCheckpoint(cp))
     } else {
@@ -67,6 +94,7 @@ object Iterate {
       Materialized(spark.createDataFrame(p.rdd, p.schema), () => { p.unpersist(); () })
     }
   }
+
 
   /** Scoped-cache pattern for library ops that persist an intermediate
     * consumed by several branches of one result plan: materialize `result`
@@ -96,7 +124,10 @@ object Iterate {
     * The intermediates are unpersisted even if the checkpoint fails.
     */
   def scoped(result: DataFrame, cached: DataFrame*): DataFrame =
-    if (result.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+    if (useLocalCheckpoint(result.sparkSession)) {
+      try result.localCheckpoint()
+      finally cached.foreach(_.unpersist())
+    } else if (result.sparkSession.sparkContext.getCheckpointDir.isDefined) {
       try result.checkpoint()
       finally cached.foreach(_.unpersist())
     } else {
@@ -125,12 +156,17 @@ object Iterate {
 
   private def deleteCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
-      case lr: LogicalRDD => lr.rdd.getCheckpointFile.foreach { f =>
-        val p = new Path(f)
-        val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-        fs.delete(p, true)
+      case lr: LogicalRDD =>
+        lr.rdd.getCheckpointFile.foreach { f =>
+          val p = new Path(f)
+          val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          ()
+        }
+        // local-checkpoint frames keep no files; their storage is the
+        // persisted blocks (no-op for reliable-checkpoint RDDs)
+        lr.rdd.unpersist()
         ()
-      }
       case _ => ()
     }
 }

@@ -89,14 +89,20 @@ class FastIngestSpec extends SparkSpec {
   }
 
   test("ingestDocs and viafUpdate leave no persisted storage behind") {
-    spark.catalog.clearCache()
+    // clean slate incl. RDD-level blocks (see GraphSpec's twin test)
+    GraftSession.releaseAll(spark)
     val sc = spark.sparkContext
     val base = sc.getPersistentRDDs.size
-    FastIngest.ingestDocs(Seq(fastLine(1, pref, "\"Doc One\"")).toDF("line"),
-      lit("Topical")).collect()
-    FastIngest.viafUpdate(
+    val docs = FastIngest.ingestDocs(Seq(fastLine(1, pref, "\"Doc One\"")).toDF("line"),
+      lit("Topical"))
+    docs.collect()
+    val upd = FastIngest.viafUpdate(
       Seq((10, "v1")).toDF("id", "otherId"),
-      Seq(("a", "v1", "lcA", Seq(99))).toDF("_id", "viaf", "lcId", "fast")).collect()
+      Seq(("a", "v1", "lcA", Seq(99))).toDF("_id", "viaf", "lcId", "fast"))
+    upd.collect()
+    // each op may leave exactly its RESULT's backing storage (caller-
+    // releasable); anything beyond that is an intermediate leak
+    Seq(docs, upd).foreach(graft.ops.Iterate.releaseCheckpoint)
     assert(sc.getPersistentRDDs.size === base,
       s"ingest ops leaked persisted RDDs: ${sc.getPersistentRDDs.values.map(_.name)}")
   }

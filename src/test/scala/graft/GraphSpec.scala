@@ -135,13 +135,22 @@ class GraphSpec extends SparkSpec {
   }
 
   test("graph ops leave no persisted storage behind") {
-    spark.catalog.clearCache()
+    // clean slate incl. RDD-level blocks from earlier tests' results
+    // (clearCache alone misses those, and GC can free them mid-test,
+    // making a base-count snapshot racy)
+    GraftSession.releaseAll(spark)
     val sc = spark.sparkContext
     val base = sc.getPersistentRDDs.size
     val edges = (1L to 30L).map(i => (i, i % 7 + 1)).toDF("s", "d")
-    Graph.pageRank(edges, "s", "d", iterations = 3).collect()
-    Graph.labelPropagation(edges, "s", "d", iterations = 3).collect()
-    Graph.triangleCount(edges, "s", "d").collect()
+    val pr = Graph.pageRank(edges, "s", "d", iterations = 3)
+    pr.collect()
+    val lp = Graph.labelPropagation(edges, "s", "d", iterations = 3)
+    lp.collect()
+    val tc = Graph.triangleCount(edges, "s", "d")
+    tc.collect()
+    // each op may leave exactly its RESULT's backing storage (caller-
+    // releasable); anything beyond that is an intermediate leak
+    Seq(pr, lp, tc).foreach(graft.ops.Iterate.releaseCheckpoint)
     assert(sc.getPersistentRDDs.size === base,
       s"graph ops leaked persisted RDDs: ${sc.getPersistentRDDs.values.map(_.name)}")
   }

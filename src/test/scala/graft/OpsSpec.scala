@@ -465,16 +465,22 @@ class OpsSpec extends SparkSpec {
   }
 
   test("library dedup ops leave no persisted storage behind") {
-    spark.catalog.clearCache()
+    // clean slate incl. RDD-level blocks (see GraphSpec's twin test)
+    GraftSession.releaseAll(spark)
     val sc = spark.sparkContext
     val base = sc.getPersistentRDDs.size
     val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"),
       (3L, "x y z w q r s t u")).toDF("doc_id", "text")
-    Dedup.minhashCandidates(Dedup.minhashSignature(docs, "text", "doc_id"), "doc_id").collect()
-    Dedup.ngramCandidates(docs, "text", "doc_id").collect()
-    Dedup.prefixJaccardJoin(docs, "text", "doc_id").collect()
-    Dedup.connectedComponents(Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), "a", "b").collect()
-    graft.ops.Rank.bm25TopTerms(docs, "text", "doc_id").collect()
+    val results = Seq(
+      Dedup.minhashCandidates(Dedup.minhashSignature(docs, "text", "doc_id"), "doc_id"),
+      Dedup.ngramCandidates(docs, "text", "doc_id"),
+      Dedup.prefixJaccardJoin(docs, "text", "doc_id"),
+      Dedup.connectedComponents(Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), "a", "b"),
+      graft.ops.Rank.bm25TopTerms(docs, "text", "doc_id"))
+    results.foreach(_.collect())
+    // each op may leave exactly its RESULT's backing storage (caller-
+    // releasable); anything beyond that is an intermediate leak
+    results.foreach(graft.ops.Iterate.releaseCheckpoint)
     assert(sc.getPersistentRDDs.size === base,
       s"dedup/rank ops leaked persisted RDDs: ${sc.getPersistentRDDs.values.map(_.name)}")
   }

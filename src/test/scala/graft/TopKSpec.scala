@@ -72,7 +72,11 @@ class TopKSpec extends SparkSpec {
 
   test("no persisted frames leak after frequentItems") {
     val df = (1 to 1000).map(i => s"t${i % 7}").toDF("w")
-    TopK.frequentItems(df, "w", 10).count()
+    val res = TopK.frequentItems(df, "w", 10)
+    res.count()
+    // the result's own backing (localCheckpoint blocks on a local master)
+    // is the caller's to free; anything else persisted is a leak
+    graft.ops.Iterate.releaseCheckpoint(res)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
