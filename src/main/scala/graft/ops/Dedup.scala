@@ -475,13 +475,13 @@ object Dedup {
   def winnowPairs(df: DataFrame, textCol: String, idCol: String,
                   k: Int = 8, w: Int = 4, dfCap: Int = 50,
                   minShared: Int = 3, minContainBp: Int = 0): DataFrame = {
-    // Persisted: three consumers (per-doc counts, per-fp df, the join
-    // index) would each re-run the per-char explode + per-doc window —
-    // the most expensive subtree here (lesson: Spark shares no common
-    // subplans). The cache is the DISTINCT selections (~2/w of corpus
-    // chars), spill-safe, and released via Iterate.scoped as soon as the
-    // result frame is checkpointed — the same bounded-lifetime pattern
-    // as ppjoinPairs' shingle table.
+    // Persisted: the selections feed per-doc counts, the per-fp df agg,
+    // and BOTH sides of the candidate join — and the join sides also
+    // re-run the df aggregation (a full fp-key shuffle) when uncached.
+    // Measured: dropping this persist after the native-winnow_fps rewrite
+    // was 2.4× SLOWER (5.7 s vs 2.3 s at sf0.1) — the recompute is not
+    // just the codegen scan, it multiplies the dfq shuffle. Cache stays;
+    // released via Iterate.scoped once the result is checkpointed.
     val sel = winnowSelections(df, textCol, idCol, k, w)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val counts = sel.groupBy(col(idCol)).agg(count(lit(1)).as("n_fp"))
