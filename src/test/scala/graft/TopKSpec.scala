@@ -71,6 +71,9 @@ class TopKSpec extends SparkSpec {
   }
 
   test("no persisted frames leak after frequentItems") {
+    // earlier tests in this suite hold their results' backing (the
+    // caller-release contract) — drop them so the baseline is empty
+    graft.GraftSession.releaseAll(spark)
     val df = (1 to 1000).map(i => s"t${i % 7}").toDF("w")
     val res = TopK.frequentItems(df, "w", 10)
     res.count()
