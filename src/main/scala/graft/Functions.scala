@@ -18,6 +18,7 @@ object Functions {
         => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
     native("vec_dot", exprs => graft.functions.VecDot(exprs(0), exprs(1)))
+    native("vec_dot_d", exprs => graft.functions.VecDotD(exprs(0), exprs(1)))
     native("jaro_winkler", exprs => graft.functions.JaroWinkler(exprs(0), exprs(1)))
     native("word_shingles", exprs => graft.functions.WordShingles(
       exprs(0), exprs(1).eval().asInstanceOf[Int]))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomMightContain, BpeApply, Md5Long, NormalizeLabelExpr, NormalizeSingularExpr, NtUnescape, ParseNt, RollingHash, VecDot, VecSignBits, WinnowFps, WordSetHits, WordShingles}
+import graft.functions.{BloomMightContain, BpeApply, Md5Long, NormalizeLabelExpr, NormalizeSingularExpr, NtUnescape, ParseNt, RollingHash, VecDot, VecDotD, VecSignBits, WinnowFps, WordSetHits, WordShingles}
 
 /** Injectable extensions: makes the engine's native expressions available
   * in ANY session via `spark.sql.extensions=graft.GraftExtensions` (e.g.
@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two ARRAY<FLOAT> in double precision"),
       (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot_d"),
+      info("vec_dot_d", "vec_dot_d(a, b) - dot product of two ARRAY<DOUBLE> (exact for integer-valued centroids)"),
+      (exprs: Seq[Expression]) => VecDotD(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(text, k) - distinct word k-shingles"),

@@ -1066,6 +1066,19 @@ object SparkEntry {
             floor(col("o_totalprice") / 100).cast("long")).as("z"))
         .orderBy("z", "o_orderkey")),
 
+    // Deterministic training-shard layout: hash-assigned shard + a
+    // hash-permuted within-shard position — the reproducible global
+    // shuffle a pretraining run wants (epoch order is a pure function of
+    // data + shard count; identical on rerun, no RNG state to persist,
+    // adjacent source docs decorrelated). The row_number window's
+    // partitions are the hash-balanced shards themselves. Write side:
+    // partitionBy(shard) + sort by pos (Layout.shardAssignment scaladoc).
+    "shard_layout" -> ((s, dir) =>
+      graft.ops.Layout.shardAssignment(
+          t(s, dir, "documents").select("doc_id", "n_chars"), "doc_id", 8)
+        .select(col("doc_id"), col("shard"), col("pos"), col("n_chars"))
+        .orderBy("shard", "pos")),
+
     // Sessionization: gap-based session assignment per user (30-min
     // inactivity), then per-session rollup. Integer microsecond window
     // arithmetic (`ts div 1000` — DuckDB's parquet reader truncates
@@ -1566,6 +1579,31 @@ object SparkEntry {
                  |  (acc, x) -> (acc + x.cents) div 2)"""
             .stripMargin.replace("\n", " ")).as("ewma_cents"))
         .orderBy("user_id")),
+
+    // CUSUM change-point scan over the daily event volume (Page '54):
+    // cumulative sum of mean-deviations, peak |CUSUM| day = the change
+    // point. Scaled by the day count so everything stays in exact
+    // integers — cusum_t = Σ(n_i·D − T) = D·Σn_i − t·T — no fractional
+    // mean, no float drift. The cumulative window is global but runs on
+    // the DAILY aggregate (calendar-bounded, the post-aggregation
+    // exemption GlobalWindowCheck encodes); the mean and the peak ride
+    // as one-row broadcasts.
+    "events_cusum" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(expr("ts div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val tot = daily.agg(sum("n").as("tot"), count(lit(1)).as("days"))
+      val cs = daily.crossJoin(broadcast(tot))
+        .withColumn("cusum",
+          sum(col("n") * col("days") - col("tot")).over(
+            Window.orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val peak = cs.agg(max(abs(col("cusum"))).as("mx"))
+      cs.crossJoin(broadcast(peak))
+        .select(col("day"), col("n"), col("cusum"),
+          (abs(col("cusum")) === col("mx")).as("is_changepoint"))
+        .orderBy("day")
+    }),
 
     // Collocation mining: top word pairs by a linear-scale PMI proxy —
     // cab·N·10⁴ div (c1·c2), the integer cross-multiplication of
@@ -2981,6 +3019,43 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Hard-negative mining for contrastive training: per anchor, the
+    // top-5 most-similar vectors with a DIFFERENT label — the
+    // near-boundary negatives that carry gradient (random negatives are
+    // trivially separable and teach nothing). Broadcast anchors × one
+    // corpus scan; the label predicate sits before the dot product, and
+    // the top-k exec prunes map-side.
+    "embed_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+      Similarity.hardNegatives(emb, q, "vec_id", "embedding", "label",
+          "q_id", "q_emb", "q_label", 5)
+        .select(col("q_id"), col("neighbor_id"), col("neg_label"),
+          round(col("cos"), 4).as("cos_sim"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // Label-noise audit: leave-one-out centroid cosine per embedding;
+    // the bottom-3 per label are the mislabel/junk candidates an
+    // embedding-dataset audit quarantines first. Exact at any scale —
+    // int8 quantization makes the label centroid an integer sum, and the
+    // leave-one-out algebra runs on integer-valued doubles through the
+    // native vec_dot_d (see Similarity.labelOutliers).
+    "embed_label_outliers" -> ((s, dir) => {
+      val scored = Similarity.labelOutliers(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+      graft.ops.TopK.topKPerGroupExec(scored, Seq("label"),
+          Seq(("loo_cos", false), ("vec_id", false)), 3)
+        .select(col("label"), col("vec_id"),
+          round(col("loo_cos"), 4).as("loo_cos4"),
+          row_number().over(Window.partitionBy("label")
+            .orderBy(col("loo_cos").asc, col("vec_id").asc)).as("rank"))
+        .where(col("rank") <= 3)
+        .orderBy("label", "rank")
+    }),
+
     // ANN over the int8 index: quantized-cosine top-k for the same query
     // set as ann_topk — integer dot products under the sqrt keep the score
     // exact cross-engine; AnnRecallSpec pins recall vs the float baseline.
@@ -4117,6 +4192,15 @@ object SparkEntry {
          | ORDER BY z, o_orderkey""".stripMargin.replace("\n", " ")
     },
 
+    "shard_layout" ->
+      """WITH h AS (SELECT doc_id, n_chars,
+        |   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+        |   FROM documents)
+        | SELECT doc_id, hv % 8 AS shard,
+        |        row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS pos,
+        |        n_chars
+        | FROM h ORDER BY shard, pos""".stripMargin.replace("\n", " "),
+
     "q35_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
         | f AS (SELECT user_id, ts_us, event_id, value,
@@ -4512,6 +4596,18 @@ object SparkEntry {
         |    ORDER BY epoch_ns(ts), event_id),
         |    (acc, x) -> (acc + x) // 2) AS ewma_cents
         | FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "),
+
+    "events_cusum" ->
+      """WITH daily AS (SELECT epoch_ns(ts) // 86400000000000 AS day, count(*) AS n
+        |   FROM events GROUP BY 1),
+        | t AS (SELECT sum(n) AS tot, count(*) AS days FROM daily),
+        | cs AS (SELECT day, n,
+        |   CAST(sum(n * days - tot) OVER (ORDER BY day
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum
+        |   FROM daily CROSS JOIN t)
+        | SELECT day, n, cusum,
+        |        abs(cusum) = (SELECT max(abs(cusum)) FROM cs) AS is_changepoint
+        | FROM cs ORDER BY day""".stripMargin.replace("\n", " "),
 
     "events_anomaly" ->
       """WITH ev AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events),
@@ -5625,6 +5721,48 @@ object SparkEntry {
         |        CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
         |        CAST(list_max(list_transform(q, x -> abs(x))) AS INTEGER) AS q_max
         | FROM qv ORDER BY vec_id""".stripMargin.replace("\n", " "),
+
+    "embed_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+         |   FROM embeddings WHERE vec_id < 10),
+         | scored AS (
+         |   SELECT q.q_id, e.vec_id AS neighbor_id, e.label AS neg_label,
+         |          ${duckCosine("q.q_emb", "e.embedding")} AS cos
+         |   FROM q CROSS JOIN embeddings e WHERE e.label <> q.q_label),
+         | ranked AS (
+         |   SELECT q_id, neighbor_id, neg_label, cos,
+         |          row_number() OVER (PARTITION BY q_id
+         |            ORDER BY cos DESC, neighbor_id) AS rank
+         |   FROM scored)
+         | SELECT q_id, neighbor_id, neg_label, round(cos, 4) AS cos_sim, rank
+         | FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replace("\n", " "),
+
+    "embed_label_outliers" ->
+      """WITH m AS (SELECT vec_id, label, embedding,
+        |   CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS ma
+        |   FROM embeddings),
+        | qv AS (SELECT vec_id, label,
+        |   CASE WHEN ma = 0 THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+        |        ELSE list_transform(embedding,
+        |          x -> CAST(CAST(round(127 * CAST(x AS DOUBLE) / ma) AS INTEGER) AS DOUBLE))
+        |   END AS q FROM m),
+        | ex AS (SELECT label, generate_subscripts(q, 1) AS pos, unnest(q) AS v FROM qv),
+        | ps AS (SELECT label, pos, sum(v) AS s, count(*) AS c FROM ex GROUP BY 1, 2),
+        | cents AS (SELECT label, list(s ORDER BY pos) AS cv, max(c) AS n
+        |   FROM ps GROUP BY label),
+        | sc AS (SELECT vec_id, qv.label,
+        |   list_dot_product(q, cv) AS vc,
+        |   list_dot_product(q, q) AS vv,
+        |   list_dot_product(cv, cv) AS cc
+        |   FROM qv JOIN cents USING (label)
+        |   WHERE n > 1 AND list_dot_product(q, q) > 0),
+        | res AS (SELECT label, vec_id,
+        |   (vc - vv) / (sqrt(vv) * sqrt(cc - 2 * vc + vv)) AS loo,
+        |   row_number() OVER (PARTITION BY label
+        |     ORDER BY (vc - vv) / (sqrt(vv) * sqrt(cc - 2 * vc + vv)), vec_id) AS rank
+        |   FROM sc)
+        | SELECT label, vec_id, round(loo, 4) AS loo_cos4, rank
+        | FROM res WHERE rank <= 3 ORDER BY label, rank""".stripMargin.replace("\n", " "),
 
     "embed_quantized_topk" ->
       """WITH m AS (SELECT vec_id,

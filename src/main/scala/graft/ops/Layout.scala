@@ -39,6 +39,34 @@ object Layout {
     df.repartitionByRange(partitions, z).sortWithinPartitions(z)
   }
 
+  /** Deterministic training-shard layout: every row gets a shard id and a
+    * position within its shard, both pure functions of the row KEY and
+    * the shard count — the reproducible global shuffle a training run
+    * wants ("shuffle once, stream forever": epoch order is pinned by the
+    * dataset + shard count alone, identical on every rerun and engine,
+    * no RNG state to persist). Shard = stable md5 hash of the key mod
+    * `shards` (the [[Sampling]] hash family — uncorrelated with any data
+    * column, so shards are balanced and i.i.d.-like); within-shard order
+    * = the same hash with the key as tiebreak, i.e. a hash-random
+    * permutation, NOT insertion or key order (adjacent source documents
+    * land far apart — the decorrelation batch gradients assume).
+    *
+    * The per-shard `row_number` window is safe at scale because its
+    * partitions are the hash-balanced shards themselves (≈|rows|/shards
+    * each); writers then `partitionBy(shard)` + sort by `pos` to lay
+    * files out in exactly this order. Returns the input plus
+    * (`shard`, `pos`).
+    */
+  def shardAssignment(df: DataFrame, keyCol: String, shards: Int): DataFrame = {
+    val h = expr(s"md5_long(CAST($keyCol AS STRING), 8)")
+    df.withColumn("_h", h)
+      .withColumn("shard", pmod(col("_h"), lit(shards.toLong)))
+      .withColumn("pos", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("_h"), col(keyCol))))
+      .drop("_h")
+  }
+
   /** Output-file hygiene: write `df` as ~`filesWanted` files of bounded
     * row count, ordered by `orderCol` so each file covers a compact key
     * range (min/max prunable). Small-file storms (one file per task ×

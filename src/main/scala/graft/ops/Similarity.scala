@@ -206,6 +206,85 @@ object Similarity {
     rankTopK(scored, qIdCol, "cos_q", k)
   }
 
+  /** Hard-negative mining for contrastive / reranker training data: for
+    * each query row, the top-k most-cosine-similar corpus rows whose
+    * label DIFFERS from the query's — the "confusable negatives" an
+    * embedding-model training set pairs with each anchor (the easy
+    * negatives a random sampler would draw carry almost no gradient).
+    * Same shape as [[bruteForceTopK]]: broadcast query side, one linear
+    * corpus scan, map-side-pruned top-k — the label predicate sits
+    * before the dot product, so same-label pairs are never scored.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    embCol: String, labelCol: String, qIdCol: String,
+                    qEmbCol: String, qLabelCol: String, k: Int): DataFrame = {
+    val c = corpus.withColumn("_nrm", sqrt(dotFixed(embCol, embCol)))
+    val q = queries.withColumn("_qnrm", sqrt(dotFixed(qEmbCol, qEmbCol)))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col(labelCol) =!= col(qLabelCol))
+      .select(col(qIdCol), col(idCol).as("neighbor_id"),
+        col(labelCol).as("neg_label"),
+        (dotFixed(qEmbCol, embCol) / (col("_qnrm") * col("_nrm"))).as("cos"))
+    rankTopK(scored, qIdCol, "cos", k)
+  }
+
+  /** Label-noise detection by leave-one-out centroid cosine: every vector
+    * is scored against the centroid of its OWN label computed WITHOUT it
+    * (self-inclusion would pull the centroid toward the very outlier it
+    * is judging — worst exactly when the label is small or the vector is
+    * far). Low scores = candidate mislabels / junk embeddings, the rows a
+    * training-data audit quarantines first.
+    *
+    * Exactness at any scale: vectors are int8-quantized first
+    * ([[quantizeInt8]]), so the label centroid is an element-wise sum of
+    * integers — associative, order-free, partial-aggregable — and the
+    * leave-one-out algebra (c−v dots below) runs on integer-valued
+    * doubles via the native `vec_dot_d`, exact to 2^53. The score is
+    * therefore a pure function of the multiset of vectors, reproducible
+    * bit-for-bit in the DuckDB oracle; no float-mean ulp drift
+    * (the trap [[sphericalKMeans]] documents).
+    *
+    * Cost shape: one narrow quantization pass, one (label, dim)
+    * aggregation (≤ |labels|·dim groups after map-side combine), one
+    * broadcast join of the centroid table back to the scan. Labels with a
+    * single member have no leave-one-out centroid and are dropped.
+    * Returns (idCol, labelCol, loo_cos).
+    */
+  def labelOutliers(corpus: DataFrame, idCol: String, embCol: String,
+                    labelCol: String): DataFrame = {
+    val quant = corpus
+      .withColumn("_m", maxAbs(embCol))
+      .withColumn("_qi", quantizeInt8(embCol, "_m"))
+      .withColumn("_qd", expr("CAST(_qi AS ARRAY<DOUBLE>)"))
+      .select(col(idCol), col(labelCol), col("_qd"))
+    // element-wise integer sums per label — the only wide exchange,
+    // bounded by |labels|·dim after partial aggregation; the member
+    // count rides the same pass (every member contributes one row per
+    // pos, so count per (label, pos) IS the label size — no second scan)
+    val cents = quant
+      .select(col(labelCol), posexplode(col("_qd")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(sum(col("col")).as("v"), count(lit(1)).as("c"))
+      .groupBy(col(labelCol))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, v))), s -> CAST(s.v AS DOUBLE))")
+        .as("_c_emb"),
+        max(col("c")).as("_n"))
+    // leave-one-out: c' = c − v, expanded over exact integer dots so the
+    // centroid is never re-materialized per row:
+    //   dot(v, c')  = dot(v, c) − dot(v, v)
+    //   ‖c'‖²       = dot(c, c) − 2·dot(v, c) + dot(v, v)
+    quant
+      .join(broadcast(cents.where(col("_n") > 1)), labelCol)
+      .withColumn("_vc", expr("vec_dot_d(_qd, _c_emb)"))
+      .withColumn("_vv", expr("vec_dot_d(_qd, _qd)"))
+      .withColumn("_cc", expr("vec_dot_d(_c_emb, _c_emb)"))
+      .where(col("_vv") > 0)
+      .select(col(idCol), col(labelCol),
+        ((col("_vc") - col("_vv")) /
+          (sqrt(col("_vv")) * sqrt(col("_cc") - lit(2) * col("_vc") + col("_vv"))))
+          .as("loo_cos"))
+  }
+
   /** Spherical k-means centroids as pure DataFrame iterations: assign to
     * nearest centroid by cosine (broadcast pass), recompute centroids as
     * element-wise means via posexplode → (cluster, dim) aggregation —

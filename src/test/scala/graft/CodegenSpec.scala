@@ -32,6 +32,7 @@ class CodegenSpec extends SparkSpec {
         expr("normalize_label(line)").as("nl"),
         expr("normalize_singular(line)").as("ns"),
         expr("vec_dot(vec, vec)").as("dot"),
+        expr("vec_dot_d(CAST(vec AS ARRAY<DOUBLE>), CAST(vec AS ARRAY<DOUBLE>))").as("dotd"),
         expr("vec_sign_bits(vec)").as("bits"),
         expr("word_set_hits(line, 'more,words')").as("wh"),
         expr("jaro_winkler(line, reverse(line))").as("jw"),
@@ -44,6 +45,28 @@ class CodegenSpec extends SparkSpec {
     assert(out.length === 2)
     assert(out.map(_.getAs[Long]("bits")).toSet.size === 2)
     assert(out.map(_.getAs[Int]("wh")).toSet === Set(0, 1)) // `words` hits; `"more` has the quote
+  }
+
+  test("vec_dot_d is exact past the float mantissa (the centroid case)") {
+    import spark.implicits._
+    // 2^25 + 1 is not representable in float (24-bit mantissa): the float
+    // path collapses it to 2^25, the double path must not — this is
+    // exactly why integer-valued centroid sums ride ARRAY<DOUBLE>
+    val big = (1L << 25) + 1L
+    val df = Seq(Seq(big.toDouble, 0d)).toDF("v")
+    val r = df.select(
+        expr("vec_dot_d(v, CAST(array(1.0, 0.0) AS ARRAY<DOUBLE>))").as("d"),
+        expr("vec_dot(CAST(v AS ARRAY<FLOAT>), CAST(array(1.0, 0.0) AS ARRAY<FLOAT>))").as("f"))
+      .head()
+    assert(r.getDouble(0) === big.toDouble)
+    assert(r.getDouble(1) === (1L << 25).toDouble) // the float collapse
+    // and it matches the interpreted higher-order-function fold
+    val both = Seq((Seq(1.5d, -2.25d, 3d), Seq(4d, 5.5d, -6d)))
+      .toDF("a", "b")
+      .select(expr("vec_dot_d(a, b)").as("native"),
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0d, (acc, x) -> acc + x)").as("hof"))
+      .head()
+    assert(both.getDouble(0) === both.getDouble(1))
   }
 
   test("word_set_hits matches the interpreted filter/IN form") {

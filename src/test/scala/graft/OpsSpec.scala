@@ -152,6 +152,76 @@ class OpsSpec extends SparkSpec {
     assert(c2 > c1) // bigger candidate set can only improve top-k quality
   }
 
+  test("hardNegatives: only different-label rows, ranked by cosine") {
+    // anchor in label A; nearest overall is same-label (must be skipped),
+    // nearest different-label must rank 1
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f), "A"),
+      (2L, Seq(0.99f, 0.1f, 0f), "A"),  // closest overall — same label
+      (3L, Seq(0.9f, 0.3f, 0f), "B"),   // closest negative
+      (4L, Seq(0.5f, 0.8f, 0f), "B"),
+      (5L, Seq(0f, 0f, 1f), "C")).toDF("vec_id", "embedding", "label")
+    val q = corpus.where(col("vec_id") === 1L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val out = Similarity.hardNegatives(corpus, q, "vec_id", "embedding",
+        "label", "q_id", "q_emb", "q_label", 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(3L, 4L))
+    assert(out.forall(_.getAs[String]("neg_label") != "A"))
+  }
+
+  test("labelOutliers: planted mislabel scores lowest; singleton label dropped") {
+    // label A = tight cluster around e1 plus one flipped vector (the
+    // plant); label B = a singleton (no leave-one-out centroid)
+    val rows = Seq(
+      (1L, Seq(1f, 0.01f, 0f), "A"),
+      (2L, Seq(1f, -0.01f, 0f), "A"),
+      (3L, Seq(0.99f, 0f, 0.02f), "A"),
+      (4L, Seq(-1f, 0f, 0.01f), "A"), // planted mislabel
+      (5L, Seq(0f, 1f, 0f), "B")).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelOutliers(rows, "vec_id", "embedding", "label")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("loo_cos")).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L)) // singleton B dropped
+    assert(out(4L) < 0, s"plant should anti-align with its LOO centroid: $out")
+    assert(Seq(1L, 2L, 3L).forall(id => out(id) > 0.9), out.toString)
+    assert(out.values.min === out(4L))
+  }
+
+  test("labelOutliers: leave-one-out, not self-inclusive (2-member label)") {
+    // with self-inclusion both members of an antipodal pair would score
+    // ~0 against the near-zero mean; leave-one-out scores each against
+    // exactly the OTHER vector → cos = −1
+    val rows = Seq(
+      (1L, Seq(1f, 0f), "A"),
+      (2L, Seq(-1f, 0f), "A")).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelOutliers(rows, "vec_id", "embedding", "label")
+      .collect().map(_.getAs[Double]("loo_cos"))
+    assert(out.length === 2)
+    out.foreach(c => assert(math.abs(c + 1.0) < 1e-12, out.mkString(",")))
+  }
+
+  test("shardAssignment: deterministic, partitioning-independent, dense positions") {
+    import graft.ops.Layout
+    val ids = (1 to 500).map(_.toLong)
+    def run(parts: Int) =
+      Layout.shardAssignment(
+          spark.sparkContext.parallelize(ids, parts).toDF("doc_id"), "doc_id", 8)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"), r.getAs[Int]("pos")))
+        .sortBy(_._1).toSeq
+    val a = run(1)
+    assert(a === run(7)) // pure function of the key, not of layout
+    val byShard = a.groupBy(_._2)
+    assert(byShard.keySet.subsetOf((0L until 8L).toSet))
+    // positions are 1..n dense within every shard
+    byShard.values.foreach { s =>
+      assert(s.map(_._3).sorted === (1 to s.size).toSeq)
+    }
+    // hash balance: no shard is pathologically loaded (500/8 ≈ 62)
+    assert(byShard.values.map(_.size).max < 100)
+  }
+
   test("sphericalKMeans separates well-separated clusters") {
     val rng = new scala.util.Random(7)
     def noisy(base: Seq[Float]) = base.map(v => v + rng.nextFloat() * 0.01f)
