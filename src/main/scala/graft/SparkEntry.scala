@@ -1503,6 +1503,23 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // k-core (k=8) of the customer–supplier bipartite graph, peeled to
+    // the TRUE fixpoint — the unique maximal min-degree-≥8 subgraph,
+    // peel-order-independent, so Spark's iterative peel and the
+    // oracle's recursive CTE converge to the same set regardless of how
+    // many rounds each takes. The classic graph-shaped quality gate
+    // (shallow cores = weakly-attached spam/bot nodes).
+    "graph_kcore" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").where(col("l_linenumber") === 1)
+        .select("l_orderkey", "l_suppkey")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val e = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+      graft.ops.Graph.kCore(e, "src", "dst", k = 8)
+        .orderBy("node")
+    }),
+
     // Grouped top-k WITH ties (RANK ≤ 3): per order priority, the top
     // spending customers — the grouped, tie-preserving complement of
     // q11's global TakeOrderedAndProject and q37's LATERAL top-2 (which
@@ -4569,6 +4586,33 @@ object SparkEntry {
         |   WHERE b.lvl < 3)
         | SELECT node, min(lvl)::BIGINT AS level FROM bfs GROUP BY node
         | ORDER BY node""".stripMargin.replace("\n", " "),
+
+    // True-fixpoint k-core as a recursive CTE: the survivor set rides
+    // each iteration as ONE list-valued row (a recursive term may
+    // reference its CTE only once, but degree needs both endpoints'
+    // survivorship — the list carries the whole set past that limit);
+    // iteration stops when no node is peeled (len(nxt) = len(surv)).
+    "graph_kcore" ->
+      """WITH RECURSIVE
+        | ed AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        |        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |        WHERE l_linenumber = 1),
+        | e2 AS (SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed),
+        | peel AS (
+        |   SELECT 0 AS r, (SELECT list(DISTINCT src ORDER BY src) FROM e2) AS surv
+        |   UNION ALL
+        |   SELECT r + 1, nxt FROM (
+        |     SELECT r, surv,
+        |       (SELECT coalesce(list(u ORDER BY u), []) FROM unnest(surv) AS t(u)
+        |        WHERE (SELECT count(*) FROM e2
+        |               WHERE e2.src = u AND list_contains(surv, e2.dst)) >= 8) AS nxt
+        |     FROM peel) WHERE len(nxt) < len(surv)),
+        | final AS (SELECT surv FROM peel ORDER BY len(surv) ASC LIMIT 1),
+        | core AS (SELECT unnest(surv) AS node FROM final)
+        | SELECT node,
+        |        (SELECT count(*) FROM e2 JOIN final ON true
+        |         WHERE e2.src = node AND list_contains(final.surv, e2.dst)) AS core_deg
+        | FROM core ORDER BY node""".stripMargin.replace("\n", " "),
 
     "q45_topk_per_group" ->
       """WITH spend AS (SELECT o_orderpriority, o_custkey,

@@ -233,4 +233,64 @@ object Graph {
     // checkpoint the one-row result, then free the edge caches
     Iterate.scoped(out, e, oriented)
   }
+
+  /** k-core decomposition for a fixed k (Matula–Beck peeling): the
+    * unique maximal subgraph in which every node has degree ≥ k, found
+    * by synchronously removing all nodes of degree < k and repeating to
+    * the TRUE fixpoint. The fixpoint is peel-order-independent, so the
+    * result — unlike a fixed-round iteration — is a pure function of
+    * (edge list, k): rounds-to-convergence affects cost, never the
+    * answer, and the DuckDB oracle can run its own recursive CTE to the
+    * same fixpoint. The classic web/social graph quality gate (spam
+    * farms and bot rings live in shallow cores; dense communities in
+    * deep ones).
+    *
+    * Scale shape: per round one degree aggregation + two semi-joins,
+    * all key-partitioned on node id over a monotonically SHRINKING edge
+    * set; rounds are lineage-cut and storage-released ([[Iterate]]),
+    * convergence read from an `observe()` in the same action as the
+    * round materialization (edge count stationary ⟺ no node peeled —
+    * peeling only deletes, so equal count means equal set). Returns
+    * `(node, core_deg)` — survivors with their within-core degree
+    * (≥ k by construction).
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k-core needs k >= 1, got $k")
+    val dir1 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val init = dir1
+      .unionAll(dir1.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    var round = Iterate.materialize(init)
+    var i = 0
+    var converged = false
+    var prevCnt = -1L
+    while (i < maxRounds && !converged) {
+      val e = round.df
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k)
+        .select(col("src"))
+      // the symmetric edge list makes survivorship a src-side property;
+      // an edge survives iff BOTH endpoints do — two semi-joins
+      val next = e
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .select("src", "dst")
+      val obs = org.apache.spark.sql.Observation()
+      val observed = next.observe(obs, count(lit(1)).as("cnt"))
+      val materialized = Iterate.materialize(observed)
+      val cnt = obs.get("cnt").asInstanceOf[Long]
+      converged = cnt == prevCnt
+      prevCnt = cnt
+      round.release()
+      round = materialized
+      i += 1
+    }
+    val out = Iterate.materialize(
+      round.df.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg")))
+    round.release()
+    out.df
+  }
 }

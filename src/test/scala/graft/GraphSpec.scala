@@ -231,4 +231,49 @@ class GraphSpec extends SparkSpec {
     }
     assert(tri(edges) === ((nodes.size.toLong, canon.size.toLong, expected)))
   }
+
+  /** In-memory synchronous-peel reference for the k-core fixpoint. */
+  private def kCoreRef(edges: Seq[(Long, Long)], k: Int): Map[Long, Int] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, e.swap)).distinct
+    var alive = und.map(_._1).toSet
+    var changed = true
+    while (changed) {
+      val deg = und.filter(e => alive(e._1) && alive(e._2))
+        .groupBy(_._1).map { case (n, g) => n -> g.size }
+      val keep = alive.filter(n => deg.getOrElse(n, 0) >= k)
+      changed = keep.size != alive.size
+      alive = keep
+    }
+    und.filter(e => alive(e._1) && alive(e._2))
+      .groupBy(_._1).map { case (n, g) => n -> g.size }
+  }
+
+  private def kc(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+    Graph.kCore(edges.toDF("s", "d"), "s", "d", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kCore: clique survives, pendant chain peels away entirely") {
+    // 4-clique (every node degree 3) + a chain hanging off it: the chain
+    // peels inward one node per round — the multi-round cascade case
+    val clique = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val chain = Seq((3L, 10L), (10L, 11L), (11L, 12L))
+    val out = kc(clique ++ chain, 3)
+    assert(out.keySet === Set(0L, 1L, 2L, 3L))
+    assert(out.values.toSet === Set(3L))
+    // k above the clique degree → empty core
+    assert(kc(clique ++ chain, 4) === Map.empty)
+  }
+
+  test("kCore matches the synchronous-peel reference on seeded random graphs") {
+    val rnd = new Random(11)
+    for (trial <- 1 to 3) {
+      val edges = (1 to 120).map(_ =>
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      for (k <- Seq(2, 3, 4)) {
+        val expect = kCoreRef(edges, k).map { case (n, d) => n -> d.toLong }
+        assert(kc(edges, k) === expect, s"trial=$trial k=$k")
+      }
+    }
+  }
 }
