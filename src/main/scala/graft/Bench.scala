@@ -44,19 +44,30 @@ object Bench {
       .foreach(fn => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
     control()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // A query that throws must NEVER be recorded as a (fast) timing: in
+    // round 6 the event-window family failed mid-round and its near-zero
+    // failure times landed in the record looking like sub-control "wins"
+    // (ADVICE r6). Failed queries are excluded from timings/total and
+    // reported explicitly in both the full record and the stdout line.
+    val raw = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var ok = true
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        catch { case e: Throwable =>
+          ok = false
+          System.err.println(s"[bench] $name failed: $e")
+        }
         // drop per-query persisted data so later queries aren't taxed by
         // earlier queries' cache (GC pressure dominates variance otherwise)
         GraftSession.releaseAll(spark)
         (System.nanoTime() - t0) / 1e9
       }
       // pass 1 pays codegen JIT — steady state is min over passes 2–3
-      (name, times.drop(1).min, control())
+      (name, times.drop(1).min, control(), ok)
     }
+    val failedQs = raw.collect { case (name, _, _, false) => name }
+    val results = raw.collect { case (name, t, c, true) => (name, t, c) }
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
     def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // 10ms resolution with trailing zeros stripped ("0.20"→"0.2", "3.00"→"3").
@@ -80,13 +91,14 @@ object Bench {
     //    line survives the tail capture whole.
     val fullQs = results.map { case (k, v, c) => s""""$k":[${ms(v)},${ms(c)}]""" }
       .mkString("{", ",", "}")
+    val failedJson = failedQs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
-      s""""n":${results.size},"queries_ctl":$fullQs,"sf":"$sfDir"}"""
+      s""""n":${results.size},"failed":$failedJson,"queries_ctl":$fullQs,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullLine)
     val qs = results.collect { case (k, v, _) if headline(k) => "\"" + k + "\":" + cs(v) }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},""" +
-      s""""queries":$qs,"ctl":{"min":${cs(ctlMin)},"max":${cs(ctlMax)}},""" +
+      s""""failed":${failedQs.size},"queries":$qs,"ctl":{"min":${cs(ctlMin)},"max":${cs(ctlMax)}},""" +
       s""""full":"BENCH_FULL.json","sf":"$sfDir"}"""
     System.err.println(s"[bench] json line length: ${line.length}")
     // The payload line must be the LAST thing in a combined stdout+stderr

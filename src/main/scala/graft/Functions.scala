@@ -36,6 +36,8 @@ object Functions {
     native("bpe_apply", exprs => graft.functions.BpeApply(exprs(0), exprs(1)))
     native("winnow_fps", exprs => graft.functions.WinnowFps(
       exprs(0), exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]))
+    native("word_gram_hashes", exprs => graft.functions.WordGramHashes(
+      exprs(0), exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]))
   }
 
   /** `normalize_label` as a Column op — pure built-ins (codegen'd, no UDF):

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomMightContain, BpeApply, Md5Long, NormalizeLabelExpr, NormalizeSingularExpr, NtUnescape, ParseNt, RollingHash, VecDot, VecDotD, VecSignBits, WinnowFps, WordSetHits, WordShingles}
+import graft.functions.{BloomMightContain, BpeApply, Md5Long, NormalizeLabelExpr, NormalizeSingularExpr, NtUnescape, ParseNt, RollingHash, VecDot, VecDotD, VecSignBits, WinnowFps, WordGramHashes, WordSetHits, WordShingles}
 
 /** Injectable extensions: makes the engine's native expressions available
   * in ANY session via `spark.sql.extensions=graft.GraftExtensions` (e.g.
@@ -74,6 +74,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("winnow_fps"),
       info("winnow_fps", "winnow_fps(text, k, w) - distinct winnowing-selected k-gram fingerprints"),
       (exprs: Seq[Expression]) => WinnowFps(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("word_gram_hashes"),
+      info("word_gram_hashes",
+        "word_gram_hashes(text, k, nibbles) - positional word-k-gram md5-prefix hashes"),
+      (exprs: Seq[Expression]) => WordGramHashes(exprs(0),
         exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
     // analysis-time scale guardrail (opt-in via spark.graft.forbidGlobalWindows)
     ext.injectCheckRule(s => graft.plans.GlobalWindowCheck(s))

@@ -655,32 +655,55 @@ object Dedup {
     val toks = base.select(col(idCol),
       posexplode(col("_ws")).as(Seq("pos", "tok")))
       .select(col(idCol), col("pos").cast("long").as("pos"), col("tok"))
-    // grams only where the doc has ≥ k tokens (sequence(0, n-k) would run
-    // DESCENDING for shorter docs — Spark's sequence steps toward stop)
-    val grams = base.where(size(col("_ws")) >= k)
-      .select(col(idCol), posexplode(expr(
-        s"transform(sequence(0, size(_ws) - $k), i -> array_join(slice(_ws, i + 1, $k), ' '))"))
-        .as(Seq("gpos", "gram")))
-      .select(col(idCol), col("gpos").cast("long").as("gpos"),
-        md5Int60(col("gram")).as("gh"))
-    val stats = grams.groupBy("gh").agg(count(lit(1)).as("_cnt"),
-      min(struct(col(idCol), col("gpos"))).as("_w"))
-    val losing = grams.join(stats.where(col("_cnt") > 1), "gh")
-      .where(!(col(idCol) === col(s"_w.$idCol") && col("gpos") === col("_w.gpos")))
+    // Positional gram hashes in ONE native pass (word_gram_hashes md5s
+    // byte slices of the text — each space-joined gram IS a byte range of
+    // the original string). The interpreted transform/slice/array_join
+    // form this replaces was 11.7 s of the query's 11.7 s at sf0.1.
+    // The < k-token guard lives inside the expression (empty array).
+    val grams = df.select(col(idCol),
+      posexplode(call_function("word_gram_hashes", col(textCol), lit(k), lit(15)))
+        .as(Seq("gpos", "gh")))
+      .select(col(idCol), col("gpos").cast("long").as("gpos"), col("gh"))
+    // All-but-globally-first per gram hash via ONE hash-partitioned window
+    // (rn over gh) — replaces a groupBy(gh) + re-join of the gram stream,
+    // saving a full exchange+sort of the big side.
+    val losing = grams
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("gh").orderBy(col(idCol), col("gpos"))))
+      .where(col("_rn") >= 2)
+    // Covered positions, persisted: it feeds both the touched-doc set and
+    // the kept-token anti-join (no common-subplan sharing in DataFrames —
+    // unpersisted, the 1-exchange window above would run twice). Size is
+    // O(duplicated-span positions), the dup mass itself.
     val covered = losing
       .select(col(idCol), explode(expr(s"sequence(gpos, gpos + ${k - 1})")).as("pos"))
       .distinct()
-    val rebuilt = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val touched = covered.select(col(idCol)).distinct()
+    // Only TOUCHED docs pay the token regroup (wide collect_list shuffle +
+    // per-doc array_sort); untouched docs — the overwhelming majority of a
+    // real corpus — pass through verbatim, since split-on-' ' joined with
+    // ' ' reconstitutes the original text exactly. The .tok field-extract
+    // on the sorted struct array is a codegen'd GetArrayStructFields — no
+    // interpreted per-token lambda.
+    val rebuilt = toks.join(touched, Seq(idCol), "left_semi")
+      .join(covered, Seq(idCol, "pos"), "left_anti")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept"),
         array_join(expr(
-          "transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok)"),
+          "array_sort(collect_list(struct(pos, tok))).tok"),
           " ").as("clean_text"))
-    df.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("n_tok"))
+    val withTok = df.select(col(idCol), col(textCol),
+      size(split(col(textCol), " ")).cast("long").as("n_tok"))
+    val untouchedOut = withTok.join(touched, Seq(idCol), "left_anti")
+      .select(col(idCol), col("n_tok"), col("n_tok").as("n_kept"),
+        col(textCol).as("clean_text"))
+    val touchedOut = withTok.join(touched, Seq(idCol), "left_semi")
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), col("n_tok"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+    untouchedOut.union(touchedOut)
   }
 
   def keepBest(clustered: DataFrame, clusterCol: String, idCol: String,

@@ -39,7 +39,8 @@ class CodegenSpec extends SparkSpec {
         expr("bloom_might_contain(array(-1L, -1L), md5_long(line, 8), md5_long(line, 15), 3)")
           .as("bm"),
         expr("bpe_apply(line, 'o r,d s,e r')").as("bpe"),
-        expr("winnow_fps(line, 8, 4)").as("wf"))
+        expr("winnow_fps(line, 8, 4)").as("wf"),
+        expr("word_gram_hashes(line, 3, 15)").as("gham"))
       .where(col("h8") =!= 0L && col("rh") =!= 1L)
       .collect()
     assert(out.length === 2)

@@ -456,6 +456,36 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("word_gram_hashes == interpreted transform/slice/array_join/md5_long form") {
+    // unicode multibyte (byte-slice path must respect UTF-8), empty string,
+    // consecutive/leading/trailing spaces (split(' ', -1) empty tokens),
+    // exactly-k and below-k token counts
+    val docs = Seq(
+      (1L, "a b c d e x"),
+      (2L, "héllo wörld déjà vu encore une fois"),
+      (3L, ""),
+      (4L, "a  b   c d"),     // empty tokens from space runs
+      (5L, " leading and trailing "),
+      (6L, "one two three"),  // exactly k=3
+      (7L, "one two"))        // below k → empty
+      .toDF("doc_id", "text")
+    for (k <- Seq(1, 3, 5)) {
+      val got = docs.select(col("doc_id"),
+          expr(s"word_gram_hashes(text, $k, 15)").as("g"),
+          split(col("text"), " ").as("_ws"))
+        .withColumn("want", expr(
+          s"""CASE WHEN size(_ws) < $k THEN array()
+             | ELSE transform(sequence(0, size(_ws) - $k),
+             |   i -> md5_long(array_join(slice(_ws, i + 1, $k), ' '), 15))
+             | END""".stripMargin))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[Long](1) === r.getSeq[Long](3),
+          s"doc=${r.getLong(0)} k=$k")
+      }
+    }
+  }
+
   test("dedupSpans: duplicated k-token spans removed keep-first, shifts caught") {
     val docs = Seq(
       (1L, "a b c d e x"),       // first copy of the span "a b c d e" — kept whole
