@@ -28,41 +28,47 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 10, damping: Double = 0.85): DataFrame = {
-    val raw = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
-    val e = raw
-      .where(col("src") =!= col("dst"))
+    // ONE pass over the (possibly expensive) edge derivation: the distinct
+    // raw pair set is persisted and both the self-loop-filtered edge list
+    // and the node set derive from it — previously `e` and `nodes` each
+    // re-ran the upstream plan (a 4-way join in graph_pagerank's case).
+    val rawD = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // node set from the RAW edge list: a node whose only incident edge is a
+    val e = rawD.where(col("src") =!= col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // node set from the RAW pair set: a node whose only incident edge is a
     // self-loop still exists (it becomes dangling and keeps receiving
     // (1-d)/n + d*dmass/n) — deriving nodes after the self-loop filter
     // would silently drop it from the output
-    val nodes = raw.select(col("src").as("node"))
-      .union(raw.select(col("dst").as("node")))
+    val nodes = rawD.select(col("src").as("node"))
+      .union(rawD.select(col("dst").as("node")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var ranks = Iterate.materialize(nodes.withColumn("rank", lit(1.0 / n)))
+    // The static out-degree rides IN the rank state (null = dangling), so
+    // a round joins state to edges and aggregates — the per-round
+    // state⋈outDeg exchange is paid once here, not `iterations` times.
+    var ranks = Iterate.materialize(nodes
+      .join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .withColumn("rank", lit(1.0 / n)))
     var i = 0
     while (i < iterations) {
-      val withDeg = ranks.df
-        .join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left")
       // per-edge contributions from non-dangling nodes
-      val inbound = withDeg.where(col("deg").isNotNull)
+      val inbound = ranks.df.where(col("deg").isNotNull)
         .select(col("node").as("src"), (col("rank") / col("deg")).as("share"))
         .join(e, "src")
         .groupBy("dst")
         .agg(sum("share").as("inbound"))
       // dangling mass as a one-row broadcast, not a per-round action
-      val dangling = withDeg.where(col("deg").isNull)
+      val dangling = ranks.df.where(col("deg").isNull)
         .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
-      val next = nodes
+      val next = ranks.df.select("node", "deg")
         .join(inbound.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .crossJoin(broadcast(dangling))
-        .select(col("node"),
+        .select(col("node"), col("deg"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("inbound"), lit(0.0)) +
               col("dmass") / n)).as("rank"))
@@ -71,8 +77,8 @@ object Graph {
       ranks = materialized
       i += 1
     }
-    val out = ranks.df
-    e.unpersist(); nodes.unpersist(); outDeg.unpersist()
+    val out = ranks.df.select("node", "rank")
+    rawD.unpersist(); e.unpersist(); nodes.unpersist()
     out
   }
 
@@ -92,17 +98,22 @@ object Graph {
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        iterations: Int = 10): DataFrame = {
-    val dir1 = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
-    val e = dir1.unionAll(dir1.select(col("dst").as("src"), col("src").as("dst")))
+    // ONE pass over the upstream edge derivation (graph_labelprop's is a
+    // lineitem self-join): the distinct raw pair set is persisted and both
+    // the symmetrized edge list and the node set derive from it.
+    val dirD = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = dirD.unionAll(dirD.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // node set from RAW edges (before the self-loop filter): a node whose
     // only incident edges are self-loops has no neighbors but must still
     // appear in the output with its own label, not vanish
-    val nodes = dir1.select(col("src").as("node"))
-      .unionAll(dir1.select(col("dst").as("node"))).distinct()
+    val nodes = dirD.select(col("src").as("node"))
+      .unionAll(dirD.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // The loop iterates ONLY over nodes that have neighbors: the neighbor
     // join keys on e.dst, and every node with an incident (non-self-loop)
@@ -135,7 +146,7 @@ object Graph {
       .join(labels.df, Seq("node"), "left")
       .select(col("node"), coalesce(col("label"), col("node")).as("label")))
     labels.release()
-    e.unpersist(); nodes.unpersist()
+    dirD.unpersist(); e.unpersist(); nodes.unpersist()
     out.df
   }
 

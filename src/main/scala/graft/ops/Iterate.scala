@@ -155,8 +155,11 @@ object Iterate {
   // dedup_clusters 4.0s bare vs 8.3s persist-first at sf0.1.
 
   private def deleteCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: LogicalRDD =>
+    // traverse the whole tree: a materialized frame is often returned
+    // through a final projection/sort, so the LogicalRDD is rarely the
+    // root (e.g. pageRank's `.select("node", "rank")` over its state)
+    df.queryExecution.analyzed.collect { case lr: LogicalRDD => lr }
+      .foreach { lr =>
         lr.rdd.getCheckpointFile.foreach { f =>
           val p = new Path(f)
           val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
@@ -167,6 +170,5 @@ object Iterate {
         // persisted blocks (no-op for reliable-checkpoint RDDs)
         lr.rdd.unpersist()
         ()
-      case _ => ()
-    }
+      }
 }
