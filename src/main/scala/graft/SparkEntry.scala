@@ -2725,6 +2725,36 @@ object SparkEntry {
           k = 5)
         .orderBy("doc_id")),
 
+    // Boundary-stitch dedup candidates: doc a's LAST k tokens == doc b's
+    // FIRST k tokens — the crawl/shard artifact where one logical document
+    // was split and re-ingested with an overlapping boundary. One
+    // boundary-gram string per doc per side (never a pair space); a
+    // df-cap on each side keeps boilerplate openings/closings (the hot
+    // keys) out of the join entirely, the same discipline as
+    // ngramCandidates' dfCap. Joined on the exact gram STRING — no hash,
+    // no false positives.
+    "dedup_stitch" -> ((s, dir) => {
+      val k = 3
+      val cap = 100
+      val ws = split(col("text"), " ")
+      val d = t(s, dir, "documents").where(size(ws) >= k).select(
+        col("doc_id"),
+        array_join(slice(ws, 1, k), " ").as("head_g"),
+        // negative start = k-from-the-end (same as DuckDB's len-k+1 slice)
+        array_join(slice(ws, -k, k), " ").as("tail_g"))
+      val tails = d.select(col("doc_id").as("id_a"), col("tail_g").as("g"))
+      val heads = d.select(col("doc_id").as("id_b"), col("head_g").as("g"))
+      val tailOk = tails.groupBy("g").agg(count(lit(1)).as("_ct"))
+        .where(col("_ct") <= cap).select("g")
+      val headOk = heads.groupBy("g").agg(count(lit(1)).as("_ch"))
+        .where(col("_ch") <= cap).select("g")
+      tails.join(tailOk, "g").join(headOk, "g")
+        .join(heads, "g")
+        .where(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"), col("g").as("boundary"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "text_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -2800,6 +2830,58 @@ object SparkEntry {
         stopHits.as("stop_hits"),
         round(stopHits.cast("double") / size(tokens), 4).as("stop_ratio"))
         .orderBy("doc_id")
+    }),
+
+    // Linear quality classifier with pinned integer weights (the
+    // fastText-style "quality filter" inference step, scoring side only):
+    // margin = w·x over integer features — stopword basis points, a
+    // length-band indicator, punctuation basis points — entirely in
+    // BIGINT arithmetic, so the keep/drop decision is bit-identical on
+    // any engine. Pure narrow projection: zero exchanges, codegen'd
+    // word_set_hits, scales as a map over the corpus.
+    "quality_logreg" -> ((s, dir) => {
+      // `div`, not `/`: the Column `/` operator is DOUBLE division; the
+      // classifier contract is BIGINT-exact arithmetic end to end
+      val stopBp = expr(s"(word_set_hits(text, '${stopEn.mkString(",")}') * 10000L)" +
+        " div size(split(text, ' '))")
+      val punctBp = expr("(length(regexp_replace(text, '[a-z0-9 ]', '')) * 10000L)" +
+        " div greatest(length(text), 1)")
+      val lenBand = when(length(col("text")).between(50, 5000), lit(10000L))
+        .otherwise(lit(0L))
+      val margin = lit(-30000L) + lit(8L) * stopBp + lenBand - lit(5L) * punctBp
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        stopBp.as("stop_bp"),
+        punctBp.as("punct_bp"),
+        lenBand.as("len_band"),
+        margin.as("margin"),
+        (margin > 0L).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // Training-data governance: k-anonymity profile across a
+    // generalization lattice. Each rollup level drops the rightmost
+    // quasi-identifier (nation > segment > balance band); per level the
+    // report gives the group count, the k-anonymity (min group size —
+    // the worst-case re-identification set), and how many rows sit in
+    // groups below k=5. Two key-local aggregations — the rollup's Expand
+    // is 4× the input rows, then a 4-row reduce; no windows, no joins.
+    "governance_kanon" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(
+        col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      c.rollup(col("nation"), col("segment"), col("bal_band"))
+        .agg(count(lit(1)).as("cnt"),
+          // grouping() is only legal inside the rollup's agg list
+          (grouping(col("nation")) * 4 + grouping(col("segment")) * 2 +
+            grouping(col("bal_band"))).cast("long").as("level"))
+        .select("level", "cnt")
+        .groupBy("level")
+        .agg(count(lit(1)).as("n_groups"),
+          min("cnt").as("k_anonymity"),
+          sum(when(col("cnt") < 5, col("cnt")).otherwise(0L)).as("rows_at_risk"))
+        .orderBy("level")
     }),
 
     // Character-bigram language ID (the n-gram heuristic variant of
@@ -5557,6 +5639,43 @@ object SparkEntry {
          | round(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopEn)}))::DOUBLE
          |       / len(string_split(text, ' ')), 4) AS stop_ratio
          | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "dedup_stitch" ->
+      """WITH d AS (SELECT doc_id,
+        |        array_to_string(string_split(text, ' ')[1:3], ' ') AS head_g,
+        |        array_to_string(string_split(text, ' ')[len(string_split(text, ' ')) - 2:len(string_split(text, ' '))], ' ') AS tail_g
+        |      FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        | tails AS (SELECT doc_id AS id_a, tail_g AS g FROM d),
+        | heads AS (SELECT doc_id AS id_b, head_g AS g FROM d),
+        | tok AS (SELECT g FROM tails GROUP BY g HAVING count(*) <= 100),
+        | hok AS (SELECT g FROM heads GROUP BY g HAVING count(*) <= 100)
+        | SELECT id_a, id_b, t.g AS boundary
+        | FROM tails t JOIN tok USING (g) JOIN hok USING (g) JOIN heads h USING (g)
+        | WHERE id_a <> id_b
+        | ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+
+    "quality_logreg" ->
+      s"""WITH f AS (SELECT doc_id,
+         |   len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopEn)}))::BIGINT * 10000
+         |     // len(string_split(text, ' '))::BIGINT AS stop_bp,
+         |   length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::BIGINT * 10000
+         |     // greatest(length(text)::BIGINT, 1) AS punct_bp,
+         |   CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 10000 ELSE 0 END::BIGINT AS len_band
+         | FROM documents)
+         | SELECT doc_id, stop_bp, punct_bp, len_band,
+         |   -30000 + 8 * stop_bp + len_band - 5 * punct_bp AS margin,
+         |   (-30000 + 8 * stop_bp + len_band - 5 * punct_bp) > 0 AS keep
+         | FROM f ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "governance_kanon" ->
+      """WITH q AS (SELECT c_nationkey AS nation, c_mktsegment AS segment,
+        |             floor(c_acctbal / 1000)::BIGINT AS bal_band FROM customer),
+        | g AS (SELECT (GROUPING(nation) * 4 + GROUPING(segment) * 2
+        |               + GROUPING(bal_band))::BIGINT AS level, count(*) AS cnt
+        |       FROM q GROUP BY ROLLUP (nation, segment, bal_band))
+        | SELECT level, count(*) AS n_groups, min(cnt) AS k_anonymity,
+        |   sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END)::BIGINT AS rows_at_risk
+        | FROM g GROUP BY level ORDER BY level""".stripMargin.replace("\n", " "),
 
     "text_langid" -> textLangidOracle,
 

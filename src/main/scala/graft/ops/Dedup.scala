@@ -342,7 +342,13 @@ object Dedup {
       .select(col(idCol).as("id"), col("n_sh").as("m"),
         md5Int60(col("sh")).as("h"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // global element order = (document frequency asc, hash asc)
+    // global element order = (document frequency asc, hash asc).
+    // Tried r7: a count-over-h window in place of this groupBy+join
+    // ("one exchange instead of two") showed no win (both formulations
+    // measured 9-30 s under heavy host steal; the groupBy's map-side
+    // partial agg shrinks tf before it shuffles, the window pays
+    // per-tiny-partition buffer setup across millions of h groups).
+    // Keeping the join — it is the formulation the r6 record timed.
     val tf = sh.groupBy("h").agg(count(lit(1)).as("_df"))
     val ord = Window.partitionBy("id").orderBy(col("_df"), col("h"))
     val pos = sh.join(tf, "h")
