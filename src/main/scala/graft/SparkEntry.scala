@@ -1666,6 +1666,35 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Last-touch attribution: each purchase credits the user's most
+    // recent click/view at-or-before it, but only within a 24 h lookback
+    // — otherwise 'direct'. Composes the as-of join (one exchange + one
+    // per-key sort, see AsOfJoin) with a post-filter on the carried touch
+    // timestamp; touches are pre-deduped per (user, µs) with a
+    // deterministic max-id winner so equal-timestamp ties can never make
+    // the pick order-dependent. µs resolution on both engines (NOTES:
+    // DuckDB truncates parquet nanos to µs).
+    "events_attribution" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+      val touches = e.where(col("event_type").isin("click", "view"))
+        .select(col("user_id"), expr("ts div 1000").as("t_ts"),
+          col("event_id").as("t_id"), col("event_type").as("t_type"))
+        .groupBy("user_id", "t_ts")
+        .agg(max(struct(col("t_id"), col("t_type"))).as("m"))
+        .select(col("user_id"), col("t_ts"),
+          col("m.t_id").as("t_id"), col("m.t_type").as("t_type"))
+      val within = col("asof_t_ts").isNotNull &&
+        col("ts_us") - col("asof_t_ts") <= 86400000000L
+      graft.ops.AsOfJoin.asOf(purchases, touches, "user_id", "ts_us", "t_ts",
+          Seq("t_id", "t_type", "t_ts"))
+        .select(col("event_id"),
+          when(within, col("asof_t_type")).otherwise(lit("direct")).as("channel"),
+          when(within, col("asof_t_id")).as("touch_id"))
+        .orderBy("event_id")
+    }),
+
     // Product-quantization codes (Jégou et al. — the IVF-PQ index family's
     // second stage): 8 subspaces × 8 dims, 16 codewords per subspace from
     // deterministic seed vectors (k-means at deploy, same as IVF). Each
@@ -4772,6 +4801,21 @@ object SparkEntry {
         | FROM cab JOIN uni u1 ON cab.w1 = u1.w JOIN uni u2 ON cab.w2 = u2.w
         | CROSS JOIN n WHERE cab >= 5
         | ORDER BY pmi_bp DESC, w1, w2 LIMIT 20""".stripMargin.replace("\n", " "),
+
+    "events_attribution" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'purchase'),
+        | tt AS (SELECT user_id, epoch_us(ts) AS t_ts, event_id AS t_id, event_type AS t_type
+        |        FROM events WHERE event_type IN ('click', 'view')
+        |        QUALIFY row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+        |                                   ORDER BY event_id DESC) = 1)
+        | SELECT p.event_id,
+        |   CASE WHEN tt.t_ts IS NOT NULL AND p.ts_us - tt.t_ts <= 86400000000
+        |        THEN tt.t_type ELSE 'direct' END AS channel,
+        |   CASE WHEN tt.t_ts IS NOT NULL AND p.ts_us - tt.t_ts <= 86400000000
+        |        THEN tt.t_id END AS touch_id
+        | FROM p ASOF LEFT JOIN tt ON p.user_id = tt.user_id AND p.ts_us >= tt.t_ts
+        | ORDER BY p.event_id""".stripMargin.replace("\n", " "),
 
     "q23_asof_join" ->
       """SELECT l.event_id, r.q_id AS asof_q_id, r.q_val AS asof_q_val
