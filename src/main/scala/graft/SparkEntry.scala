@@ -373,9 +373,14 @@ object SparkEntry {
       // integer CENTS end to end: decimal sums are exact but the two
       // engines promote precision differently at the *10000 step — cents
       // as BIGINT make every later op integer arithmetic
-      val spend = t(s, dir, "orders").groupBy("o_custkey")
-        .agg(expr("CAST(round(sum(CAST(o_totalprice AS DECIMAL(20,6))) * 100) AS BIGINT)")
-          .as("cents"))
+      // materialized once: the per-customer spend feeds three passes
+      // (range-partition sampling, the rank shuffle, the totals agg) and
+      // DataFrames share no common subplans — unmaterialized, the orders
+      // aggregation ran three times
+      val spend = graft.ops.Iterate.materialize(
+        t(s, dir, "orders").groupBy("o_custkey")
+          .agg(expr("CAST(round(sum(CAST(o_totalprice AS DECIMAL(20,6))) * 100) AS BIGINT)")
+            .as("cents"))).df
       val ranked = graft.ops.Rank.globalRowNumber(spend,
         Seq(col("cents").desc, col("o_custkey")))
       val totals = spend.agg(count(lit(1)).as("_n"), sum("cents").as("_tot"))
@@ -2509,14 +2514,20 @@ object SparkEntry {
     // integer rational 1 + (rn−1)·5 div n — identical arithmetic in the
     // oracle, no cross-engine ntile edge cases.
     "q50_rfm" -> ((s, dir) => {
-      val m = t(s, dir, "orders").groupBy("o_custkey").agg(
-        max("o_orderdate").as("last_date"),
-        count(lit(1)).as("freq"),
-        round(sum("o_totalprice"), 2).as("monetary"))
-      val r1 = graft.ops.Rank.globalRowNumber(m,
-        Seq(col("last_date").desc, col("o_custkey"))).withColumnRenamed("rn", "r_rn")
-      val r2 = graft.ops.Rank.globalRowNumber(r1,
-        Seq(col("freq").desc, col("o_custkey"))).withColumnRenamed("rn", "f_rn")
+      // materialized between stages: each globalRowNumber call reads its
+      // input twice (range-partition sampling + the shuffle) before its
+      // own internal materialize — checkpointing the orders aggregation
+      // and the two intermediate rank frames makes every recompute a
+      // cache read instead of a window-join replay
+      val m = graft.ops.Iterate.materialize(
+        t(s, dir, "orders").groupBy("o_custkey").agg(
+          max("o_orderdate").as("last_date"),
+          count(lit(1)).as("freq"),
+          round(sum("o_totalprice"), 2).as("monetary"))).df
+      val r1 = graft.ops.Iterate.materialize(graft.ops.Rank.globalRowNumber(m,
+        Seq(col("last_date").desc, col("o_custkey"))).withColumnRenamed("rn", "r_rn")).df
+      val r2 = graft.ops.Iterate.materialize(graft.ops.Rank.globalRowNumber(r1,
+        Seq(col("freq").desc, col("o_custkey"))).withColumnRenamed("rn", "f_rn")).df
       val r3 = graft.ops.Rank.globalRowNumber(r2,
         Seq(col("monetary").desc, col("o_custkey"))).withColumnRenamed("rn", "m_rn")
       def tile(c: String) = expr(s"CAST(1 + (($c - 1) * 5) div _n AS INT)")

@@ -190,8 +190,12 @@ object Graph {
         .select(col("dst").as("node")).distinct()
         .join(visited.df.select("node"), Seq("node"), "left_anti")
         .withColumn("level", lit(lvl + 1L))
-      val grown = Iterate.materialize(visited.df.unionAll(next))
-      done = grown.df.where(col("level") === lvl + 1L).isEmpty
+      // frontier-size convergence rides the materializing action via
+      // observe() — one job per round, not a second isEmpty scan
+      val obs = org.apache.spark.sql.Observation()
+      val grown = Iterate.materialize(visited.df.unionAll(
+        next.observe(obs, count(lit(1)).as("cnt"))))
+      done = obs.get("cnt").asInstanceOf[Long] == 0L
       visited.release()
       visited = grown
       lvl += 1
