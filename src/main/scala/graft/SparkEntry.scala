@@ -2924,6 +2924,44 @@ object SparkEntry {
         .orderBy("level")
     }),
 
+    // Hashing-trick featurization (Weinberger et al. '09 — the fixed-dim
+    // sparse text features a linear classifier at scale trains on, no
+    // vocabulary pass needed): feature id = md5(token) mod D. Emitted as
+    // (doc_id, feat, cnt) rows — the sparse COO layout — so values stay
+    // scalar; one narrow generator + one key-local aggregation.
+    "text_feature_hash" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), expr("md5_long(tok, 15) % 64").as("feat"))
+        .groupBy("doc_id", "feat")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("doc_id", "feat")),
+
+    // TPC-H Q17-style correlated-average subquery, decorrelated the way
+    // Catalyst's plan should read at scale: filter lineitem by the tiny
+    // brand part set (broadcast), derive the per-part quantity average
+    // from the FILTERED rows (the correlation is on a part attribute, so
+    // the filtered set contains every row of each surviving part), and
+    // compare in cross-multiplied integer arithmetic
+    // (5·qty_cents·cnt < sum_qty_cents  ⇔  qty < 0.2·avg) — no float
+    // division on either engine.
+    "tpch_q17_style" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_partkey"),
+        expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qc"),
+        col("l_extendedprice").cast("decimal(20,6)").as("price"))
+      val pk = t(s, dir, "part").where(col("p_brand") === "Brand#4")
+        .select(col("p_partkey"))
+      val liF = graft.ops.Iterate.materialize(
+        li.join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+          .select("l_partkey", "qc", "price")).df
+      val perPart = liF.groupBy("l_partkey")
+        .agg(sum("qc").as("sumq"), count(lit(1)).as("cnt"))
+      liF.join(perPart, "l_partkey")
+        .where(lit(5L) * col("qc") * col("cnt") < col("sumq"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("CAST(round(coalesce(sum(price), 0) * 100) AS BIGINT)").as("sum_cents"))
+    }),
+
     // Character-bigram language ID (the n-gram heuristic variant of
     // text_langid): score = frequency of language-typical bigrams.
     "text_langid_ngram" -> ((s, dir) => {
@@ -5731,6 +5769,24 @@ object SparkEntry {
         | SELECT level, count(*) AS n_groups, min(cnt) AS k_anonymity,
         |   sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END)::BIGINT AS rows_at_risk
         | FROM g GROUP BY level ORDER BY level""".stripMargin.replace("\n", " "),
+
+    "text_feature_hash" ->
+      """SELECT doc_id,
+        |   ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS feat,
+        |   count(*) AS cnt
+        | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        | GROUP BY doc_id, feat
+        | ORDER BY doc_id, feat""".stripMargin.replace("\n", " "),
+
+    "tpch_q17_style" ->
+      """WITH li AS (SELECT l_partkey, CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+        |              CAST(l_extendedprice AS DECIMAL(20,6)) AS price FROM lineitem),
+        | pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
+        | lif AS (SELECT li.l_partkey, li.qc, li.price FROM li JOIN pk ON l_partkey = p_partkey),
+        | pp AS (SELECT l_partkey, sum(qc) AS sumq, count(*) AS cnt FROM lif GROUP BY 1)
+        | SELECT count(*) AS n_rows,
+        |   CAST(round(coalesce(sum(price), 0) * 100) AS BIGINT) AS sum_cents
+        | FROM lif JOIN pp USING (l_partkey) WHERE 5 * qc * cnt < sumq""".stripMargin.replace("\n", " "),
 
     "text_langid" -> textLangidOracle,
 
