@@ -2777,11 +2777,15 @@ object SparkEntry {
       val k = 3
       val cap = 100
       val ws = split(col("text"), " ")
-      val d = t(s, dir, "documents").where(size(ws) >= k).select(
-        col("doc_id"),
-        array_join(slice(ws, 1, k), " ").as("head_g"),
-        // negative start = k-from-the-end (same as DuckDB's len-k+1 slice)
-        array_join(slice(ws, -k, k), " ").as("tail_g"))
+      // materialized: four consumers (tails, heads, both cap tables) would
+      // otherwise each re-scan the text column — at corpus scale that is
+      // 4x the IO for a projection a fraction of the text's size
+      val d = graft.ops.Iterate.materialize(
+        t(s, dir, "documents").where(size(ws) >= k).select(
+          col("doc_id"),
+          array_join(slice(ws, 1, k), " ").as("head_g"),
+          // negative start = k-from-the-end (same as DuckDB's len-k+1 slice)
+          array_join(slice(ws, -k, k), " ").as("tail_g"))).df
       val tails = d.select(col("doc_id").as("id_a"), col("tail_g").as("g"))
       val heads = d.select(col("doc_id").as("id_b"), col("head_g").as("g"))
       val tailOk = tails.groupBy("g").agg(count(lit(1)).as("_ct"))
