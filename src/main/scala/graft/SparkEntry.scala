@@ -2765,39 +2765,12 @@ object SparkEntry {
           k = 5)
         .orderBy("doc_id")),
 
-    // Boundary-stitch dedup candidates: doc a's LAST k tokens == doc b's
-    // FIRST k tokens — the crawl/shard artifact where one logical document
-    // was split and re-ingested with an overlapping boundary. One
-    // boundary-gram string per doc per side (never a pair space); a
-    // df-cap on each side keeps boilerplate openings/closings (the hot
-    // keys) out of the join entirely, the same discipline as
-    // ngramCandidates' dfCap. Joined on the exact gram STRING — no hash,
-    // no false positives.
-    "dedup_stitch" -> ((s, dir) => {
-      val k = 3
-      val cap = 100
-      val ws = split(col("text"), " ")
-      // materialized: four consumers (tails, heads, both cap tables) would
-      // otherwise each re-scan the text column — at corpus scale that is
-      // 4x the IO for a projection a fraction of the text's size
-      val d = graft.ops.Iterate.materialize(
-        t(s, dir, "documents").where(size(ws) >= k).select(
-          col("doc_id"),
-          array_join(slice(ws, 1, k), " ").as("head_g"),
-          // negative start = k-from-the-end (same as DuckDB's len-k+1 slice)
-          array_join(slice(ws, -k, k), " ").as("tail_g"))).df
-      val tails = d.select(col("doc_id").as("id_a"), col("tail_g").as("g"))
-      val heads = d.select(col("doc_id").as("id_b"), col("head_g").as("g"))
-      val tailOk = tails.groupBy("g").agg(count(lit(1)).as("_ct"))
-        .where(col("_ct") <= cap).select("g")
-      val headOk = heads.groupBy("g").agg(count(lit(1)).as("_ch"))
-        .where(col("_ch") <= cap).select("g")
-      tails.join(tailOk, "g").join(headOk, "g")
-        .join(heads, "g")
-        .where(col("id_a") =!= col("id_b"))
-        .select(col("id_a"), col("id_b"), col("g").as("boundary"))
-        .orderBy("id_a", "id_b")
-    }),
+    // Boundary-stitch dedup candidates (split-document crawl artifact):
+    // see Dedup.stitchCandidates.
+    "dedup_stitch" -> ((s, dir) =>
+      graft.ops.Dedup.stitchCandidates(t(s, dir, "documents"),
+          "text", "doc_id", k = 3, cap = 100)
+        .orderBy("id_a", "id_b")),
 
     "text_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(

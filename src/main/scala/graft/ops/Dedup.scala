@@ -712,6 +712,40 @@ object Dedup {
     untouchedOut.union(touchedOut)
   }
 
+  /** Boundary-stitch dedup candidates: ordered pairs (a, b) where doc a's
+    * LAST k tokens equal doc b's FIRST k tokens — the crawl/shard
+    * artifact where one logical document was split and re-ingested with
+    * an overlapping boundary. One boundary gram per doc per side (never a
+    * pair space); a df-cap on each side keeps boilerplate
+    * openings/closings (the hot keys) out of the join entirely, the same
+    * discipline as [[ngramCandidates]]' dfCap. Joined on the exact gram
+    * STRING — no hash, no false positives. Docs with fewer than k tokens
+    * are never candidates. Output: (id_a, id_b, boundary).
+    */
+  def stitchCandidates(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, cap: Int = 100): DataFrame = {
+    val ws = split(col(textCol), " ")
+    // materialized: four consumers (tails, heads, both cap tables) would
+    // otherwise each re-scan the text column — at corpus scale that is
+    // 4x the IO for a projection a fraction of the text's size
+    val d = Iterate.materialize(
+      df.where(size(ws) >= k).select(
+        col(idCol),
+        array_join(slice(ws, 1, k), " ").as("head_g"),
+        // negative start = k-from-the-end (same as DuckDB's len-k+1 slice)
+        array_join(slice(ws, -k, k), " ").as("tail_g"))).df
+    val tails = d.select(col(idCol).as("id_a"), col("tail_g").as("g"))
+    val heads = d.select(col(idCol).as("id_b"), col("head_g").as("g"))
+    val tailOk = tails.groupBy("g").agg(count(lit(1)).as("_ct"))
+      .where(col("_ct") <= cap).select("g")
+    val headOk = heads.groupBy("g").agg(count(lit(1)).as("_ch"))
+      .where(col("_ch") <= cap).select("g")
+    tails.join(tailOk, "g").join(headOk, "g")
+      .join(heads, "g")
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("g").as("boundary"))
+  }
+
   def keepBest(clustered: DataFrame, clusterCol: String, idCol: String,
                qualityCol: String): DataFrame =
     clustered.groupBy(col(clusterCol))

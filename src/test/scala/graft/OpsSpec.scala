@@ -486,6 +486,36 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("stitchCandidates: boundary overlap detected, caps and short docs excluded") {
+    val docs = Seq(
+      (1L, "a b c d e"),        // tail "c d e"
+      (2L, "c d e f g"),        // head "c d e" → (1,2); tail "e f g"
+      (3L, "e f g h i"),        // head "e f g" → (2,3)
+      (4L, "x y"),              // < k tokens → never a candidate
+      (5L, "q r s t c d e"))    // tail "c d e" too → (5,2)
+      .toDF("doc_id", "text")
+    for (parts <- Seq(1, 4)) {
+      val got = Dedup.stitchCandidates(docs.repartition(parts), "text", "doc_id", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got === Set((1L, 2L, "c d e"), (5L, 2L, "c d e"), (2L, 3L, "e f g")),
+        s"parts=$parts")
+    }
+    // a doc whose head == its own tail must not pair with itself
+    val self = Seq((1L, "a b c a b c"), (2L, "a b c z z z")).toDF("doc_id", "text")
+    val gotSelf = Dedup.stitchCandidates(self, "text", "doc_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotSelf === Set((1L, 2L)))
+    // cap: a boundary gram shared by more heads than `cap` is dropped
+    val hot = (1L to 5L).map(i => (i, s"u$i v$i w$i p q r")) ++ // 5 tails "p q r"
+      (10L to 12L).map(i => (i, "p q r x y z"))                 // 3 heads "p q r"
+    val capped = Dedup.stitchCandidates(hot.toDF("doc_id", "text"), "text", "doc_id",
+      k = 3, cap = 4)
+    assert(capped.count() === 0L) // tail-side df 5 > cap 4 → excluded
+    val uncapped = Dedup.stitchCandidates(hot.toDF("doc_id", "text"), "text", "doc_id",
+      k = 3, cap = 5)
+    assert(uncapped.count() === 15L) // 5 tails × 3 heads
+  }
+
   test("dedupSpans: duplicated k-token spans removed keep-first, shifts caught") {
     val docs = Seq(
       (1L, "a b c d e x"),       // first copy of the span "a b c d e" — kept whole
