@@ -2982,6 +2982,30 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // Retrieval-quality eval: rank of the FIRST relevant neighbor
+    // (same-label) in each query's exact top-10 — the integer core of
+    // MRR@10 (the mean-of-reciprocals is one trivial reduce the caller
+    // can do; keeping ranks integer makes the gate bit-exact). 0 = no
+    // relevant hit in the top 10. Label join is against the tiny
+    // (vec_id, label) projection, broadcast on both sides of the
+    // already-bounded top-k table.
+    "retrieval_mrr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val lab = emb.select(col("vec_id"), col("label"))
+      val q = emb.where(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", "q_id", "q_emb",
+          10, dim = 64)
+        .join(broadcast(lab.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label"))), "neighbor_id")
+        .join(broadcast(lab.select(col("vec_id").as("q_id"),
+          col("label").as("q_label"))), "q_id")
+        .groupBy("q_id")
+        .agg(coalesce(min(when(col("n_label") === col("q_label"), col("rank"))),
+          lit(0)).as("first_rel_rank"))
+        .orderBy("q_id")
+    }),
+
     // LSH-bucketed variant: candidates pruned to the query's sign-LSH
     // bucket before exact scoring — the sublinear scale path.
     "ann_lsh" -> ((s, dir) => {
@@ -4062,40 +4086,40 @@ object SparkEntry {
     // mirror Graph.pageRank term by term ((1.0-0.85)/n, NOT 0.15/n —
     // IEEE 1.0-0.85 != 0.15 exactly).
     "graph_pagerank" ->
-      """WITH raw AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+      """WITH raw AS MATERIALIZED (SELECT c.c_nationkey AS src, s.s_nationkey AS dst
         |             FROM lineitem l
         |             JOIN orders o ON l.l_orderkey = o.o_orderkey
         |             JOIN customer c ON o.o_custkey = c.c_custkey
         |             JOIN supplier s ON l.l_suppkey = s.s_suppkey),
-        | e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
-        | nodes AS (SELECT src AS node FROM raw UNION SELECT dst FROM raw),
-        | nn AS (SELECT count(*) AS n FROM nodes),
-        | deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
-        | r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
-        | d1 AS (SELECT coalesce(sum(r.rank), 0.0) AS dmass FROM r0 r
+        | e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        | nodes AS MATERIALIZED (SELECT src AS node FROM raw UNION SELECT dst FROM raw),
+        | nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+        | deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        | r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
+        | d1 AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS dmass FROM r0 r
         |        LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL),
-        | i1 AS (SELECT e.dst, sum(r.rank / deg.deg) AS inbound
+        | i1 AS MATERIALIZED (SELECT e.dst, sum(r.rank / deg.deg) AS inbound
         |        FROM r0 r JOIN deg ON r.node = deg.src JOIN e ON e.src = r.node
         |        GROUP BY e.dst),
-        | r1 AS (SELECT nodes.node, (1.0 - 0.85) / nn.n
+        | r1 AS MATERIALIZED (SELECT nodes.node, (1.0 - 0.85) / nn.n
         |          + 0.85 * (coalesce(i1.inbound, 0.0) + d1.dmass / nn.n) AS rank
         |        FROM nodes CROSS JOIN nn CROSS JOIN d1
         |        LEFT JOIN i1 ON nodes.node = i1.dst),
-        | d2 AS (SELECT coalesce(sum(r.rank), 0.0) AS dmass FROM r1 r
+        | d2 AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS dmass FROM r1 r
         |        LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL),
-        | i2 AS (SELECT e.dst, sum(r.rank / deg.deg) AS inbound
+        | i2 AS MATERIALIZED (SELECT e.dst, sum(r.rank / deg.deg) AS inbound
         |        FROM r1 r JOIN deg ON r.node = deg.src JOIN e ON e.src = r.node
         |        GROUP BY e.dst),
-        | r2 AS (SELECT nodes.node, (1.0 - 0.85) / nn.n
+        | r2 AS MATERIALIZED (SELECT nodes.node, (1.0 - 0.85) / nn.n
         |          + 0.85 * (coalesce(i2.inbound, 0.0) + d2.dmass / nn.n) AS rank
         |        FROM nodes CROSS JOIN nn CROSS JOIN d2
         |        LEFT JOIN i2 ON nodes.node = i2.dst),
-        | d3 AS (SELECT coalesce(sum(r.rank), 0.0) AS dmass FROM r2 r
+        | d3 AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS dmass FROM r2 r
         |        LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL),
-        | i3 AS (SELECT e.dst, sum(r.rank / deg.deg) AS inbound
+        | i3 AS MATERIALIZED (SELECT e.dst, sum(r.rank / deg.deg) AS inbound
         |        FROM r2 r JOIN deg ON r.node = deg.src JOIN e ON e.src = r.node
         |        GROUP BY e.dst),
-        | r3 AS (SELECT nodes.node, (1.0 - 0.85) / nn.n
+        | r3 AS MATERIALIZED (SELECT nodes.node, (1.0 - 0.85) / nn.n
         |          + 0.85 * (coalesce(i3.inbound, 0.0) + d3.dmass / nn.n) AS rank
         |        FROM nodes CROSS JOIN nn CROSS JOIN d3
         |        LEFT JOIN i3 ON nodes.node = i3.dst)
@@ -5791,6 +5815,21 @@ object SparkEntry {
          |   FROM scored)
          | SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
          | FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replace("\n", " "),
+
+    "retrieval_mrr" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+         |           FROM embeddings WHERE vec_id < 50),
+         | scored AS (
+         |   SELECT q.q_id, q.q_label, e.vec_id AS neighbor_id, e.label AS n_label,
+         |          ${duckCosine("q.q_emb", "e.embedding")} AS cos
+         |   FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id),
+         | ranked AS (
+         |   SELECT q_id, q_label, n_label,
+         |          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+         |   FROM scored)
+         | SELECT q_id,
+         |   coalesce(min(CASE WHEN n_label = q_label THEN rank END), 0) AS first_rel_rank
+         | FROM ranked WHERE rank <= 10 GROUP BY q_id ORDER BY q_id""".stripMargin.replace("\n", " "),
 
     "ann_lsh" ->
       s"""WITH planes AS (

@@ -22,6 +22,9 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     con = duckdb.connect()
+    # bounded: one runaway oracle must fail its own entry, not take the
+    # whole host (an unlimited run reached 108 GB RSS in round 7)
+    con.execute("SET memory_limit='24GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
@@ -36,6 +39,7 @@ def main():
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
             times[name] = round(best, 3)
+            print(f"OK {name}: {times[name]}", file=sys.stderr)
         except Exception as e:
             times[name] = None
             print(f"ERR {name}: {str(e)[:100]}", file=sys.stderr)
