@@ -628,6 +628,34 @@ object SparkEntry {
         .orderBy("c_custkey", "valid_from")
     }),
 
+    // Point-in-time (as-of) lookup over the SCD2 history: for each key
+    // and probe time, the attribute version whose validity interval
+    // contains the probe — the temporal-correctness read path every SCD2
+    // table exists for (training-snapshot reproduction: "features as the
+    // model saw them"). Equi-join on the key, interval containment as a
+    // post-filter — never an inequality-only join. Probes at t=500
+    // (pre-batch) and t=1500 (post-batch) hit both version branches.
+    "scd2_asof_lookup" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val current = c.select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("bigint"))
+      val updates = c.where(col("c_custkey") % 3 === 0 || col("c_custkey") % 5 === 1)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 3 === 0, round(col("c_acctbal") + 100, 2))
+            .otherwise(col("c_acctbal")).as("c_acctbal"),
+          col("c_mktsegment"), lit(1000L).as("ts"))
+      val hist = graft.ops.Snapshot.scd2Apply(current, updates, Seq("c_custkey"),
+        Seq("c_acctbal", "c_mktsegment"), "ts")
+      val probes = c.select(col("c_custkey"))
+        .withColumn("t", explode(array(lit(500L), lit(1500L))))
+      probes.join(hist, Seq("c_custkey"))
+        .where(col("valid_from") <= col("t") &&
+          (col("valid_to").isNull || col("t") < col("valid_to")))
+        .select(col("c_custkey"), col("t"), col("c_acctbal"), col("c_mktsegment"))
+        .orderBy("c_custkey", "t")
+    }),
+
     // CDC log compaction: last write per user under (ts, event_id) —
     // µs-resolution ordering on BOTH engines (NOTES.md fact 13).
     "cdc_latest" -> ((s, dir) =>
@@ -4053,6 +4081,37 @@ object SparkEntry {
         | SELECT * FROM keep UNION ALL SELECT * FROM closed_now
         | UNION ALL SELECT * FROM new_open
         | ORDER BY c_custkey, valid_from""".stripMargin.replace("\n", " "),
+
+    "scd2_asof_lookup" ->
+      """WITH cur AS (SELECT c_custkey, c_acctbal, c_mktsegment,
+        |                    0::BIGINT AS valid_from, NULL::BIGINT AS valid_to FROM customer),
+        | upd AS (SELECT c_custkey,
+        |                CASE WHEN c_custkey % 3 = 0 THEN round(c_acctbal + 100, 2)
+        |                     ELSE c_acctbal END AS u_bal,
+        |                c_mktsegment AS u_seg, 1000::BIGINT AS uts
+        |         FROM customer WHERE c_custkey % 3 = 0 OR c_custkey % 5 = 1),
+        | keep AS (SELECT c.* FROM cur c LEFT JOIN upd u USING (c_custkey)
+        |          WHERE u.c_custkey IS NULL
+        |             OR (NOT c.c_acctbal IS DISTINCT FROM u.u_bal
+        |                 AND NOT c.c_mktsegment IS DISTINCT FROM u.u_seg)),
+        | closed_now AS (SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment,
+        |                       c.valid_from, u.uts AS valid_to
+        |                FROM cur c JOIN upd u USING (c_custkey)
+        |                WHERE c.c_acctbal IS DISTINCT FROM u.u_bal
+        |                   OR c.c_mktsegment IS DISTINCT FROM u.u_seg),
+        | new_open AS (SELECT u.c_custkey, u.u_bal AS c_acctbal, u.u_seg AS c_mktsegment,
+        |                     u.uts AS valid_from, NULL::BIGINT AS valid_to
+        |              FROM upd u LEFT JOIN cur c USING (c_custkey)
+        |              WHERE c.c_custkey IS NULL
+        |                 OR c.c_acctbal IS DISTINCT FROM u.u_bal
+        |                 OR c.c_mktsegment IS DISTINCT FROM u.u_seg),
+        | hist AS (SELECT * FROM keep UNION ALL SELECT * FROM closed_now
+        |          UNION ALL SELECT * FROM new_open),
+        | probes AS (SELECT c_custkey, unnest([500::BIGINT, 1500::BIGINT]) AS t FROM customer)
+        | SELECT p.c_custkey, p.t, h.c_acctbal, h.c_mktsegment
+        | FROM probes p JOIN hist h USING (c_custkey)
+        | WHERE h.valid_from <= p.t AND (h.valid_to IS NULL OR p.t < h.valid_to)
+        | ORDER BY p.c_custkey, p.t""".stripMargin.replace("\n", " "),
 
     "cdc_latest" ->
       """SELECT user_id, event_id, event_type, ts_us FROM (
