@@ -114,7 +114,7 @@ object Bench {
     * complete 130+-query record is in BENCH_FULL.json — this set only has
     * to keep the driver-visible line under the ~2000-char tail capture.
     */
-  private val headline: Set[String] = Set(
+  private[graft] val headline: Set[String] = Set(
     // reference core
     "fast_docs", "merge_fast_docs", "nt_parse", "nt_quarantine", "viaf_update",
     "q1_filter_project", "q4_groupby_collect", "q5_first_nonnull",
@@ -127,7 +127,7 @@ object Bench {
     // dedup family
     "dedup_exact", "dedup_minhash_pairs", "dedup_clusters", "dedup_ppjoin",
     "dedup_ngram", "dedup_simhash", "dedup_winnow_pairs", "dedup_cosine_pairs",
-    "dedup_incremental", "dedup_canonical",
+    "dedup_incremental", "dedup_canonical", "dedup_spans", "dedup_stitch",
     // ANN / embeddings
     "ann_topk", "ann_ivf", "ann_lsh", "embed_neardup", "embed_clusters",
     // sketches
@@ -141,5 +141,6 @@ object Bench {
     "decontaminate",
     // pipelines, sampling, layout
     "pipeline_curate", "pipeline_pretrain", "sample_temperature",
-    "sample_weighted", "pack_sequences", "layout_zorder", "scd2_history")
+    "sample_weighted", "pack_sequences", "layout_zorder", "scd2_history",
+    "events_attribution", "retrieval_mrr", "tpch_q17_style")
 }

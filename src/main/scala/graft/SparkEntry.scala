@@ -5846,7 +5846,8 @@ object SparkEntry {
         | pp AS (SELECT l_partkey, sum(qc) AS sumq, count(*) AS cnt FROM lif GROUP BY 1)
         | SELECT count(*) AS n_rows,
         |   CAST(round(coalesce(sum(price), 0) * 100) AS BIGINT) AS sum_cents
-        | FROM lif JOIN pp USING (l_partkey) WHERE 5 * qc * cnt < sumq""".stripMargin.replace("\n", " "),
+        | FROM lif JOIN pp USING (l_partkey) WHERE 5 * qc * cnt < sumq
+        | ORDER BY n_rows""".stripMargin.replace("\n", " "),
 
     "text_langid" -> textLangidOracle,
 

@@ -24,6 +24,13 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
     assert(stale.isEmpty, s"rows-only allowlist entries with no query: $stale")
   }
 
+  test("every bench headline name is a real query") {
+    // a renamed/removed query must fail here, not silently vanish from
+    // the driver-visible bench line
+    val orphans = Bench.headline -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"headline names without a query: $orphans")
+  }
+
   test("no orphan oracles") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without a query: $orphans")
