@@ -30,7 +30,7 @@ object EventsSmoke {
 
     val names = Seq("q35_sessionize", "q22_range_join", "q36_funnel",
       "q39_resample", "q40_range_window", "q49_hopping_window",
-      "cohort_retention", "cdc_latest", "events_ewma")
+      "cohort_retention", "cdc_latest", "events_ewma", "events_attribution")
     println(f"EVENTS_SMOKE copies=$copies rows=$n")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
