@@ -1542,6 +1542,27 @@ object SparkEntry {
     // oracle's recursive CTE converge to the same set regardless of how
     // many rounds each takes. The classic graph-shaped quality gate
     // (shallow cores = weakly-attached spam/bot nodes).
+    // Personalized PageRank from a seed set (nations 0-4) on the same
+    // customer-nation → supplier-nation graph as graph_pagerank: the
+    // "expand from THESE seeds" primitive. Integer 1e8 output like
+    // graph_pagerank; oracle is the 3-round unrolled MATERIALIZED chain.
+    "graph_ppr" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val e = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      val seeds = t(s, dir, "nation").where(col("n_nationkey") < 5)
+        .select(col("n_nationkey"))
+      graft.ops.Graph.personalizedPageRank(e, "src", "dst",
+          seeds, "n_nationkey", iterations = 3)
+        .select(col("node"), round(col("rank") * lit(1e8)).cast("long").as("rank_e8"))
+        .orderBy("node")
+    }),
+
     "graph_kcore" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").where(col("l_linenumber") === 1)
         .select("l_orderkey", "l_suppkey")
@@ -4812,6 +4833,50 @@ object SparkEntry {
     // reference its CTE only once, but degree needs both endpoints'
     // survivorship — the list carries the whole set past that limit);
     // iteration stops when no node is peeled (len(nxt) = len(surv)).
+    "graph_ppr" ->
+      """WITH raw AS MATERIALIZED (SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+        |             FROM lineitem l
+        |             JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |             JOIN customer c ON o.o_custkey = c.c_custkey
+        |             JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        | e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        | nodes AS MATERIALIZED (SELECT src AS node FROM raw UNION SELECT dst FROM raw),
+        | ns AS MATERIALIZED (SELECT count(*) AS n FROM nodes WHERE node < 5),
+        | deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        | tn AS MATERIALIZED (SELECT nodes.node,
+        |        CASE WHEN nodes.node < 5 THEN 1.0::DOUBLE / ns.n ELSE 0.0::DOUBLE END AS t
+        |      FROM nodes CROSS JOIN ns),
+        | r0 AS MATERIALIZED (SELECT node, t AS rank FROM tn),
+        | d1 AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS dmass FROM r0 r
+        |        LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL),
+        | i1 AS MATERIALIZED (SELECT e.dst, sum(r.rank / deg.deg) AS inbound
+        |        FROM r0 r JOIN deg ON r.node = deg.src JOIN e ON e.src = r.node
+        |        GROUP BY e.dst),
+        | r1 AS MATERIALIZED (SELECT tn.node,
+        |          (1.0::DOUBLE - 0.85::DOUBLE) * tn.t
+        |          + 0.85::DOUBLE * (coalesce(i1.inbound, 0.0) + d1.dmass * tn.t) AS rank
+        |        FROM tn CROSS JOIN d1 LEFT JOIN i1 ON tn.node = i1.dst),
+        | d2 AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS dmass FROM r1 r
+        |        LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL),
+        | i2 AS MATERIALIZED (SELECT e.dst, sum(r.rank / deg.deg) AS inbound
+        |        FROM r1 r JOIN deg ON r.node = deg.src JOIN e ON e.src = r.node
+        |        GROUP BY e.dst),
+        | r2 AS MATERIALIZED (SELECT tn.node,
+        |          (1.0::DOUBLE - 0.85::DOUBLE) * tn.t
+        |          + 0.85::DOUBLE * (coalesce(i2.inbound, 0.0) + d2.dmass * tn.t) AS rank
+        |        FROM tn CROSS JOIN d2 LEFT JOIN i2 ON tn.node = i2.dst),
+        | d3 AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS dmass FROM r2 r
+        |        LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL),
+        | i3 AS MATERIALIZED (SELECT e.dst, sum(r.rank / deg.deg) AS inbound
+        |        FROM r2 r JOIN deg ON r.node = deg.src JOIN e ON e.src = r.node
+        |        GROUP BY e.dst),
+        | r3 AS MATERIALIZED (SELECT tn.node,
+        |          (1.0::DOUBLE - 0.85::DOUBLE) * tn.t
+        |          + 0.85::DOUBLE * (coalesce(i3.inbound, 0.0) + d3.dmass * tn.t) AS rank
+        |        FROM tn CROSS JOIN d3 LEFT JOIN i3 ON tn.node = i3.dst)
+        | SELECT node::BIGINT AS node, round(rank * 1e8)::BIGINT AS rank_e8
+        | FROM r3 ORDER BY node""".stripMargin.replace("\n", " "),
+
     "graph_kcore" ->
       """WITH RECURSIVE
         | ed AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst

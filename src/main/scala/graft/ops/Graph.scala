@@ -82,6 +82,66 @@ object Graph {
     out
   }
 
+  /** Personalized PageRank (teleport restricted to a source set — the
+    * "similar to THESE nodes" primitive behind graph recommenders and
+    * seed-set expansion): rank = (1−d)·t(v) + d·(inbound + dmass·t(v)),
+    * where t(v) = 1/|S| for source nodes and 0 elsewhere; dangling mass
+    * re-teleports to the source set, so total rank stays 1.0. Same
+    * per-round shape and iteration discipline as [[pageRank]] — the
+    * teleport weight is one static column riding the rank state.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, sourceCol: String,
+      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    val rawD = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = rawD.where(col("src") =!= col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = rawD.select(col("src").as("node"))
+      .union(rawD.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val srcSet = sources.select(col(sourceCol).cast("long").as("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nS = srcSet.count()
+    require(nS > 0, "personalizedPageRank needs at least one source node in the graph")
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // static per-node state: teleport weight + out-degree; rank starts AT
+    // the teleport distribution
+    var ranks = Iterate.materialize(nodes
+      .join(srcSet.withColumn("_s", lit(1)), Seq("node"), "left")
+      .join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .withColumn("t", when(col("_s").isNotNull, lit(1.0) / nS).otherwise(lit(0.0)))
+      .select(col("node"), col("deg"), col("t"), col("t").as("rank")))
+    var i = 0
+    while (i < iterations) {
+      val inbound = ranks.df.where(col("deg").isNotNull)
+        .select(col("node").as("src"), (col("rank") / col("deg")).as("share"))
+        .join(e, "src")
+        .groupBy("dst")
+        .agg(sum("share").as("inbound"))
+      val dangling = ranks.df.where(col("deg").isNull)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
+      val next = ranks.df.select("node", "deg", "t")
+        .join(inbound.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"), col("deg"), col("t"),
+          (lit(1.0 - damping) * col("t") +
+            lit(damping) * (coalesce(col("inbound"), lit(0.0)) +
+              col("dmass") * col("t"))).as("rank"))
+      val materialized = Iterate.materialize(next)
+      ranks.release()
+      ranks = materialized
+      i += 1
+    }
+    val out = ranks.df.select("node", "rank")
+    rawD.unpersist(); e.unpersist(); nodes.unpersist(); srcSet.unpersist()
+    out
+  }
+
   /** Community detection by synchronous label propagation (Raghavan et
     * al. '07): every node starts as its own label; each round, every
     * node adopts its neighbors' most frequent label (ties → smallest

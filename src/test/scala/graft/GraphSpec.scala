@@ -65,6 +65,40 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------- personalized PageRank
+
+  private def ppr(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                  iters: Int = 20): Map[Long, Double] =
+    Graph.personalizedPageRank(edges.toDF("s", "d"), "s", "d",
+        seeds.toDF("n"), "n", iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("personalizedPageRank: mass conserved, zero off the seed component") {
+    // two disconnected 2-cycles; seeds only in the first
+    val got = ppr(Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)), Seq(1L))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, s"mass drifted: $got")
+    assert(got(3L) === 0.0 && got(4L) === 0.0, "rank leaked off the seed component")
+    assert(got(1L) > got(2L), "seed should outrank its non-seed neighbor")
+  }
+
+  test("personalizedPageRank: dangling mass re-teleports to seeds only") {
+    // 1 -> 2, 2 dangling: its mass must return to the seed, not spread
+    val got = ppr(Seq((1L, 2L)), Seq(1L), iters = 30)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    assert(got(1L) > got(2L), "teleport-to-seed must dominate the dangling sink")
+  }
+
+  test("personalizedPageRank: uniform seeds over all nodes equals pageRank") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 2L))
+    val nodes = Seq(1L, 2L, 3L)
+    val p = ppr(edges, nodes, iters = 15)
+    val g = Graph.pageRank(edges.toDF("s", "d"), "s", "d", 15)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    nodes.foreach { n =>
+      assert(math.abs(p(n) - g(n)) < 1e-12, s"node $n: ${p(n)} vs ${g(n)}")
+    }
+  }
+
   // ----------------------------------------------------- label propagation
 
   private def lpa(edges: Seq[(Long, Long)], iters: Int = 10): Map[Long, Long] =
