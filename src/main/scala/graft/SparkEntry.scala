@@ -2988,6 +2988,33 @@ object SparkEntry {
           expr("CAST(round(coalesce(sum(price), 0) * 100) AS BIGINT)").as("sum_cents"))
     }),
 
+    // TPC-H Q22-style "global sales opportunity": per nation, customers
+    // whose balance is strictly above their nation's positive-balance
+    // average AND who are LAPSED (no order since 2000-01-01 — the
+    // fixture has no order-less customers, so the recency predicate
+    // keeps Q22's anti-join shape non-vacuous). The scalar correlated
+    // average decorrelates into one per-nation aggregate (broadcast —
+    // O(nations) rows at any scale); the date filter pushes into the
+    // orders scan ahead of the anti-join; the comparison is
+    // cross-multiplied integer cents (bal·cnt > sum), no float division.
+    "tpch_q22_style" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey").as("nation"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+      val avgPos = cust.where(col("cents") > 0L)
+        .groupBy("nation")
+        .agg(sum("cents").as("sum_pos"), count(lit(1)).as("n_pos"))
+      val recent = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      cust.join(broadcast(avgPos), Seq("nation"))
+        .where(col("cents") * col("n_pos") > col("sum_pos"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("nation")
+        .agg(count(lit(1)).as("n_cust"), sum("cents").as("total_cents"))
+        .orderBy("nation")
+    }),
+
     // Character-bigram language ID (the n-gram heuristic variant of
     // text_langid): score = frequency of language-typical bigrams.
     "text_langid_ngram" -> ((s, dir) => {
@@ -5913,6 +5940,18 @@ object SparkEntry {
         |   CAST(round(coalesce(sum(price), 0) * 100) AS BIGINT) AS sum_cents
         | FROM lif JOIN pp USING (l_partkey) WHERE 5 * qc * cnt < sumq
         | ORDER BY n_rows""".stripMargin.replace("\n", " "),
+
+    "tpch_q22_style" ->
+      """WITH cust AS (SELECT c_custkey, c_nationkey AS nation,
+        |                CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        | avgpos AS (SELECT nation, sum(cents) AS sum_pos, count(*) AS n_pos
+        |            FROM cust WHERE cents > 0 GROUP BY nation)
+        | SELECT nation, count(*) AS n_cust, sum(cents)::BIGINT AS total_cents
+        | FROM cust JOIN avgpos USING (nation)
+        | WHERE cents * n_pos > sum_pos
+        |   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = cust.c_custkey
+        |                   AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        | GROUP BY nation ORDER BY nation""".stripMargin.replace("\n", " "),
 
     "text_langid" -> textLangidOracle,
 
