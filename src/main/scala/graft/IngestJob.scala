@@ -69,15 +69,12 @@ object IngestJob {
       val docs = FastIngest.enrich(termDocs, FastIngest.sameAsLabels(fragments))
       val fastReport = Sinks.writeFast(docs, s"$outDir/fast")
 
-      // agent path
+      // agent path — viafUpdate is lazy, so the sink write below is the
+      // ONLY materialization of the updated table (no pre-write checkpoint)
       val viafRows = viaf.map { v =>
         val agentFrags = fragments.where(col("doc_type").isin(AgentTypes: _*))
         val updated = FastIngest.viafUpdate(FastIngest.agentOtherIds(agentFrags), v)
-        val rows = Sinks.writeViaf(updated, s"$outDir/viaf").rows
-        // sink has fully consumed the eager viafUpdate result — reclaim its
-        // checkpoint files now rather than waiting for GC/session exit
-        graft.ops.Iterate.releaseCheckpoint(updated)
-        rows
+        Sinks.writeViaf(updated, s"$outDir/viaf").rows
       }.getOrElse(0L)
       RunReport(fastReport.rows, viafRows)
     } finally {
@@ -115,7 +112,6 @@ object IngestJob {
       val viaf = spark.read.parquet(args(3))
       val updated = FastIngest.viafUpdate(FastIngest.agentOtherIds(fragments), viaf)
       val viafReport = Sinks.writeViaf(updated, s"$outDir/viaf")
-      graft.ops.Iterate.releaseCheckpoint(updated)
       println(s"VIAF_ROWS=${viafReport.rows}")
     }
     fragments.unpersist()

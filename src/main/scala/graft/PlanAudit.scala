@@ -3,11 +3,12 @@ package graft
 /** Dump formatted physical plans for representative queries — the
   * "explain and iterate" loop. Usage: PlanAudit [queryName ...]
   *
-  * Caveat: EAGER ops (ingestDocs, viafUpdate, bm25TopTerms — anything
-  * wrapped in Iterate.scoped) execute at build time, so their printed
-  * plan is the post-checkpoint scan, not the pipeline that ran. Audit
-  * those by reading the op's construction (and this tool's plan for the
-  * stages downstream of the checkpoint).
+  * Caveat: EAGER ops (bm25TopTerms — anything wrapped in Iterate.scoped)
+  * execute at build time, so their printed plan is the post-checkpoint
+  * scan, not the pipeline that ran. Audit those by reading the op's
+  * construction (and this tool's plan for the stages downstream of the
+  * checkpoint). ingestDocs/viafUpdate are lazy as of round 8 and audit
+  * normally.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

@@ -35,10 +35,10 @@ object ScaleSmoke {
     val lines = spark.read.text(ntDir).withColumnRenamed("value", "line")
     val nLines = lines.count()
     val t1 = System.nanoTime()
-    val docs = graft.ingest.FastIngest.ingestDocs(lines, lit("Topical"))
-    val rows = docs.count() // ingestDocs is eager; this reads the checkpoint
+    val staged = graft.ingest.FastIngest.ingestDocsStaged(lines, lit("Topical"))
+    val rows = staged.result.count() // the one materializing action
     val tIngest = (System.nanoTime() - t1) / 1e9
-    graft.ops.Iterate.releaseCheckpoint(docs)
+    staged.release()
 
     val peakHeapMb = ManagementFactory.getMemoryPoolMXBeans.asScala
       .filter(_.getType == MemoryType.HEAP)

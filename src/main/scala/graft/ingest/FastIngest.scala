@@ -213,31 +213,45 @@ object FastIngest {
         sort_array(array_distinct(concat($"normalized", coalesce($"matchedNormalized", array()))))
           .as("normalized"))
 
+  /** A lazily-built op result plus the release handle for its cached
+    * intermediate. The caller runs its ONE materializing action (typically
+    * the sink write — the only full materialization on the path), then
+    * calls [[release]]; any further action on [[result]] after release
+    * recomputes from source. Harness paths that can't thread the handle
+    * (Verify/Bench run `GraftSession.releaseAll` between queries) are
+    * covered by that sweep instead.
+    */
+  final case class Staged(result: DataFrame, release: () => Unit)
+
   /** Term path end-to-end: lines → enriched docs.
     * `fragments` feeds three branches (docs, label table, enrichment probe)
     * and is persisted so the parse/project scan runs once; the enrichment
     * probe joins at fragment level, so the grouped docs are consumed
-    * exactly once (no second materialization).
-    * (MEMORY_AND_DISK: at cluster scale the persist spills, not OOMs.)
+    * exactly once. (MEMORY_AND_DISK: at cluster scale the persist spills,
+    * not OOMs.)
     *
-    * EAGER: the result is materialized via [[graft.ops.Iterate.scoped]]
-    * (full query runs and is checkpointed at call time; failures surface
-    * here, not at the caller's action) and the fragment cache is released
-    * before returning — no cache outlives the call, and the returned frame
-    * is already computed, so don't stack further materializations on it.
-    * Callers that finish with the result (e.g. after a sink write) can
-    * reclaim its checkpoint files with
-    * [[graft.ops.Iterate.releaseCheckpoint]].
+    * LAZY: nothing runs until the caller's action — at 100 TB the sink
+    * write is then the ONLY materialization of the result (round 7 eagerly
+    * checkpointed here, doubling output I/O on the ingest path). The
+    * fragments cache populates during that action and is freed via the
+    * returned [[Staged]] handle once the action completes.
     */
-  def ingestDocs(lines: DataFrame, docType: Column): DataFrame = {
+  def ingestDocsStaged(lines: DataFrame, docType: Column): Staged = {
     val fragments = project(parse(lines))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.ops.Iterate.scoped(
+    Staged(
       applyMatches(
         buildDocs(fragments, docType),
         matchesFromFragments(fragments, sameAsLabels(fragments))),
-      fragments)
+      () => { fragments.unpersist(); () })
   }
+
+  /** [[ingestDocsStaged]] without the handle — for harness/interactive
+    * call-sites whose storage is swept externally
+    * ([[graft.GraftSession.releaseAll]]).
+    */
+  def ingestDocs(lines: DataFrame, docType: Column): DataFrame =
+    ingestDocsStaged(lines, docType).result
 
   /** P4 — agent records: otherId = trailing segment of the sameAs link, LC
     * link preferred (`lib/ingest.js:217-228`); linkless fragments dropped.
@@ -251,39 +265,36 @@ object FastIngest {
 
   /** J2/K4 — the VIAF lookup-update, one declarative pass instead of a
     * read-modify-write per triple (`lib/ingest.js:106-130,212-232`):
-    * group agent fast-ids per otherId, equi-join against `viaf` on either
-    * key (as a union of two hash joins — keeps both sides hash-joinable at
-    * scale, no BroadcastNestedLoop), keep the first match per otherId
-    * (min `_id`, the deterministic stand-in for Mongo's `results[0]`), then
-    * array-union the fast ids into the matched rows.
+    * group agent fast-ids per otherId, UNPIVOT the viaf keys
+    * (`explode(array(viaf, lcId))`) so the disjunctive match is ONE
+    * equi-join — both sides stay hash-joinable at scale (no
+    * BroadcastNestedLoop) and the agent side is consumed exactly once, so
+    * the op needs no persist and stays fully LAZY: the caller's sink write
+    * is the only materialization (round 7 checkpointed eagerly here,
+    * doubling output I/O). The unpivot doubles viaf-side *key* rows only —
+    * a two-column projection, not the payload. Keep the first match per
+    * otherId (min `_id`, the deterministic stand-in for Mongo's
+    * `results[0]`), then array-union the fast ids into the matched rows.
     *
     * `viaf` schema: _id STRING, viaf STRING, lcId STRING, fast ARRAY<INT>.
     * Returns the full updated viaf table (unmatched rows unchanged).
-    * EAGER, like [[ingestDocs]]: computed and checkpointed at call time via
-    * [[graft.ops.Iterate.scoped]]; reclaim with
-    * [[graft.ops.Iterate.releaseCheckpoint]] when done.
     */
   def viafUpdate(agents: DataFrame, viaf: DataFrame): DataFrame = {
-    // byOther probes both join branches — persist so the agent-side scan +
-    // groupBy run once; released via Iterate.scoped before returning.
     val byOther = agents.groupBy($"otherId").agg(collect_set($"id").as("newFast"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val viafKeys = viaf.select($"_id".as("v_id"), $"viaf", $"lcId")
-    val m1 = byOther.join(viafKeys, $"otherId" === $"viaf")
-    val m2 = byOther.join(viafKeys, $"otherId" === $"lcId")
-    val firstMatch = m1.unionByName(m2)
+    val viafKeys = viaf
+      .select($"_id".as("v_id"), explode(array($"viaf", $"lcId")).as("vkey"))
+      .where($"vkey".isNotNull)
+    val firstMatch = byOther.join(viafKeys, $"otherId" === $"vkey")
       .groupBy($"otherId").agg(min($"v_id").as("v_id"), first($"newFast").as("newFast"))
     val perViaf = firstMatch
       .groupBy($"v_id")
       .agg(array_distinct(flatten(collect_list($"newFast"))).as("addFast"))
-    graft.ops.Iterate.scoped(
-      viaf
-        .join(perViaf, viaf("_id") === perViaf("v_id"), "left")
-        .select(viaf("_id"), $"viaf", $"lcId",
-          when($"addFast".isNotNull,
-            sort_array(array_distinct(concat(coalesce($"fast", array()), $"addFast"))))
-            .otherwise($"fast").as("fast")),
-      byOther)
+    viaf
+      .join(perViaf, viaf("_id") === perViaf("v_id"), "left")
+      .select(viaf("_id"), $"viaf", $"lcId",
+        when($"addFast".isNotNull,
+          sort_array(array_distinct(concat(coalesce($"fast", array()), $"addFast"))))
+          .otherwise($"fast").as("fast"))
   }
 
   private implicit class Interp(val sc: StringContext) {

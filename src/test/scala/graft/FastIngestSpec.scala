@@ -93,18 +93,19 @@ class FastIngestSpec extends SparkSpec {
     GraftSession.releaseAll(spark)
     val sc = spark.sparkContext
     val base = sc.getPersistentRDDs.size
-    val docs = FastIngest.ingestDocs(Seq(fastLine(1, pref, "\"Doc One\"")).toDF("line"),
-      lit("Topical"))
-    docs.collect()
+    val baseCache = !spark.sharedState.cacheManager.isEmpty
+    val staged = FastIngest.ingestDocsStaged(
+      Seq(fastLine(1, pref, "\"Doc One\"")).toDF("line"), lit("Topical"))
+    staged.result.collect() // the one materializing action
+    staged.release()        // frees the fragments intermediate
     val upd = FastIngest.viafUpdate(
       Seq((10, "v1")).toDF("id", "otherId"),
       Seq(("a", "v1", "lcA", Seq(99))).toDF("_id", "viaf", "lcId", "fast"))
-    upd.collect()
-    // each op may leave exactly its RESULT's backing storage (caller-
-    // releasable); anything beyond that is an intermediate leak
-    Seq(docs, upd).foreach(graft.ops.Iterate.releaseCheckpoint)
+    upd.collect() // fully lazy op — nothing to release
     assert(sc.getPersistentRDDs.size === base,
       s"ingest ops leaked persisted RDDs: ${sc.getPersistentRDDs.values.map(_.name)}")
+    assert(spark.sharedState.cacheManager.isEmpty || baseCache,
+      "ingest ops leaked CacheManager entries")
   }
 
   test("viafUpdate: lcId key matches too") {

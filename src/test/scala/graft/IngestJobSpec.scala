@@ -90,7 +90,27 @@ class IngestJobSpec extends SparkSpec {
       ("vD", "111", "lc111", Seq(9))                     // untouched
     ).toDF("_id", "viaf", "lcId", "fast")
 
+    // Single-materialization sink path (round-8): the writes inside runAll
+    // must be the ONLY materializations — no pre-write checkpoint (neither
+    // reliable checkpoint files nor localCheckpoint RDD blocks) and no
+    // cache surviving the call.
+    GraftSession.releaseAll(spark)
+    // getCheckpointDir is a file: URI whose UUID subdir is only created on
+    // first checkpoint — absent dir means zero checkpoints, which is the point
+    val ckptDir = spark.sparkContext.getCheckpointDir
+      .map(u => Paths.get(java.net.URI.create(u).getPath))
+    def ckptEntries: Long = ckptDir.filter(Files.isDirectory(_))
+      .map(p => Files.list(p).count()).getOrElse(0L)
+    val (ckpt0, rdds0) = (ckptEntries, spark.sparkContext.getPersistentRDDs.size)
+
     val report = IngestJob.runAll(spark, dir, s"$dir/out", Some(viaf))
+
+    assert(ckptEntries === ckpt0,
+      "runAll wrote checkpoint files on the sink path — result must flow straight to the sink")
+    assert(spark.sparkContext.getPersistentRDDs.size === rdds0,
+      s"runAll leaked persisted RDDs: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "runAll leaked CacheManager entries past the sink write")
 
     val fast = Sinks.readTable(spark, s"$dir/out/fast").collect()
       .map(r => r.getAs[Int]("_id") -> r).toMap
