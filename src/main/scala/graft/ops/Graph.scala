@@ -51,35 +51,55 @@ object Graph {
     // The static out-degree rides IN the rank state (null = dangling), so
     // a round joins state to edges and aggregates — the per-round
     // state⋈outDeg exchange is paid once here, not `iterations` times.
-    var ranks = Iterate.materialize(nodes
+    //
+    // Rank state has THREE consumers per round (inbound shares, dangling
+    // mass, next-state join), so it must be stored either way; at bounded
+    // depth (iterations ≤ Iterate.LazyRounds) a LAZY persist per round
+    // replaces the per-round checkpoint job and the final materialize is
+    // the only post-count action. Deeper iterations keep the per-round
+    // lineage cut.
+    val lazily = iterations <= Iterate.LazyRounds
+    var cachedRounds = List.empty[DataFrame]
+    var pending: Option[Iterate.Materialized] = None
+    def roundStore(df: DataFrame): DataFrame =
+      if (lazily) {
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        cachedRounds ::= p
+        p
+      } else {
+        val m = Iterate.materialize(df)
+        pending.foreach(_.release())
+        pending = Some(m)
+        m.df
+      }
+    var ranks = roundStore(nodes
       .join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left")
       .withColumn("rank", lit(1.0 / n)))
     var i = 0
     while (i < iterations) {
       // per-edge contributions from non-dangling nodes
-      val inbound = ranks.df.where(col("deg").isNotNull)
+      val inbound = ranks.where(col("deg").isNotNull)
         .select(col("node").as("src"), (col("rank") / col("deg")).as("share"))
         .join(e, "src")
         .groupBy("dst")
         .agg(sum("share").as("inbound"))
       // dangling mass as a one-row broadcast, not a per-round action
-      val dangling = ranks.df.where(col("deg").isNull)
+      val dangling = ranks.where(col("deg").isNull)
         .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
-      val next = ranks.df.select("node", "deg")
+      ranks = roundStore(ranks.select("node", "deg")
         .join(inbound.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"), col("deg"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("inbound"), lit(0.0)) +
-              col("dmass") / n)).as("rank"))
-      val materialized = Iterate.materialize(next)
-      ranks.release()
-      ranks = materialized
+              col("dmass") / n)).as("rank")))
       i += 1
     }
-    val out = ranks.df.select("node", "rank")
+    val out = Iterate.materialize(ranks.select("node", "rank"))
+    pending.foreach(_.release())
+    cachedRounds.foreach(_.unpersist())
     rawD.unpersist(); e.unpersist(); nodes.unpersist()
-    out
+    out.df
   }
 
   /** Personalized PageRank (teleport restricted to a source set — the
@@ -110,36 +130,51 @@ object Graph {
     require(nS > 0, "personalizedPageRank needs at least one source node in the graph")
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // static per-node state: teleport weight + out-degree; rank starts AT
-    // the teleport distribution
-    var ranks = Iterate.materialize(nodes
+    // the teleport distribution. Same bounded-depth round storage policy
+    // as [[pageRank]]: lazy persist per round under LazyRounds, per-round
+    // lineage cut above it.
+    val lazily = iterations <= Iterate.LazyRounds
+    var cachedRounds = List.empty[DataFrame]
+    var pending: Option[Iterate.Materialized] = None
+    def roundStore(df: DataFrame): DataFrame =
+      if (lazily) {
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        cachedRounds ::= p
+        p
+      } else {
+        val m = Iterate.materialize(df)
+        pending.foreach(_.release())
+        pending = Some(m)
+        m.df
+      }
+    var ranks = roundStore(nodes
       .join(srcSet.withColumn("_s", lit(1)), Seq("node"), "left")
       .join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left")
       .withColumn("t", when(col("_s").isNotNull, lit(1.0) / nS).otherwise(lit(0.0)))
       .select(col("node"), col("deg"), col("t"), col("t").as("rank")))
     var i = 0
     while (i < iterations) {
-      val inbound = ranks.df.where(col("deg").isNotNull)
+      val inbound = ranks.where(col("deg").isNotNull)
         .select(col("node").as("src"), (col("rank") / col("deg")).as("share"))
         .join(e, "src")
         .groupBy("dst")
         .agg(sum("share").as("inbound"))
-      val dangling = ranks.df.where(col("deg").isNull)
+      val dangling = ranks.where(col("deg").isNull)
         .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
-      val next = ranks.df.select("node", "deg", "t")
+      ranks = roundStore(ranks.select("node", "deg", "t")
         .join(inbound.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"), col("deg"), col("t"),
           (lit(1.0 - damping) * col("t") +
             lit(damping) * (coalesce(col("inbound"), lit(0.0)) +
-              col("dmass") * col("t"))).as("rank"))
-      val materialized = Iterate.materialize(next)
-      ranks.release()
-      ranks = materialized
+              col("dmass") * col("t"))).as("rank")))
       i += 1
     }
-    val out = ranks.df.select("node", "rank")
+    val out = Iterate.materialize(ranks.select("node", "rank"))
+    pending.foreach(_.release())
+    cachedRounds.foreach(_.unpersist())
     rawD.unpersist(); e.unpersist(); nodes.unpersist(); srcSet.unpersist()
-    out
+    out.df
   }
 
   /** Community detection by synchronous label propagation (Raghavan et
@@ -161,52 +196,63 @@ object Graph {
     // ONE pass over the upstream edge derivation (graph_labelprop's is a
     // lineitem self-join): the distinct raw pair set is persisted and both
     // the symmetrized edge list and the node set derive from it.
-    val dirD = edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
+    // Canonical undirected pairs (least, greatest): ONE distinct over |E|
+    // instead of a distinct over the 2|E| symmetrized list — the union
+    // with its own swap is then duplicate-free by construction.
+    val undir = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val e = dirD.unionAll(dirD.select(col("dst").as("src"), col("src").as("dst")))
-      .where(col("src") =!= col("dst"))
-      .distinct()
+    val e = undir.where(col("u") =!= col("v"))
+      .select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(undir.where(col("u") =!= col("v"))
+        .select(col("v").as("src"), col("u").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // node set from RAW edges (before the self-loop filter): a node whose
-    // only incident edges are self-loops has no neighbors but must still
-    // appear in the output with its own label, not vanish
-    val nodes = dirD.select(col("src").as("node"))
-      .unionAll(dirD.select(col("dst").as("node"))).distinct()
+    // node set BEFORE the self-loop filter: a node whose only incident
+    // edges are self-loops has no neighbors but must still appear in the
+    // output with its own label, not vanish
+    val nodes = undir.select(col("u").as("node"))
+      .unionAll(undir.select(col("v").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // The loop iterates ONLY over nodes that have neighbors: the neighbor
-    // join keys on e.dst, and every node with an incident (non-self-loop)
-    // edge appears as a src of the symmetrized edge list, so `best` covers
-    // exactly the node set the next round reads. Isolated nodes (self-loop
-    // only) never influence a neighbor and keep their own label, so they
-    // are grafted back ONCE after the loop — one fewer full-node-set
-    // shuffle per round than folding them in every iteration.
-    var labels = Iterate.materialize(
-      e.select(col("src").as("node")).distinct().withColumn("label", col("node")))
+    // The loop seeds from the full node set (one reuse of the persisted
+    // frame, no extra distinct): isolated nodes match no neighbor row, so
+    // they drop out of `best` after round 1 and are grafted back by the
+    // final left join with their own label — identical output to seeding
+    // from neighbor-having nodes only.
+    // Each round's labels are consumed exactly ONCE (the next round's
+    // neighbor join), so rounds chain lazily and lineage is cut only every
+    // LazyRounds rounds — for a 3-round query the final materialize below
+    // is the ONLY action (no per-round checkpoint write+read of the full
+    // label state; round 7 paid 3 of them here for sub-second work).
+    var labels: DataFrame = nodes.withColumn("label", col("node"))
+    var pending: Option[Iterate.Materialized] = None
     var i = 0
     while (i < iterations) {
       val neigh = e.join(
-        labels.df.select(col("node").as("dst"), col("label")), "dst")
-      val best = neigh.groupBy(col("src"), col("label"))
+        labels.select(col("node").as("dst"), col("label")), "dst")
+      labels = neigh.groupBy(col("src"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("src"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
         .select(col("src").as("node"), (-col("m.nl")).as("label"))
-      val next = Iterate.materialize(best)
-      labels.release()
-      labels = next
       i += 1
+      if (i % Iterate.LazyRounds == 0 && i < iterations) {
+        val cut = Iterate.materialize(labels)
+        pending.foreach(_.release()) // consumed by the cut we just ran
+        pending = Some(cut)
+        labels = cut.df
+      }
     }
     // isolated nodes (no non-self-loop neighbors) keep their own label;
     // materialized so the returned frame stays cheap to re-consume after
     // the backing caches are dropped (same contract as before: the caller
     // gets a lineage-cut result, GC reclaims the checkpoint)
     val out = Iterate.materialize(nodes
-      .join(labels.df, Seq("node"), "left")
+      .join(labels, Seq("node"), "left")
       .select(col("node"), coalesce(col("label"), col("node")).as("label")))
-    labels.release()
-    dirD.unpersist(); e.unpersist(); nodes.unpersist()
+    pending.foreach(_.release())
+    undir.unpersist(); e.unpersist(); nodes.unpersist()
     out.df
   }
 
@@ -237,31 +283,60 @@ object Graph {
       .where(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var visited = Iterate.materialize(
-      sources.select(col(sourceCol).cast("long").as("node"))
-        .where(col("node").isNotNull).distinct()
-        .withColumn("level", lit(0L)))
-    var lvl = 0L
-    var done = false
-    while (lvl < maxLevels && !done) {
-      val frontier = visited.df.where(col("level") === lvl)
-        .select(col("node").as("src"))
-      val next = frontier.join(e, "src")
-        .select(col("dst").as("node")).distinct()
-        .join(visited.df.select("node"), Seq("node"), "left_anti")
-        .withColumn("level", lit(lvl + 1L))
-      // frontier-size convergence rides the materializing action via
-      // observe() — one job per round, not a second isEmpty scan
-      val obs = org.apache.spark.sql.Observation()
-      val grown = Iterate.materialize(visited.df.unionAll(
-        next.observe(obs, count(lit(1)).as("cnt"))))
-      done = obs.get("cnt").asInstanceOf[Long] == 0L
-      visited.release()
-      visited = grown
-      lvl += 1
+    val src0 = sources.select(col(sourceCol).cast("long").as("node"))
+      .where(col("node").isNotNull).distinct()
+      .withColumn("level", lit(0L))
+    if (maxLevels <= Iterate.LazyRounds) {
+      // Bounded depth: no per-round driver action at all. Each frontier is
+      // consumed by the next level's edge join, by every later level's
+      // anti-join, and by the final union — a LAZY persist per frontier
+      // makes all consumers after the first read the cached frontier, and
+      // the final materialize below is the ONLY job. An exhausted frontier
+      // is simply empty and the remaining levels are no-ops, so the
+      // early-exit convergence check (a job per round) isn't worth its
+      // price here. Frontiers are disjoint by construction (anti-join vs
+      // all prior levels), so the union IS the first-arrival level map.
+      var frontiers = List(src0.persist(StorageLevel.MEMORY_AND_DISK))
+      var lvl = 0L
+      while (lvl < maxLevels) {
+        val seen = frontiers.map(_.select("node")).reduce(_ unionAll _)
+        val next = frontiers.head.select(col("node").as("src"))
+          .join(e, "src")
+          .select(col("dst").as("node")).distinct()
+          .join(seen, Seq("node"), "left_anti")
+          .withColumn("level", lit(lvl + 1L))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        frontiers ::= next
+        lvl += 1
+      }
+      val out = Iterate.materialize(frontiers.reverse.reduce(_ unionAll _))
+      frontiers.foreach(_.unpersist())
+      e.unpersist()
+      out.df
+    } else {
+      var visited = Iterate.materialize(src0)
+      var lvl = 0L
+      var done = false
+      while (lvl < maxLevels && !done) {
+        val frontier = visited.df.where(col("level") === lvl)
+          .select(col("node").as("src"))
+        val next = frontier.join(e, "src")
+          .select(col("dst").as("node")).distinct()
+          .join(visited.df.select("node"), Seq("node"), "left_anti")
+          .withColumn("level", lit(lvl + 1L))
+        // frontier-size convergence rides the materializing action via
+        // observe() — one job per round, not a second isEmpty scan
+        val obs = org.apache.spark.sql.Observation()
+        val grown = Iterate.materialize(visited.df.unionAll(
+          next.observe(obs, count(lit(1)).as("cnt"))))
+        done = obs.get("cnt").asInstanceOf[Long] == 0L
+        visited.release()
+        visited = grown
+        lvl += 1
+      }
+      e.unpersist()
+      visited.df
     }
-    e.unpersist()
-    visited.df
   }
 
   /** Exact triangle count by degree-ordered orientation (the MapReduce

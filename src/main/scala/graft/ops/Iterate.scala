@@ -41,15 +41,32 @@ object Iterate {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Round-count threshold below which iterative ops SKIP per-round
+    * checkpoints and chain rounds lazily instead (lazy persists where a
+    * round's state has more than one consumer): the caller's single final
+    * action is then the only job, and plan depth stays bounded by the
+    * threshold. Above it, ops cut lineage with [[materialize]] every
+    * [[LazyRounds]] rounds (or every round where convergence must be read
+    * per round) so analysis time stays linear in the iteration count.
+    * Rationale: a checkpoint per round costs a full write + read of the
+    * state at every round — the right trade at unbounded depth, pure
+    * overhead for a 3-round query (round-7 bench: 2.6–4.2 s toy-scale
+    * graph queries whose work was sub-second).
+    */
+  val LazyRounds = 4
+
   /** A materialized round: `df` is the lineage-cut frame to build the next
     * round on; [[release]] frees its storage. Named `release` (not
     * `unpersist`) because on the checkpoint path it is DESTRUCTIVE: it
     * deletes the checkpoint files, so any action on `df` (including a
     * straggler or retried consumer stage) after release() fails with
-    * FileNotFoundException instead of recomputing. Call it only once the
-    * NEXT round (or the final consumer) has itself materialized — i.e.
-    * after the action that builds the successor frame has returned.
-    * Idempotent: a second call is a no-op.
+    * FileNotFoundException instead of recomputing. Like
+    * [[releaseCheckpoint]], the deletion is whole-tree: every materialized
+    * input embedded in `df`'s plan is destroyed, including ones shared
+    * with sibling frames. Call it only once the NEXT round (or the final
+    * consumer) has itself materialized — i.e. after the action that
+    * builds the successor frame has returned. Idempotent: a second call
+    * is a no-op.
     */
   final case class Materialized(df: DataFrame, private val releaseFn: () => Unit) {
     private val released = new AtomicBoolean(false)
@@ -138,10 +155,14 @@ object Iterate {
     }
 
   /** Deterministically delete the checkpoint files backing a frame returned
-    * by [[scoped]] (or [[Materialized]]`.df`). DESTRUCTIVE: the frame (and
-    * anything lazily derived from it) is unusable afterwards — call only
-    * once its consumers have fully materialized (e.g. after the sink write
-    * returns). No-op for frames that are not checkpoint-backed.
+    * by [[scoped]] (or [[Materialized]]`.df`). DESTRUCTIVE, and WHOLE-TREE:
+    * every materialized input embedded anywhere in the frame's plan is
+    * destroyed (checkpoint files deleted, blocks unpersisted), not just the
+    * frame's own root checkpoint — so releasing a frame derived from a
+    * shared materialized input also kills sibling frames reading that
+    * input. Call only once ALL consumers of every embedded checkpoint have
+    * fully materialized (e.g. after the sink write returns). No-op for
+    * frames that are not checkpoint-backed.
     */
   def releaseCheckpoint(df: DataFrame): Unit = deleteCheckpoint(df)
 

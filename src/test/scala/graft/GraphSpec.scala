@@ -189,6 +189,29 @@ class GraphSpec extends SparkSpec {
       s"graph ops leaked persisted RDDs: ${sc.getPersistentRDDs.values.map(_.name)}")
   }
 
+  test("deep rounds cross the LazyRounds cut without analysis blowup; lazy/eager BFS agree") {
+    // 10 rounds = two lineage cuts past Iterate.LazyRounds (4): bounded
+    // plan depth per cut, or analysis time would dominate and this smoke
+    // would crawl. Results must match the 3-round lazy path's semantics.
+    val edges = (1L to 40L).map(i => (i, i % 9 + 1)).toDF("s", "d")
+    val lp10 = Graph.labelPropagation(edges, "s", "d", iterations = 10)
+    assert(lp10.count() === 40)
+    val pr10 = Graph.pageRank(edges, "s", "d", iterations = 10)
+    val mass = pr10.agg(org.apache.spark.sql.functions.sum("rank"))
+      .head().getDouble(0)
+    assert(math.abs(mass - 1.0) < 1e-9, s"mass drifted at 10 rounds: $mass")
+    // same graph, both bfs paths: maxLevels=4 rides the lazy frontier
+    // chain, maxLevels=10 the per-round checkpoint loop — levels ≤ 4 must
+    // be identical
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+      .toDF("s", "d")
+    val lazyB = Graph.bfsLevels(path, "s", "d", Seq(1L).toDF("n"), "n", maxLevels = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val eagerB = Graph.bfsLevels(path, "s", "d", Seq(1L).toDF("n"), "n", maxLevels = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lazyB === eagerB.filter(_._2 <= 4L))
+  }
+
   test("bfsLevels: path graph levels, maxLevels cut, early stop") {
     // directed path 1→2→3→4→5, source {1}
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
