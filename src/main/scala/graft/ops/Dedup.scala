@@ -725,15 +725,20 @@ object Dedup {
   def stitchCandidates(df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, cap: Int = 100): DataFrame = {
     val ws = split(col(textCol), " ")
-    // materialized: four consumers (tails, heads, both cap tables) would
+    // LAZY persist: four consumers (tails, heads, both cap tables) would
     // otherwise each re-scan the text column — at corpus scale that is
-    // 4x the IO for a projection a fraction of the text's size
-    val d = Iterate.materialize(
-      df.where(size(ws) >= k).select(
+    // 4x the IO for a projection a fraction of the text's size. A lazy
+    // persist (not Iterate.materialize) keeps the op lazy at call time and
+    // gives the cache a sweepable lifetime: it fills during the caller's
+    // first action and is reclaimed by GraftSession.releaseAll / session
+    // clearCache — a dropped Materialized handle would pin checkpoint
+    // storage until ContextCleaner GC with no deterministic release.
+    val d = df.where(size(ws) >= k).select(
         col(idCol),
         array_join(slice(ws, 1, k), " ").as("head_g"),
         // negative start = k-from-the-end (same as DuckDB's len-k+1 slice)
-        array_join(slice(ws, -k, k), " ").as("tail_g"))).df
+        array_join(slice(ws, -k, k), " ").as("tail_g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tails = d.select(col(idCol).as("id_a"), col("tail_g").as("g"))
     val heads = d.select(col(idCol).as("id_b"), col("head_g").as("g"))
     val tailOk = tails.groupBy("g").agg(count(lit(1)).as("_ct"))
