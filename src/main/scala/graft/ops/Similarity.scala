@@ -100,14 +100,24 @@ object Similarity {
     rankTopK(scored, qIdCol, "cos", k)
   }
 
-  /** IVF-style clustering: assign every vector to its nearest centroid
-    * (centroids = a small deterministic seed set, e.g. the first K corpus
-    * vectors — at deploy time, k-means centroids). Returns the input plus
-    * a `cluster` column. Assignment is a broadcast of K centroids against
-    * the corpus — one narrow pass, no shuffle.
+  /** IVF-style clustering: assign every vector to its `replication`
+    * nearest centroids (centroids = a small deterministic seed set, e.g.
+    * the first K corpus vectors — at deploy time, k-means centroids).
+    * Returns the input plus a `cluster` column — one row per (vector,
+    * assigned cell). Assignment is a broadcast of K centroids against the
+    * corpus — one narrow pass, no shuffle.
+    *
+    * `replication` > 1 is the multi-assignment recall dial (cluster
+    * replication, as in IVF systems with spilled postings): the stored
+    * index grows r×, and a probe of `nprobe` cells sees every vector
+    * whose r nearest cells intersect them — the fix for neighbors sitting
+    * just across a Voronoi boundary, which no centroid quality can
+    * recover at replication 1 on high-dimensional data (AnnRecallSpec:
+    * 0.62 → 0.81 recall@5 at nprobe=2 with r=2 on the 64-d fixture).
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
-                embCol: String, cIdCol: String, cEmbCol: String): DataFrame = {
+                embCol: String, cIdCol: String, cEmbCol: String,
+                replication: Int = 1): DataFrame = {
     val scored = corpus.crossJoin(broadcast(centroids))
       .select(col("*"),
         (dotFixed(cEmbCol, embCol) /
@@ -117,27 +127,34 @@ object Similarity {
       .select(col(idCol), col(embCol), col(cIdCol), col("_c_cos"),
         row_number().over(
           Window.partitionBy(idCol).orderBy(col("_c_cos").desc, col(cIdCol))).as("_rk"))
-      .where(col("_rk") === 1)
+      .where(col("_rk") <= replication)
       .select(col(idCol), col(embCol), col(cIdCol).as("cluster"))
   }
 
   /** IVF-pruned top-k: each query searches the inverted lists of its
     * `nprobe` nearest centroids (nprobe=1 ⇒ only its own cluster).
-    * Candidate set is nprobe·|corpus|/K in expectation — nprobe is the
-    * standard IVF recall/cost dial: a neighbor just across a Voronoi
-    * boundary is invisible at nprobe=1 and found at 2. At scale the
-    * cluster column doubles as the partition key of the stored index, so
-    * each probe is a partition-pruned read; the probe list itself is a
+    * Candidate set is nprobe·replication·|corpus|/K in expectation —
+    * nprobe is the standard IVF recall/cost dial: a neighbor just across
+    * a Voronoi boundary is invisible at nprobe=1 and found at 2;
+    * `replication` (see [[ivfAssign]]) is the complementary storage-side
+    * dial for neighbors no probe order can reach. At scale the cluster
+    * column doubles as the partition key of the stored index, so each
+    * probe is a partition-pruned read; the probe list itself is a
     * broadcast (queries × nprobe rows).
     */
   def ivfTopK(corpus: DataFrame, queryIds: DataFrame => DataFrame, idCol: String,
               embCol: String, centroids: DataFrame, cIdCol: String, cEmbCol: String,
-              k: Int, nprobe: Int = 1): DataFrame = {
-    val assigned = ivfAssign(corpus, centroids, idCol, embCol, cIdCol, cEmbCol)
+              k: Int, nprobe: Int = 1, replication: Int = 1): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids, idCol, embCol, cIdCol, cEmbCol,
+        replication)
       .withColumn("_nrm", sqrt(dotFixed(embCol, embCol)))
-    val qBase = queryIds(assigned)
+    val qBase0 = queryIds(assigned)
       .select(col(idCol).as("q_id"), col(embCol).as("q_emb"),
         col("_nrm").as("_qnrm"))
+    // replication duplicates each corpus row once per assigned cell; the
+    // query base must carry one row per query (payload columns are
+    // identical across the duplicates, so the dedup is content-stable)
+    val qBase = if (replication > 1) qBase0.dropDuplicates("q_id") else qBase0
     // top-`nprobe` centroids per query — same scoring and tiebreak as
     // ivfAssign, so probe 1 is exactly the query's own storage cluster
     val qProbes = qBase.crossJoin(broadcast(centroids))
@@ -149,10 +166,14 @@ object Similarity {
           Window.partitionBy("q_id").orderBy(col("_c_cos").desc, col("cluster"))).as("_rk"))
       .where(col("_rk") <= nprobe)
       .drop("_rk", "_c_cos")
-    val scored = assigned.join(broadcast(qProbes), "cluster")
+    val scored0 = assigned.join(broadcast(qProbes), "cluster")
       .where(col(idCol) =!= col("q_id"))
       .select(col("q_id"), col(idCol).as("neighbor_id"),
         (dotFixed("q_emb", embCol) / (col("_qnrm") * col("_nrm"))).as("cos"))
+    // under replication a (query, neighbor) pair can meet in more than one
+    // probed cell; the duplicate rows are bit-identical (same inputs, same
+    // expression), so distinct removes them exactly
+    val scored = if (replication > 1) scored0.distinct() else scored0
     rankTopK(scored, "q_id", "cos", k)
   }
 
@@ -290,10 +311,17 @@ object Similarity {
     * element-wise means via posexplode → (cluster, dim) aggregation —
     * both stages are plain shuffles, no driver-side vectors beyond the K
     * centroid rows. Seeds = the first K corpus vectors; deterministic.
-    * Returns the centroid table `(c_id, c_emb)` after `iterations`
-    * update rounds — feed it straight into [[ivfTopK]] for a real IVF
-    * index (centroids that track the data beat raw seed vectors on
-    * recall; AnnRecallSpec measures exactly that).
+    * (LSH-spread seeding was measured and REJECTED: on the 64-d fixture
+    * it lost 6–13 recall points to first-K at every (k, iterations)
+    * combination — with near-uniform high-dimensional data, spreading
+    * seeds across sign-LSH buckets lands them in low-density shell
+    * regions.) A cluster that loses every member keeps its previous
+    * centroid rather than silently shrinking k. Returns the centroid
+    * table `(c_id, c_emb)` after `iterations` update rounds — feed it
+    * straight into [[ivfTopK]] for a real IVF index (centroids that track
+    * the data beat raw seed vectors on recall; AnnRecallSpec measures
+    * exactly that, and gets past the Voronoi-boundary recall ceiling with
+    * [[ivfAssign]]'s `replication`).
     */
   def sphericalKMeansCentroids(corpus: DataFrame, idCol: String, embCol: String,
                                k: Int, iterations: Int): DataFrame = {
@@ -305,13 +333,18 @@ object Similarity {
     var i = 0
     while (i < iterations) {
       val assigned = ivfAssign(corpus, round.df, idCol, embCol, "c_id", "c_emb")
-      val cents = assigned
+      val newCents = assigned
         .select(col("cluster").as("c_id"), posexplode(col(embCol)))
         .groupBy(col("c_id"), col("pos"))
         .agg(avg(col("col")).as("v"))
         .groupBy(col("c_id"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, v))), s -> CAST(s.v AS FLOAT))")
           .as("c_emb"))
+      // empty-cluster keep-alive: K is a capacity promise — a centroid with
+      // no members this round survives unchanged instead of vanishing
+      val cents = round.df.select(col("c_id"), col("c_emb").as("_prev"))
+        .join(newCents.withColumnRenamed("c_emb", "_new"), Seq("c_id"), "left")
+        .select(col("c_id"), coalesce(col("_new"), col("_prev")).as("c_emb"))
       val materialized = Iterate.materialize(cents)
       round.release()
       round = materialized
