@@ -3697,6 +3697,39 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // REAL pixel decode (BmpPixels): synthesize 24-bpp BMPs whose pixel
+    // (x, y) channels follow a closed-form formula bounded under 256 (no
+    // mod wrap), walk every pixel back through the binary decode path,
+    // and let the oracle recompute the per-channel sums arithmetically —
+    // a hash match proves the decoder touches every pixel exactly once,
+    // honors bottom-up row order and 4-byte row padding, and reads the
+    // B,G,R byte order the spec defines.
+    "mm_decode_pixels" -> ((s, dir) => {
+      import s.implicits._
+      import graft.model.MediaRecord
+      import graft.ops.{BmpPixels, Multimodal}
+      val recs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (id % 16).toInt + 1
+          val h = (id % 12).toInt + 1
+          val base = (id % 5).toInt
+          // max = 15*7 + 11*11 + 4 + 6 = 236 < 256 — exact closed form
+          val payload = BmpPixels.bmpBytes(w, h, (x, y) => {
+            val v = x * 7 + y * 11 + base
+            (v, v + 3, v + 6)
+          })
+          MediaRecord(id, "image/bmp", payload, Map.empty)
+        }
+      Multimodal.decodePixels(recs)
+        .toDF()
+        .select(col("media_id"), col("media_type"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_px"), col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("media_id")
+    }),
+
     "mm_decode_headers" -> ((s, dir) => {
       import s.implicits._
       import graft.model.MediaRecord
@@ -6514,6 +6547,19 @@ object SparkEntry {
         |        CAST(doc_id % 640 + 1 AS INTEGER) AS width,
         |        CAST(doc_id % 480 + 1 AS INTEGER) AS height
         | FROM documents ORDER BY media_id""".stripMargin.replace("\n", " "),
+
+    "mm_decode_pixels" ->
+      """WITH p AS (SELECT doc_id::BIGINT AS media_id,
+        |        (doc_id % 16 + 1)::BIGINT AS w,
+        |        (doc_id % 12 + 1)::BIGINT AS h,
+        |        (doc_id % 5)::BIGINT AS base
+        |        FROM documents)
+        | SELECT media_id, 'image/bmp' AS media_type, w AS width, h AS height,
+        |        w * h AS n_px,
+        |        7 * (w * (w - 1) // 2) * h + 11 * (h * (h - 1) // 2) * w + base * w * h AS sum_r,
+        |        7 * (w * (w - 1) // 2) * h + 11 * (h * (h - 1) // 2) * w + (base + 3) * w * h AS sum_g,
+        |        7 * (w * (w - 1) // 2) * h + 11 * (h * (h - 1) // 2) * w + (base + 6) * w * h AS sum_b
+        | FROM p ORDER BY media_id""".stripMargin.replace("\n", " "),
 
     "mm_decode_video" ->
       """WITH p AS (SELECT doc_id::BIGINT AS media_id,

@@ -36,3 +36,17 @@ case class MediaFeatures(
     checksum: String,
     width: Int,
     height: Int)
+
+/** Output of the REAL pixel decode (24-bpp BMP walk — graft.ops.BmpPixels):
+  * exact per-channel sums over every pixel, order-free and integer, so the
+  * statistics reproduce bit-for-bit in an arithmetic oracle.
+  */
+case class PixelStats(
+    media_id: Long,
+    media_type: String,
+    width: Int,
+    height: Int,
+    n_px: Long,
+    sum_r: Long,
+    sum_g: Long,
+    sum_b: Long)

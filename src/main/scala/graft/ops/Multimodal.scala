@@ -5,20 +5,22 @@ import java.security.MessageDigest
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-import graft.model.{MediaFeatures, MediaRecord}
+import graft.model.{MediaFeatures, MediaRecord, PixelStats}
 
 /** Multimodal column handling: image/audio/video travel as opaque `BINARY`
   * payloads with typed metadata; decode / feature-extraction runs as typed
   * `mapPartitions` so each task amortizes per-batch setup (codec init,
   * model load) exactly like a Pandas-UDF batch would.
   *
-  * Image HEADER decode (media type + pixel dimensions for PNG/GIF/JPEG) is
-  * real — pure-JVM parsing of the public container formats, see
-  * [[ImageHeaders]]. Full pixel decode / audio / video remain a STUB — no
-  * codec libraries exist in this environment — but a *deterministic* one
-  * (md5-derived pseudo-dimensions), so the surrounding plumbing (schema,
-  * partitioning, batch shape) is real and oracle-testable. Swap
-  * `decodeStub` for a real codec at deploy time.
+  * Image HEADER decode (media type + pixel dimensions for PNG/GIF/JPEG/BMP)
+  * is real — pure-JVM parsing of the public container formats, see
+  * [[ImageHeaders]] / [[BmpPixels]]. Full PIXEL decode is real for 24-bpp
+  * uncompressed BMP ([[decodePixels]] — the format that needs no codec
+  * library); compressed-pixel formats and audio/video samples remain a
+  * STUB — no codec libraries exist in this environment — but a
+  * *deterministic* one (md5-derived pseudo-dimensions), so the
+  * surrounding plumbing (schema, partitioning, batch shape) is real and
+  * oracle-testable. Swap `decodeStub` for a real codec at deploy time.
   */
 object Multimodal {
 
@@ -56,7 +58,11 @@ object Multimodal {
     records.mapPartitions { it =>
       // per-partition setup would go here (codec/model init)
       it.map { r =>
-        (if (sniffable(r.media_type)) ImageHeaders.parse(r.payload) else None) match {
+        (if (sniffable(r.media_type))
+           ImageHeaders.parse(r.payload)
+             .orElse(BmpPixels.dimensions(r.payload)
+               .map { case (w, h) => ("image/bmp", w, h) })
+         else None) match {
           case Some((mediaType, w, h)) =>
             MediaFeatures(r.media_id, mediaType, r.payload.length.toLong,
               md5hex(r.payload), w, h)
@@ -64,6 +70,25 @@ object Multimodal {
             val (n, sum, w, h) = decodeStub(r.payload)
             MediaFeatures(r.media_id, r.media_type, n, sum, w, h)
         }
+      }
+    }
+  }
+
+  /** REAL pixel decode over a typed Dataset: one `mapPartitions` pass,
+    * one linear walk per payload ([[BmpPixels.decode]] — 24-bpp BI_RGB
+    * BMP, the format decodable without codec libraries). Records whose
+    * payload is not a decodable BMP are dropped (the "decode what you
+    * can" profiling semantic); pair with [[extractFeatures]] when every
+    * record must produce a row. Per-channel sums are exact integers, so
+    * downstream means/normalization are deterministic cross-engine.
+    */
+  def decodePixels(records: Dataset[MediaRecord]): Dataset[PixelStats] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        BmpPixels.decode(r.payload).map(s =>
+          PixelStats(r.media_id, "image/bmp", s.width, s.height,
+            s.nPx, s.sumR, s.sumG, s.sumB))
       }
     }
   }

@@ -747,6 +747,82 @@ class OpsSpec extends SparkSpec {
     assert(ImageHeaders.parse(bytes) === Some(("image/jpeg", 9, 7)))
   }
 
+  test("bmp pixels: hand-built 2x2 golden decodes exact channel sums") {
+    import graft.ops.BmpPixels
+    // independent construction (not BmpPixels.bmpBytes): 2x2, 24-bpp,
+    // bottom-up, rowBytes = 8 (2 pad bytes/row). Logical pixels:
+    // (0,0) red (255,0,0), (1,0) green (0,255,0),
+    // (0,1) blue (0,0,255), (1,1) (10,20,30)
+    val b = new Array[Byte](54 + 16)
+    def w16(i: Int, v: Int): Unit = { b(i) = v.toByte; b(i + 1) = (v >> 8).toByte }
+    def w32(i: Int, v: Int): Unit = (0 to 3).foreach(j => b(i + j) = (v >> (8 * j)).toByte)
+    b(0) = 'B'; b(1) = 'M'; w32(2, b.length); w32(10, 54); w32(14, 40)
+    w32(18, 2); w32(22, 2); w16(26, 1); w16(28, 24); w32(30, 0); w32(34, 16)
+    // file row 0 = logical row 1 (bottom-up), stored B,G,R
+    val row1 = Array[Int](255, 0, 0, 30, 20, 10, 0, 0)      // blue, (10,20,30)
+    val row0 = Array[Int](0, 0, 255, 0, 255, 0, 0, 0)       // red, green
+    row1.zipWithIndex.foreach { case (v, i) => b(54 + i) = v.toByte }
+    row0.zipWithIndex.foreach { case (v, i) => b(62 + i) = v.toByte }
+    val s = BmpPixels.decode(b).get
+    assert((s.width, s.height, s.nPx) === ((2, 2, 4L)))
+    assert((s.sumR, s.sumG, s.sumB) === ((265L, 275L, 285L)))
+  }
+
+  test("bmp pixels: builder round-trip with row padding across widths") {
+    import graft.ops.BmpPixels
+    for ((w, h) <- Seq((1, 1), (2, 3), (3, 2), (5, 4), (16, 12), (4, 1))) {
+      val s = BmpPixels.decode(BmpPixels.bmpBytes(w, h,
+        (x, y) => (x * 7 + y * 11, x * 7 + y * 11 + 3, x * 7 + y * 11 + 6))).get
+      val expBase = 7L * (w.toLong * (w - 1) / 2) * h + 11L * (h.toLong * (h - 1) / 2) * w
+      assert((s.width, s.height, s.nPx) === ((w, h, w.toLong * h)))
+      assert(s.sumR === expBase, s"${w}x$h sumR")
+      assert(s.sumG === expBase + 3L * w * h)
+      assert(s.sumB === expBase + 6L * w * h)
+    }
+  }
+
+  test("bmp pixels: top-down (negative height) decodes the same sums") {
+    import graft.ops.BmpPixels
+    val up = BmpPixels.bmpBytes(3, 2, (x, y) => (x + y, 2 * x, 3 * y))
+    // flip to top-down: negate height, reverse stored row order
+    val down = up.clone()
+    (0 to 3).foreach(j => down(22 + j) = ((-2) >> (8 * j)).toByte)
+    val rowBytes = 12
+    Array.copy(up, 54, down, 54 + rowBytes, rowBytes)
+    Array.copy(up, 54 + rowBytes, down, 54, rowBytes)
+    assert(BmpPixels.decode(down) === BmpPixels.decode(up))
+  }
+
+  test("bmp pixels: non-BMP and unsupported variants return None, not throw") {
+    import graft.ops.BmpPixels
+    assert(BmpPixels.decode("BM but just text, really...............................".getBytes) === None)
+    assert(BmpPixels.decode(Array.empty[Byte]) === None)
+    assert(BmpPixels.decode(BmpPixels.bmpBytes(4, 4, (_, _) => (1, 2, 3)).take(40)) === None)
+    val bad = BmpPixels.bmpBytes(2, 2, (_, _) => (0, 0, 0))
+    bad(28) = 8 // 8-bpp palette — unsupported
+    assert(BmpPixels.decode(bad) === None)
+    val rle = BmpPixels.bmpBytes(2, 2, (_, _) => (0, 0, 0))
+    rle(30) = 1 // BI_RLE8 compression — unsupported
+    assert(BmpPixels.decode(rle) === None)
+  }
+
+  test("bmp pixels: extractFeatures sniffs BMP dims; decodePixels drops non-BMP") {
+    import graft.model.MediaRecord
+    import graft.ops.BmpPixels
+    val recs = Seq(
+      MediaRecord(1L, "application/octet-stream",
+        BmpPixels.bmpBytes(6, 4, (x, y) => (x, y, x + y)), Map.empty),
+      MediaRecord(2L, "text/plain", "just text".getBytes, Map.empty)).toDS()
+    val feats = Multimodal.extractFeatures(recs).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).media_type === "image/bmp")
+    assert((feats(1L).width, feats(1L).height) === ((6, 4)))
+    assert(feats(2L).media_type === "text/plain") // stub path, not sniffed as image
+    val px = Multimodal.decodePixels(recs).collect()
+    assert(px.map(_.media_id).toSeq === Seq(1L))
+    assert(px.head.n_px === 24L)
+  }
+
   test("image headers: malformed/truncated payloads return None, not throw") {
     import graft.ops.ImageHeaders
     assert(ImageHeaders.parse("not an image at all".getBytes) === None)
