@@ -147,5 +147,20 @@ class StreamingIngestSpec extends SparkSpec {
     assert(docs.size === 200)
     assert(docs(5) === "Doc 5 enriched label")
     assert(docs(7) === "Doc 7")
+
+    // REPLAY the same micro-batch (a foreachBatch retry after a crash):
+    // the merge must be idempotent — table content identical, and every
+    // bucket the batch does NOT hash into byte-identical (dynamic
+    // partition overwrite only rewrites the touched bucket)
+    StreamingIngest.mergeBatch(spark, spark.createDataset(wave2).toDF(), table)
+    val replayed = md5s(table)
+    val changedOnReplay = (after.keySet ++ replayed.keySet)
+      .filter(f => after.get(f) != replayed.get(f))
+      .map(_.split("/")(0)).filter(_.startsWith("_bucket="))
+    assert(changedOnReplay.subsetOf(changedDirs),
+      s"replay touched foreign buckets: ${changedOnReplay -- changedDirs}")
+    val docsReplayed = spark.read.parquet(table).select("_id", "prefLabel")
+      .as[(Int, String)].collect().toMap
+    assert(docsReplayed === docs, "replayed micro-batch changed table content")
   }
 }

@@ -245,6 +245,100 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup == batch primitives; replayed batch is idempotent") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Dedup
+    import graft.streaming.StreamingDedup
+    val root = Files.createTempDirectory("graft_sdedup").toString
+    val (inDir, sigPath, outPath, ckpt) =
+      (s"$root/in", s"$root/sig", s"$root/dups", s"$root/ckpt")
+    Files.createDirectories(Paths.get(inDir))
+
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val novelText = "one two three four five six seven eight nine ten"
+    // seed the stored corpus signatures (reserved batch id -1)
+    val seed = Seq((100L, dupText),
+        (101L, "red orange yellow green blue indigo violet colors here now"))
+      .toDF("doc_id", "text")
+    StreamingDedup.processBatch(spark, seed, -1L, "text", "doc_id", sigPath, outPath)
+
+    val schema = "doc_id LONG, text STRING"
+    def stream() = spark.readStream.schema(schema).json(inDir)
+    def runWave(): Unit = {
+      val q = StreamingDedup.start(stream(), "text", "doc_id", sigPath, outPath, ckpt)
+      q.awaitTermination()
+    }
+    def jline(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+
+    // wave 1 (batch 0): 200 duplicates stored 100; 201 novel; 202 == 201
+    // within the same batch
+    Files.writeString(Paths.get(s"$inDir/w1.json"),
+      Seq(jline(200, dupText), jline(201, novelText), jline(202, novelText))
+        .mkString("", "\n", "\n"))
+    runWave()
+    // wave 2 (batch 1): 300 duplicates 201, which arrived by stream
+    Files.writeString(Paths.get(s"$inDir/w2.json"),
+      jline(300, novelText) + "\n")
+    runWave()
+
+    def pairsAt(batch: Long): Set[(Long, Long)] =
+      spark.read.parquet(outPath).where(col("_batch") === batch)
+        .select("in_id", "stored_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsAt(0L) === Set((200L, 100L), (202L, 201L)))
+    // 300 duplicates BOTH stream-arrived copies (201 and its in-batch dup 202)
+    assert(pairsAt(1L) === Set((300L, 201L), (300L, 202L)))
+
+    // batch-equivalence: the stream's per-batch output must equal the
+    // batch primitives run on the same splits
+    val w1 = Seq((200L, dupText), (201L, novelText), (202L, novelText))
+      .toDF("doc_id", "text")
+    val w2 = Seq((300L, novelText)).toDF("doc_id", "text")
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignature(df, "text", "doc_id")
+    def asPairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("in_id", "stored_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exp0 = asPairs(Dedup.incrementalMinhashDups(sig(seed), sig(w1), "doc_id")) ++
+      asPairs(Dedup.minhashCandidates(sig(w1), "doc_id")
+        .select(col("b_id").as("in_id"), col("a_id").as("stored_id")))
+    val exp1 = asPairs(Dedup.incrementalMinhashDups(
+      sig(seed).unionByName(sig(w1)), sig(w2), "doc_id"))
+    assert(pairsAt(0L) === exp0)
+    assert(pairsAt(1L) === exp1)
+
+    // replay idempotence: re-running batch 1 (a foreachBatch retry)
+    // rewrites only its own partition, to the same content; every other
+    // partition stays byte-identical in BOTH sinks
+    def md5s(dir: String): Map[String, String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val base = Paths.get(dir)
+      val st = Files.walk(base)
+      try {
+        val out = scala.collection.mutable.Map.empty[String, String]
+        st.forEach { p =>
+          val n = p.getFileName.toString
+          if (Files.isRegularFile(p) && !n.startsWith(".") && !n.startsWith("_"))
+            out(base.relativize(p).toString) =
+              md.digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
+        }
+        out.toMap
+      } finally st.close()
+    }
+    val before = md5s(outPath) ++ md5s(sigPath).map { case (k, v) => s"sig/$k" -> v }
+    StreamingDedup.processBatch(spark, w2, 1L, "text", "doc_id", sigPath, outPath)
+    val after = md5s(outPath) ++ md5s(sigPath).map { case (k, v) => s"sig/$k" -> v }
+    val changed = (before.keySet ++ after.keySet)
+      .filter(f => before.get(f) != after.get(f))
+    assert(changed.forall(_.contains("_batch=1")),
+      s"replay touched foreign partitions: $changed")
+    assert(pairsAt(1L) === exp1, "replayed batch changed its own content")
+    val sigCount = spark.read.parquet(sigPath)
+      .where(col("_batch") === 1L).count()
+    assert(sigCount === 1L, "replayed batch duplicated its signatures")
+  }
+
   test("windowedCounts works identically on a batch DataFrame") {
     val batch = Seq(
       Event(1, 1, 10, "click", 1.0),
