@@ -72,6 +72,13 @@ object Dedup {
     *
     * Scale shape: explode(bands) → ONE equi-join on (band, key) → filter →
     * distinct — never a cross join; band-key skew is AQE's skew-join case.
+    * For the skew split to ENGAGE, feed `sigIn` from a materialized table
+    * (persisted frame or stored parquet — the deploy pattern: signatures
+    * are computed once and reused). Measured on Spark 4.1: with the band
+    * exchange sitting over the full unmaterialized signature pipeline,
+    * OptimizeSkewedJoin declines even on a 75%-hot-key corpus; over a
+    * materialized input it splits the hot band partitions
+    * (SkewJoinSpec pins this with a boilerplate-heavy fixture).
     * The full signature rides along on each band row (numHashes longs,
     * ~64 bytes), so `est_jaccard` is a projection over the joined row and
     * no signature re-join — and therefore no persist of the signature
