@@ -52,54 +52,43 @@ object Graph {
     // a round joins state to edges and aggregates — the per-round
     // state⋈outDeg exchange is paid once here, not `iterations` times.
     //
-    // Rank state has THREE consumers per round (inbound shares, dangling
-    // mass, next-state join), so it must be stored either way; at bounded
-    // depth (iterations ≤ Iterate.LazyRounds) a LAZY persist per round
-    // replaces the per-round checkpoint job and the final materialize is
-    // the only post-count action. Deeper iterations keep the per-round
-    // lineage cut.
-    val lazily = iterations <= Iterate.LazyRounds
-    var cachedRounds = List.empty[DataFrame]
-    var pending: Option[Iterate.Materialized] = None
-    def roundStore(df: DataFrame): DataFrame =
-      if (lazily) {
-        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-        cachedRounds ::= p
-        p
-      } else {
-        val m = Iterate.materialize(df)
-        pending.foreach(_.release())
-        pending = Some(m)
-        m.df
-      }
-    var ranks = roundStore(nodes
+    // PageRank keeps PER-ROUND materialization at every iteration count
+    // (unlike labelPropagation/bfsLevels' bounded-depth lazy path): each
+    // round carries a one-row `broadcast(dangling)` whose exchange
+    // executes EAGERLY and concurrently when the final job is planned —
+    // over lazily-persisted (unfilled) round caches the round-k broadcast
+    // recomputes rounds 1..k-1 from scratch, racing its siblings (measured
+    // 1.6 s → 4-12 s at sf0.1). The per-round cut is what makes each
+    // broadcast read a filled, lineage-free state.
+    var ranks = Iterate.materialize(nodes
       .join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left")
       .withColumn("rank", lit(1.0 / n)))
     var i = 0
     while (i < iterations) {
       // per-edge contributions from non-dangling nodes
-      val inbound = ranks.where(col("deg").isNotNull)
+      val inbound = ranks.df.where(col("deg").isNotNull)
         .select(col("node").as("src"), (col("rank") / col("deg")).as("share"))
         .join(e, "src")
         .groupBy("dst")
         .agg(sum("share").as("inbound"))
       // dangling mass as a one-row broadcast, not a per-round action
-      val dangling = ranks.where(col("deg").isNull)
+      val dangling = ranks.df.where(col("deg").isNull)
         .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
-      ranks = roundStore(ranks.select("node", "deg")
+      val next = ranks.df.select("node", "deg")
         .join(inbound.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"), col("deg"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("inbound"), lit(0.0)) +
-              col("dmass") / n)).as("rank")))
+              col("dmass") / n)).as("rank"))
+      val materialized = Iterate.materialize(next)
+      ranks.release()
+      ranks = materialized
       i += 1
     }
-    val out = Iterate.materialize(ranks.select("node", "rank"))
-    pending.foreach(_.release())
-    cachedRounds.foreach(_.unpersist())
+    val out = ranks.df.select("node", "rank")
     rawD.unpersist(); e.unpersist(); nodes.unpersist()
-    out.df
+    out
   }
 
   /** Personalized PageRank (teleport restricted to a source set — the
@@ -130,51 +119,38 @@ object Graph {
     require(nS > 0, "personalizedPageRank needs at least one source node in the graph")
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // static per-node state: teleport weight + out-degree; rank starts AT
-    // the teleport distribution. Same bounded-depth round storage policy
-    // as [[pageRank]]: lazy persist per round under LazyRounds, per-round
-    // lineage cut above it.
-    val lazily = iterations <= Iterate.LazyRounds
-    var cachedRounds = List.empty[DataFrame]
-    var pending: Option[Iterate.Materialized] = None
-    def roundStore(df: DataFrame): DataFrame =
-      if (lazily) {
-        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-        cachedRounds ::= p
-        p
-      } else {
-        val m = Iterate.materialize(df)
-        pending.foreach(_.release())
-        pending = Some(m)
-        m.df
-      }
-    var ranks = roundStore(nodes
+    // the teleport distribution. Per-round materialization for the same
+    // reason as [[pageRank]]: the per-round dangling broadcast must read
+    // a filled, lineage-free state.
+    var ranks = Iterate.materialize(nodes
       .join(srcSet.withColumn("_s", lit(1)), Seq("node"), "left")
       .join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left")
       .withColumn("t", when(col("_s").isNotNull, lit(1.0) / nS).otherwise(lit(0.0)))
       .select(col("node"), col("deg"), col("t"), col("t").as("rank")))
     var i = 0
     while (i < iterations) {
-      val inbound = ranks.where(col("deg").isNotNull)
+      val inbound = ranks.df.where(col("deg").isNotNull)
         .select(col("node").as("src"), (col("rank") / col("deg")).as("share"))
         .join(e, "src")
         .groupBy("dst")
         .agg(sum("share").as("inbound"))
-      val dangling = ranks.where(col("deg").isNull)
+      val dangling = ranks.df.where(col("deg").isNull)
         .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
-      ranks = roundStore(ranks.select("node", "deg", "t")
+      val next = ranks.df.select("node", "deg", "t")
         .join(inbound.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"), col("deg"), col("t"),
           (lit(1.0 - damping) * col("t") +
             lit(damping) * (coalesce(col("inbound"), lit(0.0)) +
-              col("dmass") * col("t"))).as("rank")))
+              col("dmass") * col("t"))).as("rank"))
+      val materialized = Iterate.materialize(next)
+      ranks.release()
+      ranks = materialized
       i += 1
     }
-    val out = Iterate.materialize(ranks.select("node", "rank"))
-    pending.foreach(_.release())
-    cachedRounds.foreach(_.unpersist())
+    val out = ranks.df.select("node", "rank")
     rawD.unpersist(); e.unpersist(); nodes.unpersist(); srcSet.unpersist()
-    out.df
+    out
   }
 
   /** Community detection by synchronous label propagation (Raghavan et
