@@ -108,6 +108,46 @@ class FastIngestSpec extends SparkSpec {
       "ingest ops leaked CacheManager entries")
   }
 
+  test("viafUpdate matches an in-memory reference on seeded random tables") {
+    // guards the round-8 unpivot rewrite: semantics must stay exactly
+    // "match on viaf OR lcId, first match = min _id, set-append union"
+    val rnd = new scala.util.Random(42)
+    (1 to 15).foreach { _ =>
+      val nAgents = rnd.nextInt(20) + 1
+      val nViaf = rnd.nextInt(10) + 1
+      val keys = (0 until 8).map(i => s"k$i")
+      val agents = (1 to nAgents).map(_ =>
+        (rnd.nextInt(50), keys(rnd.nextInt(keys.size))))
+      val viaf = (1 to nViaf).map { i =>
+        val f = if (rnd.nextBoolean()) null
+                else Seq.fill(rnd.nextInt(3))(rnd.nextInt(100))
+        (s"v$i", keys(rnd.nextInt(keys.size)), keys(rnd.nextInt(keys.size)), f)
+      }
+      val got = FastIngest.viafUpdate(
+          agents.toDF("id", "otherId"), viaf.toDF("_id", "viaf", "lcId", "fast"))
+        .collect()
+        .map(r => r.getAs[String]("_id") -> Option(r.getAs[Seq[Int]]("fast")))
+        .toMap
+      // reference: brute force over the documented semantics
+      val byOther = agents.groupBy(_._2).map { case (k, g) => k -> g.map(_._1).toSet }
+      val adds = scala.collection.mutable.Map.empty[String, Set[Int]]
+      byOther.foreach { case (otherId, newFast) =>
+        val matched = viaf.filter(v => v._2 == otherId || v._3 == otherId)
+        if (matched.nonEmpty) {
+          val vid = matched.map(_._1).min
+          adds(vid) = adds.getOrElse(vid, Set.empty) ++ newFast
+        }
+      }
+      val expected = viaf.map { case (vid, _, _, f) =>
+        vid -> (adds.get(vid) match {
+          case Some(add) => Some((Option(f).getOrElse(Seq.empty) ++ add).distinct.sorted.toSeq)
+          case None => Option(f)
+        })
+      }.toMap
+      assert(got === expected, s"agents=$agents viaf=$viaf")
+    }
+  }
+
   test("viafUpdate: lcId key matches too") {
     val agents = Seq((20, "lcB")).toDF("id", "otherId")
     val viaf = Seq(("b", "vB", "lcB", null.asInstanceOf[Seq[Int]]))
