@@ -3484,6 +3484,50 @@ object SparkEntry {
         .orderBy("fname")
     }),
 
+    // Fixed-width (positional) source: the mainframe/enterprise feed
+    // layout — no delimiter, columns are character ranges. The read is a
+    // plain line scan + substring/trim/cast projection (whole-stage
+    // codegen, splits per block); left-aligned text, right-aligned
+    // numerics, all-blank = NULL. Fixture written by the query, oracle
+    // rebuilds every field arithmetically.
+    "source_fixed_width" -> ((s, dir) => {
+      import graft.sources.TextTables
+      import graft.sources.TextTables.FixedCol
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fw_")
+      val lines = (0 until 40).map { i =>
+        val id = i.toString.padTo(6, ' ')
+        val name = s"item-$i".padTo(12, ' ')
+        val amt = (i * 37).toString.reverse.padTo(10, ' ').reverse
+        s"$id$name$amt"
+      }
+      java.nio.file.Files.write(tmp.resolve("data.txt"),
+        lines.mkString("\n").getBytes("UTF-8"))
+      TextTables.readFixedWidth(s, tmp.toString, Seq(
+          FixedCol("id", 1, 6, "long"),
+          FixedCol("name", 7, 12),
+          FixedCol("amount", 19, 10, "long")))
+        .orderBy("id")
+    }),
+
+    // Gzip'd text ingest: the shape web corpora actually arrive in.
+    // spark.read.text decodes .gz transparently via the codec registry —
+    // but gzip is NOT splittable, so one file = one task; at 100 TB the
+    // layout answer is many moderate shards (the standard WET/WARC
+    // convention), never one giant archive.
+    "source_gzip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_gz_")
+      val out = new java.util.zip.GZIPOutputStream(
+        java.nio.file.Files.newOutputStream(tmp.resolve("part.txt.gz")))
+      out.write((0 until 60).map(i => s"line-$i:${i * i}")
+        .mkString("\n").getBytes("UTF-8"))
+      out.close()
+      s.read.text(tmp.toString)
+        .select(
+          regexp_extract(col("value"), "line-([0-9]+):", 1).cast("long").as("id"),
+          col("value").as("line"))
+        .orderBy("id")
+    }),
+
     // Semantic dedup end-to-end: embedding-cosine near-dup pairs →
     // connected components → per-cluster size and a keep/drop verdict
     // (keep = the minimum-id member, which IS the component label).
@@ -6441,6 +6485,14 @@ object SparkEntry {
         |        length('file-' || i || ':payload-' || (i * i))::BIGINT AS length,
         |        md5('file-' || i || ':payload-' || (i * i)) AS content_md5
         | FROM range(0, 25) t(i) ORDER BY fname""".stripMargin.replace("\n", " "),
+
+    "source_fixed_width" ->
+      """SELECT i::BIGINT AS id, 'item-' || i AS name, (i * 37)::BIGINT AS amount
+        | FROM range(0, 40) t(i) ORDER BY id""".stripMargin.replace("\n", " "),
+
+    "source_gzip" ->
+      """SELECT i::BIGINT AS id, 'line-' || i || ':' || (i * i) AS line
+        | FROM range(0, 60) t(i) ORDER BY id""".stripMargin.replace("\n", " "),
 
     "source_evolution" ->
       """SELECT doc_id, text,

@@ -66,4 +66,33 @@ object TextTables {
     spark.read.schema(schema)
       .option("rowTag", "doc").option("mode", "FAILFAST")
       .format("xml").load(path)
+
+  /** One fixed-width column: name, 1-based start offset in the line,
+    * width in characters, and the Spark SQL type to cast the trimmed
+    * slice to (e.g. "string", "long", "double").
+    */
+  final case class FixedCol(name: String, start: Int, width: Int,
+                            sqlType: String = "string")
+
+  /** Fixed-width (positional) text files — the classic mainframe/
+    * enterprise feed layout: no delimiter, each column a character
+    * range. Implemented as a plain line scan + per-column
+    * `substring`/`trim`/`cast` projection, so the whole read stays
+    * inside whole-stage codegen and splits per block like any text
+    * source — no custom InputFormat needed. A slice that is all blanks
+    * reads as NULL (fixed-width has no out-of-band null; all-blank is
+    * the universal convention). Records shorter than a column's range
+    * yield the partial slice (substring past the end is empty → NULL
+    * after trim), matching tolerant mainframe readers.
+    */
+  def readFixedWidth(spark: SparkSession, path: String,
+                     cols: Seq[FixedCol]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val lines = spark.read.text(path)
+    val fields = cols.map { c =>
+      expr(s"CAST(nullif(trim(substring(value, ${c.start}, ${c.width})), '') " +
+        s"AS ${c.sqlType})").as(c.name)
+    }
+    lines.select(fields: _*)
+  }
 }

@@ -41,6 +41,27 @@ class TextTablesSpec extends SparkSpec {
     assert(back === flat)
   }
 
+  test("fixed-width: alignment, all-blank nulls, short lines, numeric cast") {
+    import graft.sources.TextTables.FixedCol
+    val path = Files.createTempDirectory("graft_fw_spec")
+    def line(id: String, name: String, amt: String) =
+      id.padTo(6, ' ') + name.padTo(12, ' ') + amt.reverse.padTo(4, ' ').reverse
+    Files.writeString(path.resolve("d.txt"),
+      line("1", "alpha", "42") + "\n" +  // left-aligned id/name, right-aligned amount
+      line("2", "", "77") + "\n" +       // all-blank name -> NULL
+      "3     beta\n")                    // short line: amount range empty -> NULL
+    val cols = Seq(FixedCol("id", 1, 6, "long"), FixedCol("name", 7, 12),
+      FixedCol("amount", 19, 4, "long"))
+    val got = TextTables.readFixedWidth(spark, path.toString, cols)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, Some("alpha"), Some(42L)),
+      (2L, None, Some(77L)),
+      (3L, Some("beta"), None)))
+  }
+
   test("xml round-trips markup chars, nulls, unicode, newlines") {
     val xmlRows = rows :+ (6L, Some("<tag> & \"entities\" 'quoted'"), Some("en"))
     val path = Files.createTempDirectory("graft_xml_spec").toString
