@@ -38,6 +38,9 @@ object Functions {
       exprs(0), exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]))
     native("word_gram_hashes", exprs => graft.functions.WordGramHashes(
       exprs(0), exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]))
+    native("unicode_norm", exprs => graft.functions.UnicodeNormalize(
+      exprs(0), graft.functions.UnicodeNormalize.formOf(
+        exprs(1).eval().toString)))
   }
 
   /** `normalize_label` as a Column op — pure built-ins (codegen'd, no UDF):

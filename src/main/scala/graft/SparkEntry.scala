@@ -3484,6 +3484,25 @@ object SparkEntry {
         .orderBy("fname")
     }),
 
+    // Unicode canonicalization (NFC) — the first step of corpus text
+    // cleaning: precomposed vs combining-mark encodings of the same
+    // visible string defeat every exact-match op (dedup hashes, shingles,
+    // blocklists) until canonicalized. Native codegen `unicode_norm`
+    // expression; per-doc strings carry combining acute/diaeresis (folded
+    // by NFC) and the fi-ligature U+FB01 (NOT folded by NFC — proving the
+    // form matters; NFKC folding is spec'd in NormalizeSpec, DuckDB has
+    // no NFKC). Oracle mirrors via nfc_normalize.
+    "text_nfc" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("w"), col("doc_id").cast("string"),
+            lit(" e\u0301 o\u0308 \uFB01")).as("_raw"))
+        .select(col("doc_id"),
+          expr("unicode_norm(_raw, 'NFC')").as("nfc"),
+          length(col("_raw")).cast("long").as("n_raw"),
+          length(expr("unicode_norm(_raw, 'NFC')")).cast("long").as("n_nfc"))
+        .orderBy("doc_id")),
+
     // Fixed-width (positional) source: the mainframe/enterprise feed
     // layout — no delimiter, columns are character ranges. The read is a
     // plain line scan + substring/trim/cast projection (whole-stage
@@ -6485,6 +6504,15 @@ object SparkEntry {
         |        length('file-' || i || ':payload-' || (i * i))::BIGINT AS length,
         |        md5('file-' || i || ':payload-' || (i * i)) AS content_md5
         | FROM range(0, 25) t(i) ORDER BY fname""".stripMargin.replace("\n", " "),
+
+    "text_nfc" ->
+      """WITH p AS (SELECT doc_id,
+        |     'w' || doc_id || ' e' || chr(769) || ' o' || chr(776) || ' ' || chr(64257) AS raw
+        |   FROM documents)
+        | SELECT doc_id, nfc_normalize(raw) AS nfc,
+        |        length(raw)::BIGINT AS n_raw,
+        |        length(nfc_normalize(raw))::BIGINT AS n_nfc
+        | FROM p ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "source_fixed_width" ->
       """SELECT i::BIGINT AS id, 'item-' || i AS name, (i * 37)::BIGINT AS amount

@@ -40,7 +40,8 @@ class CodegenSpec extends SparkSpec {
           .as("bm"),
         expr("bpe_apply(line, 'o r,d s,e r')").as("bpe"),
         expr("winnow_fps(line, 8, 4)").as("wf"),
-        expr("word_gram_hashes(line, 3, 15)").as("gham"))
+        expr("word_gram_hashes(line, 3, 15)").as("gham"),
+        expr("unicode_norm(line, 'NFC')").as("un"))
       .where(col("h8") =!= 0L && col("rh") =!= 1L)
       .collect()
     assert(out.length === 2)

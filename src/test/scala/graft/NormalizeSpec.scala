@@ -87,4 +87,29 @@ class NormalizeSpec extends AnyFunSuite {
       assert(n.matches("([a-z0-9]+( [a-z0-9]+)*)?"), s"got: '$n'")
     }
   }
+
+  test("unicode_norm: NFC composes, NFKC folds compatibility, forms differ") {
+    import graft.functions.UnicodeNormalize.{normalize => un}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val decomposed = "caf" + "e\u0301" + " \uFB01ne \uFF21" // e+acute, fi-ligature, full-width A
+    assert(un(u(decomposed), "NFC").toString === "caf\u00E9 \uFB01ne \uFF21",
+      "NFC composes marks but keeps compatibility chars")
+    assert(un(u(decomposed), "NFKC").toString === "caf\u00E9 fine A",
+      "NFKC additionally folds ligature and full-width forms")
+    assert(un(u("caf\u00E9"), "NFD").toString === "cafe\u0301", "NFD decomposes")
+    // ASCII fast path: same reference back, any form
+    val ascii = u("plain ascii text")
+    assert(un(ascii, "NFKC") eq ascii)
+    // idempotence on 500 random strings with marks mixed in
+    val rnd = new scala.util.Random(7)
+    (1 to 500).foreach { _ =>
+      val s = (1 to rnd.nextInt(20)).map(_ => rnd.nextInt(3) match {
+        case 0 => ('a' + rnd.nextInt(26)).toChar.toString
+        case 1 => "\u0301"
+        case _ => "\uFB01"
+      }).mkString
+      val once = un(u(s), "NFKC").toString
+      assert(un(u(once), "NFKC").toString === once, s"input: $s")
+    }
+  }
 }
