@@ -365,6 +365,119 @@ object Similarity {
       .select(col(idCol), col("cluster"))
   }
 
+  /** Product-quantization codebooks TRAINED by per-subspace Lloyd
+    * iterations — all `m` subspaces train simultaneously in one loop:
+    * the corpus explodes once to (id, m, subvector) rows, each round is
+    * one broadcast-assign (argmin squared distance to the m-local
+    * codewords) plus one (m, code, pos) mean aggregation, and rounds are
+    * lineage-cut like [[sphericalKMeansCentroids]]. Seeds = each
+    * subspace's first k subvectors (min ids); a codeword that loses all
+    * members survives unchanged. Returns (m, code, cv ARRAY<FLOAT>).
+    *
+    * Trained codebooks are what make PQ-ADC usable: seed codewords are
+    * arbitrary corpus slices, so cells are unbalanced and quantization
+    * error is high — AnnRecallSpec measures the ADC recall lift directly.
+    * (No DuckDB oracle, same policy as k-means: iterated float means
+    * accumulate cross-engine ulp drift.)
+    */
+  def pqTrainCodebooks(corpus: DataFrame, idCol: String, embCol: String,
+                       m: Int, k: Int, iterations: Int): DataFrame = {
+    val dim = corpus.select(size(col(embCol))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val subs = corpus.select(col(idCol).as("_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), i -> slice($embCol, i * $sub + 1, $sub))")))
+      .select(col("_id"), col("pos").as("m"), col("col").as("sv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def d2(a: String, b: String): Column =
+      expr(s"vec_dot($a, $a) - 2 * vec_dot($a, $b) + vec_dot($b, $b)")
+    val seeds = subs
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("m").orderBy(col("_id"))))
+      .where(col("_rk") <= k)
+      .select(col("m"), (col("_rk") - 1).as("code"), col("sv").as("cv"))
+    var round = Iterate.materialize(seeds)
+    var i = 0
+    while (i < iterations) {
+      val assigned = subs.join(broadcast(round.df), "m")
+        .select(col("_id"), col("m"), col("sv"), col("code"),
+          d2("sv", "cv").as("_d2"))
+        .withColumn("_rk", row_number().over(
+          Window.partitionBy("_id", "m").orderBy(col("_d2"), col("code"))))
+        .where(col("_rk") === 1)
+      val newCents = assigned
+        .select(col("m"), col("code"), posexplode(col("sv")))
+        .groupBy("m", "code", "pos").agg(avg(col("col")).as("v"))
+        .groupBy("m", "code")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, v))), s -> CAST(s.v AS FLOAT))")
+          .as("cv"))
+      val cents = round.df.select(col("m"), col("code"), col("cv").as("_prev"))
+        .join(newCents.withColumnRenamed("cv", "_new"), Seq("m", "code"), "left")
+        .select(col("m"), col("code"), coalesce(col("_new"), col("_prev")).as("cv"))
+      val materialized = Iterate.materialize(cents)
+      round.release()
+      round = materialized
+      i += 1
+    }
+    subs.unpersist()
+    round.df
+  }
+
+  /** Encode every vector against trained codebooks: one row per (id, m)
+    * with the argmin-d2 codeword id — the PQ index build (8 bytes/vector
+    * at m=8, k≤256). Broadcast-assign, no shuffle beyond the argmin
+    * window's per-(id, m) partitioning.
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, idCol: String,
+               embCol: String): DataFrame = {
+    val dim = corpus.select(size(col(embCol))).head.getInt(0)
+    val m = codebooks.agg(max(col("m"))).head.getInt(0) + 1
+    val sub = dim / m
+    val subs = corpus.select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), i -> slice($embCol, i * $sub + 1, $sub))")))
+      .select(col(idCol), col("pos").as("m"), col("col").as("sv"))
+    subs.join(broadcast(codebooks), "m")
+      .select(col(idCol), col("m"), col("code"),
+        expr("vec_dot(sv, sv) - 2 * vec_dot(sv, cv) + vec_dot(cv, cv)").as("_d2"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(idCol, "m").orderBy(col("_d2"), col("code"))))
+      .where(col("_rk") === 1)
+      .select(col(idCol), col("m"), col("code"))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k — the PQ SEARCH path: each query
+    * scores corpus vectors from their codes + the codebooks only (the
+    * corpus floats are never touched at query time; the index is
+    * m·log2(k)/8 bytes per vector). Per-pair distance = Σ_m d²(q_sub_m,
+    * codeword(code_m)); the fold is m-sorted so the float sum is
+    * partition-order-free. Both codebooks and the exploded query
+    * subvectors broadcast (k·m and |Q|·m rows).
+    */
+  def pqAdcTopK(codes: DataFrame, idCol: String, codebooks: DataFrame,
+                queries: DataFrame, qIdCol: String, qEmbCol: String,
+                k: Int): DataFrame = {
+    val dim = queries.select(size(col(qEmbCol))).head.getInt(0)
+    val m = codebooks.agg(max(col("m"))).head.getInt(0) + 1
+    val sub = dim / m
+    val qsubs = queries.select(col(qIdCol).as("q_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), i -> slice($qEmbCol, i * $sub + 1, $sub))")))
+      .select(col("q_id"), col("pos").as("m"), col("col").as("qv"))
+    val scored = codes.join(broadcast(codebooks), Seq("m", "code"))
+      .join(broadcast(qsubs), "m")
+      .where(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol).as("neighbor_id"), col("m"),
+        expr("vec_dot(qv, qv) - 2 * vec_dot(qv, cv) + vec_dot(cv, cv)").as("d2"))
+      .groupBy("q_id", "neighbor_id")
+      .agg(expr("""aggregate(array_sort(collect_list(struct(m, d2))),
+             | CAST(0 AS DOUBLE), (a, x) -> a + x.d2)"""
+        .stripMargin.replace("\n", " ")).as("adc2"))
+    scored.select(col("*"),
+        row_number().over(
+          Window.partitionBy("q_id").orderBy(col("adc2"), col("neighbor_id")))
+          .as("rank"))
+      .where(col("rank") <= k)
+  }
+
   /** LSH-pruned top-k: only corpus rows sharing the query's bucket are
     * scored. Approximate (recall < 1), but the candidate set per query is
     * |corpus| / 2^numPlanes in expectation — the 100 TB path.

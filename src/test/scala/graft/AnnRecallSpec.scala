@@ -98,6 +98,32 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.2, f"PQ-ADC recall $r%.3f under floor")
   }
 
+  test("Lloyd-trained PQ codebooks beat seed codebooks on ADC recall") {
+    val q = emb.where(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def adcRecall(cb: DataFrame): Double = {
+      val codes = Similarity.pqEncode(emb, cb, "vec_id", "embedding")
+      recall(pairs(Similarity.pqAdcTopK(codes, "vec_id", cb, q, "q_id", "q_emb", K)))
+    }
+    // iterations=0 returns exactly the seed codebooks — the baseline the
+    // embed_pq_* oracle queries pin
+    val seedCb = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding",
+      m = 8, k = 16, iterations = 0)
+    val trainedCb = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding",
+      m = 8, k = 16, iterations = 3)
+    val bigCb = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding",
+      m = 16, k = 64, iterations = 3)
+    val (rSeed, rTrained, rBig) =
+      (adcRecall(seedCb), adcRecall(trainedCb), adcRecall(bigCb))
+    info(f"PQ-ADC recall@$K: seed(16) $rSeed%.3f, trained(16) $rTrained%.3f, " +
+      f"trained(m16,k64) $rBig%.3f")
+    assert(rTrained >= rSeed,
+      f"training codebooks lost recall: $rTrained%.3f < $rSeed%.3f")
+    assert(rBig >= rTrained,
+      f"larger trained codebooks lost recall: $rBig%.3f < $rTrained%.3f")
+    assert(rBig >= 0.4, f"trained(m16,k64) PQ-ADC recall $rBig%.3f under floor")
+  }
+
   test("int8 dequantization error is bounded by scale/254 per element") {
     // |v_i − q_i·ma/127| ≤ ma/254 by construction (round-half error of a
     // 1/127-step grid); a violation means the quantizer drifted off-grid.
