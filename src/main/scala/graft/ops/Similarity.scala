@@ -478,6 +478,86 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** IVF-PQ search — the composition production ANN systems deploy
+    * (coarse quantizer + product codes): queries probe their `nprobe`
+    * nearest IVF cells (cluster = partition key of the stored index →
+    * partition-pruned reads), and candidates inside the probed cells are
+    * scored by PQ asymmetric distance from their 12-ish-byte codes — the
+    * corpus floats are touched by NEITHER the probe nor the scoring, so
+    * the working set at 100 TB is `nprobe·replication/K` of a codes
+    * table ~20× smaller than the vectors. Optionally re-rank the ADC
+    * top-`rerank` with exact cosine over just those rows (a point-lookup
+    * join against the float table) — the standard two-stage recall
+    * recovery. Returns (q_id, neighbor_id, rank) + `adc2` (and `cos`
+    * when re-ranked).
+    */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, embCol: String,
+                centroids: DataFrame, cIdCol: String, cEmbCol: String,
+                codebooks: DataFrame, queryIds: DataFrame => DataFrame,
+                k: Int, nprobe: Int = 1, replication: Int = 1,
+                rerank: Int = 0): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids, idCol, embCol, cIdCol, cEmbCol,
+      replication)
+    val codes = pqEncode(corpus, codebooks, idCol, embCol)
+    val dim = corpus.select(size(col(embCol))).head.getInt(0)
+    val m = codebooks.agg(max(col("m"))).head.getInt(0) + 1
+    val sub = dim / m
+    val qBase0 = queryIds(assigned)
+      .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+    val qBase = if (replication > 1) qBase0.dropDuplicates("q_id") else qBase0
+    val qProbes = qBase.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col(cIdCol).as("cluster"),
+        (dotFixed(cEmbCol, "q_emb") /
+          (sqrt(dotFixed(cEmbCol, cEmbCol)) * sqrt(dotFixed("q_emb", "q_emb"))))
+          .as("_c_cos"))
+      .select(col("q_id"), col("cluster"),
+        row_number().over(
+          Window.partitionBy("q_id").orderBy(col("_c_cos").desc, col("cluster"))).as("_rk"))
+      .where(col("_rk") <= nprobe)
+      .select("q_id", "cluster")
+    val qsubs = qBase.select(col("q_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), i -> slice(q_emb, i * $sub + 1, $sub))")))
+      .select(col("q_id"), col("pos").as("m"), col("col").as("qv"))
+    // candidates = codes of ids inside each query's probed cells
+    val cand0 = assigned.select(col(idCol), col("cluster"))
+      .join(broadcast(qProbes), "cluster")
+      .where(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol))
+    val cand = if (replication > 1) cand0.distinct() else cand0
+    val adc = cand.join(codes, idCol)
+      .join(broadcast(codebooks), Seq("m", "code"))
+      .join(broadcast(qsubs), Seq("q_id", "m"))
+      .select(col("q_id"), col(idCol).as("neighbor_id"), col("m"),
+        expr("vec_dot(qv, qv) - 2 * vec_dot(qv, cv) + vec_dot(cv, cv)").as("d2"))
+      .groupBy("q_id", "neighbor_id")
+      .agg(expr("""aggregate(array_sort(collect_list(struct(m, d2))),
+             | CAST(0 AS DOUBLE), (a, x) -> a + x.d2)"""
+        .stripMargin.replace("\n", " ")).as("adc2"))
+    val adcRanked = adc.select(col("*"),
+        row_number().over(
+          Window.partitionBy("q_id").orderBy(col("adc2"), col("neighbor_id")))
+          .as("rank"))
+    if (rerank <= 0) adcRanked.where(col("rank") <= k)
+    else {
+      // exact re-rank: fetch floats for ONLY the ADC top-`rerank` rows
+      val short = adcRanked.where(col("rank") <= math.max(k, rerank))
+        .drop("rank")
+      val floats = corpus.select(col(idCol).as("neighbor_id"),
+        col(embCol).as("n_emb"),
+        sqrt(dotFixed(embCol, embCol)).as("_nrm"))
+      val qf = qBase.withColumn("_qnrm", sqrt(dotFixed("q_emb", "q_emb")))
+      short.join(floats, "neighbor_id")
+        .join(broadcast(qf), "q_id")
+        .select(col("q_id"), col("neighbor_id"), col("adc2"),
+          (dotFixed("q_emb", "n_emb") / (col("_qnrm") * col("_nrm"))).as("cos"))
+        .select(col("*"),
+          row_number().over(
+            Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id")))
+            .as("rank"))
+        .where(col("rank") <= k)
+    }
+  }
+
   /** LSH-pruned top-k: only corpus rows sharing the query's bucket are
     * scored. Approximate (recall < 1), but the candidate set per query is
     * |corpus| / 2^numPlanes in expectation — the 100 TB path.
