@@ -3570,6 +3570,22 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // SemDeDup (Abbas '23): nearest-centroid clustering, then WITHIN each
+    // cluster cosine-threshold pruning with the paper's keep-low-centroid-
+    // sim rule (id tie-break). The pair space is per-cluster — `cluster`
+    // is the self-join's only shuffle key, and K grows with the corpus so
+    // the per-cluster quadratic term stays bounded; never all-pairs.
+    "dedup_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      Similarity.semanticDedup(emb, cents, "vec_id", "embedding",
+          "c_id", "c_emb", threshold = 0.35)
+        .select(col("vec_id"), col("cluster"),
+          round(col("cent_cos"), 4).as("cent_cos"), col("drop").as("is_dup"))
+        .orderBy("vec_id")
+    }),
+
     // Word-3-gram Jaccard near-dup via an inverted shingle index self-join
     // with a document-frequency cap on shingles (see Dedup.ngramCandidates
     // — the guard against the boilerplate-shingle k² blowup).
@@ -6544,6 +6560,27 @@ object SparkEntry {
          |        count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          |        (vec_id = cluster_id)::INT AS keep
          | FROM comp ORDER BY vec_id""".stripMargin.replace("\n", " "),
+
+    "dedup_semantic" ->
+      s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+         | assign AS (
+         |   SELECT e.vec_id, e.embedding, c.c_id, c.c_emb,
+         |          row_number() OVER (PARTITION BY e.vec_id
+         |            ORDER BY ${duckCosine("c.c_emb", "e.embedding")} DESC, c.c_id) AS rk
+         |   FROM embeddings e CROSS JOIN cents c),
+         | a2 AS (SELECT vec_id, embedding, c_id AS cluster,
+         |               ${duckCosine("c_emb", "embedding")} AS cent_cos
+         |        FROM assign WHERE rk = 1),
+         | drops AS (
+         |   SELECT DISTINCT a.vec_id
+         |   FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+         |   WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.35
+         |     AND (b.cent_cos < a.cent_cos
+         |          OR (b.cent_cos = a.cent_cos AND b.vec_id < a.vec_id)))
+         | SELECT a2.vec_id, a2.cluster, round(a2.cent_cos, 4) AS cent_cos,
+         |        CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
+         | FROM a2 LEFT JOIN drops d ON a2.vec_id = d.vec_id
+         | ORDER BY a2.vec_id""".stripMargin.replace("\n", " "),
 
     "dedup_cosine_pairs" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -575,4 +575,56 @@ object Similarity {
         (dotFixed(qEmbCol, embCol, dim) / (col("_qnrm") * col("_nrm"))).as("cos"))
     rankTopK(scored, qIdCol, "cos", k)
   }
+
+  /** SemDeDup (Abbas et al. '23, arXiv:2303.09540): semantic dedup by
+    * cluster-then-prune. Every vector is assigned to its nearest centroid
+    * ([[ivfAssign]]); WITHIN each cluster, any pair with cosine ≥
+    * `threshold` is a semantic-duplicate pair, and of each pair the member
+    * MORE similar to its centroid is dropped (the paper's keep-low rule —
+    * it retains the cluster's diverse boundary examples); ties break
+    * toward the smaller id, so the minimum (cent_cos, id) member of every
+    * duplicate component always survives and the rule is deterministic.
+    *
+    * This is the whole point of the SemDeDup construction at 100 TB: the
+    * pair space is per-cluster, never global — `cluster` is the single
+    * shuffle key of the self-join, and K grows with the corpus so cluster
+    * populations (and the per-cluster quadratic term) stay bounded. The
+    * drop decision is an EXISTS, expressed as a left-semi join marking
+    * drops — no pair materialization survives the aggregation.
+    *
+    * Returns `(idCol, cluster, cent_cos, drop)` — `drop = 1` rows are the
+    * semantic duplicates a curation pipeline would discard.
+    */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame, idCol: String,
+                    embCol: String, cIdCol: String, cEmbCol: String,
+                    threshold: Double): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids, idCol, embCol, cIdCol, cEmbCol)
+      .withColumn("_nrm", sqrt(dotFixed(embCol, embCol)))
+    val withCent = assigned
+      .join(broadcast(centroids.select(col(cIdCol).as("cluster"),
+        col(cEmbCol).as("_c_emb"))), Seq("cluster"))
+      .select(col("cluster"), col(idCol), col(embCol), col("_nrm"),
+        (dotFixed("_c_emb", embCol) /
+          (sqrt(dotFixed("_c_emb", "_c_emb")) * col("_nrm"))).as("cent_cos"))
+    val a = withCent.select(col("cluster").as("_a_cl"), col(idCol).as("_a_id"),
+      col(embCol).as("_a_emb"), col("_nrm").as("_a_nrm"),
+      col("cent_cos").as("_a_cc"))
+    val b = withCent.select(col("cluster").as("_b_cl"), col(idCol).as("_b_id"),
+      col(embCol).as("_b_emb"), col("_nrm").as("_b_nrm"),
+      col("cent_cos").as("_b_cc"))
+    // a-row is dropped when some same-cluster b beats it: dup-pair AND
+    // (b keeps priority: lower cent_cos, or equal cent_cos and lower id)
+    val dropped = a.join(b,
+        col("_a_cl") === col("_b_cl") &&
+          col("_a_id") =!= col("_b_id") &&
+          (dotFixed("_a_emb", "_b_emb") / (col("_a_nrm") * col("_b_nrm"))
+            >= threshold) &&
+          (col("_b_cc") < col("_a_cc") ||
+            (col("_b_cc") === col("_a_cc") && col("_b_id") < col("_a_id"))),
+        "left_semi")
+      .select(col("_a_id").as(idCol))
+    withCent.join(dropped.withColumn("_d", lit(1)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"), col("cent_cos"),
+        coalesce(col("_d"), lit(0)).as("drop"))
+  }
 }
