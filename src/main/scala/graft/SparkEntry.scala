@@ -722,13 +722,21 @@ object SparkEntry {
     // integers, so the recurrence is EXACT on both engines — the oracle
     // unrolls the three rounds as chained CTEs.
     "graph_labelprop" -> ((s, dir) => {
+      // co-occurrence within an order is naturally group-shaped: the
+      // adjacency table builds straight from the order groups (collect_set
+      // per order → per-member neighbor explode → collect_set per part) —
+      // no materialized pair-list exchange; see Graph.labelPropagationAdj
       val li = t(s, dir, "lineitem")
         .where(col("l_linenumber") <= 4)
-        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
-      val e = li.as("a").join(li.as("b"), Seq("k"))
-        .where(col("a.p") < col("b.p"))
-        .select(col("a.p").as("src"), col("b.p").as("dst"))
-      graft.ops.Graph.labelPropagation(e, "src", "dst", iterations = 3)
+        .select(col("l_orderkey").as("k"), col("l_partkey").cast("long").as("p"))
+      val adj = li.groupBy("k").agg(collect_set(col("p")).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, x -> transform(filter(ps, y -> y != x), y -> struct(x AS src, y AS dst))))"))
+          .as("uv"))
+        .select(col("uv.src"), col("uv.dst"))
+        .groupBy("src").agg(collect_set(col("dst")).as("nbrs"))
+      val nodes = li.select(col("p").as("node")).distinct()
+      graft.ops.Graph.labelPropagationAdj(adj, nodes, iterations = 3)
         .orderBy("node")
     }),
 
@@ -1525,14 +1533,19 @@ object SparkEntry {
     "graph_bfs" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
       val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      // dedup the ONE-directional customer–supplier pair set, then union
+      // the swap: duplicate-free by construction (the +1e6 offset keeps
+      // the id spaces disjoint), so bfsLevels skips its internal dedup
+      // exchange over the doubled list
       val cs = li.join(o, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), (col("l_suppkey") + lit(1000000L)).as("sp"))
+        .distinct()
       val e = cs.select(col("c").as("src"), col("sp").as("dst"))
         .unionAll(cs.select(col("sp").as("src"), col("c").as("dst")))
       val sources = t(s, dir, "customer").where(col("c_nationkey") === 0)
         .select(col("c_custkey"))
       graft.ops.Graph.bfsLevels(e, "src", "dst", sources, "c_custkey",
-          maxLevels = 3)
+          maxLevels = 3, edgesDistinct = true)
         .orderBy("node")
     }),
 

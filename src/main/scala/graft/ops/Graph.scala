@@ -161,57 +161,76 @@ object Graph {
     * no visit order (the async variant's nondeterminism is exactly what
     * a reproducible pipeline cannot have).
     *
-    * Per round: one join (neighbor labels) + one hash aggregation — the
-    * per-node argmax is `max(struct(cnt, -label))`, a partial-aggregable
-    * agg rather than a window sort. Rounds are lineage-cut and
-    * storage-released like the other iterative ops. Output: (node,
-    * label).
+    * Data layout is Pregel's (GraphX/Giraph): ONE cached adjacency-list
+    * table `(src, nbrs ARRAY<BIGINT>)`, hash-partitioned on `src` by its
+    * own building aggregation. Each round's label state is partitioned on
+    * the same key, so the adj⋈labels join is exchange-FREE every round;
+    * message delivery (explode + `repartition(node)`) is the round's one
+    * exchange, and both the (node, label) count and the per-node argmax
+    * `max(struct(cnt, -label))` then run partition-local on top of it
+    * (HashPartitioning(node) satisfies both groupings). Adjacency rows
+    * bound task memory by max-degree — fine for the bounded-degree
+    * co-occurrence graphs this engine builds; for power-law graphs where
+    * receiver-side raw-message volume is the binding constraint, set
+    * `partialCombine = true`: messages then flow through the standard
+    * two-level aggregation (map-side partial combine before the
+    * exchange), one extra exchange per round. Rounds chain lazily, cut
+    * every [[Iterate.LazyRounds]]. Output: (node, label).
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-                       iterations: Int = 10): DataFrame = {
-    // ONE pass over the upstream edge derivation (graph_labelprop's is a
-    // lineitem self-join): the distinct raw pair set is persisted and both
-    // the symmetrized edge list and the node set derive from it.
-    // Canonical undirected pairs (least, greatest): ONE distinct over |E|
-    // instead of a distinct over the 2|E| symmetrized list — the union
-    // with its own swap is then duplicate-free by construction.
-    val undir = edges.select(
-        least(col(srcCol), col(dstCol)).cast("long").as("u"),
-        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val e = undir.where(col("u") =!= col("v"))
-      .select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(undir.where(col("u") =!= col("v"))
-        .select(col("v").as("src"), col("u").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // node set BEFORE the self-loop filter: a node whose only incident
-    // edges are self-loops has no neighbors but must still appear in the
+                       iterations: Int = 10,
+                       partialCombine: Boolean = false): DataFrame = {
+    val pairs = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    // collect_set both dedups multi-edges (simple-graph semantics, each
+    // neighbor votes once) and builds the adjacency row in the SAME
+    // aggregation — no separate distinct pass over the pair set
+    val adj = pairs.where(col("src") =!= col("dst"))
+      .unionAll(pairs.where(col("src") =!= col("dst"))
+        .select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy("src").agg(collect_set(col("dst")).as("nbrs"))
+    // node set from the raw endpoints: a node whose only incident edges
+    // are self-loops has no adjacency row but must still appear in the
     // output with its own label, not vanish
-    val nodes = undir.select(col("u").as("node"))
-      .unionAll(undir.select(col("v").as("node"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // The loop seeds from the full node set (one reuse of the persisted
-    // frame, no extra distinct): isolated nodes match no neighbor row, so
-    // they drop out of `best` after round 1 and are grafted back by the
-    // final left join with their own label — identical output to seeding
-    // from neighbor-having nodes only.
-    // Each round's labels are consumed exactly ONCE (the next round's
-    // neighbor join), so rounds chain lazily and lineage is cut only every
-    // LazyRounds rounds — for a 3-round query the final materialize below
-    // is the ONLY action (no per-round checkpoint write+read of the full
-    // label state; round 7 paid 3 of them here for sub-second work).
-    var labels: DataFrame = nodes.withColumn("label", col("node"))
+    val nodes = pairs.select(col("src").as("node"))
+      .unionAll(pairs.select(col("dst").as("node"))).distinct()
+    labelPropagationAdj(adj, nodes, iterations, partialCombine)
+  }
+
+  /** [[labelPropagation]] over a caller-built adjacency table `(src,
+    * nbrs ARRAY<BIGINT>)` + node set `(node)`. For sources that are
+    * naturally group-shaped (e.g. co-occurrence within an order or a
+    * session), building the adjacency DIRECTLY from the groups —
+    * `groupBy(group).collect_set(item)` then per-group neighbor explode
+    * into `groupBy(item).collect_set(nbr)` — skips the materialized
+    * pair-list exchange entirely; this entry point accepts that shape.
+    * `nbrs` must be self-loop-free and deduplicated (each neighbor votes
+    * once); `nodes` may be a superset of adj's keys — extra nodes keep
+    * their own label.
+    */
+  def labelPropagationAdj(adjacency: DataFrame, nodeSet: DataFrame,
+                          iterations: Int,
+                          partialCombine: Boolean = false): DataFrame = {
+    val adj = adjacency.persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = nodeSet.persist(StorageLevel.MEMORY_AND_DISK)
+    // seed from adj itself: co-partitioned with every later round's join;
+    // isolated/self-loop-only nodes are grafted back by the final left join
+    var labels: DataFrame = adj.select(col("src").as("node"), col("src").as("label"))
     var pending: Option[Iterate.Materialized] = None
     var i = 0
     while (i < iterations) {
-      val neigh = e.join(
-        labels.select(col("node").as("dst"), col("label")), "dst")
-      labels = neigh.groupBy(col("src"), col("label"))
+      val messages = adj.join(labels.withColumnRenamed("node", "src"), "src")
+        .select(explode(col("nbrs")).as("node"), col("label"))
+      val delivered =
+        if (partialCombine) messages
+        else messages.repartition(col("node"))
+      labels = delivered
+        .groupBy(col("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("src"))
+        .groupBy(col("node"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
-        .select(col("src").as("node"), (-col("m.nl")).as("label"))
+        .select(col("node"), (-col("m.nl")).as("label"))
       i += 1
       if (i % Iterate.LazyRounds == 0 && i < iterations) {
         val cut = Iterate.materialize(labels)
@@ -228,7 +247,7 @@ object Graph {
       .join(labels, Seq("node"), "left")
       .select(col("node"), coalesce(col("label"), col("node")).as("label")))
     pending.foreach(_.release())
-    undir.unpersist(); e.unpersist(); nodes.unpersist()
+    adj.unpersist(); nodes.unpersist()
     out.df
   }
 
@@ -249,15 +268,21 @@ object Graph {
     */
   def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
                 sources: DataFrame, sourceCol: String,
-                maxLevels: Int = 10): DataFrame = {
+                maxLevels: Int = 10,
+                edgesDistinct: Boolean = false): DataFrame = {
     // NULL endpoints carry no reachability and a NULL source would emit a
     // NULL node at level 0 — drop both explicitly (the =!= filter already
     // rejects null-null rows, but null-to-value edges must not survive
-    // into the symmetric caller's union either)
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    // into the symmetric caller's union either).
+    // `edgesDistinct = true` skips the internal dedup exchange when the
+    // caller certifies the list is already duplicate-free — a symmetric
+    // caller should dedup the ONE-directional pair set and union the swap
+    // (duplicate-free by construction), halving the dedup exchange volume.
+    val eRaw = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull &&
-        col("src") =!= col("dst")).distinct()
+        col("src") =!= col("dst"))
+    val e = (if (edgesDistinct) eRaw else eRaw.distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
     val src0 = sources.select(col(sourceCol).cast("long").as("node"))
       .where(col("node").isNotNull).distinct()
