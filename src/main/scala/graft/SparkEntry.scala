@@ -2588,28 +2588,38 @@ object SparkEntry {
     // integer rational 1 + (rn−1)·5 div n — identical arithmetic in the
     // oracle, no cross-engine ntile edge cases.
     "q50_rfm" -> ((s, dir) => {
-      // materialized between stages: each globalRowNumber call reads its
-      // input twice (range-partition sampling + the shuffle) before its
-      // own internal materialize — checkpointing the orders aggregation
-      // and the two intermediate rank frames makes every recompute a
-      // cache read instead of a window-join replay
+      // the three quintile ranks fuse into ONE scalable rank pass: unpivot
+      // the aggregate to (metric_idx, value, custkey) — each metric block
+      // holds exactly n rows, so rank-within-metric = rn − (mi−1)·n — then
+      // pivot the tiles back. One range exchange + one sample pass instead
+      // of three of each (rank-of-rank-of-rank paid a full-width
+      // checkpoint per stage on top).
       val m = graft.ops.Iterate.materialize(
         t(s, dir, "orders").groupBy("o_custkey").agg(
           max("o_orderdate").as("last_date"),
           count(lit(1)).as("freq"),
           round(sum("o_totalprice"), 2).as("monetary"))).df
-      val r1 = graft.ops.Iterate.materialize(graft.ops.Rank.globalRowNumber(m,
-        Seq(col("last_date").desc, col("o_custkey"))).withColumnRenamed("rn", "r_rn")).df
-      val r2 = graft.ops.Iterate.materialize(graft.ops.Rank.globalRowNumber(r1,
-        Seq(col("freq").desc, col("o_custkey"))).withColumnRenamed("rn", "f_rn")).df
-      val r3 = graft.ops.Rank.globalRowNumber(r2,
-        Seq(col("monetary").desc, col("o_custkey"))).withColumnRenamed("rn", "m_rn")
+      val long = m.select(col("o_custkey"), explode(array(
+          struct(lit(1).as("mi"),
+            unix_micros(col("last_date").cast("timestamp")).cast("double").as("v")),
+          struct(lit(2).as("mi"), col("freq").cast("double").as("v")),
+          struct(lit(3).as("mi"), col("monetary").as("v")))).as("x"))
+        .select(col("o_custkey"), col("x.mi"), col("x.v"))
+      val ranked = graft.ops.Rank.globalRowNumber(long,
+        Seq(col("mi"), col("v").desc, col("o_custkey")))
       def tile(c: String) = expr(s"CAST(1 + (($c - 1) * 5) div _n AS INT)")
-      r3.crossJoin(broadcast(m.agg(count(lit(1)).as("_n"))))
+      val tiles = ranked.crossJoin(broadcast(m.agg(count(lit(1)).as("_n"))))
+        .select(col("o_custkey"), col("mi"),
+          tile("rn - (mi - 1) * _n").as("q"))
+        .groupBy("o_custkey")
+        .agg(max(when(col("mi") === 1, col("q"))).as("r_q"),
+          max(when(col("mi") === 2, col("q"))).as("f_q"),
+          max(when(col("mi") === 3, col("q"))).as("m_q"))
+      m.join(tiles, "o_custkey")
         .select(col("o_custkey"), col("last_date"), col("freq"), col("monetary"),
-          tile("r_rn").as("r_q"), tile("f_rn").as("f_q"), tile("m_rn").as("m_q"),
-          concat(tile("r_rn").cast("string"), tile("f_rn").cast("string"),
-            tile("m_rn").cast("string")).as("segment"))
+          col("r_q"), col("f_q"), col("m_q"),
+          concat(col("r_q").cast("string"), col("f_q").cast("string"),
+            col("m_q").cast("string")).as("segment"))
         .orderBy("o_custkey")
     }),
 
@@ -3229,6 +3239,39 @@ object SparkEntry {
       val fk2 = Validate.checkFk("fk_orders_customer", o, "o_custkey", c, "c_custkey")
       oRules.unionByName(lRules).unionByName(fk1).unionByName(fk2)
         .orderBy("rule")
+    }),
+
+    // CCNet-style perplexity bucketing (Wenzek et al. '19): rank each
+    // language's documents by a language-model score and split into
+    // head/middle/tail terciles — THE canonical crawl-curation cut. The
+    // LM proxy here is integer-quantized unigram surprisal (token rarity
+    // class = floor(log2(global_freq)) computed as length(bin(gf))−1 —
+    // pure integer/string arithmetic, zero libm involvement, so the
+    // within-language ORDER is bit-exact cross-engine, which a
+    // double-ln score cannot promise). Terciles via Rank.globalNtile —
+    // one range-partitioned rank pass, no per-language single-task
+    // window (a language of a 100 TB corpus is not one task's data).
+    "quality_ppl_buckets" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("term"))
+        .where(col("term") =!= "")
+      val gf = toks.groupBy("term").agg(count(lit(1)).as("gf"))
+      val scored = toks.groupBy(col("doc_id"), col("lang"), col("term"))
+        .agg(count(lit(1)).as("c"))
+        .join(gf, "term")
+        .groupBy("doc_id", "lang")
+        .agg(sum("c").as("n_tok"),
+          sum(col("c") * (length(bin(col("gf"))) - 1)).as("s"))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          expr("(s * 1000) div n_tok").as("fam_milli"))
+      graft.ops.Rank.globalNtile(scored, "lang",
+          Seq(col("fam_milli").desc, col("doc_id")), 3)
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("fam_milli"),
+          when(col("tile") === 1, lit("head"))
+            .when(col("tile") === 2, lit("middle"))
+            .otherwise(lit("tail")).as("ppl_bucket"))
+        .orderBy("doc_id")
     }),
 
     // Gopher-style quality rule battery (Rae et al. 2021 §A1.1 shape):
@@ -6222,6 +6265,21 @@ object SparkEntry {
         |       t -> t IN ('error', 'slow', 'dup', 'spill', 'skew'))) > 0
         |     THEN 1 ELSE 0 END AS flagged
         | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "quality_ppl_buckets" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents),
+        | tk AS (SELECT doc_id, lang, term FROM tok WHERE term <> ''),
+        | gf AS (SELECT term, count(*)::BIGINT AS gf FROM tk GROUP BY term),
+        | dt AS (SELECT doc_id, lang, term, count(*)::BIGINT AS c FROM tk GROUP BY 1, 2, 3),
+        | sc AS (SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_tok,
+        |               CAST(sum(c * (length(bin(gf)) - 1)) AS BIGINT) AS s
+        |        FROM dt JOIN gf USING (term) GROUP BY 1, 2),
+        | s2 AS (SELECT doc_id, lang, n_tok, (s * 1000) // n_tok AS fam_milli FROM sc),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY fam_milli DESC, doc_id) AS rw,
+        |              count(*) OVER (PARTITION BY lang) AS n_l FROM s2)
+        | SELECT doc_id, lang, n_tok, fam_milli,
+        |        CASE 1 + ((rw - 1) * 3) // n_l WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        | FROM r ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "quality_gopher" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

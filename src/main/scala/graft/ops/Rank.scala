@@ -85,6 +85,32 @@ object Rank {
     * releases nothing (the materialized input is dropped with the
     * returned frame's lineage on session cleanup).
     */
+  /** Exact per-group k-tiles WITHOUT the per-group single-task window
+    * trap: `ntile(k).over(Window.partitionBy(group).orderBy(...))` puts
+    * each GROUP in one task — fatal when a group is a whole language of
+    * a 100 TB corpus. Here ONE [[globalRowNumber]] pass ranks the rows
+    * range-partitioned on `(group, sortCols)` — parallel at any size —
+    * and a broadcast per-group (count, cumulative offset) table turns
+    * global row numbers into within-group ones; the tile is then the
+    * closed form `1 + (r−1)·k div n`. (Block sizes differ from SQL
+    * NTILE's front-loaded remainder — this variant's assignment is a
+    * pure expression both engines can compute without a second pass.)
+    * `sortCols` must totally order rows WITHIN a group. Adds `tile`.
+    */
+  def globalNtile(df: DataFrame, groupCol: String,
+                  sortCols: Seq[org.apache.spark.sql.Column], k: Int,
+                  parts: Int = 32): DataFrame = {
+    val ranked = globalRowNumber(df, col(groupCol) +: sortCols, parts)
+    val offsets = df.groupBy(groupCol).agg(count(lit(1)).as("_n_g"))
+      .withColumn("_off",
+        coalesce(sum("_n_g").over(Window.orderBy(groupCol)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    ranked.join(broadcast(offsets), groupCol)
+      .withColumn("tile",
+        expr(s"CAST(1 + ((rn - _off - 1) * $k) div _n_g AS INT)"))
+      .drop("rn", "_n_g", "_off")
+  }
+
   def globalRowNumber(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
                       parts: Int = 32): DataFrame = {
     val ranged = Iterate.materialize(

@@ -96,4 +96,30 @@ class TopKSpec extends SparkSpec {
       assert(got === expected, s"input parts=$parts")
     }
   }
+
+  test("globalNtile matches the closed-form reference per group at any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // uneven groups (sizes 1, 3, 4, 7, 50) with duplicate sort keys
+    val rows = Seq("a" -> 1, "b" -> 3, "c" -> 4, "d" -> 7, "e" -> 50).flatMap {
+      case (g, n) => (1 to n).map(i => (g, (i * 31) % 5, (g.hashCode * 100 + i).toLong))
+    }
+    val k = 3
+    val expected = rows.groupBy(_._1).flatMap { case (_, grp) =>
+      val sorted = grp.sortBy(r => (r._2, r._3))
+      sorted.zipWithIndex.map { case ((_, _, id), idx) =>
+        id -> (1 + idx * k / sorted.size)
+      }
+    }
+    for (parts <- Seq(1, 6)) {
+      val df = spark.sparkContext.parallelize(rows, parts).toDF("g", "v", "id")
+      val got = graft.ops.Rank.globalNtile(df, "g", Seq(col("v"), col("id")), k,
+          parts = 4)
+        .select("id", "tile").as[(Long, Int)].collect().toMap
+      assert(got === expected, s"input parts=$parts")
+      // every group covers tile 1..min(k, size) with sizes differing by ≤1
+      val sizes = got.groupBy(_._2).view.mapValues(_.size)
+      assert(sizes.keys.min == 1 && sizes.keys.max == k)
+    }
+  }
 }
