@@ -3093,6 +3093,31 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // Matryoshka retrieval (Kusupati et al. '22): exact top-3 under PREFIX
+    // dims 8/16/32/64 of the embedding, with per-(dim, query) overlap vs
+    // the full-dim answer — the recall curve that tells you the cheapest
+    // usable first-stage dim. At scale the prefix slice happens at the
+    // SCAN (column pruning of a fixed-size array → 8× less I/O at d=8),
+    // so a stage-1 sweep reads a fraction of the index; this query's
+    // 4-way union shares one corpus read under the cache.
+    "embed_matryoshka" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val per = Seq(8, 16, 32, 64).map { d =>
+        val c = emb.select(col("vec_id"), slice(col("embedding"), 1, d).as("e"))
+        val q = c.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("e").as("qe"))
+        Similarity.bruteForceTopK(c, q, "vec_id", "e", "q_id", "qe", 3)
+          .select(lit(d).as("dim"), col("q_id"), col("neighbor_id"))
+      }.reduce(_ unionAll _)
+      val full64 = per.where(col("dim") === 64)
+        .select(col("q_id"), col("neighbor_id"), lit(1).as("_hit"))
+      per.join(full64, Seq("q_id", "neighbor_id"), "left")
+        .groupBy("dim", "q_id")
+        .agg(sort_array(collect_list(col("neighbor_id"))).as("top3"),
+          sum(coalesce(col("_hit"), lit(0))).as("hits"))
+        .orderBy("dim", "q_id")
+    }),
+
     // Retrieval-quality eval: rank of the FIRST relevant neighbor
     // (same-label) in each query's exact top-10 — the integer core of
     // MRR@10 (the mean-of-reciprocals is one trivial reduce the caller
@@ -3272,6 +3297,38 @@ object SparkEntry {
             .when(col("tile") === 2, lit("middle"))
             .otherwise(lit("tail")).as("ppl_bucket"))
         .orderBy("doc_id")
+    }),
+
+    // Domain-mixture reweighting (the DoReMi/data-mixing step of a
+    // pretraining pipeline, with FIXED target shares): given a literal
+    // target token share per language, the per-domain keep rate that
+    // realizes the mixture by downsampling — `need_bp` > 10000 marks
+    // domains the target can only reach by UPSAMPLING (epoch repeats),
+    // which filtering cannot do; `keep_bp` is the clamped realizable
+    // rate. All integer basis points — one narrow scan + one 5-row agg.
+    "corpus_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val target = s.range(1).select(explode(array(
+          struct(lit("en").as("lang"), lit(4000L).as("target_bp")),
+          struct(lit("de").as("lang"), lit(1500L).as("target_bp")),
+          struct(lit("fr").as("lang"), lit(1500L).as("target_bp")),
+          struct(lit("es").as("lang"), lit(1500L).as("target_bp")),
+          struct(lit("zh").as("lang"), lit(1500L).as("target_bp")))).as("x"))
+        .select(col("x.lang"), col("x.target_bp"))
+      val per = docs
+        .select(col("lang"),
+          expr("size(filter(split(text, ' '), x -> x <> ''))").cast("long").as("tok"))
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"), sum("tok").as("tokens"))
+      val tot = per.agg(sum("tokens").as("total"))
+      per.join(broadcast(target), "lang").crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"), col("tokens"),
+          expr("(tokens * 10000) div total").as("natural_bp"),
+          col("target_bp"),
+          expr("(total * target_bp) div tokens").as("need_bp"),
+          least(lit(10000L), expr("(total * target_bp) div tokens")).as("keep_bp"),
+          expr("(tokens * least(10000, (total * target_bp) div tokens)) div 10000")
+            .as("kept_tokens"))
+        .orderBy("lang")
     }),
 
     // Gopher-style quality rule battery (Rae et al. 2021 §A1.1 shape):
@@ -6179,6 +6236,24 @@ object SparkEntry {
          | SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
          | FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replace("\n", " "),
 
+    "embed_matryoshka" ->
+      s"""WITH p AS (
+         |   SELECT d.dim, q.vec_id AS q_id, e.vec_id AS neighbor_id,
+         |          row_number() OVER (PARTITION BY d.dim, q.vec_id
+         |            ORDER BY ${duckCosine("(q.embedding[1:d.dim])", "(e.embedding[1:d.dim])")} DESC,
+         |                     e.vec_id) AS rnk
+         |   FROM (VALUES (8), (16), (32), (64)) d(dim)
+         |   CROSS JOIN embeddings q
+         |   JOIN embeddings e ON e.vec_id <> q.vec_id
+         |   WHERE q.vec_id < 10),
+         | top AS (SELECT dim, q_id, neighbor_id FROM p WHERE rnk <= 3),
+         | full64 AS (SELECT q_id, neighbor_id FROM top WHERE dim = 64)
+         | SELECT t.dim, t.q_id, list_sort(list(t.neighbor_id)) AS top3,
+         |        CAST(sum(CASE WHEN f.neighbor_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS hits
+         | FROM top t LEFT JOIN full64 f
+         |   ON t.q_id = f.q_id AND t.neighbor_id = f.neighbor_id
+         | GROUP BY t.dim, t.q_id ORDER BY t.dim, t.q_id""".stripMargin.replace("\n", " "),
+
     "retrieval_mrr" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
          |           FROM embeddings WHERE vec_id < 50),
@@ -6265,6 +6340,20 @@ object SparkEntry {
         |       t -> t IN ('error', 'slow', 'dup', 'spill', 'skew'))) > 0
         |     THEN 1 ELSE 0 END AS flagged
         | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "corpus_mix" ->
+      """WITH tok AS (SELECT lang, len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS tok FROM documents),
+        | per AS (SELECT lang, count(*)::BIGINT AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens FROM tok GROUP BY lang),
+        | tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM per),
+        | tgt(lang, target_bp) AS (VALUES ('en', 4000), ('de', 1500), ('fr', 1500), ('es', 1500), ('zh', 1500))
+        | SELECT p.lang, p.n_docs, p.tokens,
+        |        (p.tokens * 10000) // t.total AS natural_bp,
+        |        CAST(g.target_bp AS BIGINT) AS target_bp,
+        |        (t.total * g.target_bp) // p.tokens AS need_bp,
+        |        least(10000, (t.total * g.target_bp) // p.tokens) AS keep_bp,
+        |        (p.tokens * least(10000, (t.total * g.target_bp) // p.tokens)) // 10000 AS kept_tokens
+        | FROM per p JOIN tgt g ON p.lang = g.lang CROSS JOIN tot t
+        | ORDER BY p.lang""".stripMargin.replace("\n", " "),
 
     "quality_ppl_buckets" ->
       """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents),
