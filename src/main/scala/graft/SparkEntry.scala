@@ -3113,7 +3113,8 @@ object SparkEntry {
         .select(col("q_id"), col("neighbor_id"), lit(1).as("_hit"))
       per.join(full64, Seq("q_id", "neighbor_id"), "left")
         .groupBy("dim", "q_id")
-        .agg(sort_array(collect_list(col("neighbor_id"))).as("top3"),
+        .agg(concat_ws(",", sort_array(collect_list(col("neighbor_id"))))
+            .as("top3"),
           sum(coalesce(col("_hit"), lit(0))).as("hits"))
         .orderBy("dim", "q_id")
     }),
@@ -6248,7 +6249,7 @@ object SparkEntry {
          |   WHERE q.vec_id < 10),
          | top AS (SELECT dim, q_id, neighbor_id FROM p WHERE rnk <= 3),
          | full64 AS (SELECT q_id, neighbor_id FROM top WHERE dim = 64)
-         | SELECT t.dim, t.q_id, list_sort(list(t.neighbor_id)) AS top3,
+         | SELECT t.dim, t.q_id, array_to_string(list_sort(list(t.neighbor_id)), ',') AS top3,
          |        CAST(sum(CASE WHEN f.neighbor_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS hits
          | FROM top t LEFT JOIN full64 f
          |   ON t.q_id = f.q_id AND t.neighbor_id = f.neighbor_id

@@ -11,24 +11,41 @@ import org.apache.spark.sql.functions._
 object Profile {
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // null/min/max ride ONE plain single-pass aggregate. The distinct
+    // counts deliberately do NOT join them there as countDistinct aggs:
+    // k countDistincts in one agg plan through Expand — every input row
+    // replicated k+1 times before the exchange. Instead the values
+    // unpivot to (column, value-string) rows and dedup through a
+    // standard partial-aggregable two-level agg: k× the rows moved, but
+    // map-side combine collapses them to per-partition distincts first
+    // (casting to string keeps distinctness: numeric→string is
+    // canonical and injective).
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"_cnt_$c"),
-        countDistinct(col(c)).as(s"_dst_$c"),
         min(col(c)).cast("string").as(s"_min_$c"),
         max(col(c)).cast("string").as(s"_max_$c"))
     }
     val total = count(lit(1)).as("_total")
     val wide = df.agg(total, aggs: _*)
-    // one row per column: unpivot the wide single-row aggregate
     val rows = cols.map { c =>
       struct(lit(c).as("column"),
         (col("_total") - col(s"_cnt_$c")).as("n_null"),
-        col(s"_dst_$c").as("n_distinct"),
         col(s"_min_$c").as("min_val"),
         col(s"_max_$c").as("max_val"))
     }
-    wide.select(explode(array(rows: _*)).as("p")).select("p.*")
+    val base = wide.select(explode(array(rows: _*)).as("p")).select("p.*")
+    val distincts = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"), col(c).cast("string").as("v"))): _*)).as("u"))
+      .select("u.*")
+      .where(col("v").isNotNull)
+      .groupBy("column", "v").agg(count(lit(1)).as("_one"))
+      .groupBy("column").agg(count(lit(1)).as("n_distinct"))
+    base.join(distincts, Seq("column"), "left")
+      .select(col("column"), col("n_null"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_val"), col("max_val"))
   }
 
   /** Fixed-width histogram of a numeric column: one partial-aggregating
