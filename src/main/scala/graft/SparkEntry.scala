@@ -3700,6 +3700,21 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Incremental SemDeDup: a 10% incoming batch (vec_id ≡ 9 mod 10)
+    // against the stored 90% — broadcast batch vs cluster-assigned
+    // stored side (stored corpus touched only on the batch's clusters,
+    // never self-joined), in-batch keep-first on the same broadcast. The
+    // semantic twin of dedup_incremental's band-table topology.
+    "dedup_semantic_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      Similarity.semanticDedupIncremental(
+          emb.where(col("vec_id") % 10 =!= 9), emb.where(col("vec_id") % 10 === 9),
+          cents, "vec_id", "embedding", "c_id", "c_emb", threshold = 0.35)
+        .orderBy("vec_id")
+    }),
+
     // Word-3-gram Jaccard near-dup via an inverted shingle index self-join
     // with a document-frequency cap on shingles (see Dedup.ngramCandidates
     // — the guard against the boilerplate-shingle k² blowup).
@@ -6742,6 +6757,29 @@ object SparkEntry {
          |        CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
          | FROM a2 LEFT JOIN drops d ON a2.vec_id = d.vec_id
          | ORDER BY a2.vec_id""".stripMargin.replace("\n", " "),
+
+    "dedup_semantic_incremental" ->
+      s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+         | assign AS (
+         |   SELECT e.vec_id, e.embedding, c.c_id,
+         |          row_number() OVER (PARTITION BY e.vec_id
+         |            ORDER BY ${duckCosine("c.c_emb", "e.embedding")} DESC, c.c_id) AS rk
+         |   FROM embeddings e CROSS JOIN cents c),
+         | a2 AS (SELECT vec_id, embedding, c_id AS cluster FROM assign WHERE rk = 1),
+         | b AS (SELECT * FROM a2 WHERE vec_id % 10 = 9),
+         | s AS (SELECT * FROM a2 WHERE vec_id % 10 <> 9),
+         | m AS (
+         |   SELECT b.vec_id, s.vec_id AS m_id FROM b JOIN s ON b.cluster = s.cluster
+         |   WHERE ${duckCosine("b.embedding", "s.embedding")} >= 0.35
+         |   UNION ALL
+         |   SELECT b.vec_id, p.vec_id AS m_id FROM b JOIN b p
+         |     ON b.cluster = p.cluster AND p.vec_id < b.vec_id
+         |   WHERE ${duckCosine("b.embedding", "p.embedding")} >= 0.35),
+         | mm AS (SELECT vec_id, min(m_id) AS match_id FROM m GROUP BY vec_id)
+         | SELECT b.vec_id, b.cluster, mm.match_id,
+         |        CASE WHEN mm.match_id IS NULL THEN 0 ELSE 1 END AS is_dup
+         | FROM b LEFT JOIN mm ON b.vec_id = mm.vec_id
+         | ORDER BY b.vec_id""".stripMargin.replace("\n", " "),
 
     "dedup_cosine_pairs" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -627,4 +627,48 @@ object Similarity {
       .select(col(idCol), col("cluster"), col("cent_cos"),
         coalesce(col("_d"), lit(0)).as("drop"))
   }
+
+  /** Incremental [[semanticDedup]]: which vectors of an incoming BATCH
+    * semantically duplicate the stored corpus (or an earlier batch row)?
+    * The batch — tiny next to the corpus — is explicitly `broadcast`
+    * against the cluster-assigned stored side, so the stored corpus is
+    * touched only on the batch's clusters (partition-pruned when the
+    * stored assignment is written clustered, the deploy shape) and never
+    * self-joins; in-batch keep-first dedup rides the same broadcast.
+    * This mirrors [[graft.ops.Dedup.incrementalMinhashDups]]'s topology
+    * with cosine-over-centroid-cells in place of band buckets.
+    *
+    * Returns one row per batch vector: `(idCol, cluster, match_id,
+    * is_dup)` — `match_id` the smallest duplicate partner id (stored or
+    * earlier-batch), NULL when none.
+    */
+  def semanticDedupIncremental(stored: DataFrame, batch: DataFrame,
+                               centroids: DataFrame, idCol: String,
+                               embCol: String, cIdCol: String,
+                               cEmbCol: String, threshold: Double): DataFrame = {
+    def assigned(df: DataFrame) =
+      ivfAssign(df, centroids, idCol, embCol, cIdCol, cEmbCol)
+        .withColumn("_nrm", sqrt(dotFixed(embCol, embCol)))
+    val b = assigned(batch).select(col("cluster").as("_b_cl"),
+      col(idCol).as("_b_id"), col(embCol).as("_b_emb"), col("_nrm").as("_b_nrm"))
+    val s = assigned(stored).select(col("cluster").as("_s_cl"),
+      col(idCol).as("_s_id"), col(embCol).as("_s_emb"), col("_nrm").as("_s_nrm"))
+    val vsStored = s.join(broadcast(b), col("_s_cl") === col("_b_cl") &&
+        (dotFixed("_b_emb", "_s_emb") / (col("_b_nrm") * col("_s_nrm"))
+          >= threshold))
+      .select(col("_b_id"), col("_s_id").as("_m_id"))
+    val b2 = b.select(col("_b_cl").as("_p_cl"), col("_b_id").as("_p_id"),
+      col("_b_emb").as("_p_emb"), col("_b_nrm").as("_p_nrm"))
+    val vsBatch = b.join(broadcast(b2), col("_b_cl") === col("_p_cl") &&
+        col("_p_id") < col("_b_id") &&
+        (dotFixed("_b_emb", "_p_emb") / (col("_b_nrm") * col("_p_nrm"))
+          >= threshold))
+      .select(col("_b_id"), col("_p_id").as("_m_id"))
+    val matches = vsStored.unionAll(vsBatch)
+      .groupBy("_b_id").agg(min(col("_m_id")).as("match_id"))
+    b.join(matches, Seq("_b_id"), "left")
+      .select(col("_b_id").as(idCol), col("_b_cl").as("cluster"),
+        col("match_id"),
+        col("match_id").isNotNull.cast("int").as("is_dup"))
+  }
 }

@@ -63,6 +63,40 @@ class SemanticDedupSpec extends SparkSpec {
     assert(out(31L) == ((1L, 0)))
   }
 
+  test("incremental: batch dups flag against stored and earlier-batch rows only") {
+    val stored = Seq(
+      1L -> Array(1f, 0f),        // cluster 0
+      2L -> Array(0.1f, 0.9f))    // cluster 1
+      .toDF("vec_id", "embedding")
+    val batch = Seq(
+      10L -> Array(0.95f, 0.05f), // dup of stored 1 (same cluster, cos high)
+      11L -> Array(0.95f, 0.05f), // dup of stored 1 AND earlier-batch 10 → min id 1
+      12L -> Array(0.55f, 0.5f))  // cluster 0, below threshold vs everything
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedupIncremental(stored, batch, cents2d,
+        "vec_id", "embedding", "c_id", "c_emb", threshold = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Long]), r.getInt(3)))).toMap
+    assert(out.keySet == Set(10L, 11L, 12L)) // stored rows never re-judged
+    assert(out(10L) == ((Some(1L), 1)))
+    assert(out(11L) == ((Some(1L), 1)))
+    assert(out(12L) == ((None, 0)))
+  }
+
+  test("incremental: in-batch twins with no stored match keep the first") {
+    val stored = Seq(1L -> Array(0.1f, 0.9f)).toDF("vec_id", "embedding")
+    val batch = Seq(
+      20L -> Array(0.9f, 0.1f),
+      21L -> Array(0.9f, 0.1f))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedupIncremental(stored, batch, cents2d,
+        "vec_id", "embedding", "c_id", "c_emb", threshold = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Long]), r.getInt(3)))).toMap
+    assert(out(20L) == ((None, 0)))
+    assert(out(21L) == ((Some(20L), 1)))
+  }
+
   test("an identical clique collapses to its minimum-id member") {
     val out = run(Seq(
       40L -> Array(1f, 0f),
