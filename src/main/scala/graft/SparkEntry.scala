@@ -530,6 +530,12 @@ object SparkEntry {
     // percentiles of q24; 2% value tolerance.
     "sketch_quantiles" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
+      // NOTE: partitionBy(l_returnflag) serializes each flag into one
+      // task — acceptable here because the sketch comparison is the
+      // query's point and the exact side is the oracle anchor; at real
+      // scale the exact per-group quantile is Rank.globalRowNumber over
+      // (flag, price, tiebreak) + broadcast per-flag offsets (measured:
+      // its fixed costs only win past toy scale).
       val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
       val exact = li
         .select(col("l_returnflag"), col("l_extendedprice"),
