@@ -274,10 +274,12 @@ object Graph {
     // NULL node at level 0 — drop both explicitly (the =!= filter already
     // rejects null-null rows, but null-to-value edges must not survive
     // into the symmetric caller's union either).
-    // `edgesDistinct = true` skips the internal dedup exchange when the
-    // caller certifies the list is already duplicate-free — a symmetric
-    // caller should dedup the ONE-directional pair set and union the swap
-    // (duplicate-free by construction), halving the dedup exchange volume.
+    // `edgesDistinct = true` skips the internal dedup exchange. Duplicate
+    // edges are TOLERATED either way — every level dedups its frontier
+    // (`next.distinct()`), so dups only inflate that level's join input —
+    // which makes the skip the right call whenever the caller's dup rate
+    // is low (a near-duplicate-free derivation pays a full |E| exchange
+    // to trim a few percent off later join inputs).
     val eRaw = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull &&
