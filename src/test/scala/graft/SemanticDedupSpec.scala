@@ -97,6 +97,47 @@ class SemanticDedupSpec extends SparkSpec {
     assert(out(21L) == ((Some(20L), 1)))
   }
 
+  test("deploy path: kmeans-fed dedup on the real fixture satisfies the drop invariants") {
+    // the shipped oracle query pins seed centroids; the deploy path feeds
+    // sphericalKMeans centroids. Properties that must hold regardless of
+    // centroid quality: (1) every cluster keeps >= 1 member — in
+    // particular the minimum-(cent_cos, id) member never drops; (2) every
+    // dropped row has a same-cluster keep-priority partner at >= threshold
+    // (the partner may itself be dropped further down a priority chain —
+    // the EXISTS rule is the paper's greedy semantics, not transitive-
+    // closure dedup); (3) row count is preserved.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.sphericalKMeansCentroids(
+      emb, "vec_id", "embedding", k = 8, iterations = 2)
+    val out = Similarity.semanticDedup(emb, cents, "vec_id", "embedding",
+      "c_id", "c_emb", threshold = 0.5)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.length == emb.count())
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cl, members) =>
+      assert(members.exists(_._4 == 0), s"cluster $cl dropped every member")
+      val best = members.minBy(m => (m._3, m._1))
+      assert(best._4 == 0, s"cluster $cl dropped its minimum member ${best._1}")
+    }
+    // verify property (2) against an in-memory cosine check
+    val vecs = emb.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.filter(_._4 == 1).foreach { case (id, cl, cc, _) =>
+      val partner = byCluster(cl).exists { case (pid, _, pcc, _) =>
+        pid != id && cos(vecs(id), vecs(pid)) >= 0.5 &&
+          (pcc < cc || (pcc == cc && pid < id))
+      }
+      assert(partner, s"dropped $id has no keep-priority partner at threshold")
+    }
+  }
+
   test("an identical clique collapses to its minimum-id member") {
     val out = run(Seq(
       40L -> Array(1f, 0f),
