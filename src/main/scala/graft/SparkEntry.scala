@@ -1669,6 +1669,32 @@ object SparkEntry {
             .stripMargin.replace("\n", " ")).as("ewma_cents"))
         .orderBy("user_id")),
 
+    // Seasonal-naive forecast eval over the daily event volume: forecast
+    // for day d = actual at d−7, scored as MASE-scaled errors (Hyndman &
+    // Koehler '06) — each |e_d| scaled by the in-sample one-step naive
+    // MAE, the standard scale-free forecast baseline every real model
+    // must beat. Lags via exact day-arithmetic self-joins (no density
+    // assumption, no window), denominator rides as a one-row broadcast;
+    // counts are integers so scaled errors are exact in milli-units.
+    "events_forecast_snaive" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(expr("ts div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("actual"))
+      val f = daily.select((col("day") + 7).as("day"), col("actual").as("forecast"))
+      val p = daily.select((col("day") + 1).as("day"), col("actual").as("prev"))
+      val j = daily.join(f, Seq("day"), "left").join(p, Seq("day"), "left")
+      val naive = j.where(col("prev").isNotNull)
+        .agg(sum(abs(col("actual") - col("prev"))).as("sum_naive"),
+          count(lit(1)).as("n_naive"))
+      j.where(col("forecast").isNotNull)
+        .crossJoin(broadcast(naive))
+        .select(col("day"), col("actual"), col("forecast"),
+          abs(col("actual") - col("forecast")).as("abs_err"),
+          expr("(1000 * abs(actual - forecast) * n_naive) div sum_naive")
+            .as("scaled_err_milli"))
+        .orderBy("day")
+    }),
+
     // CUSUM change-point scan over the daily event volume (Page '54):
     // cumulative sum of mean-deviations, peak |CUSUM| day = the change
     // point. Scaled by the day count so everything stays in exact
@@ -5229,6 +5255,20 @@ object SparkEntry {
         |    ORDER BY epoch_ns(ts), event_id),
         |    (acc, x) -> (acc + x) // 2) AS ewma_cents
         | FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "),
+
+    "events_forecast_snaive" ->
+      """WITH daily AS (SELECT epoch_ns(ts) // 86400000000000 AS day, count(*)::BIGINT AS actual
+        |   FROM events GROUP BY 1),
+        | j AS (SELECT d.day, d.actual, f.actual AS forecast, p.actual AS prev
+        |       FROM daily d LEFT JOIN daily f ON d.day = f.day + 7
+        |                    LEFT JOIN daily p ON d.day = p.day + 1),
+        | nv AS (SELECT CAST(sum(abs(actual - prev)) AS BIGINT) AS sum_naive,
+        |               count(*)::BIGINT AS n_naive
+        |        FROM j WHERE prev IS NOT NULL)
+        | SELECT day, actual, forecast, abs(actual - forecast) AS abs_err,
+        |        (1000 * abs(actual - forecast) * n_naive) // sum_naive AS scaled_err_milli
+        | FROM j CROSS JOIN nv WHERE forecast IS NOT NULL
+        | ORDER BY day""".stripMargin.replace("\n", " "),
 
     "events_cusum" ->
       """WITH daily AS (SELECT epoch_ns(ts) // 86400000000000 AS day, count(*) AS n
