@@ -2010,6 +2010,45 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // CUPED variance reduction (Deng et al. '13) — THE standard A/B
+    // sensitivity trick: regress the experiment metric on a
+    // pre-experiment covariate (each user's first-10-days activity) and
+    // analyze y − θx instead of y. θ is pooled cov/var; per-cohort
+    // var(y−θx) expands algebraically so every aggregate is an exact
+    // integer sum and all float math is row-local scalar arithmetic on
+    // those sums (the events_chisq discipline — no float folds, both
+    // engines IEEE-identical), rounded only at output.
+    "events_ab_cuped" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select((col("user_id") % 2).as("cohort"), col("user_id"),
+          expr("ts div 86400000000000").as("day"))
+      val minDay = e.agg(min("day").as("min_day"))
+      val perUser = e.crossJoin(broadcast(minDay))
+        .groupBy("cohort", "user_id")
+        .agg(sum(when(col("day") < col("min_day") + 10, 1L).otherwise(0L)).as("x"),
+          sum(when(col("day") >= col("min_day") + 10, 1L).otherwise(0L)).as("y"))
+      val pc = perUser.groupBy("cohort").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      val pooled = pc.agg(sum("n").as("np"), sum("sx").as("sxp"),
+        sum("sy").as("syp"), sum("sxx").as("sxxp"), sum("sxy").as("sxyp"))
+      val TH = "((CAST(sxyp AS DOUBLE) - CAST(sxp AS DOUBLE) * CAST(syp AS DOUBLE) / np) / (CAST(sxxp AS DOUBLE) - CAST(sxp AS DOUBLE) * CAST(sxp AS DOUBLE) / np))"
+      val VARY = "((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1))"
+      val VARX = "((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1))"
+      val COV = "((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1))"
+      val VADJ = s"$VARY + $TH * $TH * $VARX - 2 * $TH * $COV"
+      pc.crossJoin(broadcast(pooled))
+        .select(col("cohort"), col("n"),
+          expr("round(CAST(sy AS DOUBLE) / n, 4) + 0.0").as("mean_y_r4"),
+          expr(s"round($TH, 4) + 0.0").as("theta_r4"),
+          expr(s"round($VARY, 4) + 0.0").as("var_y_r4"),
+          expr(s"round($VADJ, 4) + 0.0").as("var_adj_r4"),
+          expr(s"CAST(round(10000 * (1 - ($VADJ) / $VARY), 0) AS BIGINT)")
+            .as("reduction_bp"))
+        .orderBy("cohort")
+    }),
+
     // Chi-square contingency cells: event_type × weekday observed counts
     // with per-cell chi contribution (O−E)²/E. E = rt·ct/N is row-local
     // double arithmetic over exact integer marginals — no float folds —
@@ -5458,6 +5497,37 @@ object SparkEntry {
         |     (sqrt(list_sum([ca[i] * ca[i] for i in range(1, 65)])) *
         |      sqrt(list_sum([cb[i] * cb[i] for i in range(1, 65)]))), 4) + 0.0 AS drift_cos_r4
         | FROM ca JOIN cb ON ca.label = cb.label ORDER BY ca.label""".stripMargin.replace("\n", " "),
+
+    "events_ab_cuped" -> {
+      val TH = "((CAST(sxyp AS DOUBLE) - CAST(sxp AS DOUBLE) * CAST(syp AS DOUBLE) / np) / (CAST(sxxp AS DOUBLE) - CAST(sxp AS DOUBLE) * CAST(sxp AS DOUBLE) / np))"
+      val VARY = "((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1))"
+      val VARX = "((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1))"
+      val COV = "((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1))"
+      val VADJ = s"$VARY + $TH * $TH * $VARX - 2 * $TH * $COV"
+      s"""WITH e AS (SELECT user_id % 2 AS cohort, user_id,
+         |             epoch_ns(ts) // 86400000000000 AS day FROM events),
+         | md AS (SELECT min(day) AS min_day FROM e),
+         | pu AS (SELECT cohort, user_id,
+         |          CAST(sum(CASE WHEN day < min_day + 10 THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         |          CAST(sum(CASE WHEN day >= min_day + 10 THEN 1 ELSE 0 END) AS BIGINT) AS y
+         |        FROM e CROSS JOIN md GROUP BY cohort, user_id),
+         | pc AS (SELECT cohort, count(*)::BIGINT AS n,
+         |          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |          CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         |          CAST(sum(x * y) AS BIGINT) AS sxy
+         |        FROM pu GROUP BY cohort),
+         | pl AS (SELECT CAST(sum(n) AS BIGINT) AS np, CAST(sum(sx) AS BIGINT) AS sxp,
+         |          CAST(sum(sy) AS BIGINT) AS syp, CAST(sum(sxx) AS BIGINT) AS sxxp,
+         |          CAST(sum(sxy) AS BIGINT) AS sxyp
+         |        FROM pc)
+         | SELECT cohort, n,
+         |   round(CAST(sy AS DOUBLE) / n, 4) + 0.0 AS mean_y_r4,
+         |   round($TH, 4) + 0.0 AS theta_r4,
+         |   round($VARY, 4) + 0.0 AS var_y_r4,
+         |   round($VADJ, 4) + 0.0 AS var_adj_r4,
+         |   CAST(round(10000 * (1 - ($VADJ) / $VARY), 0) AS BIGINT) AS reduction_bp
+         | FROM pc CROSS JOIN pl ORDER BY cohort""".stripMargin.replace("\n", " ")
+    },
 
     "events_ab_ttest" ->
       """WITH e AS (SELECT event_type, user_id % 2 AS cohort, value FROM events),
