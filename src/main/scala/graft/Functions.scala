@@ -38,6 +38,7 @@ object Functions {
       exprs(0), exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]))
     native("word_gram_hashes", exprs => graft.functions.WordGramHashes(
       exprs(0), exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]))
+    native("gopher_stats", exprs => graft.functions.GopherStatsExpr(exprs(0)))
     native("unicode_norm", exprs => graft.functions.UnicodeNormalize(
       exprs(0), graft.functions.UnicodeNormalize.formOf(
         exprs(1).eval().toString)))
@@ -64,6 +65,12 @@ object Functions {
       "word_set_hits set members must not contain commas (CSV wire format)")
     call_function("word_set_hits", text, lit(words.mkString(",")))
   }
+
+  /** One-pass per-doc token stats (graft.functions.GopherStatsExpr):
+    * `STRUCT<n_tok, n_uniq, top_c, sum_len, max_len>` — zero-shuffle
+    * replacement for explode→groupBy token statistics.
+    */
+  def gopherStats(text: Column): Column = call_function("gopher_stats", text)
 
   /** Native codegen expressions (see graft.functions.TextExprs). */
   def normalizeLabel(c: Column): Column = call_function("normalize_label", c)

@@ -1809,28 +1809,39 @@ object SparkEntry {
     // PQ asymmetric distance (ADC) top-k — the IVF-PQ SEARCH path: each
     // query scores corpus vectors by the distance from its own subvectors
     // to each vector's ASSIGNED codewords (codes + codebook only, never
-    // the corpus floats). Per-pair total folds m-sorted so the float sum
-    // is partition-order-free. AnnRecallSpec pins ADC recall vs exact.
+    // the corpus floats). SHUFFLE-FREE search: one row per vector with its
+    // 8-code array, the per-query 8×16 distance LUT broadcast (Jégou's
+    // table), adc² summed row-locally via zip_with in m order (so the
+    // float fold is partition-order-free), ranked by the map-side-pruning
+    // top-k exec. Nothing corpus×queries-sized is ever exchanged — the
+    // previous shape shuffled one row per (vector, subspace, query) into a
+    // wide groupBy, which at 100 TB is corpus × queries rows of shuffle.
+    // AnnRecallSpec pins ADC recall vs exact.
     "embed_pq_adc" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val codes = pqAssign(emb).select(col("vec_id"), col("m"), col("code"))
+      val codes = pqAssign(emb).groupBy("vec_id")
+        .agg(expr("transform(array_sort(collect_list(struct(m, code))), s -> s.code)")
+          .as("codes"))
       val cb = pqSubs(emb.where(col("vec_id") < 16), "code", "cb_sub")
       val q = pqSubs(emb.where(col("vec_id") < 5), "q_id", "q_sub")
-      codes.join(broadcast(cb), Seq("m", "code"))
-        .join(broadcast(q), "m")
+      val lut = q.join(cb, "m")
+        .select(col("q_id"), col("m"), col("code"), pqD2("q_sub", "cb_sub").as("d2"))
+        .groupBy("q_id", "m")
+        .agg(expr("transform(array_sort(collect_list(struct(code, d2))), s -> s.d2)")
+          .as("lut_m"))
+        .groupBy("q_id")
+        .agg(expr("transform(array_sort(collect_list(struct(m, lut_m))), s -> s.lut_m)")
+          .as("luts"))
+      val scored = codes.crossJoin(broadcast(lut))
         .where(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), col("m"),
-          pqD2("q_sub", "cb_sub").as("d2"))
-        .groupBy("q_id", "vec_id")
-        .agg(expr("""aggregate(array_sort(collect_list(struct(m, d2))),
-               | CAST(0 AS DOUBLE), (a, x) -> a + x.d2)"""
-          .stripMargin.replace("\n", " ")).as("adc2"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
-          round(col("adc2"), 6).as("adc2_r6"),
-          row_number().over(
-            Window.partitionBy("q_id").orderBy(col("adc2"), col("vec_id")))
-            .as("rank"))
-        .where(col("rank") <= 5)
+          expr("""aggregate(zip_with(codes, luts, (c, l) -> element_at(l, CAST(c + 1 AS INT))),
+                 | CAST(0 AS DOUBLE), (a, x) -> a + x)"""
+            .stripMargin.replace("\n", " ")).as("adc2"))
+      graft.ops.TopK.topKPerGroupExecRanked(scored, Seq("q_id"),
+          Seq(("adc2", false), ("neighbor_id", false)), 5, "rank")
+        .select(col("q_id"), col("neighbor_id"),
+          round(col("adc2"), 6).as("adc2_r6"), col("rank"))
         .orderBy("q_id", "rank")
     }),
 
@@ -3407,20 +3418,19 @@ object SparkEntry {
     // rationals over per-doc token stats (no float thresholds): word count
     // in [10, 200], mean word length in [3, 10] (sum_len vs 3·n / 10·n),
     // max word length ≤ 20, ≥ 2 stopword hits, ≥ 50% unique words, top
-    // word ≤ 20% of tokens. One (doc, word) shuffle feeds every rule.
+    // word ≤ 20% of tokens. ZERO shuffle: every stat is row-local, computed
+    // in one compiled pass by gopher_stats (functions/GopherStats.scala) —
+    // at 100 TB this is a map-only scan, vs the explode → groupBy(doc, w)
+    // → groupBy(doc) shape that re-shuffles the full token stream twice.
     "quality_gopher" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val toks = docs.select(col("doc_id"),
-        Functions.wordSetHits(col("text"), stopEn).as("sh"),
-        explode(split(col("text"), " ")).as("w"))
-      val st = toks.groupBy("doc_id", "w")
-        .agg(count(lit(1)).as("c"), first("sh").as("sh"))
-        .groupBy("doc_id")
-        .agg(sum("c").as("n_tok"), count(lit(1)).as("n_uniq"),
-          max("c").as("top_c"),
-          sum(length(col("w")) * col("c")).as("sum_len"),
-          max(length(col("w"))).as("max_len"),
-          first("sh").as("stop_hits"))
+      val st = docs.select(col("doc_id"),
+          Functions.gopherStats(col("text")).as("g"),
+          Functions.wordSetHits(col("text"), stopEn).as("stop_hits"))
+        .select(col("doc_id"), col("g.n_tok").as("n_tok"),
+          col("g.n_uniq").as("n_uniq"), col("g.top_c").as("top_c"),
+          col("g.sum_len").as("sum_len"), col("g.max_len").as("max_len"),
+          col("stop_hits"))
       val fWords = col("n_tok") >= 10 && col("n_tok") <= 200
       val fMeanLen = col("sum_len") >= col("n_tok") * 3 &&
         col("sum_len") <= col("n_tok") * 10
@@ -3515,13 +3525,10 @@ object SparkEntry {
     "embed_label_outliers" -> ((s, dir) => {
       val scored = Similarity.labelOutliers(
         t(s, dir, "embeddings"), "vec_id", "embedding", "label")
-      graft.ops.TopK.topKPerGroupExec(scored, Seq("label"),
-          Seq(("loo_cos", false), ("vec_id", false)), 3)
+      graft.ops.TopK.topKPerGroupExecRanked(scored, Seq("label"),
+          Seq(("loo_cos", false), ("vec_id", false)), 3, "rank")
         .select(col("label"), col("vec_id"),
-          round(col("loo_cos"), 4).as("loo_cos4"),
-          row_number().over(Window.partitionBy("label")
-            .orderBy(col("loo_cos").asc, col("vec_id").asc)).as("rank"))
-        .where(col("rank") <= 3)
+          round(col("loo_cos"), 4).as("loo_cos4"), col("rank"))
         .orderBy("label", "rank")
     }),
 

@@ -53,6 +53,28 @@ object TopK {
       graft.plans.TopKPerGroup(k, groupCols.map(attr), order, lp))
   }
 
+  /** [[topKPerGroupExec]] plus a 1-based `rankCol` (row_number semantics
+    * over `orderCols` within each group), emitted by the final exec at
+    * zero extra cost — the emission position after the heap merge IS the
+    * rank. Replaces the `row_number().over(...)` re-rank of rows the exec
+    * already pruned (an extra shuffle + sort of the pruned output).
+    */
+  def topKPerGroupExecRanked(df: DataFrame, groupCols: Seq[String],
+                             orderCols: Seq[(String, Boolean)], k: Int,
+                             rankCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Descending, SortOrder}
+    import org.apache.spark.sql.types.IntegerType
+    val lp = df.queryExecution.analyzed
+    def attr(n: String) = lp.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $n not in ${lp.output.map(_.name).mkString(", ")}"))
+    val order = orderCols.map { case (c, desc) =>
+      SortOrder(attr(c), if (desc) Descending else Ascending) }
+    val rank = AttributeReference(rankCol, IntegerType, nullable = false)()
+    org.apache.spark.sql.GraftDatasetBridge.ofRows(df.sparkSession,
+      graft.plans.TopKPerGroup(k, groupCols.map(attr), order, lp, Some(rank)))
+  }
+
   /** One Misra-Gries counter-maintenance step: increment a tracked item,
     * admit an untracked one while under capacity, else decrement-all
     * (each decrement is paid for by a prior increment → O(1) amortized).

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
@@ -28,33 +28,39 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * pass a TOTAL order for deterministic results.
   */
 case class TopKPerGroup(k: Int, groupExprs: Seq[Expression],
-                        order: Seq[SortOrder], child: LogicalPlan)
+                        order: Seq[SortOrder], child: LogicalPlan,
+                        rankAttr: Option[Attribute] = None)
     extends UnaryNode {
   require(k > 0, s"topKPerGroup needs k > 0, got $k")
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr.toSeq)
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
     copy(child = newChild)
 }
 
 /** Planner strategy: logical TopKPerGroup → partial exec below the
   * exchange, final exec above (the exchange is inserted by
-  * EnsureRequirements from the final's required distribution).
+  * EnsureRequirements from the final's required distribution). Only the
+  * final exec emits the optional rank column — a partial rank would be
+  * per-partition-local and meaningless after the merge.
   */
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroup(k, g, o, child) =>
+    case TopKPerGroup(k, g, o, child, rank) =>
       val partial = TopKPerGroupExec(k, g, o, planLater(child), isPartial = true)
-      TopKPerGroupExec(k, g, o, partial, isPartial = false) :: Nil
+      TopKPerGroupExec(k, g, o, partial, isPartial = false, rankAttr = rank) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
                             order: Seq[SortOrder], child: SparkPlan,
-                            isPartial: Boolean)
+                            isPartial: Boolean,
+                            rankAttr: Option[Attribute] = None)
     extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr.toSeq)
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def nodeName: String =
     if (isPartial) "TopKPerGroupPartial" else "TopKPerGroupFinal"
@@ -68,6 +74,7 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
     val groupLocal = groupExprs
     val orderLocal = order
     val outputLocal = child.output
+    val rankLocal = rankAttr.isDefined && !isPartial
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(groupLocal, outputLocal)
       val ordering = new LazilyGeneratedOrdering(orderLocal, outputLocal)
@@ -94,9 +101,24 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
         val rows = new Array[InternalRow](heap.size())
         var i = 0
         while (!heap.isEmpty) { rows(i) = heap.poll(); i += 1 }
-        // drain gives worst-first; reverse for sort-order emission
+        // drain gives worst-first; reverse for sort-order emission.
+        // On the final pass the emission position IS the group rank
+        // (1-based, row_number semantics) — appending it here makes a
+        // trailing window re-rank of already-pruned rows redundant.
         var j = rows.length - 1
-        while (j >= 0) { out += rows(j); j -= 1 }
+        while (j >= 0) {
+          if (rankLocal) {
+            val joined = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              outputLocal.length + 1)
+            var c = 0
+            while (c < outputLocal.length) {
+              joined.update(c, rows(j).get(c, outputLocal(c).dataType)); c += 1
+            }
+            joined.update(outputLocal.length, rows.length - j)
+            out += joined
+          } else out += rows(j)
+          j -= 1
+        }
       }
       out.iterator
     }

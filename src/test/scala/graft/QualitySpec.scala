@@ -33,6 +33,35 @@ class QualitySpec extends SparkSpec {
     assert(byId(4L).getAs[Int]("keep") === 1)
   }
 
+  test("gopher_stats: one-pass stats equal the explode/groupBy formulation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val native = docs
+      .select(col("doc_id"), Functions.gopherStats(col("text")).as("g"))
+      .select(col("doc_id"), col("g.n_tok"), col("g.n_uniq"), col("g.top_c"),
+        col("g.sum_len"), col("g.max_len"))
+    val shuffled = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tok"), count(lit(1)).as("n_uniq"), max("c").as("top_c"),
+        sum(length(col("w")) * col("c")).as("sum_len"),
+        max(length(col("w"))).as("max_len"))
+    assert(native.exceptAll(shuffled).isEmpty && shuffled.exceptAll(native).isEmpty)
+  }
+
+  test("gopher_stats: hand case incl. empty tokens and repeats") {
+    val df = Seq((1L, "a bb a  a"), (2L, "x")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), Functions.gopherStats(col("text")).as("g"))
+      .select(col("doc_id"), col("g.n_tok"), col("g.n_uniq"), col("g.top_c"),
+        col("g.sum_len"), col("g.max_len"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // "a bb a  a" splits to [a, bb, a, "", a]: 5 tokens, 3 distinct, top=3
+    assert(got == Seq((1L, 5L, 3L, 3L, 5L, 2L), (2L, 1L, 1L, 1L, 1L, 1L)))
+  }
+
   test("dupGramFraction: dup_grams bounded by n_grams") {
     val docs = (1 to 50).map(i => (i.toLong, s"common prefix text unique$i tail")).toDF("doc_id", "text")
     val bad = Quality.dupGramFraction(docs, "text", "doc_id")

@@ -75,6 +75,35 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(got == expected, s"got $got vs window $expected")
   }
 
+  test("ranked form: rank equals row_number over the same order") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 5000).map { i =>
+      (rnd.nextInt(5), rnd.nextInt(300).toLong, i.toLong)
+    }
+    val df = rows.toDF("g", "v", "id").repartition(11)
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+    val expected = df.withColumn("rank", row_number().over(w)).where(col("rank") <= 4)
+      .select("g", "id", "rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    val got = TopK.topKPerGroupExecRanked(df, Seq("g"),
+        Seq(("v", true), ("id", false)), 4, "rank")
+      .select("g", "id", "rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected, s"ranked exec ${got.size} vs window ${expected.size}")
+  }
+
+  test("ranked form survives downstream shuffle and filter") {
+    import spark.implicits._
+    val df = Seq(("a", 3L, 1L), ("a", 2L, 2L), ("a", 1L, 3L), ("b", 9L, 4L))
+      .toDF("g", "v", "id").repartition(3)
+    val got = TopK.topKPerGroupExecRanked(df, Seq("g"), Seq(("v", true), ("id", false)), 2, "rank")
+      .where(col("rank") === 1)
+      .groupBy("g").agg(min("id").as("id"))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 1L), ("b", 4L)))
+  }
+
   test("property: equals window form on seeded random skewed data") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
