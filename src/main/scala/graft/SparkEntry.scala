@@ -741,7 +741,11 @@ object SparkEntry {
           .as("uv"))
         .select(col("uv.src"), col("uv.dst"))
         .groupBy("src").agg(collect_set(col("dst")).as("nbrs"))
-      val nodes = li.select(col("p").as("node")).distinct()
+      // node set = adjacency endpoints (src covers every endpoint of the
+      // symmetric co-occurrence pairs) — NOT all distinct parts: a part
+      // only ever ordered alone has no pairs and the oracle's node CTE
+      // (derived from the pair table) must agree at every scale factor
+      val nodes = adj.select(col("src").as("node"))
       graft.ops.Graph.labelPropagationAdj(adj, nodes, iterations = 3)
         .orderBy("node")
     }),
@@ -1938,11 +1942,12 @@ object SparkEntry {
             col("a.k") =!= col("b.k"))
         .select(col("a.k").as("part_a"), col("b.k").as("part_b"),
           expr("jaro_winkler(a.nm, b.nm)").as("jw"))
-      pairs.select(col("part_a"), col("part_b"), round(col("jw"), 4).as("jw_r4"),
-          row_number().over(
-            Window.partitionBy("part_a").orderBy(col("jw").desc, col("part_b")))
-            .as("rank"))
-        .where(col("rank") <= 3)
+      // map-side pruning top-k exec instead of a full row_number window
+      // over the blocked pair table (prunes before the exchange)
+      graft.ops.TopK.topKPerGroupExecRanked(pairs, Seq("part_a"),
+          Seq(("jw", true), ("part_b", false)), 3, "rank")
+        .select(col("part_a"), col("part_b"),
+          round(col("jw"), 4).as("jw_r4"), col("rank"))
         .orderBy("part_a", "rank")
     }),
 
@@ -2808,15 +2813,17 @@ object SparkEntry {
       val pairs = Dedup.minhashCandidates(
         Dedup.minhashSignature(t(s, dir, "documents"), "text", "doc_id"),
         "doc_id", threshold = 0.25)
-      val sym = pairs.select(col("a_id").as("doc_id"),
-          col("b_id").as("neighbor_id"), col("est_jaccard"))
-        .unionByName(pairs.select(col("b_id").as("doc_id"),
-          col("a_id").as("neighbor_id"), col("est_jaccard")))
-      graft.ops.TopK.topKPerGroupExec(sym, Seq("doc_id"),
-          Seq(("est_jaccard", true), ("neighbor_id", false)), 3)
-        .select(col("doc_id"), col("neighbor_id"), col("est_jaccard"),
-          row_number().over(Window.partitionBy("doc_id")
-            .orderBy(col("est_jaccard").desc, col("neighbor_id"))).as("rank"))
+      // symmetrize by exploding both directions of each verified pair —
+      // a union of two selects over `pairs` would recompute the banded
+      // candidate join (the expensive subtree) twice
+      val sym = pairs.select(explode(array(
+          struct(col("a_id").as("doc_id"), col("b_id").as("neighbor_id"),
+            col("est_jaccard")),
+          struct(col("b_id").as("doc_id"), col("a_id").as("neighbor_id"),
+            col("est_jaccard")))).as("p"))
+        .select(col("p.doc_id"), col("p.neighbor_id"), col("p.est_jaccard"))
+      graft.ops.TopK.topKPerGroupExecRanked(sym, Seq("doc_id"),
+          Seq(("est_jaccard", true), ("neighbor_id", false)), 3, "rank")
         .orderBy("doc_id", "rank")
     }),
 

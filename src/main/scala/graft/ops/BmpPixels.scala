@@ -52,11 +52,13 @@ object BmpPixels {
     val planes = le16(p, 26)
     val bpp = le16(p, 28)
     val compression = le32(p, 30)
-    if (hdrSize < 40 || w <= 0 || hRaw == 0 || planes != 1 ||
-        bpp != 24 || compression != 0) return None
+    if (hdrSize < 40 || w <= 0 || hRaw == 0 || hRaw == Int.MinValue ||
+        planes != 1 || bpp != 24 || compression != 0) return None
     val h = math.abs(hRaw)
-    val rowBytes = ((w * 3 + 3) / 4) * 4
-    if (off < 54 || off + rowBytes.toLong * h > p.length) return None
+    // stride math in Long: a crafted width near 2^31 overflows Int
+    // (negative rowBytes would pass the bounds check and decode garbage)
+    val rowBytesL = ((w.toLong * 3 + 3) / 4) * 4
+    if (off < 54 || off + rowBytesL * h > p.length) return None
     Some((off.toInt, w, h, hRaw < 0))
   }
 

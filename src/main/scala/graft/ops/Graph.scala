@@ -205,9 +205,12 @@ object Graph {
     * `groupBy(group).collect_set(item)` then per-group neighbor explode
     * into `groupBy(item).collect_set(nbr)` — skips the materialized
     * pair-list exchange entirely; this entry point accepts that shape.
-    * `nbrs` must be self-loop-free and deduplicated (each neighbor votes
-    * once); `nodes` may be a superset of adj's keys — extra nodes keep
-    * their own label.
+    * `nbrs` must be self-loop-free, deduplicated (each neighbor votes
+    * once), and SYMMETRIC (u ∈ nbrs(v) ⟺ v ∈ nbrs(u)): rounds push each
+    * src's label to its nbrs, which equals the pull-side tally only for
+    * undirected adjacency — a directed adjacency would silently compute
+    * reversed-edge vote semantics. `nodes` may be a superset of adj's
+    * keys — extra nodes keep their own label.
     */
   def labelPropagationAdj(adjacency: DataFrame, nodeSet: DataFrame,
                           iterations: Int,
@@ -353,6 +356,15 @@ object Graph {
     * Input: undirected edges, any orientation/duplication; self-loops
     * dropped. Output: one row (n_nodes, n_edges, n_triangles).
     */
+  /** Node-count bound under which the degree table is broadcast to the
+    * orientation joins instead of shuffle-joined: 5M (node id + degree)
+    * rows ≈ 80 MB serialized — comfortably inside executor broadcast
+    * budgets, and it removes the two widest exchanges of the plan (the
+    * full edge list re-shuffled on u and again on v). Above the bound the
+    * plan falls back to key-partitioned joins, which scale to any |V|.
+    */
+  private val BroadcastDegreeLimit = 5_000_000L
+
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = edges.select(
         least(col(srcCol), col(dstCol)).cast("long").as("u"),
@@ -362,10 +374,16 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the count doubles as n_nodes AND the broadcastability decision
+    // (one scalar job over the now-filled caches, not a collect loop)
+    val nNodes = deg.count()
+    val degSide: DataFrame => DataFrame =
+      if (nNodes <= BroadcastDegreeLimit) broadcast else identity
     // orient by (deg, id): lower endpoint keeps the out-edge
     val oriented = e
-      .join(deg.withColumnsRenamed(Map("n" -> "u", "deg" -> "du")), "u")
-      .join(deg.withColumnsRenamed(Map("n" -> "v", "deg" -> "dv")), "v")
+      .join(degSide(deg.withColumnsRenamed(Map("n" -> "u", "deg" -> "du"))), "u")
+      .join(degSide(deg.withColumnsRenamed(Map("n" -> "v", "deg" -> "dv"))), "v")
       .select(
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
           .otherwise(col("v")).as("src"),
@@ -380,11 +398,10 @@ object Graph {
       least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
     val triangles = wedges.join(closing, Seq("a", "b"), "left_semi")
     val out = e.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
       .crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
-      .select("n_nodes", "n_edges", "n_triangles")
+      .select(lit(nNodes).as("n_nodes"), col("n_edges"), col("n_triangles"))
     // checkpoint the one-row result, then free the edge caches
-    Iterate.scoped(out, e, oriented)
+    Iterate.scoped(out, e, oriented, deg)
   }
 
   /** k-core decomposition for a fixed k (Matula–Beck peeling): the

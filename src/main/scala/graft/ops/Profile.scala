@@ -35,9 +35,18 @@ object Profile {
         col(s"_max_$c").as("max_val"))
     }
     val base = wide.select(explode(array(rows: _*)).as("p")).select("p.*")
+    // string-cast is injective under SQL value-equality EXCEPT for ±0.0
+    // on floating types ('-0.0' vs '0.0' but -0.0 = 0.0): add +0 there so
+    // both stringify as '0.0', matching countDistinct / a COUNT(DISTINCT)
+    // oracle
+    def canon(c: String) = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType => (col(c) + lit(0)).cast("string")
+      case _ => col(c).cast("string")
+    }
     val distincts = df
       .select(explode(array(cols.map(c =>
-        struct(lit(c).as("column"), col(c).cast("string").as("v"))): _*)).as("u"))
+        struct(lit(c).as("column"), canon(c).as("v"))): _*)).as("u"))
       .select("u.*")
       .where(col("v").isNotNull)
       .groupBy("column", "v").agg(count(lit(1)).as("_one"))

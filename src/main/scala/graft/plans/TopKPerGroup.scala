@@ -75,6 +75,7 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
     val orderLocal = order
     val outputLocal = child.output
     val rankLocal = rankAttr.isDefined && !isPartial
+    val rankedTypes = (child.output ++ rankAttr).map(_.dataType).toArray
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(groupLocal, outputLocal)
       val ordering = new LazilyGeneratedOrdering(orderLocal, outputLocal)
@@ -95,6 +96,9 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
         }
       }
       val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      // rank path: emit UnsafeRows (downstream exchanges serialize
+      // UnsafeRow directly; a GenericInternalRow would CCE there)
+      val toUnsafe = if (rankLocal) UnsafeProjection.create(rankedTypes) else null
       val it = heaps.values().iterator()
       while (it.hasNext) {
         val heap = it.next()
@@ -115,7 +119,7 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
               joined.update(c, rows(j).get(c, outputLocal(c).dataType)); c += 1
             }
             joined.update(outputLocal.length, rows.length - j)
-            out += joined
+            out += toUnsafe(joined).copy()
           } else out += rows(j)
           j -= 1
         }
@@ -123,6 +127,7 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
       out.iterator
     }
   }
+
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)

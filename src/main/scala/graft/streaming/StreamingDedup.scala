@@ -44,11 +44,19 @@ object StreamingDedup {
     try {
       // a replayed batch must not see its OWN partially-written signatures
       // (it would self-match every doc) — the stored side excludes this
-      // batch id, which also makes the read replay-stable
+      // batch id, which also makes the read replay-stable.
+      // Only a MISSING store (first batch ever) means "no stored corpus";
+      // any other read failure (transient FS error, corrupt footer) must
+      // propagate and fail the micro-batch so the stream retries —
+      // swallowing it would silently drop every cross-batch pair for this
+      // batch, permanently (its signatures still get appended below).
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(sigPath), spark.sparkContext.hadoopConfiguration)
       val stored =
-        try Some(spark.read.parquet(sigPath)
-          .where(col("_batch") =!= lit(batchId)).drop("_batch"))
-        catch { case _: Exception => None }
+        if (fs.exists(new org.apache.hadoop.fs.Path(sigPath)))
+          Some(spark.read.parquet(sigPath)
+            .where(col("_batch") =!= lit(batchId)).drop("_batch"))
+        else None
       val within = Dedup.minhashCandidates(inSig, idCol, numHashes, bandSize, threshold)
         .select(col("b_id").as("in_id"), col("a_id").as("stored_id"),
           col("est_jaccard"))

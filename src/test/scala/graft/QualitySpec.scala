@@ -33,6 +33,19 @@ class QualitySpec extends SparkSpec {
     assert(byId(4L).getAs[Int]("keep") === 1)
   }
 
+  test("profile: n_distinct treats -0.0 and 0.0 as one value (SQL equality)") {
+    val df = Seq(
+      (1L, -0.0, -0.0f), (2L, 0.0, 0.0f), (3L, 1.5, 2.5f),
+      (4L, Double.NaN, 3.5f)).toDF("id", "d", "f")
+    val got = Profile.profile(df, Seq("d", "f")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
+    // d: {±0.0, 1.5, NaN} = 3; f: {±0.0f, 2.5, 3.5} = 3
+    assert(got("d") === 3L, s"double col: $got")
+    assert(got("f") === 3L, s"float col: $got")
+    val cd = df.agg(countDistinct(col("d")), countDistinct(col("f"))).collect()(0)
+    assert(got("d") === cd.getLong(0) && got("f") === cd.getLong(1))
+  }
+
   test("gopher_stats: one-pass stats equal the explode/groupBy formulation") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
