@@ -1871,29 +1871,15 @@ object SparkEntry {
     // p05/p95 (rank-index selection — integers end to end, no interpolated
     // floats), then report the clipped mean ×100 as an integer rational.
     // The outlier-robust preprocessing step before any length-based gate.
-    // Scale note: the per-lang rank window sorts each lang in one task —
-    // exact, and what the oracle needs; at 100 TB with a dominant lang,
-    // swap the bound selection for Sketch.approxQuantiles (clipping needs
-    // no exactness there) or the range-partitioned profile_equidepth path.
-    "quality_winsorize" -> ((s, dir) => {
-      val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-      val ranked = t(s, dir, "documents")
-        .select(col("lang"), col("doc_id"), col("n_chars"),
-          row_number().over(w).as("rn"),
-          count(lit(1)).over(Window.partitionBy("lang")).as("n"))
-      val bounds = ranked.groupBy("lang").agg(
-        max(when(col("rn") === ceil(col("n") * 0.05), col("n_chars"))).as("p05"),
-        max(when(col("rn") === ceil(col("n") * 0.95), col("n_chars"))).as("p95"),
-        max(col("n")).as("n"))
-      ranked.select(col("lang"), col("n_chars"))
-        .join(broadcast(bounds), "lang")
-        .select(col("lang"), col("n"), col("p05"), col("p95"),
-          greatest(col("p05"), least(col("p95"), col("n_chars"))).as("_clip"))
-        .groupBy("lang")
-        .agg(first("n").as("n_docs"), first("p05").as("p05"), first("p95").as("p95"),
-          expr("CAST(100 * sum(_clip) div count(1) AS BIGINT)").as("clip_mean_x100"))
-        .orderBy("lang")
-    }),
+    // Size-dispatched exact selection (ops/Quality.winsorizedClipMeans):
+    // per-lang rank window at test scale, histogram-CDF selection above
+    // 10M rows — same values, nothing row-sized sorted in one task
+    // (WinsorPathSpec proves path agreement).
+    "quality_winsorize" -> ((s, dir) =>
+      graft.ops.Quality.winsorizedClipMeans(
+          t(s, dir, "documents").select("lang", "doc_id", "n_chars"),
+          "lang", "n_chars", "doc_id")
+        .orderBy("lang")),
 
     // Theta-sketch set operations: distinct-user overlap/union/difference
     // of two event cohorts from mergeable sketches (HLL can union but

@@ -265,6 +265,67 @@ object Quality {
       .drop(charsCol)
   }
 
+  /** Row-count bound under which [[winsorizedClipMeans]] keeps the
+    * per-group row_number window (exact, minimal fixed cost at toy/test
+    * scale). Above it, the histogram-CDF path takes over: its shuffle is
+    * bounded by distinct (group, value) pairs after map-side combine, and
+    * its only window runs over distinct VALUES per group — never a
+    * one-task sort of a dominant group's rows.
+    */
+  val WinsorWindowLimit = 10_000_000L
+
+  /** Per-group percentile winsorization: clip `valCol` at the
+    * element-valued qLow/qHigh quantiles (rank-index selection — the
+    * value at rank ceil(q·n) under ascending order; integers end to end,
+    * no interpolated floats), then report the clipped mean ×100 as an
+    * integer rational. Output: (grpCol, n_docs, p05, p95, clip_mean_x100).
+    *
+    * Two exact paths, chosen by input size (one metadata-cheap count):
+    *  - window path (≤ [[WinsorWindowLimit]] rows): row_number per group —
+    *    the oracle-shaped formulation;
+    *  - histogram path: groupBy (group, value) counts → cumulative sum
+    *    over the per-group sorted DISTINCT values → p_q = min value whose
+    *    CDF ≥ ceil(q·n). Identical result (equal values are rank-adjacent,
+    *    so the value at any rank inside a tie run is the run's value),
+    *    but nothing row-sized is ever sorted in one task — the 100 TB
+    *    shape for per-group exact quantiles (WinsorPathSpec proves the
+    *    paths agree).
+    */
+  def winsorizedClipMeans(df: DataFrame, grpCol: String, valCol: String,
+                          idCol: String, qLow: Double = 0.05,
+                          qHigh: Double = 0.95,
+                          windowLimit: Long = WinsorWindowLimit): DataFrame = {
+    val n = df.count()
+    val bounds =
+      if (n <= windowLimit) {
+        val w = Window.partitionBy(grpCol).orderBy(valCol, idCol)
+        df.select(col(grpCol), col(valCol),
+            row_number().over(w).as("rn"),
+            count(lit(1)).over(Window.partitionBy(grpCol)).as("n"))
+          .groupBy(grpCol).agg(
+            max(when(col("rn") === ceil(col("n") * qLow), col(valCol))).as("p05"),
+            max(when(col("rn") === ceil(col("n") * qHigh), col(valCol))).as("p95"),
+            max(col("n")).as("n"))
+      } else {
+        val wv = Window.partitionBy(grpCol).orderBy(valCol)
+        df.groupBy(col(grpCol), col(valCol)).agg(count(lit(1)).as("_c"))
+          .select(col(grpCol), col(valCol),
+            sum("_c").over(wv).as("cum"),
+            sum("_c").over(Window.partitionBy(grpCol)).as("n"))
+          .groupBy(grpCol).agg(
+            min(when(col("cum") >= ceil(col("n") * qLow), col(valCol))).as("p05"),
+            min(when(col("cum") >= ceil(col("n") * qHigh), col(valCol))).as("p95"),
+            max(col("n")).as("n"))
+      }
+    df.select(col(grpCol), col(valCol))
+      .join(broadcast(bounds), grpCol)
+      .select(col(grpCol), col("n"), col("p05"), col("p95"),
+        greatest(col("p05"), least(col("p95"), col(valCol))).as("_clip"))
+      .groupBy(grpCol)
+      .agg(first("n").as("n_docs"), first("p05").as("p05"), first("p95").as("p95"),
+        expr("CAST(100 * sum(_clip) div count(1) AS BIGINT)").as("clip_mean_x100"))
+  }
+
   def zScoreOutliers(df: DataFrame, valCol: String, grpCol: String,
                      zMax: Double = 2.0): DataFrame = {
     val stats = df.groupBy(col(grpCol)).agg(

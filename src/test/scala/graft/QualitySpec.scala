@@ -33,6 +33,22 @@ class QualitySpec extends SparkSpec {
     assert(byId(4L).getAs[Int]("keep") === 1)
   }
 
+  test("winsorizedClipMeans: window and histogram paths agree (incl. ties)") {
+    // fixture docs + a synthetic heavy-tie table (rank-inside-tie-run case)
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("lang", "doc_id", "n_chars")
+    val rnd = new scala.util.Random(3)
+    val ties = (1 to 3000).map(i =>
+      (s"g${i % 3}", i.toLong, rnd.nextInt(12))).toDF("lang", "doc_id", "n_chars")
+    for (df <- Seq(fixture, ties)) {
+      val win = Quality.winsorizedClipMeans(df, "lang", "n_chars", "doc_id",
+        windowLimit = Long.MaxValue).orderBy("lang").collect().toSeq
+      val hist = Quality.winsorizedClipMeans(df, "lang", "n_chars", "doc_id",
+        windowLimit = 0L).orderBy("lang").collect().toSeq
+      assert(win == hist, s"paths diverge:\nwindow=$win\nhist=$hist")
+    }
+  }
+
   test("profile: n_distinct treats -0.0 and 0.0 as one value (SQL equality)") {
     val df = Seq(
       (1L, -0.0, -0.0f), (2L, 0.0, 0.0f), (3L, 1.5, 2.5f),
