@@ -2813,6 +2813,74 @@ object SparkEntry {
         .orderBy("doc_id", "rank")
     }),
 
+    // Broder CONTAINMENT over LSH-verified candidates — the asymmetric
+    // companion of Jaccard: c(A→B) = |A∩B| / |A| finds docs CONTAINED in
+    // a larger doc (quotes, partial copies, shard-overlap fragments) that
+    // symmetric similarity under-scores exactly when the size ratio is
+    // large. Candidates come banded (never all-pairs); the exact
+    // intersection is a keyed join on (pair, shingle) — shuffle bounded
+    // by candidate pairs × shared shingles, linear in the verified set.
+    "dedup_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sh = Dedup.shingleRows(docs, "text", "doc_id").select(col("doc_id"), col("sh"))
+      val cand = Dedup.minhashCandidates(
+          Dedup.minhashSignature(docs, "text", "doc_id"), "doc_id", threshold = 0.25)
+        .select("a_id", "b_id")
+      val inter = cand
+        .join(sh.withColumnsRenamed(Map("doc_id" -> "a_id")), "a_id")
+        .join(sh.withColumnsRenamed(Map("doc_id" -> "b_id")), Seq("b_id", "sh"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      cand
+        .join(inter, Seq("a_id", "b_id"), "left")
+        .join(cnt.withColumnsRenamed(Map("doc_id" -> "a_id", "n" -> "n_a")), "a_id")
+        .join(cnt.withColumnsRenamed(Map("doc_id" -> "b_id", "n" -> "n_b")), "b_id")
+        .select(col("a_id"), col("b_id"), col("n_a"), col("n_b"),
+          coalesce(col("inter"), lit(0L)).as("inter_sh"),
+          expr("coalesce(inter, 0) * 10000 div n_a").as("cont_a_bp"),
+          expr("coalesce(inter, 0) * 10000 div n_b").as("cont_b_bp"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Tokenizer fertility per language (tokens emitted per word) under
+    // the pinned BPE artifact — the compression audit that decides
+    // whether a tokenizer punishes a language (high fertility = more
+    // sequence length per sentence = less effective context). Integer
+    // rational ×100; one native bpe_apply pass, one groupBy(lang).
+    "text_fertility" -> ((s, dir) => {
+      val merges = Seq(("e", "r"), ("er", "</w>"), ("i", "n"), ("o", "w"), ("s", "t"))
+      graft.ops.Bpe.encode(t(s, dir, "documents"), "text", merges)
+        .select(col("lang"),
+          expr("CAST(size(filter(split(text, ' '), w -> w != '')) AS BIGINT)").as("n_w"),
+          size(split(regexp_replace(col("bpe_syms"), "\\u001f", " "), " "))
+            .cast("long").as("n_t"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_w").as("sum_words"),
+          sum("n_t").as("sum_tokens"),
+          expr("100 * sum(n_t) div sum(n_w)").as("fertility_x100"))
+        .orderBy("lang")
+    }),
+
+    // Corpus bigram novelty between snapshots (doc_id parity = two crawl
+    // halves): per lang, the fraction of the new half's distinct bigrams
+    // absent from the old half — the freshness/drift signal deciding
+    // whether a re-crawl adds phrases or re-serves the old corpus.
+    // Distinct-first per half, then one anti-join on (lang, gram).
+    "corpus_novelty" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("lang"), (col("doc_id") % 2).as("half"),
+          explode(expr("word_shingles(text, 2)")).as("g"))
+      val old = d.where(col("half") === 0).select("lang", "g").distinct()
+      val nw = d.where(col("half") === 1).select("lang", "g").distinct()
+      nw.groupBy("lang").agg(count(lit(1)).as("n_new"))
+        .join(nw.join(old, Seq("lang", "g"), "left_anti")
+          .groupBy("lang").agg(count(lit(1)).as("n_novel")), Seq("lang"), "left")
+        .select(col("lang"), col("n_new"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          expr("coalesce(n_novel, 0) * 10000 div n_new").as("novel_bp"))
+        .orderBy("lang")
+    }),
+
     // DAU / total-users stickiness per day — the engagement ratio report;
     // distinct-first pre-dedup (no Expand), one-row total broadcast.
     "events_stickiness" -> ((s, dir) => {
@@ -3176,20 +3244,50 @@ object SparkEntry {
     // 4-way union shares one corpus read under the cache.
     "embed_matryoshka" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val per = Seq(8, 16, 32, 64).map { d =>
-        val c = emb.select(col("vec_id"), slice(col("embedding"), 1, d).as("e"))
-        val q = c.where(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("e").as("qe"))
-        Similarity.bruteForceTopK(c, q, "vec_id", "e", "q_id", "qe", 3)
-          .select(lit(d).as("dim"), col("q_id"), col("neighbor_id"))
-      }.reduce(_ unionAll _)
-      val full64 = per.where(col("dim") === 64)
-        .select(col("q_id"), col("neighbor_id"), lit(1).as("_hit"))
-      per.join(full64, Seq("q_id", "neighbor_id"), "left")
-        .groupBy("dim", "q_id")
-        .agg(concat_ws(",", sort_array(collect_list(col("neighbor_id"))))
-            .as("top3"),
-          sum(coalesce(col("_hit"), lit(0))).as("hits"))
+      val dims = Seq(8, 16, 32, 64)
+      // ONE corpus scan for all prefix dims: slice per row (scan-side
+      // column pruning at deploy — an MRL index stores the prefix), then
+      // every (pair, dim) cosine rides the same broadcast cross join and
+      // explodes into the shared top-k exec keyed (dim, q_id) — not four
+      // serial brute-force jobs over the same corpus
+      def sliced(df: DataFrame, ec: String, pfx: String) =
+        dims.foldLeft(df)((d, n) => d.withColumn(s"$pfx$n", slice(col(ec), 1, n)))
+      val c = sliced(emb.select(col("vec_id"), col("embedding")), "embedding", "_e")
+        .drop("embedding")
+      val q = sliced(emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe")), "qe", "_q")
+        .drop("qe")
+      val scored = c.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          explode(array(dims.map { n =>
+            struct(lit(n).as("dim"),
+              (expr(s"vec_dot(_q$n, _e$n)") /
+                (sqrt(expr(s"vec_dot(_q$n, _q$n)")) *
+                  sqrt(expr(s"vec_dot(_e$n, _e$n)")))).as("cos"))
+          }: _*)).as("dc"))
+        .select(col("dc.dim").as("dim"), col("q_id"), col("neighbor_id"),
+          col("dc.cos").as("cos"))
+      val per = graft.ops.TopK.topKPerGroupExec(scored, Seq("dim", "q_id"),
+          Seq(("cos", true), ("neighbor_id", false)), 3)
+        .select(col("dim"), col("q_id"), col("neighbor_id"))
+      // hits vs the full-dim top3 computed row-locally from ONE collected
+      // group per query (≤ 12 rows each) — a join of `per` against its own
+      // dim=64 filter would re-run the scoring scan twice
+      per.groupBy("q_id")
+        .agg(collect_list(struct(col("dim"), col("neighbor_id"))).as("all"))
+        .select(col("q_id"), explode(expr(
+          """transform(array(8, 16, 32, 64), d -> struct(
+            | CAST(d AS INT) AS dim,
+            | array_join(transform(array_sort(
+            |     transform(filter(all, x -> x.dim = d), x -> x.neighbor_id)),
+            |   n -> CAST(n AS STRING)), ',') AS top3,
+            | CAST(size(array_intersect(
+            |     transform(filter(all, x -> x.dim = d), x -> x.neighbor_id),
+            |     transform(filter(all, x -> x.dim = 64), x -> x.neighbor_id)))
+            |   AS BIGINT) AS hits))""".stripMargin.replace("\n", " "))).as("r"))
+        .select(col("r.dim").as("dim"), col("q_id"),
+          col("r.top3").as("top3"), col("r.hits").as("hits"))
         .orderBy("dim", "q_id")
     }),
 
@@ -4612,26 +4710,22 @@ object SparkEntry {
         | FROM l3 ORDER BY node""".stripMargin.replace("\n", " "),
 
     "text_bpe_apply" ->
-      """WITH w AS (SELECT doc_id,
-        |         list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
-        |           w -> ' ' || array_to_string(list_concat(
-        |                  list_filter(string_split(w, ''), x -> x <> ''), ['</w>']),
-        |                  '  ') || ' ') AS lw
-        |       FROM documents),
-        | s0 AS (SELECT doc_id, array_to_string(lw, chr(31)) AS s FROM w),
-        | s1 AS (SELECT doc_id, replace(s, ' e  r ', ' er ') AS s FROM s0),
-        | s2 AS (SELECT doc_id, replace(s, ' er  </w> ', ' er</w> ') AS s FROM s1),
-        | s3 AS (SELECT doc_id, replace(s, ' i  n ', ' in ') AS s FROM s2),
-        | s4 AS (SELECT doc_id, replace(s, ' o  w ', ' ow ') AS s FROM s3),
-        | s5 AS (SELECT doc_id, replace(s, ' s  t ', ' st ') AS s FROM s4),
-        | fin AS (SELECT doc_id,
-        |         trim(replace(replace(replace(s, '  ', ' '),
-        |              ' ' || chr(31), chr(31)), chr(31) || ' ', chr(31))) AS bpe_syms
-        |         FROM s5)
+      s"""WITH $bpeChainCte
         | SELECT doc_id,
         |        len(string_split(replace(bpe_syms, chr(31), ' '), ' '))::INT AS n_bpe_tokens,
         |        bpe_syms
         | FROM fin ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "text_fertility" ->
+      s"""WITH $bpeChainCte,
+        | t AS (SELECT d.lang,
+        |        len(list_filter(string_split(d.text, ' '), w -> w <> ''))::BIGINT AS n_w,
+        |        len(string_split(replace(f.bpe_syms, chr(31), ' '), ' '))::BIGINT AS n_t
+        |      FROM fin f JOIN documents d ON d.doc_id = f.doc_id)
+        | SELECT lang, count(*) AS n_docs, sum(n_w)::BIGINT AS sum_words,
+        |        sum(n_t)::BIGINT AS sum_tokens,
+        |        (100 * sum(n_t) // sum(n_w))::BIGINT AS fertility_x100
+        | FROM t GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " "),
 
     "bpe_merges" -> bpeMergesOracle,
 
@@ -5974,6 +6068,46 @@ object SparkEntry {
          | ORDER BY a_id, b_id""".stripMargin.replace("\n", " ")
     },
 
+    "dedup_containment" -> {
+      val matches = (0 until 8).map(i => s"(a.s$i = b.s$i)::INT").mkString(" + ")
+      val bandsMatch = (0 until 4).map(b =>
+        s"(a.s${2 * b} = b.s${2 * b} AND a.s${2 * b + 1} = b.s${2 * b + 1})").mkString(" OR ")
+      s"""WITH $minhashSigCte,
+         | pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |   FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandsMatch)
+         |   WHERE round(($matches) / 8.0, 4) >= 0.25),
+         | cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         | i AS (SELECT p.a_id, p.b_id, count(*) AS inter FROM pairs p
+         |   JOIN sh sa ON sa.doc_id = p.a_id
+         |   JOIN sh sb ON sb.doc_id = p.b_id AND sb.sh = sa.sh
+         |   GROUP BY p.a_id, p.b_id)
+         | SELECT p.a_id, p.b_id, ca.n AS n_a, cb.n AS n_b,
+         |   coalesce(i.inter, 0) AS inter_sh,
+         |   coalesce(i.inter, 0) * 10000 // ca.n AS cont_a_bp,
+         |   coalesce(i.inter, 0) * 10000 // cb.n AS cont_b_bp
+         | FROM pairs p
+         |   LEFT JOIN i ON i.a_id = p.a_id AND i.b_id = p.b_id
+         |   JOIN cnt ca ON ca.doc_id = p.a_id
+         |   JOIN cnt cb ON cb.doc_id = p.b_id
+         | ORDER BY p.a_id, p.b_id""".stripMargin.replace("\n", " ")
+    },
+
+    "corpus_novelty" ->
+      """WITH ws AS (SELECT doc_id % 2 AS half, lang, string_split(text, ' ') AS ws
+        |     FROM documents),
+        | gg AS (SELECT half, lang, unnest(list_distinct([ws[i] || ' ' || ws[i+1]
+        |           for i in range(1, greatest(len(ws), 1))])) AS g FROM ws),
+        | g AS (SELECT DISTINCT half, lang, g FROM gg),
+        | n AS (SELECT lang, count(*) AS n_new FROM g WHERE half = 1 GROUP BY lang),
+        | nov AS (SELECT a.lang, count(*) AS n_novel FROM g a
+        |   WHERE a.half = 1 AND NOT EXISTS (SELECT 1 FROM g o
+        |     WHERE o.half = 0 AND o.lang = a.lang AND o.g = a.g)
+        |   GROUP BY a.lang)
+        | SELECT n.lang, n.n_new, coalesce(nov.n_novel, 0) AS n_novel,
+        |   coalesce(nov.n_novel, 0) * 10000 // n.n_new AS novel_bp
+        | FROM n LEFT JOIN nov ON nov.lang = n.lang
+        | ORDER BY n.lang""".stripMargin.replace("\n", " "),
+
     "dedup_topk_similar" -> {
       val matches = (0 until 8).map(i => s"(a.s$i = b.s$i)::INT").mkString(" + ")
       val bandsMatch = (0 until 4).map(b =>
@@ -7049,6 +7183,28 @@ object SparkEntry {
     * mirror of [[Dedup.minhashSignature]] (seeded `md5Int` minima over
     * distinct word-3-shingles).
     */
+  /** The pinned-merges BPE replace chain (text_bpe_apply / text_fertility):
+    * double-gap wire format, 5 merges unrolled, `fin` ends with
+    * (doc_id, bpe_syms).
+    */
+  private def bpeChainCte: String =
+    """w AS (SELECT doc_id,
+      |         list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
+      |           w -> ' ' || array_to_string(list_concat(
+      |                  list_filter(string_split(w, ''), x -> x <> ''), ['</w>']),
+      |                  '  ') || ' ') AS lw
+      |       FROM documents),
+      | s0 AS (SELECT doc_id, array_to_string(lw, chr(31)) AS s FROM w),
+      | s1 AS (SELECT doc_id, replace(s, ' e  r ', ' er ') AS s FROM s0),
+      | s2 AS (SELECT doc_id, replace(s, ' er  </w> ', ' er</w> ') AS s FROM s1),
+      | s3 AS (SELECT doc_id, replace(s, ' i  n ', ' in ') AS s FROM s2),
+      | s4 AS (SELECT doc_id, replace(s, ' o  w ', ' ow ') AS s FROM s3),
+      | s5 AS (SELECT doc_id, replace(s, ' s  t ', ' st ') AS s FROM s4),
+      | fin AS (SELECT doc_id,
+      |         trim(replace(replace(replace(s, '  ', ' '),
+      |              ' ' || chr(31), chr(31)), chr(31) || ' ', chr(31))) AS bpe_syms
+      |         FROM s5)""".stripMargin.replace("\n", " ")
+
   private def minhashSigCte: String = {
     val mins = (0 until 8).map(i => s"min(h1 + $i * h2) AS s$i").mkString(", ")
     s"""ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
