@@ -2861,6 +2861,25 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Curriculum assignment with equal token budgets: rank the corpus by
+    // lexical diversity (distinct-token basis points, one gopher_stats
+    // pass), then split the cumulative TOKEN mass — not the doc count —
+    // into 3 phases, so each curriculum stage feeds the trainer the same
+    // token budget. The running sum is the range-partitioned global
+    // cumsum (Rank.globalCumSum) — no single-task global window.
+    "corpus_curriculum" -> ((s, dir) => {
+      val st = t(s, dir, "documents")
+        .select(col("doc_id"), Functions.gopherStats(col("text")).as("g"))
+        .select(col("doc_id"), col("g.n_tok").as("n_tok"),
+          expr("g.n_uniq * 10000 div g.n_tok").as("div_bp"))
+      graft.ops.Rank.globalCumSum(st,
+          Seq(col("div_bp").desc, col("doc_id")), "n_tok", "cum_tok")
+        .crossJoin(broadcast(st.agg(sum("n_tok").as("_total"))))
+        .select(col("doc_id"), col("n_tok"), col("div_bp"), col("cum_tok"),
+          expr("CAST(1 + (cum_tok - 1) * 3 div _total AS INT)").as("phase"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus bigram novelty between snapshots (doc_id parity = two crawl
     // halves): per lang, the fraction of the new half's distinct bigrams
     // absent from the old half — the freshness/drift signal deciding
@@ -3289,6 +3308,26 @@ object SparkEntry {
         .select(col("r.dim").as("dim"), col("q_id"),
           col("r.top3").as("top3"), col("r.hits").as("hits"))
         .orderBy("dim", "q_id")
+    }),
+
+    // MMR diversified re-rank (Carbonell & Goldstein '98): greedy top-5
+    // from each query's exact top-20, score = 0.7·rel − 0.3·max sim to
+    // the already-selected set — the diversity stage between first-pass
+    // retrieval and the consumer. The greedy loop is ROW-LOCAL over one
+    // query's collected candidate structs (≤ 20² sims); the oracle
+    // unrolls the 5 selection steps as chained CTEs.
+    "embed_mmr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val cand = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+          "q_id", "q_emb", 20, dim = 64)
+        .select(col("q_id"), col("neighbor_id").as("id"), col("cos").as("rel"))
+      Similarity.mmrRerank(emb, cand, "vec_id", "embedding", "q_id", "id",
+          "rel", k = 5, lambda = 0.7, mu = 0.3)
+        .select(col("q_id"), col("id").as("neighbor_id"), col("step"),
+          round(col("score"), 4).as("mmr_r4"))
+        .orderBy("q_id", "step")
     }),
 
     // Retrieval-quality eval: rank of the FIRST relevant neighbor
@@ -6092,6 +6131,20 @@ object SparkEntry {
          | ORDER BY p.a_id, p.b_id""".stripMargin.replace("\n", " ")
     },
 
+    "corpus_curriculum" ->
+      """WITH s AS (SELECT doc_id,
+        |     len(string_split(text, ' '))::BIGINT AS n_tok,
+        |     len(list_distinct(string_split(text, ' ')))::BIGINT * 10000
+        |       // len(string_split(text, ' '))::BIGINT AS div_bp
+        |   FROM documents),
+        | c AS (SELECT doc_id, n_tok, div_bp,
+        |     sum(n_tok) OVER (ORDER BY div_bp DESC, doc_id
+        |       ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+        |     sum(n_tok) OVER ()::BIGINT AS total FROM s)
+        | SELECT doc_id, n_tok, div_bp, cum AS cum_tok,
+        |   (1 + (cum - 1) * 3 // total)::INT AS phase
+        | FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
     "corpus_novelty" ->
       """WITH ws AS (SELECT doc_id % 2 AS half, lang, string_split(text, ' ') AS ws
         |     FROM documents),
@@ -6500,6 +6553,44 @@ object SparkEntry {
          |   FROM scored)
          | SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
          | FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replace("\n", " "),
+
+    "embed_mmr" -> {
+      // steps 2..5 unrolled: score each unselected candidate against the
+      // selected set via the pair-sim table, pick argmax (ties to id)
+      val steps = (2 to 5).map { i =>
+        s"""r$i AS (SELECT c.q_id, c.id, c.rel,
+           |   0.7 * c.rel - 0.3 * max(pp.sim) AS score
+           |   FROM cand c
+           |   JOIN sel${i - 1} s ON s.q_id = c.q_id
+           |   LEFT JOIN sel${i - 1} ex ON ex.q_id = c.q_id AND ex.id = c.id
+           |   JOIN p pp ON pp.q_id = c.q_id AND pp.a = least(c.id, s.id)
+           |     AND pp.b = greatest(c.id, s.id)
+           |   WHERE ex.id IS NULL GROUP BY c.q_id, c.id, c.rel),
+           | pk$i AS (SELECT q_id, id, score, row_number() OVER
+           |     (PARTITION BY q_id ORDER BY score DESC, id) AS rn FROM r$i),
+           | sel$i AS (SELECT q_id, id, step, score FROM sel${i - 1} UNION ALL
+           |   SELECT q_id, id, $i AS step, score FROM pk$i WHERE rn = 1)""".stripMargin
+      }.mkString(",\n ")
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         |   WHERE vec_id < 5),
+         | scored AS (SELECT q.q_id, e.vec_id AS id,
+         |     ${duckCosine("q.q_emb", "e.embedding")} AS rel
+         |   FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id),
+         | cand AS (SELECT q_id, id, rel FROM (SELECT q_id, id, rel,
+         |     row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, id) AS rn
+         |   FROM scored) WHERE rn <= 20),
+         | p AS (SELECT c1.q_id, c1.id AS a, c2.id AS b,
+         |     ${duckCosine("e1.embedding", "e2.embedding")} AS sim
+         |   FROM cand c1 JOIN cand c2 ON c1.q_id = c2.q_id AND c1.id < c2.id
+         |   JOIN embeddings e1 ON e1.vec_id = c1.id
+         |   JOIN embeddings e2 ON e2.vec_id = c2.id),
+         | s1 AS (SELECT q_id, id, 0.7 * rel AS score, row_number() OVER
+         |     (PARTITION BY q_id ORDER BY 0.7 * rel DESC, id) AS rn FROM cand),
+         | sel1 AS (SELECT q_id, id, 1 AS step, score FROM s1 WHERE rn = 1),
+         | $steps
+         | SELECT q_id, id AS neighbor_id, step, round(score, 4) AS mmr_r4
+         | FROM sel5 ORDER BY q_id, step""".stripMargin.replace("\n", " ")
+    },
 
     "embed_matryoshka" ->
       s"""WITH p AS (

@@ -128,4 +128,31 @@ object Rank {
       .withColumn("rn", col("_offset") + col("_local"))
       .drop("_pid", "_local", "_offset")
   }
+
+  /** Global running sum of `valCol` under a total order, without a global
+    * single-task window: range-partition on the sort key, cumulate
+    * locally per partition, then add each partition's broadcast prefix
+    * offset (the [[globalRowNumber]] topology — the offsets table is
+    * `parts` rows, so ITS window is trivially small). `sortCols` must be
+    * a total order for a deterministic result. Adds `cumCol` (inclusive
+    * running sum, BIGINT for integer inputs).
+    */
+  def globalCumSum(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
+                   valCol: String, cumCol: String,
+                   parts: Int = 32): DataFrame = {
+    val ranged = Iterate.materialize(
+      df.repartitionByRange(parts, sortCols: _*)
+        .withColumn("_pid", spark_partition_id())).df
+    val offsets = ranged.groupBy("_pid").agg(sum(col(valCol)).as("_s"))
+      .withColumn("_offset",
+        coalesce(sum("_s").over(Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_pid", "_offset")
+    val localW = Window.partitionBy("_pid").orderBy(sortCols: _*)
+    ranged
+      .withColumn("_local", sum(col(valCol)).over(localW))
+      .join(broadcast(offsets), "_pid")
+      .withColumn(cumCol, col("_offset") + col("_local"))
+      .drop("_pid", "_local", "_offset")
+  }
 }

@@ -671,4 +671,102 @@ object Similarity {
         col("match_id"),
         col("match_id").isNotNull.cast("int").as("is_dup"))
   }
+
+  /** One MMR pick (id, 1-based step, score at selection time). */
+  final case class MmrPick(id: Long, step: Int, score: Double)
+
+  /** The greedy MMR selection over one query's collected candidate set —
+    * deterministic: argmax score, ties to the smaller id (the ascending
+    * candidate order makes strict `>` pick the smaller id first).
+    * Zero vector math here: rel and pairwise sims arrive precomputed, so
+    * the only floats are `lambda·rel` and `lambda·rel − mu·maxSim`,
+    * reproducible term-for-term in the SQL oracle's unrolled steps.
+    */
+  private[graft] def mmrSelect(ids: IndexedSeq[Long], rels: IndexedSeq[Double],
+      sims: Map[(Long, Long), Double], k: Int,
+      lambda: Double, mu: Double): Seq[MmrPick] = {
+    def simOf(x: Long, y: Long): Double =
+      sims.getOrElse(if (x < y) (x, y) else (y, x), 0.0)
+    val n = ids.length
+    val selected = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+    val used = scala.collection.mutable.HashSet.empty[Long]
+    var step = 1
+    while (step <= k && used.size < n) {
+      var bestId = -1L
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        val id = ids(i)
+        if (!used(id)) {
+          val score =
+            if (selected.isEmpty) lambda * rels(i)
+            else {
+              var maxSim = Double.NegativeInfinity
+              selected.foreach { p =>
+                val v = simOf(id, p.id); if (v > maxSim) maxSim = v
+              }
+              lambda * rels(i) - mu * maxSim
+            }
+          if (score > bestScore) { bestScore = score; bestId = id }
+        }
+        i += 1
+      }
+      selected += MmrPick(bestId, step, bestScore)
+      used += bestId
+      step += 1
+    }
+    selected.toSeq
+  }
+
+  private val mmrUdf = udf((cands: Seq[org.apache.spark.sql.Row],
+      sims: Seq[org.apache.spark.sql.Row], k: Int, lambda: Double, mu: Double) => {
+    val ids = cands.map(_.getLong(0)).toIndexedSeq
+    val rels = cands.map(_.getDouble(1)).toIndexedSeq
+    val sm = sims.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    mmrSelect(ids, rels, sm, k, lambda, mu)
+  })
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein '98):
+    * from each query's relevance-ranked candidate set, greedily select k
+    * results trading relevance against redundancy —
+    * `score = λ·rel − µ·max_{s∈selected} sim(c, s)` — the diversity
+    * stage between first-pass retrieval and the consumer.
+    *
+    * Scale shape: the quadratic part (candidate pairwise sims) is bounded
+    * per query by the candidate count, never corpus-sized — two keyed
+    * joins against the corpus fetch the candidate embeddings, and the
+    * greedy loop itself is ROW-LOCAL over one query's collected ≤ |cand|²
+    * struct array (the right 100 TB layout: re-ranks parallelize
+    * per-query with no further shuffle). Pass λ and µ explicitly (µ is
+    * NOT derived as 1−λ, so the oracle can quote the identical literal).
+    * Returns (qIdCol, cIdCol, step, score).
+    */
+  def mmrRerank(corpus: DataFrame, cand: DataFrame, idCol: String,
+                embCol: String, qIdCol: String, cIdCol: String,
+                relCol: String, k: Int, lambda: Double, mu: Double): DataFrame = {
+    val e1 = corpus.select(col(idCol).as("_a"), col(embCol).as("_ea"))
+    val e2 = corpus.select(col(idCol).as("_b"), col(embCol).as("_eb"))
+    val pairs = cand.as("x").join(cand.as("y"),
+        col(s"x.$qIdCol") === col(s"y.$qIdCol") &&
+          col(s"x.$cIdCol") < col(s"y.$cIdCol"))
+      .select(col(s"x.$qIdCol").as(qIdCol),
+        col(s"x.$cIdCol").as("_a"), col(s"y.$cIdCol").as("_b"))
+      .join(e1, "_a").join(e2, "_b")
+      .select(col(qIdCol), col("_a"), col("_b"),
+        (dotFixed("_ea", "_eb") /
+          (sqrt(dotFixed("_ea", "_ea")) * sqrt(dotFixed("_eb", "_eb")))).as("_sim"))
+    val cc = cand.groupBy(qIdCol).agg(
+      expr(s"array_sort(collect_list(struct($cIdCol AS id, $relCol AS rel)))")
+        .as("_cands"))
+    val pp = pairs.groupBy(qIdCol).agg(
+      expr("array_sort(collect_list(struct(_a AS a, _b AS b, _sim AS sim)))")
+        .as("_sims"))
+    cc.join(pp, Seq(qIdCol), "left")
+      .select(col(qIdCol), explode(mmrUdf(col("_cands"),
+        coalesce(col("_sims"),
+          expr("CAST(array() AS ARRAY<STRUCT<a BIGINT, b BIGINT, sim DOUBLE>>)")),
+        lit(k), lit(lambda), lit(mu))).as("_r"))
+      .select(col(qIdCol), col("_r.id").as(cIdCol),
+        col("_r.step").as("step"), col("_r.score").as("score"))
+  }
 }

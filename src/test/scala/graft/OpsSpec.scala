@@ -152,6 +152,53 @@ class OpsSpec extends SparkSpec {
     assert(c2 > c1) // bigger candidate set can only improve top-k quality
   }
 
+  test("mmrSelect: diversity penalty demotes the redundant runner-up") {
+    // rels: a=0.9, b=0.88, c=0.7; b is near-duplicate of a (sim 0.99),
+    // c is orthogonal. Pure relevance picks (a, b); MMR picks (a, c):
+    // step2 score(b) = .7*.88 - .3*.99 = .319 < score(c) = .7*.7 - 0 = .49
+    val picks = Similarity.mmrSelect(
+      ids = IndexedSeq(1L, 2L, 3L), rels = IndexedSeq(0.9, 0.88, 0.7),
+      sims = Map((1L, 2L) -> 0.99, (1L, 3L) -> 0.0, (2L, 3L) -> 0.0),
+      k = 2, lambda = 0.7, mu = 0.3)
+    assert(picks.map(_.id) == Seq(1L, 3L))
+    assert(picks.map(_.step) == Seq(1, 2))
+    assert(math.abs(picks(1).score - 0.49) < 1e-12)
+  }
+
+  test("mmrSelect: k beyond candidates stops; ties break to smaller id") {
+    val picks = Similarity.mmrSelect(
+      ids = IndexedSeq(5L, 9L), rels = IndexedSeq(0.5, 0.5),
+      sims = Map((5L, 9L) -> 0.0), k = 10, lambda = 0.7, mu = 0.3)
+    assert(picks.map(_.id) == Seq(5L, 9L))
+    assert(picks.length == 2)
+  }
+
+  test("mmrRerank equals a reference greedy on a small frame") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cand = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+        "q_id", "q_emb", 10, dim = 64)
+      .select(col("q_id"), col("neighbor_id").as("id"), col("cos").as("rel"))
+    val got = Similarity.mmrRerank(emb, cand, "vec_id", "embedding",
+        "q_id", "id", "rel", k = 3, lambda = 0.7, mu = 0.3)
+    // structural laws: k rows per query, steps 1..k, no repeats, step-1
+    // pick is the relevance argmax, scores non-increasing per query
+    val rows = got.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 3 && byQ.values.forall(_.length == 3))
+    byQ.foreach { case (qid, ps) =>
+      val sorted = ps.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == Seq(1, 2, 3))
+      assert(sorted.map(_._2).distinct.length == 3)
+      val top1 = cand.where(col("q_id") === qid)
+        .orderBy(col("rel").desc, col("id")).limit(1)
+        .collect()(0).getLong(1)
+      assert(sorted.head._2 == top1, s"step-1 pick for q=$qid")
+    }
+  }
+
   test("hardNegatives: only different-label rows, ranked by cosine") {
     // anchor in label A; nearest overall is same-label (must be skipped),
     // nearest different-label must rank 1

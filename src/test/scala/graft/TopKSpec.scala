@@ -97,6 +97,22 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("globalCumSum matches the single-window running sum at any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = (1 to 5000).map(i => ((i * 7919) % 1000, i.toLong, (i % 13).toLong))
+    val expected = rows.sortBy(r => (r._1, r._2))
+      .scanLeft((0L, 0L)) { case ((_, acc), (_, id, v)) => (id, acc + v) }
+      .drop(1).toMap
+    for (parts <- Seq(1, 7)) {
+      val df = spark.sparkContext.parallelize(rows, parts).toDF("v", "id", "tok")
+      val got = graft.ops.Rank.globalCumSum(df, Seq(col("v"), col("id")),
+          "tok", "cum", parts = 5)
+        .select("id", "cum").as[(Long, Long)].collect().toMap
+      assert(got === expected, s"input parts=$parts")
+    }
+  }
+
   test("globalNtile matches the closed-form reference per group at any partitioning") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
