@@ -741,12 +741,12 @@ object SparkEntry {
           .as("uv"))
         .select(col("uv.src"), col("uv.dst"))
         .groupBy("src").agg(collect_set(col("dst")).as("nbrs"))
-      // node set = adjacency endpoints (src covers every endpoint of the
+      // node set = adjacency keys (src covers every endpoint of the
       // symmetric co-occurrence pairs) — NOT all distinct parts: a part
       // only ever ordered alone has no pairs and the oracle's node CTE
-      // (derived from the pair table) must agree at every scale factor
-      val nodes = adj.select(col("src").as("node"))
-      graft.ops.Graph.labelPropagationAdj(adj, nodes, iterations = 3)
+      // (derived from the pair table) must agree at every scale factor.
+      // The no-nodeSet overload skips the redundant graft-back join.
+      graft.ops.Graph.labelPropagationAdj(adj, iterations = 3)
         .orderBy("node")
     }),
 

@@ -214,9 +214,24 @@ object Graph {
     */
   def labelPropagationAdj(adjacency: DataFrame, nodeSet: DataFrame,
                           iterations: Int,
-                          partialCombine: Boolean = false): DataFrame = {
+                          partialCombine: Boolean = false): DataFrame =
+    labelPropagationAdjImpl(adjacency, Some(nodeSet), iterations, partialCombine)
+
+  /** [[labelPropagationAdj]] when the node set IS the adjacency key set
+    * (every node has ≥ 1 neighbor): with symmetric adjacency, every round
+    * delivers a label to every key, so the final graft-back join (and the
+    * node-set persist) is an exact self-map — skipped entirely.
+    */
+  def labelPropagationAdj(adjacency: DataFrame,
+                          iterations: Int): DataFrame =
+    labelPropagationAdjImpl(adjacency, None, iterations, partialCombine = false)
+
+  private def labelPropagationAdjImpl(adjacency: DataFrame,
+                          nodeSet: Option[DataFrame],
+                          iterations: Int,
+                          partialCombine: Boolean): DataFrame = {
     val adj = adjacency.persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = nodeSet.persist(StorageLevel.MEMORY_AND_DISK)
+    val nodesOpt = nodeSet.map(_.persist(StorageLevel.MEMORY_AND_DISK))
     // seed from adj itself: co-partitioned with every later round's join;
     // isolated/self-loop-only nodes are grafted back by the final left join
     var labels: DataFrame = adj.select(col("src").as("node"), col("src").as("label"))
@@ -246,11 +261,14 @@ object Graph {
     // materialized so the returned frame stays cheap to re-consume after
     // the backing caches are dropped (same contract as before: the caller
     // gets a lineage-cut result, GC reclaims the checkpoint)
-    val out = Iterate.materialize(nodes
-      .join(labels, Seq("node"), "left")
-      .select(col("node"), coalesce(col("label"), col("node")).as("label")))
+    val out = Iterate.materialize(nodesOpt match {
+      case Some(nodes) => nodes
+        .join(labels, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+      case None => labels
+    })
     pending.foreach(_.release())
-    adj.unpersist(); nodes.unpersist()
+    adj.unpersist(); nodesOpt.foreach(_.unpersist())
     out.df
   }
 
@@ -287,7 +305,12 @@ object Graph {
         col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
-    val e = (if (edgesDistinct) eRaw else eRaw.distinct())
+    // hash-partition the cached edge list on src ONCE: every level's
+    // frontier⋈e then exchanges only the (small) frontier, not the full
+    // edge set per round — the partition-once-iterate-many layout that
+    // matters most when |E| dwarfs the frontiers
+    val e = (if (edgesDistinct) eRaw.repartition(col("src"))
+             else eRaw.distinct().repartition(col("src")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val src0 = sources.select(col(sourceCol).cast("long").as("node"))
       .where(col("node").isNotNull).distinct()
