@@ -1937,6 +1937,35 @@ object SparkEntry {
         .orderBy("part_a", "rank")
     }),
 
+    // Fellegi-Sunter record-linkage scoring: blocked pairs scored by
+    // per-field agreement log-odds weights (integer, pinned) — name via
+    // the native jaro_winkler (byte-exact cross-engine), mfgr/container
+    // as equality flags — then classified match / possible / non-match
+    // by threshold. The probabilistic-linkage decision layer above
+    // fuzzy_name_match's similarity ranking; blocking keeps the pair
+    // space per-block-quadratic, never corpus-quadratic.
+    "link_fellegi_sunter" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey").as("k"),
+        col("p_brand").as("brand"), col("p_size").as("sz"), col("p_name").as("nm"),
+        col("p_type").as("typ"), col("p_retailprice").as("price"))
+      val pairs = p.as("a").join(p.as("b"),
+          col("a.brand") === col("b.brand") && col("a.sz") === col("b.sz") &&
+            col("a.k") < col("b.k"))
+        .select(col("a.k").as("part_a"), col("b.k").as("part_b"),
+          expr("jaro_winkler(a.nm, b.nm)").as("jw"),
+          (col("a.typ") === col("b.typ")).as("m_eq"),
+          (abs(col("a.price") - col("b.price")) <= 50.0).as("c_eq"))
+      val score = when(col("jw") >= 0.9, lit(40)).otherwise(lit(-10)) +
+        when(col("m_eq"), lit(15)).otherwise(lit(-15)) +
+        when(col("c_eq"), lit(10)).otherwise(lit(-5))
+      pairs.select(col("part_a"), col("part_b"), round(col("jw"), 4).as("jw_r4"),
+          score.cast("int").as("score"),
+          when(score >= 45, lit("match")).when(score >= 20, lit("possible"))
+            .otherwise(lit("non-match")).as("decision"))
+        .where(col("score") >= 20)
+        .orderBy("part_a", "part_b")
+    }),
+
     // Gini coefficient of user activity (concentration in one number):
     // G·1e4 = (2·Σ rank·x − (n+1)·Σx) · 1e4 div (n·Σx) over ascending
     // per-user event counts — pure integer arithmetic on globalRowNumber
@@ -4157,6 +4186,33 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Perceptual average-hash over REAL decoded pixels: 8×8 block grid,
+    // bit = block mean luminance > global mean via exact integer
+    // cross-multiply — the near-duplicate IMAGE key (image dedup becomes
+    // the dedup_exact hash-groupBy shape). The oracle recomputes every
+    // bit arithmetically from the generator formula, so a hash match
+    // proves the full decode → block → threshold chain pixel-exactly.
+    "mm_phash" -> ((s, dir) => {
+      import s.implicits._
+      import graft.model.MediaRecord
+      import graft.ops.{BmpPixels, Multimodal}
+      val recs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (id % 16).toInt + 1
+          val h = (id % 12).toInt + 1
+          val base = (id % 5).toInt
+          val payload = BmpPixels.bmpBytes(w, h, (x, y) => {
+            val v = x * 7 + y * 11 + base
+            (v, v + 3, v + 6)
+          })
+          MediaRecord(id, "image/bmp", payload, Map.empty)
+        }
+      Multimodal.perceptualHashes(recs).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("phash_hex"))
+        .orderBy("media_id")
+    }),
+
     "mm_decode_headers" -> ((s, dir) => {
       import s.implicits._
       import graft.model.MediaRecord
@@ -5604,6 +5660,22 @@ object SparkEntry {
         |   FROM pairs)
         | SELECT part_a, part_b, round(jw, 4) AS jw_r4, rank
         | FROM ranked WHERE rank <= 3 ORDER BY part_a, rank""".stripMargin.replace("\n", " "),
+
+    "link_fellegi_sunter" ->
+      """WITH p AS (SELECT p_partkey AS k, p_brand AS brand, p_size AS sz,
+        |     p_name AS nm, p_type AS typ, p_retailprice AS price FROM part),
+        | pr AS (SELECT a.k AS part_a, b.k AS part_b,
+        |     jaro_winkler_similarity(a.nm, b.nm) AS jw,
+        |     a.typ = b.typ AS m_eq, abs(a.price - b.price) <= 50.0 AS c_eq
+        |   FROM p a JOIN p b ON a.brand = b.brand AND a.sz = b.sz AND a.k < b.k),
+        | sc AS (SELECT part_a, part_b, jw,
+        |     (CASE WHEN jw >= 0.9 THEN 40 ELSE -10 END +
+        |      CASE WHEN m_eq THEN 15 ELSE -15 END +
+        |      CASE WHEN c_eq THEN 10 ELSE -5 END) AS score FROM pr)
+        | SELECT part_a, part_b, round(jw, 4) AS jw_r4, score::INT AS score,
+        |   CASE WHEN score >= 45 THEN 'match' WHEN score >= 20 THEN 'possible'
+        |        ELSE 'non-match' END AS decision
+        | FROM sc WHERE score >= 20 ORDER BY part_a, part_b""".stripMargin.replace("\n", " "),
 
     "events_gini" ->
       """WITH cnt AS (SELECT user_id, count(*) AS x FROM events GROUP BY user_id),
@@ -7228,6 +7300,36 @@ object SparkEntry {
         |        7 * (w * (w - 1) // 2) * h + 11 * (h * (h - 1) // 2) * w + (base + 3) * w * h AS sum_g,
         |        7 * (w * (w - 1) // 2) * h + 11 * (h * (h - 1) // 2) * w + (base + 6) * w * h AS sum_b
         | FROM p ORDER BY media_id""".stripMargin.replace("\n", " "),
+
+    "mm_phash" ->
+      """WITH p AS (SELECT doc_id::BIGINT AS media_id,
+        |        (doc_id % 16 + 1)::BIGINT AS w,
+        |        (doc_id % 12 + 1)::BIGINT AS h,
+        |        (doc_id % 5)::BIGINT AS base
+        |        FROM documents),
+        | xs AS (SELECT media_id, w, h, base, unnest(range(0, w)) AS x FROM p),
+        | xy AS (SELECT media_id, w, h, base, x, unnest(range(0, h)) AS y FROM xs),
+        | px AS (SELECT media_id, w, h,
+        |        3 * (x * 7 + y * 11 + base) + 9 AS lum,
+        |        (x * 8) // w AS bx, (y * 8) // h AS by FROM xy),
+        | blocks AS (SELECT media_id, w, h, by, bx,
+        |        sum(lum)::BIGINT AS bs, count(*)::BIGINT AS bc
+        |   FROM px GROUP BY media_id, w, h, by, bx),
+        | tot AS (SELECT media_id, sum(lum)::BIGINT AS ts FROM px GROUP BY media_id),
+        | rb AS (SELECT b.media_id, b.by,
+        |     sum(CASE WHEN b.bs * (b.w * b.h) > t.ts * b.bc
+        |              THEN 1 << b.bx ELSE 0 END)::BIGINT AS rbyte
+        |   FROM blocks b JOIN tot t ON t.media_id = b.media_id
+        |   GROUP BY b.media_id, b.by),
+        | grid AS (SELECT media_id, unnest(range(0, 8)) AS by FROM p),
+        | fullrows AS (SELECT g.media_id, g.by, coalesce(rb.rbyte, 0) AS rbyte
+        |   FROM grid g LEFT JOIN rb ON rb.media_id = g.media_id AND rb.by = g.by),
+        | hashes AS (SELECT media_id,
+        |     string_agg(printf('%02x', rbyte), '' ORDER BY by) AS phash_hex
+        |   FROM fullrows GROUP BY media_id)
+        | SELECT p.media_id, p.w::INT AS width, p.h::INT AS height, h.phash_hex
+        | FROM p JOIN hashes h ON h.media_id = p.media_id
+        | ORDER BY p.media_id""".stripMargin.replace("\n", " "),
 
     "mm_decode_video" ->
       """WITH p AS (SELECT doc_id::BIGINT AS media_id,

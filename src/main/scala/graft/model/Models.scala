@@ -50,3 +50,13 @@ case class PixelStats(
     sum_r: Long,
     sum_g: Long,
     sum_b: Long)
+
+/** Output of the perceptual average-hash (graft.ops.BmpPixels.aHashHex):
+  * 16 hex chars, one byte per 8×8 block row, bits by integer
+  * cross-multiplied block-vs-global mean luminance.
+  */
+case class PerceptualHash(
+    media_id: Long,
+    width: Int,
+    height: Int,
+    phash_hex: String)

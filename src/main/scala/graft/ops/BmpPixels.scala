@@ -83,6 +83,58 @@ object BmpPixels {
     Stats(w, h, w.toLong * h, sr, sg, sb)
   }
 
+  /** Average-hash (aHash) over the decoded pixels: the image is covered
+    * by an 8×8 block grid (block of pixel (x, y) = (x·8 div w, y·8 div h)
+    * in LOGICAL top-down coordinates — row order is normalized first, so
+    * bottom-up and top-down encodings of the same image hash identically),
+    * each block's bit is 1 iff its mean luminance (r+g+b) exceeds the
+    * whole-image mean. The comparison is the exact integer cross-multiply
+    * `blockSum · nPx > totalSum · blockCnt` — no float mean, so the oracle
+    * reproduces every bit arithmetically from the generator formula.
+    * Output: 16 lowercase hex chars, one byte per block row, bit x within
+    * row byte (empty blocks of tiny images hash to 0). None for anything
+    * [[decode]] rejects. Exact to images of ~10^8 pixels (the cross-
+    * multiply peaks at 765·nPx²).
+    */
+  def aHashHex(p: Array[Byte]): Option[String] = header(p).map {
+    case (off, w, h, topDown) =>
+      val rowBytes = ((w * 3 + 3) / 4) * 4
+      val bSum = Array.ofDim[Long](8, 8)
+      val bCnt = Array.ofDim[Long](8, 8)
+      var total = 0L
+      var row = 0
+      while (row < h) {
+        val y = if (topDown) row else h - 1 - row
+        val by = y * 8 / h
+        var x = 0
+        var i = off + row * rowBytes
+        while (x < w) {
+          val lum = u8(p(i)) + u8(p(i + 1)) + u8(p(i + 2))
+          val bx = x * 8 / w
+          bSum(by)(bx) += lum
+          bCnt(by)(bx) += 1
+          total += lum
+          x += 1
+          i += 3
+        }
+        row += 1
+      }
+      val nPx = w.toLong * h
+      val sb = new StringBuilder(16)
+      var by = 0
+      while (by < 8) {
+        var rowByte = 0
+        var bx = 0
+        while (bx < 8) {
+          if (bSum(by)(bx) * nPx > total * bCnt(by)(bx)) rowByte |= 1 << bx
+          bx += 1
+        }
+        sb.append(f"$rowByte%02x")
+        by += 1
+      }
+      sb.toString
+  }
+
   /** Deterministic builder for fixtures/specs: a bottom-up 24-bpp BI_RGB
     * BMP whose logical pixel (x, y) — x right, y DOWN from the top-left,
     * the image convention — has channels `pix(x, y) = (r, g, b)`.

@@ -5,7 +5,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-import graft.model.{MediaFeatures, MediaRecord, PixelStats}
+import graft.model.{MediaFeatures, MediaRecord, PerceptualHash, PixelStats}
 
 /** Multimodal column handling: image/audio/video travel as opaque `BINARY`
   * payloads with typed metadata; decode / feature-extraction runs as typed
@@ -89,6 +89,25 @@ object Multimodal {
         BmpPixels.decode(r.payload).map(s =>
           PixelStats(r.media_id, "image/bmp", s.width, s.height,
             s.nPx, s.sumR, s.sumG, s.sumB))
+      }
+    }
+  }
+
+  /** Perceptual average-hash per decodable BMP ([[BmpPixels.aHashHex]]):
+    * the near-duplicate IMAGE key — re-encodes/minor edits of the same
+    * picture land in the same (or Hamming-close) bucket, so image dedup
+    * becomes the same hash-groupBy shape as text `dedup_exact`. Records
+    * that don't decode are dropped (profiling semantics, as
+    * [[decodePixels]]).
+    */
+  def perceptualHashes(records: Dataset[MediaRecord]): Dataset[PerceptualHash] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        for {
+          dims <- BmpPixels.dimensions(r.payload)
+          hex <- BmpPixels.aHashHex(r.payload)
+        } yield PerceptualHash(r.media_id, dims._1, dims._2, hex)
       }
     }
   }

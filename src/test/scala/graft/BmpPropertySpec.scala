@@ -40,6 +40,39 @@ class BmpPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("aHash: uniform image hashes to all-zero bits") {
+    val p = BmpPixels.bmpBytes(16, 16, (_, _) => (100, 100, 100))
+    assert(BmpPixels.aHashHex(p).contains("0000000000000000"))
+  }
+
+  test("aHash: bright right half sets exactly bits 4-7 of every row byte") {
+    val p = BmpPixels.bmpBytes(16, 16,
+      (x, _) => if (x < 8) (0, 0, 0) else (200, 200, 200))
+    assert(BmpPixels.aHashHex(p).contains("f0" * 8))
+  }
+
+  test("aHash: equals the formula reference (block cross-multiply) for any size") {
+    check("aHash reference", Prop.forAll(genDims) { case (w, h, a, b, c) =>
+      val f = pix(a, b, c) _
+      val got = BmpPixels.aHashHex(BmpPixels.bmpBytes(w, h, f)).get
+      val bSum = Array.ofDim[Long](8, 8); val bCnt = Array.ofDim[Long](8, 8)
+      var total = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, bl) = f(x, y); val lum = r + g + bl
+        bSum(y * 8 / h)(x * 8 / w) += lum; bCnt(y * 8 / h)(x * 8 / w) += 1
+        total += lum
+      }
+      val nPx = w.toLong * h
+      val want = (0 until 8).map { by =>
+        val rb = (0 until 8).map { bx =>
+          if (bSum(by)(bx) * nPx > total * bCnt(by)(bx)) 1 << bx else 0
+        }.sum
+        f"$rb%02x"
+      }.mkString
+      got == want
+    })
+  }
+
   test("any truncation below the pixel array decodes to None, never throws") {
     check("truncation safety", Prop.forAll(genDims, Gen.choose(0.0, 1.0)) {
       case ((w, h, a, b, c), frac) =>
