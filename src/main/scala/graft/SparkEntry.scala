@@ -4186,6 +4186,29 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // REAL audio sample walk (WavPcm): synthesize mono 16-bit PCM whose
+    // sample i follows a closed-form integer formula, decode the bytes
+    // back, and report exact per-64-sample-window sums / energy / silence
+    // flags — the oracle recomputes every window arithmetically, proving
+    // the byte-level LE16 walk and windowing end-to-end.
+    "mm_audio_energy" -> ((s, dir) => {
+      import s.implicits._
+      import graft.model.MediaRecord
+      import graft.ops.{Multimodal, WavPcm}
+      val recs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val n = (id % 300).toInt + 50
+          val samples = Array.tabulate(n)(i =>
+            (((i.toLong * 37 + id) % 2001) - 1000).toShort)
+          MediaRecord(id, "audio/wav", WavPcm.wavPcm16(8000, samples), Map.empty)
+        }
+      Multimodal.audioWindows(recs, windowSamples = 64)
+        .select(col("media_id"), col("window_id"), col("n_s"),
+          col("sum_s"), col("sum_sq"), col("silent"))
+        .orderBy("media_id", "window_id")
+    }),
+
     // Perceptual average-hash over REAL decoded pixels: 8×8 block grid,
     // bit = block mean luminance > global mean via exact integer
     // cross-multiply — the near-duplicate IMAGE key (image dedup becomes
@@ -7300,6 +7323,19 @@ object SparkEntry {
         |        7 * (w * (w - 1) // 2) * h + 11 * (h * (h - 1) // 2) * w + (base + 3) * w * h AS sum_g,
         |        7 * (w * (w - 1) // 2) * h + 11 * (h * (h - 1) // 2) * w + (base + 6) * w * h AS sum_b
         | FROM p ORDER BY media_id""".stripMargin.replace("\n", " "),
+
+    "mm_audio_energy" ->
+      """WITH p AS (SELECT doc_id::BIGINT AS media_id,
+        |        ((doc_id % 300) + 50)::BIGINT AS n FROM documents),
+        | s AS (SELECT media_id, unnest(range(0, n)) AS i FROM p),
+        | v AS (SELECT media_id, (i // 64)::INT AS window_id,
+        |        ((i * 37 + media_id) % 2001) - 1000 AS smp FROM s),
+        | w AS (SELECT media_id, window_id, count(*)::BIGINT AS n_s,
+        |        sum(smp)::BIGINT AS sum_s, sum(smp * smp)::BIGINT AS sum_sq
+        |   FROM v GROUP BY media_id, window_id)
+        | SELECT media_id, window_id, n_s, sum_s, sum_sq,
+        |   CAST(sum_sq < n_s * 10000 AS INT) AS silent
+        | FROM w ORDER BY media_id, window_id""".stripMargin.replace("\n", " "),
 
     "mm_phash" ->
       """WITH p AS (SELECT doc_id::BIGINT AS media_id,

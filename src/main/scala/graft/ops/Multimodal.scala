@@ -112,6 +112,24 @@ object Multimodal {
     }
   }
 
+  /** Windowed audio energy per decodable mono 16-bit PCM WAV
+    * ([[WavPcm.pcm16WindowStats]]): per fixed-size sample window, the
+    * exact integer sample sum and energy (Σs²) plus a silence flag
+    * (mean square below `silenceMsq`, decided by integer cross-multiply
+    * — no float RMS). The profiling pass behind silence trimming and
+    * speech/music gating; rows per record = ⌈samples/window⌉, flat
+    * schema, so downstream aggs stay ordinary key-partitioned shuffles.
+    */
+  def audioWindows(records: Dataset[MediaRecord], windowSamples: Int,
+                   silenceMsq: Long = 10000L): DataFrame = {
+    import records.sparkSession.implicits._
+    records.flatMap { r =>
+      WavPcm.pcm16WindowStats(r.payload, windowSamples).toSeq.flatten.map(w =>
+        (r.media_id, w.windowId, w.nSamples, w.sumS, w.sumSq,
+          if (w.sumSq < w.nSamples * silenceMsq) 1 else 0))
+    }.toDF("media_id", "window_id", "n_s", "sum_s", "sum_sq", "silent")
+  }
+
   /** Wrap a text corpus as media records (payload = UTF-8 bytes) — the
     * fixture path for exercising the binary plumbing without real media.
     */

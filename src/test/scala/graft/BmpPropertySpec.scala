@@ -73,6 +73,31 @@ class BmpPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("WavPcm round-trip: decoded window stats equal the sample formula") {
+    import graft.ops.WavPcm
+    check("pcm windows", Prop.forAll(Gen.choose(1, 500), Gen.choose(1, 100),
+        Gen.choose(-32768, 32767)) { (n, win, seed) =>
+      val samples = Array.tabulate(n)(i => ((i * 31 + seed) % 65536 - 32768).toShort)
+      val got = WavPcm.pcm16WindowStats(WavPcm.wavPcm16(8000, samples), win).get
+      val want = samples.grouped(win).zipWithIndex.map { case (g, w) =>
+        WavPcm.WindowStats(w, g.length,
+          g.map(_.toLong).sum, g.map(s => s.toLong * s).sum)
+      }.toSeq
+      got == want
+    })
+  }
+
+  test("WavPcm: stereo and 8-bit payloads are rejected; truncation is safe") {
+    import graft.ops.{WavHeaders, WavPcm}
+    assert(WavPcm.pcm16WindowStats(WavHeaders.wavBytes(2, 8000, 16, 64), 16).isEmpty)
+    assert(WavPcm.pcm16WindowStats(WavHeaders.wavBytes(1, 8000, 8, 64), 16).isEmpty)
+    val ok = WavPcm.wavPcm16(8000, Array.tabulate(100)(_.toShort))
+    (0 until ok.length by 7).foreach { cut =>
+      WavPcm.pcm16WindowStats(ok.take(cut), 16) // must never throw
+    }
+    assert(WavPcm.pcm16WindowStats(ok.take(50), 16).isEmpty)
+  }
+
   test("any truncation below the pixel array decodes to None, never throws") {
     check("truncation safety", Prop.forAll(genDims, Gen.choose(0.0, 1.0)) {
       case ((w, h, a, b, c), frac) =>
