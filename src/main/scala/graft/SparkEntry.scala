@@ -2890,6 +2890,47 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // CAPSTONE — the whole curation pipeline as ONE dataflow: Gopher
+    // quality gate → exact dedup (keep-first by content hash) → minhash
+    // near-dup dedup (higher id drops) → per-lang funnel report with the
+    // surviving token budget. Composes gopher_stats (zero-shuffle),
+    // exactGroups (one hash agg), and the banded LSH candidates — the
+    // end-to-end DAG a user actually runs. At deploy the three kept
+    // frames would persist between stages; as a gate query the chain is
+    // recomputed lazily (map-only stats, one hash agg, one banded join).
+    "pipeline_curation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val st = docs.select(col("doc_id"), col("lang"), col("text"),
+        Functions.gopherStats(col("text")).as("g"),
+        Functions.wordSetHits(col("text"), stopEn).as("stop_hits"))
+      val keepPred = col("g.n_tok") >= 10 && col("g.n_tok") <= 200 &&
+        col("g.sum_len") >= col("g.n_tok") * 3 &&
+        col("g.sum_len") <= col("g.n_tok") * 10 &&
+        col("g.max_len") <= 20 && col("stop_hits") >= 2 &&
+        col("g.n_uniq") * 2 >= col("g.n_tok") &&
+        col("g.top_c") * 5 <= col("g.n_tok")
+      val q = st.where(keepPred).select(col("doc_id"), col("lang"), col("text"),
+        col("g.n_tok").as("n_tok"))
+      val exKeep = q.groupBy(md5(col("text")).as("_h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val ke = q.join(exKeep, "doc_id")
+      val pairs = Dedup.minhashCandidates(
+        Dedup.minhashSignature(ke, "text", "doc_id"), "doc_id", threshold = 0.25)
+      val dropped = pairs.select(col("b_id").as("doc_id")).distinct()
+      val kf = ke.join(dropped, Seq("doc_id"), "left_anti")
+      docs.groupBy("lang").agg(count(lit(1)).as("n_in"))
+        .join(q.groupBy("lang").agg(count(lit(1)).as("n_quality")), Seq("lang"), "left")
+        .join(ke.groupBy("lang").agg(count(lit(1)).as("n_exact")), Seq("lang"), "left")
+        .join(kf.groupBy("lang").agg(count(lit(1)).as("n_final"),
+          sum("n_tok").as("tokens_final")), Seq("lang"), "left")
+        .select(col("lang"), col("n_in"),
+          coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          coalesce(col("n_final"), lit(0L)).as("n_final"),
+          coalesce(col("tokens_final"), lit(0L)).as("tokens_final"))
+        .orderBy("lang")
+    }),
+
     // Curriculum assignment with equal token budgets: rank the corpus by
     // lexical diversity (distinct-token basis points, one gopher_stats
     // pass), then split the cumulative TOKEN mass — not the doc count —
@@ -6226,6 +6267,48 @@ object SparkEntry {
          | ORDER BY p.a_id, p.b_id""".stripMargin.replace("\n", " ")
     },
 
+    "pipeline_curation" -> {
+      val matches = (0 until 8).map(i => s"(a.s$i = b.s$i)::INT").mkString(" + ")
+      val bandsMatch = (0 until 4).map(b =>
+        s"(a.s${2 * b} = b.s${2 * b} AND a.s${2 * b + 1} = b.s${2 * b + 1})").mkString(" OR ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         | wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+         | st AS (SELECT doc_id, sum(c) AS n_tok, count(*) AS n_uniq, max(c) AS top_c,
+         |        sum(length(w) * c) AS sum_len, max(length(w)) AS max_len
+         |        FROM wc GROUP BY doc_id),
+         | shh AS (SELECT doc_id,
+         |        len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopEn)})) AS stop_hits
+         |        FROM documents),
+         | q AS (SELECT d.doc_id, d.lang, d.text, st.n_tok FROM documents d
+         |       JOIN st ON st.doc_id = d.doc_id JOIN shh ON shh.doc_id = d.doc_id
+         |       WHERE st.n_tok >= 10 AND st.n_tok <= 200 AND st.sum_len >= st.n_tok * 3
+         |         AND st.sum_len <= st.n_tok * 10 AND st.max_len <= 20
+         |         AND shh.stop_hits >= 2 AND st.n_uniq * 2 >= st.n_tok
+         |         AND st.top_c * 5 <= st.n_tok),
+         | exk AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+         | ke AS (SELECT q.* FROM q JOIN exk USING (doc_id)),
+         | ${minhashSigCteFrom("ke")},
+         | pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |   FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandsMatch)
+         |   WHERE round(($matches) / 8.0, 4) >= 0.25),
+         | drp AS (SELECT DISTINCT b_id AS doc_id FROM pairs),
+         | kf AS (SELECT * FROM ke WHERE doc_id NOT IN (SELECT doc_id FROM drp)),
+         | base AS (SELECT lang, count(*) AS n_in FROM documents GROUP BY lang),
+         | nq AS (SELECT lang, count(*) AS n_quality FROM q GROUP BY lang),
+         | ne AS (SELECT lang, count(*) AS n_exact FROM ke GROUP BY lang),
+         | nf AS (SELECT lang, count(*) AS n_final, sum(n_tok)::BIGINT AS tokens_final
+         |        FROM kf GROUP BY lang)
+         | SELECT base.lang, base.n_in,
+         |   coalesce(nq.n_quality, 0) AS n_quality,
+         |   coalesce(ne.n_exact, 0) AS n_exact,
+         |   coalesce(nf.n_final, 0) AS n_final,
+         |   coalesce(nf.tokens_final, 0) AS tokens_final
+         | FROM base LEFT JOIN nq ON nq.lang = base.lang
+         |   LEFT JOIN ne ON ne.lang = base.lang
+         |   LEFT JOIN nf ON nf.lang = base.lang
+         | ORDER BY base.lang""".stripMargin.replace("\n", " ")
+    },
+
     "corpus_curriculum" ->
       """WITH s AS (SELECT doc_id,
         |     len(string_split(text, ' '))::BIGINT AS n_tok,
@@ -7434,9 +7517,11 @@ object SparkEntry {
       |              ' ' || chr(31), chr(31)), chr(31) || ' ', chr(31))) AS bpe_syms
       |         FROM s5)""".stripMargin.replace("\n", " ")
 
-  private def minhashSigCte: String = {
+  private def minhashSigCte: String = minhashSigCteFrom("documents")
+
+  private def minhashSigCteFrom(src: String): String = {
     val mins = (0 until 8).map(i => s"min(h1 + $i * h2) AS s$i").mkString(", ")
-    s"""ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s"""ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $src),
        | sh AS (SELECT doc_id,
        |        unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
        |                              for i in range(1, greatest(len(ws) - 1, 1))])) AS sh
