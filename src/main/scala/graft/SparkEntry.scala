@@ -2890,6 +2890,31 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Purged time-series split (the finance-CV discipline applied to
+    // event data): 5 contiguous time folds by integer range arithmetic,
+    // fold 2 is the test fold, and TRAIN rows within the embargo E (2%
+    // of the time span) of the test fold's boundaries are PURGED — the
+    // rows whose features/labels straddle the boundary and leak. All
+    // pure integer arithmetic on a one-row broadcast (t0, t1): role
+    // assignment is a narrow map, the report one tiny agg.
+    "split_purged_time" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("ts"))
+      val mm = e.agg(min("ts").as("t0"), max("ts").as("t1"))
+      def foldOf(x: String) =
+        expr(s"least(4, greatest(0, (($x - t0) * 5) div (t1 - t0 + 1)))")
+      e.crossJoin(broadcast(mm))
+        .withColumn("_e", expr("(t1 - t0) div 50"))
+        .withColumn("_f", foldOf("ts"))
+        .withColumn("role",
+          when(col("_f") === 2, lit("test"))
+            .when(foldOf("ts + _e") === 2 || foldOf("ts - _e") === 2, lit("purged"))
+            .otherwise(lit("train")))
+        .groupBy("role")
+        .agg(count(lit(1)).as("n_events"), min("ts").as("min_ts"),
+          max("ts").as("max_ts"))
+        .orderBy("role")
+    }),
+
     // CAPSTONE — the whole curation pipeline as ONE dataflow: Gopher
     // quality gate → exact dedup (keep-first by content hash) → minhash
     // near-dup dedup (higher id drops) → per-lang funnel report with the
@@ -6266,6 +6291,21 @@ object SparkEntry {
          |   JOIN cnt cb ON cb.doc_id = p.b_id
          | ORDER BY p.a_id, p.b_id""".stripMargin.replace("\n", " ")
     },
+
+    "split_purged_time" ->
+      """WITH e AS (SELECT event_id, epoch_ns(ts) AS ts FROM events),
+        | mm AS (SELECT min(ts) AS t0, max(ts) AS t1 FROM e),
+        | r AS (SELECT event_id, ts,
+        |     least(4, greatest(0, ((ts - t0) * 5) // (t1 - t0 + 1))) AS f,
+        |     least(4, greatest(0, ((ts + (t1 - t0) // 50 - t0) * 5) // (t1 - t0 + 1))) AS fp,
+        |     least(4, greatest(0, ((ts - (t1 - t0) // 50 - t0) * 5) // (t1 - t0 + 1))) AS fm
+        |   FROM e, mm),
+        | roles AS (SELECT event_id, ts,
+        |     CASE WHEN f = 2 THEN 'test'
+        |          WHEN fp = 2 OR fm = 2 THEN 'purged'
+        |          ELSE 'train' END AS role FROM r)
+        | SELECT role, count(*) AS n_events, min(ts) AS min_ts, max(ts) AS max_ts
+        | FROM roles GROUP BY role ORDER BY role""".stripMargin.replace("\n", " "),
 
     "pipeline_curation" -> {
       val matches = (0 until 8).map(i => s"(a.s$i = b.s$i)::INT").mkString(" + ")
