@@ -305,12 +305,13 @@ object Graph {
         col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
-    // hash-partition the cached edge list on src ONCE: every level's
-    // frontier⋈e then exchanges only the (small) frontier, not the full
-    // edge set per round — the partition-once-iterate-many layout that
-    // matters most when |E| dwarfs the frontiers
-    val e = (if (edgesDistinct) eRaw.repartition(col("src"))
-             else eRaw.distinct().repartition(col("src")))
+    // NOT pre-partitioned on src: AQE broadcasts the (small) frontier at
+    // every level, so the cached edge list is probed in place and never
+    // re-shuffled — an up-front repartition only adds a full |E|
+    // exchange (measured twice, rounds 8 and 9: ~1.9s → ~2.9s at sf0.1).
+    // On a cluster where frontiers outgrow the broadcast threshold,
+    // repartition the edge list on src before calling.
+    val e = (if (edgesDistinct) eRaw else eRaw.distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
     val src0 = sources.select(col(sourceCol).cast("long").as("node"))
       .where(col("node").isNotNull).distinct()
