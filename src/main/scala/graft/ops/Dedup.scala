@@ -193,38 +193,49 @@ object Dedup {
       .select(greatest(col(aCol), col(bCol)).as("src"),
         least(col(aCol), col(bCol)).as("dst"))
       .distinct()
+    // One alternating round: LARGE-STAR (every node u connects each
+    // strictly larger neighbor v to m(u) = min(Γ(u) ∪ {u}); m ≤ u < v
+    // keeps the (bigger, smaller) canonical form and forbids self-loops)
+    // then SMALL-STAR (every node u folds itself and its smaller
+    // neighbors Γ⁻(u) onto min(Γ⁻(u)); canonical form means Γ⁻ is just
+    // `dst`). The min aggregations are duplicate-insensitive, so the
+    // intermediate edge multisets are never dedup'd — only the LAST
+    // chained round pays the distinct (the signature below needs a set).
+    def ccRound(edges: DataFrame, dedup: Boolean): DataFrame = {
+      val sym = edges.select(col("src").as("u"), col("dst").as("v"))
+        .union(edges.select(col("dst").as("u"), col("src").as("v")))
+      val mLarge = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(mLarge, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+      val sm = large.select(col("src").as("u"), col("dst").as("v"))
+      val mSmall = sm.groupBy("u").agg(min("v").as("m"))
+      val next = sm.join(mSmall, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .union(mSmall.select(col("u").as("src"), col("m").as("dst")))
+      if (dedup) next.distinct() else next
+    }
+    // Exactly ONE round per materialization: each round consumes its
+    // input TWICE (the symmetric union), so chaining k rounds lazily
+    // re-evaluates the input 2^k times — measured 6.4s vs 3.7s at
+    // RoundsPerCut = 2 on sf0.1 — and the per-round cut is what keeps
+    // round cost flat. Do not raise without a persist per inner round.
+    val RoundsPerCut = 1
     var round = graft.ops.Iterate.materialize(init)
     var i = 0
     var converged = false
     var prevCnt = -1L
     var prevSig = 0L
     while (i < maxIterations && !converged) {
-      val edges = round.df
-      // LARGE-STAR: for every node u, connect each strictly larger
-      // neighbor v to m(u) = min(Γ(u) ∪ {u}); m ≤ u < v keeps the
-      // (bigger, smaller) canonical form and forbids self-loops
-      val sym = edges.select(col("src").as("u"), col("dst").as("v"))
-        .union(edges.select(col("dst").as("u"), col("src").as("v")))
-      val mLarge = sym.groupBy("u").agg(min("v").as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      // no distinct here: the min aggregations below are duplicate-
-      // insensitive and nextEdges dedups once at the end — saves a shuffle
-      val large = sym.join(mLarge, "u")
-        .where(col("v") > col("u"))
-        .select(col("v").as("src"), col("m").as("dst"))
-      // SMALL-STAR: for every node u, fold u and its smaller neighbors
-      // Γ⁻(u) onto m = min(Γ⁻(u)); canonical form means Γ⁻ is just `dst`
-      val sm = large.select(col("src").as("u"), col("dst").as("v"))
-      val mSmall = sm.groupBy("u").agg(min("v").as("m"))
-      val nextEdges = sm.join(mSmall, "u")
-        .where(col("v") =!= col("m"))
-        .select(col("v").as("src"), col("m").as("dst"))
-        .union(mSmall.select(col("u").as("src"), col("m").as("dst")))
-        .distinct()
+      var e = round.df
+      var r = 0
+      while (r < RoundsPerCut) { e = ccRound(e, dedup = r == RoundsPerCut - 1); r += 1 }
       val obs = org.apache.spark.sql.Observation()
       // order-independent set signature: bit_xor of per-edge hashes (xor
       // never overflows under ANSI arithmetic, unlike sum)
-      val observed = nextEdges.observe(obs,
+      val observed = e.observe(obs,
         count(lit(1)).as("cnt"),
         coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)).as("sig"))
       val t0 = System.nanoTime()
@@ -233,12 +244,12 @@ object Dedup {
       val sig = obs.get("sig").asInstanceOf[Long]
       converged = cnt == prevCnt && sig == prevSig
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(f"[cc] round $i: ${(System.nanoTime() - t0) / 1e9}%.2f s edges=$cnt")
+        println(f"[cc] cut $i: ${(System.nanoTime() - t0) / 1e9}%.2f s edges=$cnt")
       prevCnt = cnt
       prevSig = sig
       round.release()
       round = materialized
-      i += 1
+      i += RoundsPerCut
     }
     // fixed point is a star forest: every edge points leaf → component-min
     // center; centers label themselves. Materialized: multi-consumer
