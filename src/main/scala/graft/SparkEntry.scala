@@ -493,6 +493,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SEMANTIC decontamination — the embedding-level sibling of the
+    // n-gram `decontaminate`: a paraphrased benchmark item shares no
+    // 3-gram but sits next to the eval set in embedding space. Every
+    // corpus vector is scored against the broadcast benchmark set
+    // (vec_id % 9 == 0 plays "eval"); one corpus scan, top contaminating
+    // benchmark per doc by exact cosine, flagged at ≥ 0.45 (thresholds
+    // sit inside the fixture's cosine range — a real deploy pins ~0.85
+    // for paraphrase-level leakage). At 100 TB
+    // this is the hardNegatives broadcast topology — the benchmark side
+    // is small by construction, the corpus never self-joins.
+    "decontaminate_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val bench = emb.where(col("vec_id") % 9 === 0)
+        .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      val corpus = emb.where(col("vec_id") % 9 =!= 0)
+        .withColumn("_nrm", sqrt(expr("vec_dot(embedding, embedding)")))
+      val scored = corpus.crossJoin(broadcast(
+          bench.withColumn("_bnrm", sqrt(expr("vec_dot(b_emb, b_emb)")))))
+        .select(col("vec_id"), col("b_id"),
+          (expr("vec_dot(embedding, b_emb)") / (col("_nrm") * col("_bnrm")))
+            .as("cos"))
+      scored.groupBy("vec_id")
+        .agg(max(struct(col("cos"), (-col("b_id")).as("nb"))).as("m"))
+        .select(col("vec_id"), (-col("m.nb")).as("bench_id"),
+          round(col("m.cos"), 4).as("cos_r4"),
+          (col("m.cos") >= 0.45).cast("int").as("contaminated"))
+        .where(col("m.cos") >= 0.40)
+        .orderBy("vec_id")
+    }),
+
     // Which BENCHMARK leaked into which document? The attribution
     // sibling of `decontaminate`: the eval side keeps its benchmark id
     // (doc_id % 3 splits the % 7 == 0 docs into three pseudo-benchmark
@@ -6291,6 +6321,20 @@ object SparkEntry {
          |   JOIN cnt cb ON cb.doc_id = p.b_id
          | ORDER BY p.a_id, p.b_id""".stripMargin.replace("\n", " ")
     },
+
+    "decontaminate_semantic" ->
+      s"""WITH b AS (SELECT vec_id AS b_id, embedding AS b_emb FROM embeddings
+         |   WHERE vec_id % 9 = 0),
+         | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 9 <> 0),
+         | scored AS (SELECT c.vec_id, b.b_id,
+         |     ${duckCosine("c.embedding", "b.b_emb")} AS cos
+         |   FROM c CROSS JOIN b),
+         | best AS (SELECT vec_id, b_id AS bench_id, cos,
+         |     row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, b_id) AS rn
+         |   FROM scored)
+         | SELECT vec_id, bench_id, round(cos, 4) AS cos_r4,
+         |   CAST(cos >= 0.45 AS INT) AS contaminated
+         | FROM best WHERE rn = 1 AND cos >= 0.40 ORDER BY vec_id""".stripMargin.replace("\n", " "),
 
     "split_purged_time" ->
       """WITH e AS (SELECT event_id, epoch_ns(ts) AS ts FROM events),
