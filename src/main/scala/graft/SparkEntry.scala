@@ -46,6 +46,8 @@ object SparkEntry {
   private def nsSql(x: String): String = singSql(normSql(x))
 
   private val stopEn = Seq("the", "a", "and", "of", "to")
+  /** Scale-smoke access to the pinned stopword set. */
+  private[graft] def stopEnPublic: Seq[String] = stopEn
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
   private def duckCosine(a: String, b: String): String =
