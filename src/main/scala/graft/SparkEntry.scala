@@ -2922,6 +2922,63 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Deterministic bootstrap confidence interval for a corpus metric
+    // (mean order value): 100 hash-weighted replicas (w = md5(b:id) % 3,
+    // mean 1 — the portable stand-in for multinomial resampling), each
+    // replica's weighted mean kept as an exact integer rational
+    // (micro-cents), CI = element-picked ranks 5/50/95. Zero floats →
+    // the resampling distribution reproduces bit-for-bit anywhere. The
+    // replica explode is B× the metric column only, never the full row.
+    "stats_bootstrap" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("id"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("xc"))
+      val reps = o.select(col("id"), col("xc"),
+          explode(expr("sequence(0, 99)")).as("b"))
+        .withColumn("w", pmod(
+          Dedup.md5Int(concat(col("b"), lit(":"), col("id"))), lit(3)))
+      val means = reps.groupBy("b")
+        .agg(expr("(sum(w * xc) * 10000) div sum(w)").as("m"))
+      means.select(col("b"), col("m"),
+          row_number().over(Window.orderBy(col("m"), col("b"))).as("rn"))
+        .agg(count(lit(1)).as("n_replicas"),
+          max(when(col("rn") === 5, col("m"))).as("ci_lo"),
+          max(when(col("rn") === 50, col("m"))).as("ci_md"),
+          max(when(col("rn") === 95, col("m"))).as("ci_hi"))
+    }),
+
+    // BLEU-2-style clipped bigram precision between near-dup candidate
+    // pairs — the generation-eval metric applied to dedup review: how
+    // much of doc a's bigram mass is covered by doc b (and the reverse
+    // is just the pair flipped). Counts, not distinct grams (BLEU's
+    // modified precision); integer basis points. Pair space comes banded
+    // from LSH, never all-pairs; the overlap is a keyed (pair, gram) join.
+    "eval_bleu_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val grams = docs.select(col("doc_id"), explode(expr(
+          """transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),
+            | i -> concat_ws(' ', element_at(split(text, ' '), i),
+            |                element_at(split(text, ' '), i + 1)))"""
+            .stripMargin.replace("\n", " "))).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val pairs = Dedup.minhashCandidates(
+          Dedup.minhashSignature(docs, "text", "doc_id"), "doc_id",
+          threshold = 0.25)
+        .select("a_id", "b_id")
+      val clip = pairs
+        .join(grams.withColumnsRenamed(Map("doc_id" -> "a_id", "c" -> "ca")), "a_id")
+        .join(grams.withColumnsRenamed(Map("doc_id" -> "b_id", "c" -> "cb")),
+          Seq("b_id", "g"))
+        .groupBy("a_id", "b_id").agg(sum(least(col("ca"), col("cb"))).as("clip"))
+      val tot = grams.groupBy("doc_id").agg(sum("c").as("n_g"))
+      pairs
+        .join(clip, Seq("a_id", "b_id"), "left")
+        .join(tot.withColumnsRenamed(Map("doc_id" -> "a_id", "n_g" -> "n_a")), "a_id")
+        .select(col("a_id"), col("b_id"), col("n_a"),
+          coalesce(col("clip"), lit(0L)).as("clip_grams"),
+          expr("coalesce(clip, 0) * 10000 div n_a").as("bleu2_bp"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // Purged time-series split (the finance-CV discipline applied to
     // event data): 5 contiguous time folds by integer range arithmetic,
     // fold 2 is the test fold, and TRAIN rows within the embargo E (2%
@@ -6321,6 +6378,47 @@ object SparkEntry {
          |   LEFT JOIN i ON i.a_id = p.a_id AND i.b_id = p.b_id
          |   JOIN cnt ca ON ca.doc_id = p.a_id
          |   JOIN cnt cb ON cb.doc_id = p.b_id
+         | ORDER BY p.a_id, p.b_id""".stripMargin.replace("\n", " ")
+    },
+
+    "stats_bootstrap" ->
+      """WITH o AS (SELECT o_orderkey AS id,
+        |     CAST(round(o_totalprice * 100) AS BIGINT) AS xc FROM orders),
+        | r AS (SELECT id, xc, unnest(range(0, 100)) AS b FROM o),
+        | wts AS (SELECT b, xc,
+        |     ('0x' || substr(md5(b || ':' || id), 1, 8))::BIGINT % 3 AS w FROM r),
+        | m AS (SELECT b, ((sum(w * xc) * 10000) // sum(w))::BIGINT AS m
+        |   FROM wts GROUP BY b),
+        | rk AS (SELECT b, m, row_number() OVER (ORDER BY m, b) AS rn FROM m)
+        | SELECT count(*) AS n_replicas,
+        |   max(CASE WHEN rn = 5 THEN m END) AS ci_lo,
+        |   max(CASE WHEN rn = 50 THEN m END) AS ci_md,
+        |   max(CASE WHEN rn = 95 THEN m END) AS ci_hi
+        | FROM rk""".stripMargin.replace("\n", " "),
+
+    "eval_bleu_pairs" -> {
+      val matches = (0 until 8).map(i => s"(a.s$i = b.s$i)::INT").mkString(" + ")
+      val bandsMatch = (0 until 4).map(b =>
+        s"(a.s${2 * b} = b.s${2 * b} AND a.s${2 * b + 1} = b.s${2 * b + 1})").mkString(" OR ")
+      s"""WITH $minhashSigCte,
+         | pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |   FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandsMatch)
+         |   WHERE round(($matches) / 8.0, 4) >= 0.25),
+         | wsx AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         | gr AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+         |           for i in range(1, greatest(len(w), 1))]) AS g FROM wsx),
+         | grams AS (SELECT doc_id, g, count(*) AS c FROM gr GROUP BY doc_id, g),
+         | clip AS (SELECT p.a_id, p.b_id, sum(least(ga.c, gb.c)) AS clip
+         |   FROM pairs p JOIN grams ga ON ga.doc_id = p.a_id
+         |   JOIN grams gb ON gb.doc_id = p.b_id AND gb.g = ga.g
+         |   GROUP BY p.a_id, p.b_id),
+         | tot AS (SELECT doc_id, sum(c)::BIGINT AS n_g FROM grams GROUP BY doc_id)
+         | SELECT p.a_id, p.b_id, t.n_g AS n_a,
+         |   coalesce(clip.clip, 0)::BIGINT AS clip_grams,
+         |   (coalesce(clip.clip, 0) * 10000 // t.n_g)::BIGINT AS bleu2_bp
+         | FROM pairs p
+         |   LEFT JOIN clip ON clip.a_id = p.a_id AND clip.b_id = p.b_id
+         |   JOIN tot t ON t.doc_id = p.a_id
          | ORDER BY p.a_id, p.b_id""".stripMargin.replace("\n", " ")
     },
 
