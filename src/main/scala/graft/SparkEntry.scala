@@ -2923,19 +2923,24 @@ object SparkEntry {
     }),
 
     // Deterministic bootstrap confidence interval for a corpus metric
-    // (mean order value): 100 hash-weighted replicas (w = md5(b:id) % 3,
-    // mean 1 — the portable stand-in for multinomial resampling), each
-    // replica's weighted mean kept as an exact integer rational
-    // (micro-cents), CI = element-picked ranks 5/50/95. Zero floats →
-    // the resampling distribution reproduces bit-for-bit anywhere. The
-    // replica explode is B× the metric column only, never the full row.
+    // (mean order value): 100 hash-weighted replicas (mean-1 weights, the
+    // portable stand-in for multinomial resampling), each replica's
+    // weighted mean kept as an exact integer rational (micro-cents),
+    // CI = element-picked ranks 5/50/95. Zero floats → the resampling
+    // distribution reproduces bit-for-bit anywhere. Per-replica weights
+    // come from TWO md5 base hashes per row via Kirsch-Mitzenmacher
+    // (w_b = (h1 + b·h2) % 3 — the minhash trick), so the row is hashed
+    // twice total, not once per replica; the replica explode carries the
+    // metric column only, never the full row.
     "stats_bootstrap" -> ((s, dir) => {
       val o = t(s, dir, "orders").select(col("o_orderkey").as("id"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("xc"))
-      val reps = o.select(col("id"), col("xc"),
-          explode(expr("sequence(0, 99)")).as("b"))
-        .withColumn("w", pmod(
-          Dedup.md5Int(concat(col("b"), lit(":"), col("id"))), lit(3)))
+      val reps = o.select(col("xc"),
+          Dedup.md5Int(concat(lit("1:"), col("id"))).as("h1"),
+          Dedup.md5Int(concat(lit("2:"), col("id"))).as("h2"))
+        .select(col("xc"), explode(expr("sequence(0, 99)")).as("b"),
+          col("h1"), col("h2"))
+        .withColumn("w", pmod(col("h1") + col("b") * col("h2"), lit(3)))
       val means = reps.groupBy("b")
         .agg(expr("(sum(w * xc) * 10000) div sum(w)").as("m"))
       means.select(col("b"), col("m"),
@@ -2954,11 +2959,13 @@ object SparkEntry {
     // from LSH, never all-pairs; the overlap is a keyed (pair, gram) join.
     "eval_bleu_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val grams = docs.select(col("doc_id"), explode(expr(
-          """transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),
-            | i -> concat_ws(' ', element_at(split(text, ' '), i),
-            |                element_at(split(text, ' '), i + 1)))"""
-            .stripMargin.replace("\n", " "))).as("g"))
+      // bind the token array to a column FIRST: a split() inside the
+      // lambda body would re-evaluate per element (O(tokens²) per doc)
+      val grams = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), explode(expr(
+          """zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
+            | (x, y) -> concat(x, ' ', y))""".stripMargin.replace("\n", " ")))
+          .as("g"))
         .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       val pairs = Dedup.minhashCandidates(
           Dedup.minhashSignature(docs, "text", "doc_id"), "doc_id",
@@ -6384,9 +6391,11 @@ object SparkEntry {
     "stats_bootstrap" ->
       """WITH o AS (SELECT o_orderkey AS id,
         |     CAST(round(o_totalprice * 100) AS BIGINT) AS xc FROM orders),
-        | r AS (SELECT id, xc, unnest(range(0, 100)) AS b FROM o),
-        | wts AS (SELECT b, xc,
-        |     ('0x' || substr(md5(b || ':' || id), 1, 8))::BIGINT % 3 AS w FROM r),
+        | h AS (SELECT xc,
+        |     ('0x' || substr(md5('1:' || id), 1, 8))::BIGINT AS h1,
+        |     ('0x' || substr(md5('2:' || id), 1, 8))::BIGINT AS h2 FROM o),
+        | r AS (SELECT xc, h1, h2, unnest(range(0, 100)) AS b FROM h),
+        | wts AS (SELECT b, xc, (h1 + b * h2) % 3 AS w FROM r),
         | m AS (SELECT b, ((sum(w * xc) * 10000) // sum(w))::BIGINT AS m
         |   FROM wts GROUP BY b),
         | rk AS (SELECT b, m, row_number() OVER (ORDER BY m, b) AS rn FROM m)
