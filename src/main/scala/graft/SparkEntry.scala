@@ -3545,6 +3545,39 @@ object SparkEntry {
         .orderBy("q_id")
     }),
 
+    // Exact average precision per query over the top-10 (MAP's core) —
+    // entirely integer arithmetic: P@k is rational with k ≤ 10, so
+    // scaling by lcm(1..10) = 2520 makes every term integer and
+    // AP = Σ_{rel k} P@k / R lands in exact basis points. The ranking
+    // metric that credits putting relevant results EARLY, with zero
+    // float drift (unlike NDCG's logs).
+    "retrieval_ap" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val lab = emb.select(col("vec_id"), col("label"))
+      val q = emb.where(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val ranked = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+          "q_id", "q_emb", 10, dim = 64)
+        .join(broadcast(lab.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label"))), "neighbor_id")
+        .join(broadcast(lab.select(col("vec_id").as("q_id"),
+          col("label").as("q_label"))), "q_id")
+        .select(col("q_id"), col("rank"),
+          (col("n_label") === col("q_label")).cast("long").as("rel"))
+      val withCnt = ranked.withColumn("relcnt",
+        sum("rel").over(Window.partitionBy("q_id").orderBy("rank")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      withCnt.groupBy("q_id")
+        .agg(sum("rel").as("n_rel"),
+          sum(when(col("rel") === 1, expr("relcnt * 2520 div rank"))
+            .otherwise(lit(0L))).as("_ap2520"))
+        .select(col("q_id"), col("n_rel"),
+          when(col("n_rel") > 0,
+            expr("_ap2520 * 10000 div (n_rel * 2520)")).otherwise(lit(0L))
+            .as("ap_bp"))
+        .orderBy("q_id")
+    }),
+
     // LSH-bucketed variant: candidates pruned to the query's sign-LSH
     // bucket before exact scoring — the sublinear scale path.
     "ann_lsh" -> ((s, dir) => {
@@ -6995,6 +7028,29 @@ object SparkEntry {
          | SELECT q_id,
          |   coalesce(min(CASE WHEN n_label = q_label THEN rank END), 0) AS first_rel_rank
          | FROM ranked WHERE rank <= 10 GROUP BY q_id ORDER BY q_id""".stripMargin.replace("\n", " "),
+
+    "retrieval_ap" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+         |           FROM embeddings WHERE vec_id < 50),
+         | scored AS (
+         |   SELECT q.q_id, q.q_label, e.vec_id AS neighbor_id, e.label AS n_label,
+         |          ${duckCosine("q.q_emb", "e.embedding")} AS cos
+         |   FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id),
+         | ranked AS (
+         |   SELECT q_id, (n_label = q_label)::BIGINT AS rel,
+         |          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+         |   FROM scored),
+         | top10 AS (SELECT q_id, rel, rank,
+         |     sum(rel) OVER (PARTITION BY q_id ORDER BY rank
+         |       ROWS UNBOUNDED PRECEDING) AS relcnt
+         |   FROM ranked WHERE rank <= 10),
+         | ap AS (SELECT q_id, sum(rel)::BIGINT AS n_rel,
+         |     sum(CASE WHEN rel = 1 THEN relcnt * 2520 // rank ELSE 0 END)::BIGINT AS ap2520
+         |   FROM top10 GROUP BY q_id)
+         | SELECT q_id, n_rel,
+         |   CASE WHEN n_rel > 0 THEN (ap2520 * 10000 // (n_rel * 2520))::BIGINT
+         |        ELSE 0 END AS ap_bp
+         | FROM ap ORDER BY q_id""".stripMargin.replace("\n", " "),
 
     "ann_lsh" ->
       s"""WITH planes AS (
