@@ -186,12 +186,14 @@ object Dedup {
     * center is the skew-join case) and coalesces the contracted tail.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIterations: Int = 50): DataFrame = {
-    // canonical undirected edges, bigger endpoint first
+                          maxIterations: Int = 50,
+                          localSolveLimit: Long = LocalSolveEdgeLimit): DataFrame = {
+    // canonical undirected edges, bigger endpoint first; ids normalized
+    // to BIGINT so the distributed and local-endgame paths emit one schema
     val init = pairs
       .where(col(aCol) =!= col(bCol))
-      .select(greatest(col(aCol), col(bCol)).as("src"),
-        least(col(aCol), col(bCol)).as("dst"))
+      .select(greatest(col(aCol), col(bCol)).cast("long").as("src"),
+        least(col(aCol), col(bCol)).cast("long").as("dst"))
       .distinct()
     // One alternating round: LARGE-STAR (every node u connects each
     // strictly larger neighbor v to m(u) = min(Γ(u) ∪ {u}); m ≤ u < v
@@ -226,9 +228,10 @@ object Dedup {
     var round = graft.ops.Iterate.materialize(init)
     var i = 0
     var converged = false
+    var localDone: Option[DataFrame] = None
     var prevCnt = -1L
     var prevSig = 0L
-    while (i < maxIterations && !converged) {
+    while (i < maxIterations && !converged && localDone.isEmpty) {
       var e = round.df
       var r = 0
       while (r < RoundsPerCut) { e = ccRound(e, dedup = r == RoundsPerCut - 1); r += 1 }
@@ -250,6 +253,22 @@ object Dedup {
       round.release()
       round = materialized
       i += RoundsPerCut
+      // ENDGAME: contraction monotonically shrinks the edge set; once it
+      // fits one task's working set, log-d more distributed rounds cost
+      // more in per-round job overhead than a single-task union-find —
+      // the standard hybrid in production CC implementations. The count
+      // rides the round's observe, so the switch costs zero extra jobs,
+      // and the label (component MIN) is identical to the fixpoint's.
+      if (!converged && cnt > 0 && cnt <= localSolveLimit) {
+        val spark = round.df.sparkSession
+        val session = spark.implicits
+        import session._
+        localDone = Some(round.df.coalesce(1)
+          .select(col("src"), col("dst"))
+          .as[(Long, Long)]
+          .mapPartitions(it => unionFindMinLabel(it))
+          .toDF("node", "cluster_id"))
+      }
     }
     // fixed point is a star forest: every edge points leaf → component-min
     // center; centers label themselves. Materialized: multi-consumer
@@ -258,13 +277,51 @@ object Dedup {
     // shares no common subplans), the final round's storage is released
     // here, and the returned root frame is caller-releasable via
     // [[Iterate.releaseCheckpoint]].
-    val stars = round.df
-    val out = graft.ops.Iterate.materialize(
+    val result = localDone.getOrElse {
+      val stars = round.df
       stars.select(col("src").as("node"), col("dst").as("cluster_id"))
         .union(stars.select(col("dst").as("node"), col("dst").as("cluster_id")))
-        .distinct())
+        .distinct()
+    }
+    val out = graft.ops.Iterate.materialize(result)
     round.release()
     out.df
+  }
+
+  /** Edge-count bound for the CC endgame's single-task union-find: 2M
+    * (src, dst) longs ≈ 32 MB — one task's working set. Above it, rounds
+    * stay distributed; contraction shrinks every graph toward the bound.
+    */
+  private val LocalSolveEdgeLimit = 2_000_000L
+
+  /** Union-find with path compression over one partition's edges,
+    * relabeled so every node maps to its component MINIMUM — the same
+    * labeling as the star-forest fixpoint, independent of edge order.
+    */
+  private[graft] def unionFindMinLabel(
+      edges: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val next = parent.getOrElse(c, c); parent(c) = r; c = next
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val minOf = scala.collection.mutable.HashMap.empty[Long, Long]
+    parent.keysIterator.foreach { n =>
+      val r = find(n)
+      minOf(r) = math.min(minOf.getOrElse(r, n), n)
+    }
+    parent.keysIterator.map(n => (n, minOf(find(n)))).toList.iterator
   }
 
   /** Word-k-gram Jaccard near-dup candidates via an inverted shingle-index

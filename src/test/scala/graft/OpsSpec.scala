@@ -319,10 +319,25 @@ class OpsSpec extends SparkSpec {
       val edges = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter(e => e._1 != e._2)
       val expected = unionFind(n, edges)
+      // both the local-endgame path (default limit) and the pure
+      // distributed fixpoint (limit 0, endgame disabled) must agree
       val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got === expected, s"seed=$seed: clusters diverge from union-find")
+      assert(got === expected, s"seed=$seed: endgame path diverges from union-find")
+      val distributed = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b",
+          localSolveLimit = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(distributed === expected, s"seed=$seed: distributed fixpoint diverges")
     }
+  }
+
+  test("unionFindMinLabel: edge-order independent, min-of-component labels") {
+    val edges = Seq((5L, 3L), (9L, 5L), (2L, 8L), (8L, 2L), (7L, 7L))
+      .filter(e => e._1 != e._2)
+    val a = Dedup.unionFindMinLabel(edges.iterator).toMap
+    val b = Dedup.unionFindMinLabel(edges.reverse.iterator).toMap
+    assert(a === Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 2L -> 2L, 8L -> 2L))
+    assert(a === b)
   }
 
   test("incrementalMinhashDups: incoming batch checked against stored only") {
