@@ -1495,8 +1495,11 @@ object SparkEntry {
       val est = Dedup.minhashCandidates(
         Dedup.minhashSignature(docs, "text", "doc_id"), "doc_id",
         threshold = 0.25)
-      val exact = Dedup.ngramCandidates(docs, "text", "doc_id",
-        k = 3, dfCap = 100, threshold = 0.0)
+      // exact Jaccard scored only for the est pairs (pair-keyed joins) —
+      // same values/rows as the full ngramCandidates self-join restricted
+      // to them, at |pairs|-bounded cost
+      val exact = Dedup.ngramJaccardFor(est, docs, "text", "doc_id",
+        k = 3, dfCap = 100)
       est.join(exact, Seq("a_id", "b_id"), "left")
         .select(round(col("est_jaccard") * 10000).cast("long").as("est_e4"),
           round(col("jaccard") * 10000).cast("long").as("_x"))

@@ -361,6 +361,36 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** [[ngramCandidates]]' exact Jaccard for a GIVEN pair set instead of
+    * the full shingle-index self-join: identical semantics (inter counts
+    * shared RARE shingles only, denominators keep the full per-doc
+    * shingle counts, same 4-dp rounding; pairs sharing zero rare
+    * shingles are absent — exactly the pairs the self-join never
+    * emits), but the joins are keyed by the pair ids, so cost is
+    * bounded by |pairs| × shingles-per-doc, never by per-shingle df².
+    * The shape for "score THESE candidates exactly" (calibration,
+    * verification) when the candidate set is already known.
+    */
+  def ngramJaccardFor(pairs: DataFrame, df: DataFrame, textCol: String,
+                      idCol: String, k: Int = 3,
+                      dfCap: Int = 100): DataFrame = {
+    val sh = shingleRows(df, textCol, idCol, k)
+      .select(col(idCol), col("n_sh"), md5Int60(col("sh")).as("sh"))
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("_df"))
+      .where(col("_df") <= dfCap)
+      .select(col("sh"))
+    val pruned = sh.join(rare, "sh")
+    pairs.select("a_id", "b_id")
+      .join(pruned.select(col(idCol).as("a_id"), col("n_sh").as("a_n"), col("sh")), "a_id")
+      .join(pruned.select(col(idCol).as("b_id"), col("n_sh").as("b_n"), col("sh")),
+        Seq("b_id", "sh"))
+      .groupBy("a_id", "b_id", "a_n", "b_n")
+      .agg(count(lit(1)).as("inter"))
+      .select(col("a_id"), col("b_id"),
+        round(col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")), 4)
+          .as("jaccard"))
+  }
+
   /** 60-bit SimHash over the token multiset: per token a 60-bit md5 hash;
     * each output bit is the sign of the per-bit vote sum.
     *

@@ -331,6 +331,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ngramJaccardFor == ngramCandidates restricted to the given pairs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val est = Dedup.minhashCandidates(
+      Dedup.minhashSignature(docs, "text", "doc_id"), "doc_id", threshold = 0.25)
+    val full = Dedup.ngramCandidates(docs, "text", "doc_id",
+        k = 3, dfCap = 100, threshold = 0.0)
+      .join(est.select("a_id", "b_id"), Seq("a_id", "b_id"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val targeted = Dedup.ngramJaccardFor(est, docs, "text", "doc_id",
+        k = 3, dfCap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(targeted === full, "pair-keyed exact Jaccard diverges from the self-join")
+    assert(targeted.nonEmpty)
+  }
+
   test("unionFindMinLabel: edge-order independent, min-of-component labels") {
     val edges = Seq((5L, 3L), (9L, 5L), (2L, 8L), (8L, 2L), (7L, 7L))
       .filter(e => e._1 != e._2)
