@@ -49,8 +49,24 @@ object Bench {
     // failure times landed in the record looking like sub-control "wins"
     // (ADVICE r6). Failed queries are excluded from timings/total and
     // reported explicitly in both the full record and the stdout line.
+    //
+    // ADAPTIVE pass count (VERDICT r9 item 1): host steal only ever
+    // INFLATES a pass, so the min over passes is the right steady-state
+    // estimator — the failure mode in r7–r9 was a fixed pass count (3)
+    // entirely inside a sustained contention window (q16_json recorded
+    // 26.5 s vs 1.1 s steady). The loop now keeps running steady passes
+    // until the two fastest REPRODUCE each other (within 30%) under
+    // clean surrounding controls, up to 6 steady passes / a per-query
+    // extra-time budget. Controls are interleaved BETWEEN passes, so each
+    // pass has a before+after control — a pass is only "clean" when both
+    // are ≤ CtlClean, which catches contention that starts or ends inside
+    // the query window (the r9 fast_docs case: ctl 0.05 in the adjacent
+    // window while the query itself ran 5× inflated — dispersion between
+    // passes catches what a single adjacent control cannot).
+    val CtlClean = 0.25 // 64M-row control median is ~0.09 s on this host
+    val MaxSteady = 6
     val raw = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val passes = (1 to 3).map { i =>
+      def onePass(i: Int): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val passOk =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -63,16 +79,44 @@ object Bench {
         GraftSession.releaseAll(spark)
         ((System.nanoTime() - t0) / 1e9, passOk)
       }
-      // pass 1 pays codegen JIT — steady state is min over the SUCCESSFUL
-      // passes among 2–3. A transient pass-1-only failure (host steal, OOM
-      // blip) must not drop a query whose steady-state passes produced
-      // valid timings — but a query with no successful steady pass is
-      // failed, never recorded as a (near-zero) timing (ADVICE r6).
-      val steady = passes.drop(1).collect { case (t, true) => t }
-      if (passes.exists(!_._2) && steady.nonEmpty)
-        System.err.println(s"[bench] $name: partial failure, " +
-          s"steady-state kept from ${steady.size} clean pass(es)")
-      (name, if (steady.isEmpty) 0.0 else steady.min, control(), steady.nonEmpty)
+      onePass(1) // warm-up: plan compilation + codegen JIT, never counted
+      // steady passes with interleaved controls: ctls(i) precedes pass i,
+      // ctls(i+1) follows it.
+      val ctls = scala.collection.mutable.ArrayBuffer(control())
+      val steadyAll = scala.collection.mutable.ArrayBuffer.empty[(Double, Boolean)]
+      var extra = 0.0
+      var done = false
+      while (!done) {
+        val (t, ok) = onePass(steadyAll.size + 2)
+        ctls += control()
+        steadyAll += ((t, ok))
+        if (steadyAll.size > 2) extra += t
+        val clean = steadyAll.zipWithIndex.collect {
+          case ((tt, true), i) if ctls(i) <= CtlClean && ctls(i + 1) <= CtlClean => tt
+        }.sorted
+        val converged = clean.size >= 2 && clean(1) <= 1.3 * clean(0)
+        done = converged ||
+          steadyAll.size >= MaxSteady ||
+          (steadyAll.size >= 2 && extra > math.max(10.0,
+            5.0 * steadyAll.collect { case (tt, true) => tt }
+              .minOption.getOrElse(0.0)))
+      }
+      val okTimes = steadyAll.zipWithIndex.collect { case ((t, true), i) => (t, i) }
+      val cleanTimes = okTimes.filter { case (_, i) =>
+        ctls(i) <= CtlClean && ctls(i + 1) <= CtlClean }
+      // record the fastest CLEAN pass when one exists; else the fastest
+      // pass at all (flagged via its surrounding control below). The
+      // recorded control is the worse of the recorded pass's two
+      // neighbors — contamination stays attributable per query.
+      val best = (if (cleanTimes.nonEmpty) cleanTimes else okTimes)
+        .minByOption(_._1)
+      if (steadyAll.size > 2 || cleanTimes.isEmpty)
+        System.err.println(s"[bench] $name: ${steadyAll.size} steady passes, " +
+          s"${cleanTimes.size} clean, recorded=${best.map(_._1).getOrElse(-1.0)}")
+      best match {
+        case Some((t, i)) => (name, t, math.max(ctls(i), ctls(i + 1)), true)
+        case None         => (name, 0.0, ctls.last, false)
+      }
     }
     val failedQs = raw.collect { case (name, _, _, false) => name }
     val results = raw.collect { case (name, t, c, true) => (name, t, c) }

@@ -189,7 +189,18 @@ object Dedup {
                           maxIterations: Int = 50,
                           localSolveLimit: Long = LocalSolveEdgeLimit): DataFrame = {
     // canonical undirected edges, bigger endpoint first; ids normalized
-    // to BIGINT so the distributed and local-endgame paths emit one schema
+    // to BIGINT so the distributed and local-endgame paths emit one schema.
+    // Only integral id columns are accepted: a silent `.cast("long")` of a
+    // string/decimal id would NULL out (and so drop) edges instead of
+    // erroring — callers with non-numeric ids must hash them to long
+    // (xxhash64) before calling.
+    Seq(aCol, bCol).foreach { c =>
+      import org.apache.spark.sql.types._
+      val dt = pairs.schema(c).dataType
+      require(Set[DataType](ByteType, ShortType, IntegerType, LongType)(dt),
+        s"connectedComponents: id column '$c' must be integral, got $dt — " +
+          "hash non-numeric ids to long (e.g. xxhash64) before calling")
+    }
     val init = pairs
       .where(col(aCol) =!= col(bCol))
       .select(greatest(col(aCol), col(bCol)).cast("long").as("src"),

@@ -33,23 +33,33 @@ object WavPcm {
   private def locate(p: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
     if (p == null || p.length < 44 || !tag(p, 0, "RIFF") || !tag(p, 8, "WAVE"))
       return None
-    var i = 12
+    // The chunk walk stays in Long: a declared size near 2^31 would wrap
+    // an Int cursor negative and defeat every bounds check downstream
+    // (same overflow class as BmpPixels.header) — reject before casting.
+    var i = 12L
     var fmt: Option[(Int, Int, Int)] = None
     var data: Option[(Int, Int)] = None
     while (i + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
-      val size = le32(p, i + 4)
-      if (size < 0 || size > Int.MaxValue) return None
-      if (tag(p, i, "fmt ")) {
+      val ii = i.toInt
+      val size = le32(p, ii + 4)
+      if (size < 0 || size > Int.MaxValue - 8) return None
+      if (tag(p, ii, "fmt ")) {
         if (i + 8 + 16 > p.length) return None
-        val channels = le16(p, i + 10)
-        val rate = le32(p, i + 12)
-        val bits = le16(p, i + 22)
+        // the documented contract: ONLY format tag 1 (integer PCM)
+        // decodes — extensible (0xFFFE) / compressed streams are not PCM
+        // even when channels/bits look right, so reject, don't garble.
+        val fmtTag = le16(p, ii + 8)
+        if (fmtTag != 1) return None
+        val channels = le16(p, ii + 10)
+        val rate = le32(p, ii + 12)
+        val bits = le16(p, ii + 22)
         if (channels < 1 || rate < 1 || rate > Int.MaxValue || bits < 1) return None
         fmt = Some((channels, rate.toInt, bits))
-      } else if (tag(p, i, "data")) {
-        data = Some((i + 8, size.toInt))
+      } else if (tag(p, ii, "data")) {
+        if (i + 8 + size > p.length) return None
+        data = Some((ii + 8, size.toInt))
       }
-      i += 8 + size.toInt + (size.toInt & 1)
+      i += 8L + size + (size & 1L)
     }
     for ((c, r, b) <- fmt; (off, n) <- data) yield (c, r, b, off, n)
   }
@@ -62,7 +72,7 @@ object WavPcm {
   def pcm16WindowStats(p: Array[Byte], windowSamples: Int): Option[Seq[WindowStats]] =
     locate(p).flatMap { case (channels, _, bits, off, len) =>
       if (channels != 1 || bits != 16 || (len & 1) != 0 ||
-          off + len > p.length || windowSamples <= 0) None
+          off.toLong + len > p.length || windowSamples <= 0) None
       else {
         val n = len / 2
         val out = scala.collection.mutable.ArrayBuffer.empty[WindowStats]

@@ -50,8 +50,10 @@ object StreamingDedup {
       // propagate and fail the micro-batch so the stream retries —
       // swallowing it would silently drop every cross-batch pair for this
       // batch, permanently (its signatures still get appended below).
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(sigPath), spark.sparkContext.hadoopConfiguration)
+      // Path(...).getFileSystem handles raw filesystem paths (spaces and
+      // other URI-reserved characters) that java.net.URI would reject.
+      val fs = new org.apache.hadoop.fs.Path(sigPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val stored =
         if (fs.exists(new org.apache.hadoop.fs.Path(sigPath)))
           Some(spark.read.parquet(sigPath)
