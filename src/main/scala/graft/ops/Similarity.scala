@@ -381,9 +381,29 @@ object Similarity {
     * accumulate cross-engine ulp drift.)
     */
   def pqTrainCodebooks(corpus: DataFrame, idCol: String, embCol: String,
-                       m: Int, k: Int, iterations: Int): DataFrame = {
-    val dim = corpus.select(size(col(embCol))).head.getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+                       m: Int, k: Int, iterations: Int,
+                       dim: Int = 0): DataFrame = {
+    val d = inferDim(corpus, embCol, dim)
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    pqTrainCodebooksImpl(corpus, idCol, embCol, m, k, iterations, d)
+  }
+
+  /** Resolve the embedding dimension: a caller-supplied positive constant
+    * is used as-is (the hot service path — NO driver job); 0 infers it
+    * with one one-row scalar job. Every pq/adc entry point takes the
+    * optional constant — at deploy the dimension is a known property of
+    * the embedding model, so the inference job is pure latency.
+    */
+  private def inferDim(df: DataFrame, embCol: String, dim: Int): Int =
+    if (dim > 0) dim else df.select(size(col(embCol))).head.getInt(0)
+
+  /** Resolve the subspace count from the codebooks table unless supplied. */
+  private def inferM(codebooks: DataFrame, m: Int): Int =
+    if (m > 0) m else codebooks.agg(max(col("m"))).head.getInt(0) + 1
+
+  private def pqTrainCodebooksImpl(corpus: DataFrame, idCol: String,
+                       embCol: String, m: Int, k: Int, iterations: Int,
+                       dim: Int): DataFrame = {
     val sub = dim / m
     val subs = corpus.select(col(idCol).as("_id"), posexplode(expr(
         s"transform(sequence(0, ${m - 1}), i -> slice($embCol, i * $sub + 1, $sub))")))
@@ -429,12 +449,12 @@ object Similarity {
     * window's per-(id, m) partitioning.
     */
   def pqEncode(corpus: DataFrame, codebooks: DataFrame, idCol: String,
-               embCol: String): DataFrame = {
-    val dim = corpus.select(size(col(embCol))).head.getInt(0)
-    val m = codebooks.agg(max(col("m"))).head.getInt(0) + 1
-    val sub = dim / m
+               embCol: String, dim: Int = 0, m: Int = 0): DataFrame = {
+    val d = inferDim(corpus, embCol, dim)
+    val mm = inferM(codebooks, m)
+    val sub = d / mm
     val subs = corpus.select(col(idCol), posexplode(expr(
-        s"transform(sequence(0, ${m - 1}), i -> slice($embCol, i * $sub + 1, $sub))")))
+        s"transform(sequence(0, ${mm - 1}), i -> slice($embCol, i * $sub + 1, $sub))")))
       .select(col(idCol), col("pos").as("m"), col("col").as("sv"))
     subs.join(broadcast(codebooks), "m")
       .select(col(idCol), col("m"), col("code"),
@@ -455,12 +475,12 @@ object Similarity {
     */
   def pqAdcTopK(codes: DataFrame, idCol: String, codebooks: DataFrame,
                 queries: DataFrame, qIdCol: String, qEmbCol: String,
-                k: Int): DataFrame = {
-    val dim = queries.select(size(col(qEmbCol))).head.getInt(0)
-    val m = codebooks.agg(max(col("m"))).head.getInt(0) + 1
-    val sub = dim / m
+                k: Int, dim: Int = 0, m: Int = 0): DataFrame = {
+    val d = inferDim(queries, qEmbCol, dim)
+    val mm = inferM(codebooks, m)
+    val sub = d / mm
     val qsubs = queries.select(col(qIdCol).as("q_id"), posexplode(expr(
-        s"transform(sequence(0, ${m - 1}), i -> slice($qEmbCol, i * $sub + 1, $sub))")))
+        s"transform(sequence(0, ${mm - 1}), i -> slice($qEmbCol, i * $sub + 1, $sub))")))
       .select(col("q_id"), col("pos").as("m"), col("col").as("qv"))
     val scored = codes.join(broadcast(codebooks), Seq("m", "code"))
       .join(broadcast(qsubs), "m")
@@ -495,13 +515,13 @@ object Similarity {
                 centroids: DataFrame, cIdCol: String, cEmbCol: String,
                 codebooks: DataFrame, queryIds: DataFrame => DataFrame,
                 k: Int, nprobe: Int = 1, replication: Int = 1,
-                rerank: Int = 0): DataFrame = {
+                rerank: Int = 0, dim: Int = 0, m: Int = 0): DataFrame = {
+    val d = inferDim(corpus, embCol, dim)
+    val mm = inferM(codebooks, m)
     val assigned = ivfAssign(corpus, centroids, idCol, embCol, cIdCol, cEmbCol,
       replication)
-    val codes = pqEncode(corpus, codebooks, idCol, embCol)
-    val dim = corpus.select(size(col(embCol))).head.getInt(0)
-    val m = codebooks.agg(max(col("m"))).head.getInt(0) + 1
-    val sub = dim / m
+    val codes = pqEncode(corpus, codebooks, idCol, embCol, d, mm)
+    val sub = d / mm
     val qBase0 = queryIds(assigned)
       .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
     val qBase = if (replication > 1) qBase0.dropDuplicates("q_id") else qBase0
@@ -516,7 +536,7 @@ object Similarity {
       .where(col("_rk") <= nprobe)
       .select("q_id", "cluster")
     val qsubs = qBase.select(col("q_id"), posexplode(expr(
-        s"transform(sequence(0, ${m - 1}), i -> slice(q_emb, i * $sub + 1, $sub))")))
+        s"transform(sequence(0, ${mm - 1}), i -> slice(q_emb, i * $sub + 1, $sub))")))
       .select(col("q_id"), col("pos").as("m"), col("col").as("qv"))
     // candidates = codes of ids inside each query's probed cells
     val cand0 = assigned.select(col(idCol), col("cluster"))

@@ -32,24 +32,31 @@ object WavHeaders {
   def parse(payload: Array[Byte]): Option[(Int, Int, Int, Long)] = {
     if (payload == null || payload.length < 44 ||
         !tag(payload, 0, "RIFF") || !tag(payload, 8, "WAVE")) return None
-    var i = 12
+    // The chunk walk stays in Long: a declared size near 2^31 would wrap
+    // an Int cursor negative and defeat every bounds check downstream —
+    // same overflow class (and same fix) as [[WavPcm.locate]].
+    var i = 12L
     var fmt: Option[(Int, Int, Int)] = None
     var dataLen: Option[Long] = None
     while (i + 8 <= payload.length && (fmt.isEmpty || dataLen.isEmpty)) {
-      val size = le32(payload, i + 4)
-      if (size < 0 || size > Int.MaxValue) return None
-      if (tag(payload, i, "fmt ")) {
-        if (i + 8 + 16 > payload.length) return None
-        val channels = le16(payload, i + 10)
-        val rate = le32(payload, i + 12)
-        val bits = le16(payload, i + 22)
+      val ii = i.toInt
+      val size = le32(payload, ii + 4)
+      if (size < 0 || size > Int.MaxValue - 8) return None
+      if (tag(payload, ii, "fmt ")) {
+        // a declared fmt size below the 16-byte PCM layout means the
+        // channel/rate/bits reads would land in the NEXT chunk's bytes —
+        // bounds-safe but garbage; reject instead of misparsing
+        if (i + 8 + 16 > payload.length || size < 16) return None
+        val channels = le16(payload, ii + 10)
+        val rate = le32(payload, ii + 12)
+        val bits = le16(payload, ii + 22)
         if (channels < 1 || rate < 1 || rate > Int.MaxValue || bits < 1) return None
         fmt = Some((channels, rate.toInt, bits))
-      } else if (tag(payload, i, "data")) {
+      } else if (tag(payload, ii, "data")) {
         dataLen = Some(size)
       }
       // chunks are word-aligned: odd sizes carry a pad byte
-      i += 8 + size.toInt + (size.toInt & 1)
+      i += 8L + size + (size & 1L)
     }
     for ((c, r, b) <- fmt; n <- dataLen) yield (c, r, b, n)
   }

@@ -44,7 +44,9 @@ object WavPcm {
       val size = le32(p, ii + 4)
       if (size < 0 || size > Int.MaxValue - 8) return None
       if (tag(p, ii, "fmt ")) {
-        if (i + 8 + 16 > p.length) return None
+        // size < 16 would read channels/rate/bits from the next chunk's
+        // bytes — bounds-safe but garbage; the PCM fmt layout is ≥ 16
+        if (i + 8 + 16 > p.length || size < 16) return None
         // the documented contract: ONLY format tag 1 (integer PCM)
         // decodes — extensible (0xFFFE) / compressed streams are not PCM
         // even when channels/bits look right, so reject, don't garble.

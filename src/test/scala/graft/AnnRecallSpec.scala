@@ -101,20 +101,22 @@ class AnnRecallSpec extends SparkSpec {
   test("Lloyd-trained PQ codebooks beat seed codebooks on ADC recall") {
     val q = emb.where(col("vec_id") < NQ)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    def adcRecall(cb: DataFrame): Double = {
-      val codes = Similarity.pqEncode(emb, cb, "vec_id", "embedding")
-      recall(pairs(Similarity.pqAdcTopK(codes, "vec_id", cb, q, "q_id", "q_emb", K)))
+    def adcRecall(cb: DataFrame, m: Int): Double = {
+      val codes = Similarity.pqEncode(emb, cb, "vec_id", "embedding",
+        dim = 64, m = m)
+      recall(pairs(Similarity.pqAdcTopK(codes, "vec_id", cb, q,
+        "q_id", "q_emb", K, dim = 64, m = m)))
     }
     // iterations=0 returns exactly the seed codebooks — the baseline the
     // embed_pq_* oracle queries pin
     val seedCb = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding",
-      m = 8, k = 16, iterations = 0)
+      m = 8, k = 16, iterations = 0, dim = 64)
     val trainedCb = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding",
-      m = 8, k = 16, iterations = 3)
+      m = 8, k = 16, iterations = 3, dim = 64)
     val bigCb = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding",
-      m = 16, k = 64, iterations = 3)
+      m = 16, k = 64, iterations = 3, dim = 64)
     val (rSeed, rTrained, rBig) =
-      (adcRecall(seedCb), adcRecall(trainedCb), adcRecall(bigCb))
+      (adcRecall(seedCb, 8), adcRecall(trainedCb, 8), adcRecall(bigCb, 16))
     info(f"PQ-ADC recall@$K: seed(16) $rSeed%.3f, trained(16) $rTrained%.3f, " +
       f"trained(m16,k64) $rBig%.3f")
     assert(rTrained >= rSeed,
@@ -133,7 +135,7 @@ class AnnRecallSpec extends SparkSpec {
       recall(pairs(Similarity.ivfPqTopK(emb, "vec_id", "embedding",
         cents, "c_id", "c_emb", cb,
         a => a.where(col("vec_id") < NQ), K,
-        nprobe = 2, replication = 2, rerank = rerank)))
+        nprobe = 2, replication = 2, rerank = rerank, dim = 64, m = 16)))
     val rAdc = run(0)
     val rRe = run(50)
     info(f"IVF-PQ recall@$K (nprobe=2, r=2): ADC-only $rAdc%.3f, +exact-rerank@50 $rRe%.3f")
@@ -185,5 +187,34 @@ class AnnRecallSpec extends SparkSpec {
     assert(r(2) >= r(4) && r(4) >= r(6), s"recall not monotone in planes: $byPlanes")
     assert(r(2) >= 0.35, f"LSH(2) recall ${r(2)}%.3f under floor")
     assert(r(6) >= 0.05, f"LSH(6) recall ${r(6)}%.3f under floor")
+  }
+
+  test("pq/adc plan construction with dim/m constants runs zero driver jobs") {
+    // Eager prerequisites (training materializes rounds) OUTSIDE the
+    // measured window — the service-path claim is about ENCODE/SEARCH
+    // plan construction, which a hot loop calls per request.
+    val cb = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding",
+      m = 8, k = 16, iterations = 0, dim = 64)
+    val cents = Similarity.sphericalKMeansCentroids(
+      emb, "vec_id", "embedding", k = 8, iterations = 1)
+    val q = emb.where(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val sc = spark.sparkContext
+    sc.setJobGroup("pq-plan-audit", "plan construction must be job-free")
+    try {
+      val codes = Similarity.pqEncode(emb, cb, "vec_id", "embedding",
+        dim = 64, m = 8)
+      Similarity.pqAdcTopK(codes, "vec_id", cb, q, "q_id", "q_emb", K,
+        dim = 64, m = 8).queryExecution.logical
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding", cents, "c_id", "c_emb",
+        cb, a => a.where(col("vec_id") < NQ), K,
+        nprobe = 2, rerank = 10, dim = 64, m = 8).queryExecution.logical
+    } finally sc.clearJobGroup()
+    // the status store is fed asynchronously — give the bus a beat
+    Thread.sleep(500)
+    val jobs = sc.statusTracker.getJobIdsForGroup("pq-plan-audit")
+    assert(jobs.isEmpty,
+      s"pq/adc construction with constants ran ${jobs.length} driver job(s) — " +
+        "a dim/m inference job leaked back in")
   }
 }

@@ -949,6 +949,32 @@ class OpsSpec extends SparkSpec {
     assert(WavHeaders.parse("not audio at all, just text padding!!!!!!!!!".getBytes) === None)
   }
 
+  test("wav headers: huge declared chunk size returns None, never wraps the cursor") {
+    import graft.ops.{WavHeaders, WavPcm}
+    // a ~52-byte record whose first chunk declares size ≈ 2^31: an Int
+    // cursor would wrap negative and the next le32 read would throw AIOOBE
+    for (szBytes <- Seq(
+        Array[Byte](-5, -1, -1, 127), // 0x7FFFFFFB: above the size cap
+        Array[Byte](0, -1, -1, 127))) { // 0x7FFFFF00: passes the cap, walk advances
+      val huge = "RIFF".getBytes ++ Array[Byte](44, 0, 0, 0) ++ "WAVE".getBytes ++
+        "JUNK".getBytes ++ szBytes ++ new Array[Byte](32)
+      assert(WavHeaders.parse(huge) === None)
+      assert(WavPcm.pcm16WindowStats(huge, 4) === None)
+    }
+  }
+
+  test("wav headers: fmt chunk declaring size < 16 returns None, not garbage fields") {
+    import graft.ops.{WavHeaders, WavPcm}
+    def withFmtSize(sz: Byte): Array[Byte] = {
+      val base = WavHeaders.wavBytes(1, 8000, 16, 8)
+      base.updated(16, sz) // fmt size field (offset 16, little-endian low byte)
+    }
+    assert(WavHeaders.parse(withFmtSize(8)) === None)
+    assert(WavPcm.pcm16WindowStats(withFmtSize(8), 4) === None)
+    // size = 16 (the minimum PCM layout) still parses
+    assert(WavHeaders.parse(withFmtSize(16)) === Some((1, 8000, 16, 8L)))
+  }
+
   test("mp4 headers: builder round-trip and box-walk past leading free box") {
     import graft.ops.Mp4Headers
     for (b <- Seq("isom", "mp42", "avc1"); ts <- Seq(1000L, 48000L); d <- Seq(1L, 89999L)) {
