@@ -343,11 +343,18 @@ object Dedup {
     * rows (the skew cliff at 100 TB) — and it shrinks the shuffle to the
     * discriminative shingles. Jaccard denominators keep the FULL per-doc
     * shingle counts, so the cap only removes candidate-generating power
-    * of boilerplate; it never inflates similarity. The df aggregation and
-    * the self-join share the same shingle-key shuffle: all three consumers
-    * of the shingle frame canonicalize to the same hash(sh) exchange, which
-    * Spark computes once and reuses (ReusedExchange/AQE stage reuse) — no
-    * persist, so nothing to leak across calls.
+    * of boilerplate; it never inflates similarity.
+    *
+    * Shape: the shingle stream is generated ONCE (lazy persist — the
+    * native word_shingles pass over the corpus is the dominant cost, and
+    * without the persist AQE's broadcast choices re-ran it per consumer:
+    * the round-10 plan audit showed the parquet scanned four times, no
+    * exchange ever reused). The df-cap pass keeps COUNT-only state, so a
+    * boilerplate shingle in millions of docs costs one counter, not a
+    * list; only the PRUNED stream — where df ≤ dfCap bounds every posting
+    * list — is grouped into per-shingle doc arrays, and candidate pairs
+    * explode ROW-LOCALLY from each array (≤ C(dfCap, 2) per shingle by
+    * construction) instead of through a shingle-keyed self-join.
     */
   def ngramCandidates(df: DataFrame, textCol: String, idCol: String,
                       k: Int = 3, dfCap: Int = 100,
@@ -356,20 +363,30 @@ object Dedup {
     // (collision odds ~1e-8 at this cardinality; oracles hash identically)
     val sh = shingleRows(df, textCol, idCol, k)
       .select(col(idCol), col("n_sh"), md5Int60(col("sh")).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("_df"))
       .where(col("_df") <= dfCap)
       .select(col("sh"))
-    val pruned = sh.join(rare, "sh")
-    val a = pruned.select(col(idCol).as("a_id"), col("n_sh").as("a_n"), col("sh"))
-    val b = pruned.select(col(idCol).as("b_id"), col("n_sh").as("b_n"), col("sh"))
-    a.join(b, Seq("sh"))
-      .where(col("a_id") < col("b_id"))
+    // posting lists sorted by id so the local pair explode emits a < b
+    val groups = sh.join(rare, "sh")
+      .groupBy("sh")
+      .agg(array_sort(collect_list(struct(col(idCol).as("id"), col("n_sh").as("n"))))
+        .as("ds"))
+      .where(size(col("ds")) >= 2)
+    val result = groups.select(explode(expr(
+        "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), y -> struct(x.id AS a_id, x.n AS a_n, y.id AS b_id, y.n AS b_n))))"))
+        .as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+        col("p.a_n").as("a_n"), col("p.b_n").as("b_n"))
       .groupBy("a_id", "b_id", "a_n", "b_n")
       .agg(count(lit(1)).as("inter"))
       .select(col("a_id"), col("b_id"),
         round(col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")), 4)
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
+    // eager, like prefixJaccardJoin: checkpoint the (small) pair result,
+    // release the shingle cache — no storage outlives the op
+    Iterate.scoped(result, sh)
   }
 
   /** [[ngramCandidates]]' exact Jaccard for a GIVEN pair set instead of
@@ -773,10 +790,6 @@ object Dedup {
     */
   def dedupSpans(df: DataFrame, textCol: String, idCol: String,
                  k: Int = 5): DataFrame = {
-    val base = df.select(col(idCol), split(col(textCol), " ").as("_ws"))
-    val toks = base.select(col(idCol),
-      posexplode(col("_ws")).as(Seq("pos", "tok")))
-      .select(col(idCol), col("pos").cast("long").as("pos"), col("tok"))
     // Positional gram hashes in ONE native pass (word_gram_hashes md5s
     // byte slices of the text — each space-joined gram IS a byte range of
     // the original string). The interpreted transform/slice/array_join
@@ -786,29 +799,44 @@ object Dedup {
       posexplode(call_function("word_gram_hashes", col(textCol), lit(k), lit(15)))
         .as(Seq("gpos", "gh")))
       .select(col(idCol), col("gpos").cast("long").as("gpos"), col("gh"))
-    // All-but-globally-first per gram hash via ONE hash-partitioned window
-    // (rn over gh) — replaces a groupBy(gh) + re-join of the gram stream,
-    // saving a full exchange+sort of the big side.
-    val losing = grams
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy("gh").orderBy(col(idCol), col("gpos"))))
-      .where(col("_rn") >= 2)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Corpus-global duplicated grams + their first occurrence in ONE
+    // partial-aggregable hash aggregation: map-side combine absorbs hot
+    // boilerplate grams before the exchange and nothing is ever globally
+    // SORTED — this replaced a per-gh window (rn over gh), whose exchange
+    // carried every gram row into a per-partition sort. Only grams with
+    // ≥ 2 occurrences survive (the dup mass, tiny vs the corpus), so the
+    // join marking losing occurrences broadcasts against the cached gram
+    // stream — map-side, no second exchange of the big side.
+    val firsts = grams.groupBy("gh")
+      .agg(count(lit(1)).as("_c"), min(struct(col(idCol), col("gpos"))).as("_m"))
+      .where(col("_c") >= 2)
+      .select(col("gh"), col("_m").getField(idCol).as("_mid"),
+        col("_m.gpos").as("_mpos"))
+    val losing = grams.join(firsts, "gh")
+      .where(!(col(idCol) === col("_mid") && col("gpos") === col("_mpos")))
     // Covered positions, persisted: it feeds both the touched-doc set and
-    // the kept-token anti-join (no common-subplan sharing in DataFrames —
-    // unpersisted, the 1-exchange window above would run twice). Size is
-    // O(duplicated-span positions), the dup mass itself.
+    // the kept-token anti-join (no common-subplan sharing in DataFrames).
+    // Size is O(duplicated-span positions), the dup mass itself.
     val covered = losing
       .select(col(idCol), explode(expr(s"sequence(gpos, gpos + ${k - 1})")).as("pos"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val touched = covered.select(col(idCol)).distinct()
-    // Only TOUCHED docs pay the token regroup (wide collect_list shuffle +
-    // per-doc array_sort); untouched docs — the overwhelming majority of a
-    // real corpus — pass through verbatim, since split-on-' ' joined with
-    // ' ' reconstitutes the original text exactly. The .tok field-extract
-    // on the sorted struct array is a codegen'd GetArrayStructFields — no
+    // Only TOUCHED docs pay the token explode and regroup (wide
+    // collect_list shuffle + per-doc array_sort); untouched docs — the
+    // overwhelming majority of a real corpus — pass through verbatim,
+    // since split-on-' ' joined with ' ' reconstitutes the original text
+    // exactly. The semi-join runs BEFORE posexplode (a semi-join can't
+    // push through a Generate, so filtering the doc rows first keeps the
+    // untouched majority from ever exploding). The .tok field-extract on
+    // the sorted struct array is a codegen'd GetArrayStructFields — no
     // interpreted per-token lambda.
-    val rebuilt = toks.join(touched, Seq(idCol), "left_semi")
+    val touchedToks = df.select(col(idCol), col(textCol))
+      .join(touched, Seq(idCol), "left_semi")
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("tok"))
+    val rebuilt = touchedToks
       .join(covered, Seq(idCol, "pos"), "left_anti")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept"),

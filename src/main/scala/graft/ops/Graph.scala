@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -53,35 +53,39 @@ object Graph {
     // state⋈outDeg exchange is paid once here, not `iterations` times.
     //
     // PageRank keeps PER-ROUND materialization at every iteration count
-    // (unlike labelPropagation/bfsLevels' bounded-depth lazy path): each
-    // round carries a one-row `broadcast(dangling)` whose exchange
-    // executes EAGERLY and concurrently when the final job is planned —
-    // over lazily-persisted (unfilled) round caches the round-k broadcast
-    // recomputes rounds 1..k-1 from scratch, racing its siblings (measured
-    // 1.6 s → 4-12 s at sf0.1). The per-round cut is what makes each
-    // broadcast read a filled, lineage-free state.
+    // (unlike labelPropagation/bfsLevels' bounded-depth lazy path): the
+    // next round's teleport term needs THIS round's dangling mass as a
+    // driver-known scalar. The mass rides the round's own materializing
+    // action as an `observe()` metric (the CC-endgame pattern,
+    // [[Dedup.connectedComponents]]) and is injected into round i+1 as a
+    // LITERAL — no dangling aggregate job, no one-row broadcast exchange:
+    // each round is exactly one job. (An earlier broadcast-based variant
+    // over lazily-persisted rounds recomputed rounds 1..k-1 per broadcast,
+    // measured 1.6 s → 4-12 s at sf0.1 — don't resurrect it.)
+    def dmassMetric: Column =
+      coalesce(sum(when(col("deg").isNull, col("rank"))), lit(0.0)).as("dmass")
+    var obs = org.apache.spark.sql.Observation()
     var ranks = Iterate.materialize(nodes
       .join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left")
-      .withColumn("rank", lit(1.0 / n)))
+      .withColumn("rank", lit(1.0 / n))
+      .observe(obs, dmassMetric))
     var i = 0
     while (i < iterations) {
+      val dmass = obs.get("dmass").asInstanceOf[Double]
       // per-edge contributions from non-dangling nodes
       val inbound = ranks.df.where(col("deg").isNotNull)
         .select(col("node").as("src"), (col("rank") / col("deg")).as("share"))
         .join(e, "src")
         .groupBy("dst")
         .agg(sum("share").as("inbound"))
-      // dangling mass as a one-row broadcast, not a per-round action
-      val dangling = ranks.df.where(col("deg").isNull)
-        .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
       val next = ranks.df.select("node", "deg")
         .join(inbound.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .crossJoin(broadcast(dangling))
         .select(col("node"), col("deg"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("inbound"), lit(0.0)) +
-              col("dmass") / n)).as("rank"))
-      val materialized = Iterate.materialize(next)
+              lit(dmass / n))).as("rank"))
+      obs = org.apache.spark.sql.Observation()
+      val materialized = Iterate.materialize(next.observe(obs, dmassMetric))
       ranks.release()
       ranks = materialized
       i += 1
@@ -120,30 +124,35 @@ object Graph {
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // static per-node state: teleport weight + out-degree; rank starts AT
     // the teleport distribution. Per-round materialization for the same
-    // reason as [[pageRank]]: the per-round dangling broadcast must read
-    // a filled, lineage-free state.
+    // reason as [[pageRank]]: the next round needs this round's dangling
+    // mass, which rides the materializing action as an observe() metric
+    // and enters round i+1 as a literal — one job per round, no dangling
+    // aggregate job or broadcast.
+    def dmassMetric: Column =
+      coalesce(sum(when(col("deg").isNull, col("rank"))), lit(0.0)).as("dmass")
+    var obs = org.apache.spark.sql.Observation()
     var ranks = Iterate.materialize(nodes
       .join(srcSet.withColumn("_s", lit(1)), Seq("node"), "left")
       .join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left")
       .withColumn("t", when(col("_s").isNotNull, lit(1.0) / nS).otherwise(lit(0.0)))
-      .select(col("node"), col("deg"), col("t"), col("t").as("rank")))
+      .select(col("node"), col("deg"), col("t"), col("t").as("rank"))
+      .observe(obs, dmassMetric))
     var i = 0
     while (i < iterations) {
+      val dmass = obs.get("dmass").asInstanceOf[Double]
       val inbound = ranks.df.where(col("deg").isNotNull)
         .select(col("node").as("src"), (col("rank") / col("deg")).as("share"))
         .join(e, "src")
         .groupBy("dst")
         .agg(sum("share").as("inbound"))
-      val dangling = ranks.df.where(col("deg").isNull)
-        .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
       val next = ranks.df.select("node", "deg", "t")
         .join(inbound.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .crossJoin(broadcast(dangling))
         .select(col("node"), col("deg"), col("t"),
           (lit(1.0 - damping) * col("t") +
             lit(damping) * (coalesce(col("inbound"), lit(0.0)) +
-              col("dmass") * col("t"))).as("rank"))
-      val materialized = Iterate.materialize(next)
+              lit(dmass) * col("t"))).as("rank"))
+      obs = org.apache.spark.sql.Observation()
+      val materialized = Iterate.materialize(next.observe(obs, dmassMetric))
       ranks.release()
       ranks = materialized
       i += 1
