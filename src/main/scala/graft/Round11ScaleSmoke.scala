@@ -20,11 +20,12 @@ import org.apache.spark.sql.functions._
   *     C(dfCap, 2) regardless of k and runtime must grow ~linearly with
   *     corpus size, never quadratically.
   *
-  * Usage: Round11ScaleSmoke [sfDir]
+  * Usage: Round11ScaleSmoke [sfDir] [cc|ngram|all]
   */
 object Round11ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val which = if (args.length > 1) args(1) else "all"
     val spark = GraftSession.local("graft-scale11")
 
     val li = Tables.load(spark, sfDir, "lineitem").where(col("l_linenumber") === 1)
@@ -34,7 +35,11 @@ object Round11ScaleSmoke {
       .select(col("o_custkey").as("a"), (col("l_suppkey") + lit(1000000L)).as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val baseEdges = base.count()
-    for (k <- Seq(1, 4, 10)) {
+    // k = 30 puts the FIRST contracted round (~2.5M edges) above the 2M
+    // local-solve bound, so the smoke exercises both sides of the switch:
+    // k ≤ 10 goes local after cut 0, k = 30 stays distributed one more
+    // round first (visible in the GRAFT_CC_DEBUG cut lines).
+    for (k <- Seq(1, 4, 10, 30) if which == "all" || which == "cc") {
       val edges = (0 until k).map { c =>
         base.select((col("a") + lit(c * 100000000L)).as("a"),
           (col("b") + lit(c * 100000000L)).as("b"))
@@ -52,7 +57,7 @@ object Round11ScaleSmoke {
     val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.count()
-    for (k <- Seq(1, 3, 10)) {
+    for (k <- Seq(1, 3, 10) if which == "all" || which == "ngram") {
       val corpus = (0 until k).map { c =>
         docs.select((col("doc_id") + lit(c * 100000000L)).as("doc_id"), col("text"))
       }.reduce(_ unionAll _)

@@ -345,16 +345,20 @@ object Dedup {
     * shingle counts, so the cap only removes candidate-generating power
     * of boilerplate; it never inflates similarity.
     *
-    * Shape: the shingle stream is generated ONCE (lazy persist — the
+    * Shape: the shingle stream is generated ONCE and persisted (the
     * native word_shingles pass over the corpus is the dominant cost, and
     * without the persist AQE's broadcast choices re-ran it per consumer:
     * the round-10 plan audit showed the parquet scanned four times, no
-    * exchange ever reused). The df-cap pass keeps COUNT-only state, so a
-    * boilerplate shingle in millions of docs costs one counter, not a
-    * list; only the PRUNED stream — where df ≤ dfCap bounds every posting
-    * list — is grouped into per-shingle doc arrays, and candidate pairs
-    * explode ROW-LOCALLY from each array (≤ C(dfCap, 2) per shingle by
-    * construction) instead of through a shingle-keyed self-join.
+    * exchange ever reused); result checkpointed and the cache released
+    * (Iterate.scoped), so nothing outlives the op. The df-cap pass keeps
+    * COUNT-only state — a boilerplate shingle in millions of docs costs
+    * one counter — and the df-capped self-join probes the cached stream
+    * against the rare-shingle set (AQE picks broadcast at test scale,
+    * shuffle join at corpus scale), emitting ≤ C(dfCap, 2) rows per
+    * shingle. (A grouped posting-list variant — collect_list per
+    * shingle + row-local pair explode — measured SLOWER at sf0.1, 2.9 s
+    * vs 2.5 s: the full gram-stream exchange + object agg costs more
+    * than the broadcast join it replaced. Reverted round 11.)
     */
   def ngramCandidates(df: DataFrame, textCol: String, idCol: String,
                       k: Int = 3, dfCap: Int = 100,
@@ -367,17 +371,13 @@ object Dedup {
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("_df"))
       .where(col("_df") <= dfCap)
       .select(col("sh"))
-    // posting lists sorted by id so the local pair explode emits a < b
-    val groups = sh.join(rare, "sh")
-      .groupBy("sh")
-      .agg(array_sort(collect_list(struct(col(idCol).as("id"), col("n_sh").as("n"))))
-        .as("ds"))
-      .where(size(col("ds")) >= 2)
-    val result = groups.select(explode(expr(
-        "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), y -> struct(x.id AS a_id, x.n AS a_n, y.id AS b_id, y.n AS b_n))))"))
-        .as("p"))
-      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
-        col("p.a_n").as("a_n"), col("p.b_n").as("b_n"))
+    // no forced broadcast: `rare` is ~every distinct shingle — AQE picks
+    // broadcast at test scale, shuffle join at corpus scale
+    val pruned = sh.join(rare, "sh")
+    val a = pruned.select(col(idCol).as("a_id"), col("n_sh").as("a_n"), col("sh"))
+    val b = pruned.select(col(idCol).as("b_id"), col("n_sh").as("b_n"), col("sh"))
+    val result = a.join(b, Seq("sh"))
+      .where(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id", "a_n", "b_n")
       .agg(count(lit(1)).as("inter"))
       .select(col("a_id"), col("b_id"),
