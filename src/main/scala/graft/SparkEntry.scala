@@ -3212,6 +3212,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // WARM-START clustering — the daily-ingest topology: yesterday's
+    // clusters (docs with id % 10 ≠ 9) + today's batch (the 9s) banded
+    // against the stored corpus (incrementalMinhashDups' broadcast band
+    // probe) + in-batch pairs, merged by CC over (prior stars ∪ new
+    // edges). The oracle is the FULL recompute over all pairs — hash
+    // equality IS the warm-start soundness proof (labels are component
+    // minima, so prior star edges preserve min-reachability). Cost
+    // bounded by |prior nodes| + |new edges|, never historical edges.
+    "dedup_clusters_incremental" -> ((s, dir) => {
+      val sig = Dedup.minhashSignature(t(s, dir, "documents"), "text", "doc_id")
+      val oldSig = sig.where(col("doc_id") % 10 =!= 9)
+      val newSig = sig.where(col("doc_id") % 10 === 9)
+      val prior = Dedup.connectedComponents(
+        Dedup.minhashCandidates(oldSig, "doc_id", threshold = 0.25),
+        "a_id", "b_id")
+      val crossPairs = Dedup
+        .incrementalMinhashDups(oldSig, newSig, "doc_id", threshold = 0.25)
+        .select(col("in_id").as("a_id"), col("stored_id").as("b_id"))
+      val inBatch = Dedup.minhashCandidates(newSig, "doc_id", threshold = 0.25)
+        .select("a_id", "b_id")
+      Dedup.connectedComponentsIncremental(prior, "node", "cluster_id",
+          crossPairs.unionAll(inBatch), "a_id", "b_id")
+        .withColumnsRenamed(Map("node" -> "doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // Canonical-copy selection — the step AFTER near-dup clustering:
     // cluster via minhash+LSH+CC, then keep each cluster's best-quality
     // member (stopword basis points; ties → smallest id). Singleton docs
@@ -4442,6 +4468,38 @@ object SparkEntry {
             (v, v + 3, v + 6)
           })
           MediaRecord(id, "image/bmp", payload, Map.empty)
+        }
+      Multimodal.decodePixels(recs)
+        .toDF()
+        .select(col("media_id"), col("media_type"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_px"), col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("media_id")
+    }),
+
+    // REAL compressed-image decode: the same closed-form pixel field as
+    // mm_decode_pixels, but carried as an actual zlib-compressed PNG —
+    // rows filtered with type y%5 at encode, so the decoder's inflate +
+    // Sub/Up/Average/Paeth reversal must reproduce every pixel exactly
+    // for the oracle's arithmetic sums to hash-match. The one compressed
+    // codec a bare JVM ships (java.util.zip); see ops/PngPixels.
+    "mm_decode_png" -> ((s, dir) => {
+      import s.implicits._
+      import graft.model.MediaRecord
+      import graft.ops.{Multimodal, PngPixels}
+      val recs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (id % 13).toInt + 1
+          val h = (id % 9).toInt + 2
+          val base = (id % 7).toInt
+          // max = 12*5 + 10*13 + 6 = 196 < 256 — exact closed form
+          val payload = PngPixels.pngBytes(w, h, (x, y) => {
+            val v = x * 5 + y * 13 + base
+            (v, v + 2, v + 4)
+          })
+          MediaRecord(id, "image/png", payload, Map.empty)
         }
       Multimodal.decodePixels(recs)
         .toDF()
@@ -6701,6 +6759,27 @@ object SparkEntry {
          | FROM reach GROUP BY s ORDER BY doc_id""".stripMargin.replace("\n", " ")
     },
 
+    // the warm-start path must land on the FULL recompute's clustering —
+    // the oracle is dedup_clusters' all-pairs CC verbatim
+    "dedup_clusters_incremental" -> {
+      val matches = (0 until 8).map(i => s"(a.s$i = b.s$i)::INT").mkString(" + ")
+      val bandsMatch = (0 until 4).map(b =>
+        s"(a.s${2 * b} = b.s${2 * b} AND a.s${2 * b + 1} = b.s${2 * b + 1})").mkString(" OR ")
+      s"""WITH RECURSIVE $minhashSigCte,
+         | pairs AS (
+         |   SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |   FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandsMatch)
+         |   WHERE round(($matches) / 8.0, 4) >= 0.25),
+         | edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+         |           UNION SELECT b_id, a_id FROM pairs),
+         | reach(s, d) AS (
+         |   SELECT s, d FROM edges
+         |   UNION
+         |   SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+         | SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+         | FROM reach GROUP BY s ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+
     "dedup_canonical" -> {
       val matches = (0 until 8).map(i => s"(a.s$i = b.s$i)::INT").mkString(" + ")
       val bandsMatch = (0 until 4).map(b =>
@@ -7731,6 +7810,21 @@ object SparkEntry {
         |        7 * (w * (w - 1) // 2) * h + 11 * (h * (h - 1) // 2) * w + base * w * h AS sum_r,
         |        7 * (w * (w - 1) // 2) * h + 11 * (h * (h - 1) // 2) * w + (base + 3) * w * h AS sum_g,
         |        7 * (w * (w - 1) // 2) * h + 11 * (h * (h - 1) // 2) * w + (base + 6) * w * h AS sum_b
+        | FROM p ORDER BY media_id""".stripMargin.replace("\n", " "),
+
+    // v = 5x + 13y + base over a w×h grid: Σv = 5·T(w−1)·h + 13·T(h−1)·w
+    // + base·w·h with T(n) = n(n+1)/2; channels offset by +2 / +4
+    "mm_decode_png" ->
+      """WITH p AS (SELECT doc_id::BIGINT AS media_id,
+        |        (doc_id % 13 + 1)::BIGINT AS w,
+        |        (doc_id % 9 + 2)::BIGINT AS h,
+        |        (doc_id % 7)::BIGINT AS base
+        |        FROM documents)
+        | SELECT media_id, 'image/png' AS media_type, w AS width, h AS height,
+        |        w * h AS n_px,
+        |        5 * (w * (w - 1) // 2) * h + 13 * (h * (h - 1) // 2) * w + base * w * h AS sum_r,
+        |        5 * (w * (w - 1) // 2) * h + 13 * (h * (h - 1) // 2) * w + (base + 2) * w * h AS sum_g,
+        |        5 * (w * (w - 1) // 2) * h + 13 * (h * (h - 1) // 2) * w + (base + 4) * w * h AS sum_b
         | FROM p ORDER BY media_id""".stripMargin.replace("\n", " "),
 
     "mm_audio_energy" ->

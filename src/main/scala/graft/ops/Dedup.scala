@@ -299,6 +299,33 @@ object Dedup {
     out.df
   }
 
+  /** WARM-START connected components — the daily-ingest shape at 100 TB:
+    * yesterday's clustering plus today's new candidate edges, WITHOUT
+    * recomputing over yesterday's full edge set. Sound because
+    * [[connectedComponents]] labels every node with its component
+    * MINIMUM: the prior (node, cluster_id) rows are exactly the
+    * component's star edges, which preserve both connectivity and
+    * min-reachability, so CC over (prior stars ∪ new edges) produces
+    * labels IDENTICAL to a full recompute over (old edges ∪ new edges)
+    * — pinned by spec and by the `dedup_clusters_incremental` oracle,
+    * whose DuckDB side IS the full recompute. Cost is bounded by
+    * |prior nodes| + |new edges|, never by the historical edge count.
+    *
+    * `prior` must be a min-labeled clustering (what connectedComponents
+    * emits); `newPairs` are the new candidate edges (both endpoint
+    * columns integral ids, as connectedComponents requires).
+    */
+  def connectedComponentsIncremental(prior: DataFrame,
+      nodeCol: String, clusterCol: String,
+      newPairs: DataFrame, aCol: String, bCol: String,
+      maxIterations: Int = 50): DataFrame = {
+    val stars = prior.select(col(nodeCol).cast("long").as("a"),
+      col(clusterCol).cast("long").as("b"))
+    val edges = stars.unionAll(newPairs.select(
+      col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b")))
+    connectedComponents(edges, "a", "b", maxIterations)
+  }
+
   /** Edge-count bound for the CC endgame's single-task union-find: 2M
     * (src, dst) longs ≈ 32 MB — one task's working set. Above it, rounds
     * stay distributed; contraction shrinks every graph toward the bound.

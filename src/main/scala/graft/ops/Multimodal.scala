@@ -75,12 +75,14 @@ object Multimodal {
   }
 
   /** REAL pixel decode over a typed Dataset: one `mapPartitions` pass,
-    * one linear walk per payload ([[BmpPixels.decode]] — 24-bpp BI_RGB
-    * BMP, the format decodable without codec libraries). Records whose
-    * payload is not a decodable BMP are dropped (the "decode what you
-    * can" profiling semantic); pair with [[extractFeatures]] when every
-    * record must produce a row. Per-channel sums are exact integers, so
-    * downstream means/normalization are deterministic cross-engine.
+    * one linear walk per payload — 24-bpp BI_RGB BMP ([[BmpPixels]], the
+    * uncompressed format) or 8-bit grey/RGB PNG ([[PngPixels]], real
+    * zlib inflate + scanline unfiltering via the JVM's built-in
+    * Inflater). Records whose payload is neither are dropped (the
+    * "decode what you can" profiling semantic); pair with
+    * [[extractFeatures]] when every record must produce a row.
+    * Per-channel sums are exact integers, so downstream
+    * means/normalization are deterministic cross-engine.
     */
   def decodePixels(records: Dataset[MediaRecord]): Dataset[PixelStats] = {
     import records.sparkSession.implicits._
@@ -89,6 +91,9 @@ object Multimodal {
         BmpPixels.decode(r.payload).map(s =>
           PixelStats(r.media_id, "image/bmp", s.width, s.height,
             s.nPx, s.sumR, s.sumG, s.sumB))
+          .orElse(PngPixels.decode(r.payload).map(s =>
+            PixelStats(r.media_id, "image/png", s.width, s.height,
+              s.nPx, s.sumR, s.sumG, s.sumB)))
       }
     }
   }

@@ -671,6 +671,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("warm-start CC equals full recompute, including cross-cluster merges") {
+    import graft.ops.Dedup
+    // old edges: two chains {1..4} and {10..13}; a lone old pair {20,21}
+    val oldE = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (12L, 13L), (20L, 21L)).toDF("a", "b")
+    // new edges: a bridge MERGING the two chains (4-10), a brand-new
+    // component {30,31}, and an attach to the lone pair (21-32)
+    val newE = Seq((4L, 10L), (30L, 31L), (21L, 32L)).toDF("a", "b")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prior = Dedup.connectedComponents(oldE, "a", "b")
+    val warm = Dedup.connectedComponentsIncremental(
+      prior, "node", "cluster_id", newE, "a", "b")
+    val full = Dedup.connectedComponents(oldE.unionAll(newE), "a", "b")
+    assert(rows(warm) === rows(full))
+    // the merged chain must collapse to min id 1 across BOTH old clusters
+    assert(rows(warm).filter(_._1 == 13L).head._2 === 1L)
+    graft.ops.Iterate.releaseCheckpoint(prior)
+    graft.ops.Iterate.releaseCheckpoint(warm)
+    graft.ops.Iterate.releaseCheckpoint(full)
+  }
+
   test("library dedup ops leave no persisted storage behind") {
     // clean slate incl. RDD-level blocks (see GraphSpec's twin test)
     GraftSession.releaseAll(spark)
