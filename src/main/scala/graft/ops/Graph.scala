@@ -423,20 +423,10 @@ object Graph {
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
           .otherwise(col("u")).as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Wedges at the pivot (two out-edges), closed by a third oriented
-    // edge. GROUP shape, not a self-join: one src-key aggregation builds
-    // each pivot's sorted out-neighbor list — bounded at O(√m) BY the
-    // orientation, so the list and its C(outdeg, 2) row-local pair
-    // explode are safe however skewed the raw degrees — where the
-    // wedge self-join re-exchanged (or borderline-broadcast) the full
-    // oriented edge set twice.
-    val wedges = oriented.groupBy("src")
-      .agg(sort_array(collect_list(col("dst"))).as("ds"))
-      .where(size(col("ds")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"))
-        .as("w"))
-      .select(col("w.a"), col("w.b"))
+    // wedges at the pivot (two out-edges), closed by a third oriented edge
+    val w1 = oriented.select(col("src").as("p"), col("dst").as("a"))
+    val w2 = oriented.select(col("src").as("p"), col("dst").as("b"))
+    val wedges = w1.join(w2, "p").where(col("a") < col("b"))
     val closing = oriented.select(
       least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
     val triangles = wedges.join(closing, Seq("a", "b"), "left_semi")
