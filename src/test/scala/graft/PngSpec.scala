@@ -114,6 +114,42 @@ class PngSpec extends AnyFunSuite {
       filterByte = _ => 7)).isEmpty) // undefined filter type
   }
 
+  test("property: round-trip sums hold for arbitrary dims and pixel fields") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genDims = for {
+      w <- Gen.choose(1, 24); h <- Gen.choose(1, 18)
+      a <- Gen.choose(0, 19); b <- Gen.choose(0, 29); c <- Gen.choose(0, 255)
+    } yield (w, h, a, b, c)
+    val p = Prop.forAll(genDims) { case (w, h, a, b, c) =>
+      val f = (x: Int, y: Int) =>
+        ((x * a + y * b + c) % 256, (x * b + y * c + a) % 256, (x * c + y * a + b) % 256)
+      val st = PngPixels.decode(PngPixels.pngBytes(w, h, f)).get
+      val (sr, sg, sb) = expectedSums(w, h, f)
+      st.width == w && st.height == h &&
+        st.sumR == sr && st.sumG == sg && st.sumB == sb
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(150), p)
+    assert(res.passed, s"png round-trip falsified: ${res.status}")
+  }
+
+  test("property: truncations and single-bit flips never throw") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val base = PngPixels.pngBytes(9, 7, (x, y) => (x * 3, y * 5, x + y))
+    val gen = for {
+      cut <- Gen.choose(0, base.length)
+      flipAt <- Gen.choose(0, math.max(0, cut - 1))
+      bit <- Gen.choose(0, 7)
+    } yield (cut, flipAt, bit)
+    val p = Prop.forAll(gen) { case (cut, flipAt, bit) =>
+      val mut = base.take(cut)
+      if (mut.nonEmpty) mut(flipAt) = (mut(flipAt) ^ (1 << bit)).toByte
+      PngPixels.decode(mut) // must return (Some or None), never throw
+      true
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, s"png fuzz falsified: ${res.status}")
+  }
+
   test("inflated size must match IHDR geometry exactly") {
     // declare 4x4 but carry 4x3 worth of scanlines: short data → None
     val shortData = greyPng(4, 3, (x, y) => x + y,
