@@ -809,8 +809,9 @@ object Dedup {
     * boilerplate gram map-side-combines; no per-key row list), losing
     * occurrences are ≤ one row per gram occurrence, the covered-position
     * explode is a bounded k× expansion of LOSING occurrences only, and
-    * the rebuild is one doc-key aggregation. Three shuffles total:
-    * gram key, covered-position distinct, doc key.
+    * the rebuild is one doc-key aggregation. Two shuffles total (gram
+    * key, doc key) plus the duplicated-gram broadcast; covered positions
+    * stay un-distinct'd — anti-join builds ignore duplicate rows.
     *
     * Output: (idCol, n_tok, n_kept, clean_text), one row per input doc;
     * fully-duplicated docs keep n_kept = 0 and clean_text = ''.
@@ -844,10 +845,12 @@ object Dedup {
       .where(!(col(idCol) === col("_mid") && col("gpos") === col("_mpos")))
     // Covered positions, persisted: it feeds both the touched-doc set and
     // the kept-token anti-join (no common-subplan sharing in DataFrames).
-    // Size is O(duplicated-span positions), the dup mass itself.
+    // Size is O(duplicated-span positions), the dup mass itself. NOT
+    // distinct'd: overlapping losing spans duplicate (id, pos) rows, but
+    // an anti-join build ignores duplicates and `touched` dedups on its
+    // own — the distinct was a full exchange of the dup mass for nothing.
     val covered = losing
       .select(col(idCol), explode(expr(s"sequence(gpos, gpos + ${k - 1})")).as("pos"))
-      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val touched = covered.select(col(idCol)).distinct()
     // Only TOUCHED docs pay the token explode and regroup (wide
