@@ -195,25 +195,33 @@ object Bench {
     // instead of doubling the whole run.
     val overFloor = raw.collect {
       case (name, t, _, true, _)
-        if floors.get(name).exists(f => t > 2 * f && t - f > 0.3) => name
-    }
+        if floors.get(name).exists(f => t > 2 * f && t - f > 0.3) => (name, t)
+    }.sortBy(-_._2).take(40).map(_._1) // biggest distortions first, capped
+      // like neverClean: a revision with many genuine regressions must not
+      // inflate bench wall-clock unboundedly (the floor-aging fold below
+      // raises confirmed floors so a real regression re-runs ONCE, not on
+      // every future round)
     val neverClean = raw.collect {
       case (name, t, _, true, false) if !overFloor.contains(name) => (name, t)
     }.sortBy(-_._2).take(40).map(_._1)
     val suspects = overFloor ++ neverClean
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    val rebenched = if (suspects.isEmpty) Map.empty[String, Double] else {
+    // rebenched holds only queries with a COMPLETED re-measurement: a
+    // suspect whose every re-bench pass failed is dropped (it stays a
+    // failed query, not a "re-benched" one) — never Double.MaxValue.
+    val (rebenched, rebenchClean) = if (suspects.isEmpty)
+      (Map.empty[String, Double], Map.empty[String, Double])
+    else {
       System.err.println(s"[bench] re-bench pass: ${suspects.size} suspect(s): " +
         suspects.mkString(", "))
       val spark2 = GraftSession.local("graft-bench-recheck", cpus)
-      val out = suspects.map { name =>
-        val (clean, any) = measure(spark2, sfDir, name, reps = 3)
-        name -> clean.orElse(any).getOrElse(Double.MaxValue)
-      }.toMap
+      val measured = suspects.map { name =>
+        name -> measure(spark2, sfDir, name, reps = 3) }
       spark2.sparkContext.setLogLevel("OFF")
       spark2.stop()
-      out
+      (measured.flatMap { case (n, (clean, any)) => clean.orElse(any).map(n -> _) }.toMap,
+        measured.flatMap { case (n, (clean, _)) => clean.map(n -> _) }.toMap)
     }
     val results = raw.collect { case (name, t, c, true, _) =>
       val re = rebenched.get(name)
@@ -225,11 +233,21 @@ object Bench {
     // only when none exists, never overwrite another scale's floors)
     val cleanNow = raw.collect { case (name, t, c, true, true) if c <= CtlClean =>
       name -> math.min(t, rebenched.getOrElse(name, t)) }.toMap
+    // floor AGING: an over-floor query whose fresh-session re-bench was
+    // clean and STILL over the old floor is a confirmed regression (or an
+    // intentional plan change) — its floor RISES to the confirmed time,
+    // so the regression re-runs once rather than on every future round.
+    val aged = overFloor.flatMap { name =>
+      rebenchClean.get(name).collect {
+        case t if floors.get(name).exists(f => t > 2 * f && t - f > 0.3) =>
+          name -> t
+      }
+    }.toMap
     if (floors.nonEmpty ||
         !java.nio.file.Files.exists(java.nio.file.Paths.get("bench_floor.json")))
       writeFloors(sfDir, (floors.keySet ++ cleanNow.keySet).map { k =>
         k -> math.min(floors.getOrElse(k, 1e9), cleanNow.getOrElse(k, 1e9))
-      }.toMap)
+      }.toMap ++ aged)
 
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
     def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -252,9 +270,16 @@ object Bench {
     val failedJson = failedQs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rebenchedJson = results.collect { case (k, _, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val informationalJson = informational.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    informational.foreach { k =>
+      System.err.println(s"[bench] $k is informational: real micro-batch " +
+        "replay (state store + N triggers) raced against one batch SQL — " +
+        "its time is structural replay overhead, not a comparable plan; " +
+        "counted in the total, flagged here and in BENCH_FULL.") }
     val fullLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
       s""""n":${results.size},"failed":$failedJson,"rebenched":$rebenchedJson,""" +
-      s""""queries_ctl":$fullQs,"sf":"$sfDir"}"""
+      s""""informational":$informationalJson,"queries_ctl":$fullQs,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullLine)
     val qs = results.collect { case (k, v, _, _) if headline(k) => "\"" + k + "\":" + cs(v) }
       .mkString("{", ",", "}")
@@ -267,6 +292,17 @@ object Bench {
     // capture, so nothing can trail the line.
     println(line)
   }
+
+  /** Bench-informational rows (VERDICT r11 #4): queries whose wall-clock
+    * is structural by construction rather than a comparable plan.
+    * `streaming_replay_q14` replays the table through REAL file-source
+    * micro-batches with a state store — the point of the row is the
+    * replay ⇒ batch-answer parity proven in CORRECTNESS, and racing N
+    * triggers + state snapshots against one batch SQL statement is not a
+    * plan comparison. Still timed and counted in the total (nothing is
+    * hidden); flagged in BENCH_FULL and on stderr.
+    */
+  private[graft] val informational: Set[String] = Set("streaming_replay_q14")
 
   /** The stdout line's query subset: the reference-core dataflow plus the
     * most scale-relevant representative of each operator family. The

@@ -27,6 +27,8 @@ object Functions {
     native("normalize_singular", exprs => graft.functions.NormalizeSingularExpr(exprs(0)))
     native("rolling_hash", exprs => graft.functions.RollingHash(exprs(0)))
     native("vec_sign_bits", exprs => graft.functions.VecSignBits(exprs(0)))
+    native("vec_top_cells", exprs => graft.functions.VecTopCells(
+      exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Int]))
     native("md5_long", exprs => graft.functions.Md5Long(
       exprs(0), exprs(1).eval().asInstanceOf[Int]))
     native("nt_unescape", exprs => graft.functions.NtUnescape(exprs(0)))

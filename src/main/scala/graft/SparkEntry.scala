@@ -279,12 +279,30 @@ object SparkEntry {
     // Hour buckets via micros are exact vs the oracle's nano arithmetic:
     // 3.6e12 % 1000 = 0, so floor(ts div 1000 / 3.6e9) = floor(ts / 3.6e12).
     "streaming_replay_q14" -> ((s, dir) => {
+      // staging key carries a fingerprint of the SOURCE files (name, size,
+      // mtime — no Spark job): a regenerated events table, or two
+      // checkouts sharing one tmpdir, can never silently replay stale
+      // staging (the failure mode was a confusing oracle hash mismatch)
+      val srcFp = {
+        val src = java.nio.file.Paths.get(dir, "events.parquet")
+        val walk = java.nio.file.Files.walk(src)
+        val sig = try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(p => s"${p.getFileName}:${java.nio.file.Files.size(p)}:" +
+              s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
+            .toSeq.sorted.mkString("|")
+        } finally walk.close()
+        (scala.util.hashing.MurmurHash3.stringHash(sig) & 0x7fffffff).toString
+      }
       val staged = s"${System.getProperty("java.io.tmpdir")}/graft_stream_q14_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + srcFp
       val events = t(s, dir, "events")
         .select("event_id", "ts", "user_id", "event_type", "value")
-      // staging is deterministic per sfDir — skip the rewrite on re-runs
-      // (bench passes re-invoke the query; only the replay should be timed)
+      // staging is deterministic per (sfDir, source fingerprint) — skip
+      // the rewrite on re-runs (bench passes re-invoke the query; only
+      // the replay should be timed)
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(staged, "_SUCCESS")))
         events.repartition(8).write.mode("overwrite").parquet(staged)
       val src = s.readStream.schema(events.schema)
@@ -603,21 +621,13 @@ object SparkEntry {
     // percentiles of q24; 2% value tolerance.
     "sketch_quantiles" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      // NOTE: partitionBy(l_returnflag) serializes each flag into one
-      // task — acceptable here because the sketch comparison is the
-      // query's point and the exact side is the oracle anchor; at real
-      // scale the exact per-group quantile is Rank.globalRowNumber over
-      // (flag, price, tiebreak) + broadcast per-flag offsets (measured:
-      // its fixed costs only win past toy scale).
-      val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-      val exact = li
-        .select(col("l_returnflag"), col("l_extendedprice"),
-          row_number().over(w).as("rn"),
-          count(lit(1)).over(Window.partitionBy("l_returnflag")).as("n"))
-        .groupBy("l_returnflag")
-        .agg(
-          max(when(col("rn") === ceil(col("n") * 0.5), col("l_extendedprice"))).as("median_price"),
-          max(when(col("rn") === ceil(col("n") * 0.9), col("l_extendedprice"))).as("p90_price"))
+      // Exact side via Rank.groupRankPercentiles — the same
+      // window-free value-count plan as q24_percentile (no per-flag
+      // single-task sort anywhere in this query).
+      val exact = graft.ops.Rank.groupRankPercentiles(
+        li.select("l_returnflag", "l_extendedprice"),
+        "l_returnflag", "l_extendedprice",
+        Seq("median_price" -> 0.5, "p90_price" -> 0.9))
       val approx = graft.ops.Sketch.approxQuantiles(
           li, "l_extendedprice", Seq(0.5, 0.9), accuracy = 1000, "l_returnflag")
         .select(col("l_returnflag"),
@@ -1417,18 +1427,16 @@ object SparkEntry {
 
     // Discrete (element-valued) quantiles via explicit rank index — exact
     // cross-engine parity with no interpolation arithmetic to diverge on.
-    "q24_percentile" -> ((s, dir) => {
-      val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-      t(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_extendedprice"),
-          row_number().over(w).as("rn"),
-          count(lit(1)).over(Window.partitionBy("l_returnflag")).as("n"))
-        .groupBy("l_returnflag")
-        .agg(
-          max(when(col("rn") === ceil(col("n") * 0.5), col("l_extendedprice"))).as("median_price"),
-          max(when(col("rn") === ceil(col("n") * 0.9), col("l_extendedprice"))).as("p90_price"))
-        .orderBy("l_returnflag")
-    }),
+    // Rank.groupRankPercentiles keeps the plan free of the per-flag
+    // single-task window sort (3 groups → 3 tasks sorting 20M+ rows each
+    // at 100×): value-count hash agg → range-partitioned cumulative →
+    // broadcast per-flag offsets.
+    "q24_percentile" -> ((s, dir) =>
+      graft.ops.Rank.groupRankPercentiles(
+        t(s, dir, "lineitem").select("l_returnflag", "l_extendedprice"),
+        "l_returnflag", "l_extendedprice",
+        Seq("median_price" -> 0.5, "p90_price" -> 0.9))
+      .orderBy("l_returnflag")),
 
     "q25_stats" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -1885,6 +1893,31 @@ object SparkEntry {
         .select(col("vec_id"), col("m"), col("code"),
           round(col("d2"), 6).as("err_r6"))
         .orderBy("vec_id", "m")),
+
+    // PQ TRAINING oracle row (VERDICT r11 #6): the integer-deterministic
+    // twin of pqTrainCodebooks — int8-quantized corpus, round(mean)
+    // codeword refresh (integer sums exact in double, IEEE division
+    // correctly rounded, round half-away-from-zero in both engines, so
+    // the codebook stays on an integer grid both engines agree on), two
+    // Lloyd rounds over m=4 subspaces × k=4 codewords, then a full
+    // re-encode against the trained book with each codeword pinned as
+    // JSON. The oracle unrolls the same two rounds as materialized CTEs.
+    "embed_pq_train" -> ((s, dir) => {
+      val qv = t(s, dir, "embeddings")
+        .withColumn("_ma", Similarity.maxAbs("embedding"))
+        .withColumn("_q", Similarity.quantizeInt8("embedding", "_ma"))
+        .select(col("vec_id"),
+          expr("transform(_q, x -> CAST(x AS FLOAT))").as("emb_q"))
+      val cb = Similarity.pqTrainCodebooksInt(qv, "vec_id", "emb_q",
+        m = 4, k = 4, iterations = 2, dim = 64)
+      Similarity.pqEncode(qv, cb, "vec_id", "emb_q", dim = 64, m = 4)
+        .join(broadcast(cb.select(col("m"), col("code"),
+          to_json(expr("transform(cv, x -> CAST(x AS INT))")).as("codeword"))),
+          Seq("m", "code"))
+        .select(col("vec_id"), col("m"), col("code").cast("long").as("code"),
+          col("codeword"))
+        .orderBy("vec_id", "m")
+    }),
 
     // PQ asymmetric distance (ADC) top-k — the IVF-PQ SEARCH path: each
     // query scores corpus vectors by the distance from its own subvectors
@@ -3041,14 +3074,21 @@ object SparkEntry {
       pairs
         .join(gmaps.withColumnsRenamed(
           Map("doc_id" -> "a_id", "gm" -> "ga", "n_g" -> "n_a")), "a_id")
-        .join(gmaps.select(col("doc_id").as("b_id"), col("gm").as("gb")), "b_id")
+        // LEFT join + empty-map coalesce on the b side: a candidate doc
+        // with zero bigrams keeps its pairs with clip 0, the oracle's
+        // contract — independent of Dedup's shingle width (minhash
+        // currently requires >= 3 tokens so every candidate has >= 2
+        // bigrams, but that is Dedup's invariant, not this query's)
+        .join(gmaps.select(col("doc_id").as("b_id"), col("gm").as("gb")),
+          Seq("b_id"), "left")
         // a doc with < 2 tokens has no bigrams: the exploded shape dropped
         // its pairs at the inner totals join — keep that contract
         .where(col("n_a") > 0)
         .select(col("a_id"), col("b_id"), col("n_a"),
           // coalesce BOTH sides: least() skips nulls, so a key present in
           // only one map would otherwise contribute the OTHER side's count
-          expr("""aggregate(map_values(map_zip_with(ga, gb,
+          expr("""aggregate(map_values(map_zip_with(ga,
+                 | coalesce(gb, CAST(map() AS MAP<STRING, BIGINT>)),
                  | (k, x, y) -> least(coalesce(x, 0), coalesce(y, 0)))),
                  | CAST(0 AS BIGINT), (acc, v) -> acc + v)"""
             .stripMargin.replace("\n", " ")).as("clip_grams"))
@@ -5938,6 +5978,61 @@ object SparkEntry {
         |   FROM scored GROUP BY vec_id, m)
         | SELECT vec_id, m, CAST(b.code AS BIGINT) AS code, round(b.d2, 6) AS err_r6
         | FROM best ORDER BY vec_id, m""".stripMargin.replace("\n", " "),
+
+    // Two unrolled Lloyd rounds over the int8-quantized corpus; every CTE
+    // that feeds more than one consumer is MATERIALIZED (DuckDB inlines
+    // plain CTEs — the round chain would re-expand multiplicatively).
+    // Arithmetic is integer-exact end to end: quantized components,
+    // integer-grid codewords (round of an exact-sum mean), squared
+    // distances as integer-valued doubles.
+    "embed_pq_train" ->
+      """WITH ma AS (SELECT vec_id, embedding,
+        |     CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS ma
+        |   FROM embeddings),
+        | qv AS (SELECT vec_id,
+        |     CASE WHEN ma = 0 THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+        |          ELSE list_transform(embedding,
+        |            x -> CAST(CAST(round(127 * CAST(x AS DOUBLE) / ma) AS INTEGER) AS DOUBLE))
+        |     END AS q
+        |   FROM ma),
+        | mm AS (SELECT unnest(range(0, 4)) AS m),
+        | subs AS MATERIALIZED (SELECT vec_id, mm.m AS m,
+        |     q[mm.m * 16 + 1 : mm.m * 16 + 16] AS sv FROM qv, mm),
+        | seed AS MATERIALIZED (SELECT m, rn - 1 AS code, sv AS cv FROM
+        |     (SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
+        |      FROM subs) WHERE rn <= 4),
+        | a1 AS MATERIALIZED (SELECT s.vec_id, s.m,
+        |     min(struct_pack(d2 := list_sum([pow(s.sv[i] - c.cv[i], 2) for i in range(1, 17)]),
+        |                     code := c.code)).code AS code
+        |   FROM subs s JOIN seed c ON s.m = c.m GROUP BY s.vec_id, s.m),
+        | e1 AS (SELECT a.m, a.code, r.range AS pos, s.sv[r.range] AS v
+        |   FROM a1 a JOIN subs s ON a.vec_id = s.vec_id AND a.m = s.m, range(1, 17) r),
+        | n1 AS (SELECT m, code,
+        |     [x.v for x in list_sort(list(struct_pack(pos := pos, v := v)))] AS cv
+        |   FROM (SELECT m, code, pos, round(avg(v)) AS v FROM e1 GROUP BY m, code, pos)
+        |   GROUP BY m, code),
+        | c1 AS MATERIALIZED (SELECT s.m, s.code, coalesce(n.cv, s.cv) AS cv
+        |   FROM seed s LEFT JOIN n1 n ON s.m = n.m AND s.code = n.code),
+        | a2 AS MATERIALIZED (SELECT s.vec_id, s.m,
+        |     min(struct_pack(d2 := list_sum([pow(s.sv[i] - c.cv[i], 2) for i in range(1, 17)]),
+        |                     code := c.code)).code AS code
+        |   FROM subs s JOIN c1 c ON s.m = c.m GROUP BY s.vec_id, s.m),
+        | e2 AS (SELECT a.m, a.code, r.range AS pos, s.sv[r.range] AS v
+        |   FROM a2 a JOIN subs s ON a.vec_id = s.vec_id AND a.m = s.m, range(1, 17) r),
+        | n2 AS (SELECT m, code,
+        |     [x.v for x in list_sort(list(struct_pack(pos := pos, v := v)))] AS cv
+        |   FROM (SELECT m, code, pos, round(avg(v)) AS v FROM e2 GROUP BY m, code, pos)
+        |   GROUP BY m, code),
+        | c2 AS MATERIALIZED (SELECT s.m, s.code, coalesce(n.cv, s.cv) AS cv
+        |   FROM c1 s LEFT JOIN n2 n ON s.m = n.m AND s.code = n.code),
+        | enc AS (SELECT s.vec_id, s.m,
+        |     min(struct_pack(d2 := list_sum([pow(s.sv[i] - c.cv[i], 2) for i in range(1, 17)]),
+        |                     code := c.code)).code AS code
+        |   FROM subs s JOIN c2 c ON s.m = c.m GROUP BY s.vec_id, s.m)
+        | SELECT e.vec_id, e.m, CAST(e.code AS BIGINT) AS code,
+        |        to_json(list_transform(c.cv, x -> CAST(x AS INTEGER)))::VARCHAR AS codeword
+        | FROM enc e JOIN c2 c ON e.m = c.m AND e.code = c.code
+        | ORDER BY e.vec_id, e.m""".stripMargin.replace("\n", " "),
 
     "embed_pq_adc" ->
       """WITH m AS (SELECT unnest(range(0, 8)) AS m),

@@ -1,0 +1,163 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Fused IVF cell assignment: scores one embedding against a (small,
+  * broadcast) array of centroids and returns the ids of its `r` nearest
+  * cells by cosine, ties toward the smaller id — entirely inside one
+  * whole-stage-codegen'd expression, so assignment is a map-only plan
+  * with NO exchange, NO per-candidate row expansion, and none of the
+  * interpreted per-element overhead of the `transform`+`array_sort`
+  * higher-order-function form it replaces (measured 1.6 s vs 1.0 s on
+  * ann_ivf at sf0.1 — lambda bodies evaluate as interpreted expression
+  * trees per element).
+  *
+  * Arguments: `cents` ARRAY<STRUCT<cid BIGINT, cemb ARRAY<FLOAT>,
+  * cnrm DOUBLE>> (cnrm = √(cemb·cemb), hoisted once on the centroid
+  * side), `emb` ARRAY<FLOAT>. The score is the exact expression tree of
+  * the cosine the scored-join form computed — dot / (cnrm · √(emb·emb)),
+  * dots left-folded in index order like [[VecDot]] — so selections are
+  * bit-identical to the window formulation and to a SQL oracle that
+  * recomputes it. Returns ARRAY<BIGINT> of min(r, |cents|) cell ids in
+  * (cos desc, cid asc) order.
+  */
+case class VecTopCells(left: Expression, right: Expression, r: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val centsOk = left.dataType match {
+      case ArrayType(StructType(Array(a, b, c)), _) =>
+        a.dataType == LongType && (b.dataType match {
+          case ArrayType(FloatType, _) => true
+          case _ => false
+        }) && c.dataType == DoubleType
+      case _ => false
+    }
+    val embOk = right.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (centsOk && embOk && r >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "vec_top_cells expects (ARRAY<STRUCT<BIGINT, ARRAY<FLOAT>, DOUBLE>>, " +
+        s"ARRAY<FLOAT>, r >= 1), got ${left.dataType.simpleString}, " +
+        s"${right.dataType.simpleString}, r=$r")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "vec_top_cells"
+
+  override protected def nullSafeEval(centsAny: Any, embAny: Any): Any = {
+    val cents = centsAny.asInstanceOf[ArrayData]
+    val emb = embAny.asInstanceOf[ArrayData]
+    val dv = emb.numElements()
+    var vv = 0.0
+    var i = 0
+    while (i < dv) { vv += emb.getFloat(i).toDouble * emb.getFloat(i).toDouble; i += 1 }
+    val vnrm = math.sqrt(vv)
+    val n = cents.numElements()
+    val k = math.min(r, n)
+    val bestNc = new Array[Double](k)
+    val bestId = new Array[Long](k)
+    var filled = 0
+    i = 0
+    while (i < n) {
+      val row = cents.getStruct(i, 3)
+      val cid = row.getLong(0)
+      val cemb = row.getArray(1)
+      val cnrm = row.getDouble(2)
+      val d = math.min(cemb.numElements(), dv)
+      var dot = 0.0
+      var j = 0
+      while (j < d) { dot += cemb.getFloat(j).toDouble * emb.getFloat(j).toDouble; j += 1 }
+      val nc = -(dot / (cnrm * vnrm))
+      // insertion into the sorted (nc asc, cid asc) top-k buffer
+      var pos = filled
+      while (pos > 0 && (bestNc(pos - 1) > nc ||
+        (bestNc(pos - 1) == nc && bestId(pos - 1) > cid))) pos -= 1
+      if (pos < k) {
+        val last = math.min(filled, k - 1)
+        var m = last
+        while (m > pos) { bestNc(m) = bestNc(m - 1); bestId(m) = bestId(m - 1); m -= 1 }
+        bestNc(pos) = nc
+        bestId(pos) = cid
+        if (filled < k) filled += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(bestId, filled))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (cents, emb) => {
+      val dv = ctx.freshName("dv")
+      val vv = ctx.freshName("vv")
+      val vnrm = ctx.freshName("vnrm")
+      val n = ctx.freshName("n")
+      val k = ctx.freshName("k")
+      val bestNc = ctx.freshName("bestNc")
+      val bestId = ctx.freshName("bestId")
+      val filled = ctx.freshName("filled")
+      val i = ctx.freshName("i")
+      val row = ctx.freshName("row")
+      val cid = ctx.freshName("cid")
+      val cemb = ctx.freshName("cemb")
+      val cnrm = ctx.freshName("cnrm")
+      val d = ctx.freshName("d")
+      val dot = ctx.freshName("dot")
+      val j = ctx.freshName("j")
+      val nc = ctx.freshName("nc")
+      val pos = ctx.freshName("pos")
+      val m = ctx.freshName("m")
+      val last = ctx.freshName("last")
+      s"""
+         |int $dv = $emb.numElements();
+         |double $vv = 0.0;
+         |for (int $i = 0; $i < $dv; $i++) {
+         |  $vv += (double) $emb.getFloat($i) * (double) $emb.getFloat($i);
+         |}
+         |double $vnrm = java.lang.Math.sqrt($vv);
+         |int $n = $cents.numElements();
+         |int $k = java.lang.Math.min($r, $n);
+         |double[] $bestNc = new double[$k];
+         |long[] $bestId = new long[$k];
+         |int $filled = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $row = $cents.getStruct($i, 3);
+         |  long $cid = $row.getLong(0);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cemb = $row.getArray(1);
+         |  double $cnrm = $row.getDouble(2);
+         |  int $d = java.lang.Math.min($cemb.numElements(), $dv);
+         |  double $dot = 0.0;
+         |  for (int $j = 0; $j < $d; $j++) {
+         |    $dot += (double) $cemb.getFloat($j) * (double) $emb.getFloat($j);
+         |  }
+         |  double $nc = -($dot / ($cnrm * $vnrm));
+         |  int $pos = $filled;
+         |  while ($pos > 0 && ($bestNc[$pos - 1] > $nc ||
+         |      ($bestNc[$pos - 1] == $nc && $bestId[$pos - 1] > $cid))) $pos--;
+         |  if ($pos < $k) {
+         |    int $last = java.lang.Math.min($filled, $k - 1);
+         |    for (int $m = $last; $m > $pos; $m--) {
+         |      $bestNc[$m] = $bestNc[$m - 1];
+         |      $bestId[$m] = $bestId[$m - 1];
+         |    }
+         |    $bestNc[$pos] = $nc;
+         |    $bestId[$pos] = $cid;
+         |    if ($filled < $k) $filled++;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($bestId, $filled));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

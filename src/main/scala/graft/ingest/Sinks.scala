@@ -54,4 +54,79 @@ object Sinks {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Default bucket count for [[mergeInto]] tables — same sizing rule as
+    * [[graft.streaming.StreamingIngest.DefaultBuckets]]: at deploy pick
+    * ~table_size / target_partition_size; merge cost scales with touched
+    * buckets, so more buckets = finer-grained rewrites.
+    */
+  val MergeBuckets = 64
+
+  /** Generic MERGE INTO over the hash-bucket parquet layout — the
+    * deploy-shaped upsert API for the reference's lookup-update path
+    * (`lib/ingest.js:134-165` recovers from duplicate-key inserts
+    * row-by-row; here the merge is declarative and partition-bounded).
+    * Semantics are SQL MERGE with whole-row actions:
+    *
+    *   - `WHEN MATCHED THEN UPDATE SET *`   (update row replaces stored)
+    *   - `WHEN NOT MATCHED THEN INSERT *`
+    *   - `WHEN MATCHED AND <deleteCol> THEN DELETE`   (when given)
+    *
+    * The table is stored partitioned by `_bucket = pmod(xxhash64(key),
+    * numBuckets)` — a pure function of the merge key, so a row can never
+    * move between partitions and a batch touches ONLY the buckets its
+    * keys hash into: the stored side is scanned partition-pruned (a
+    * broadcast semi-join on the touched-bucket list), rewritten under
+    * `partitionOverwriteMode=dynamic`, and every untouched partition's
+    * files stay byte-identical (SinksSpec asserts this). Per-batch work
+    * is O(batch + touched buckets), not O(table). Replay-idempotent:
+    * re-merging an already-applied batch reproduces the same table
+    * content, so an at-least-once upstream (a streaming foreachBatch
+    * retry) converges.
+    *
+    * On a lakehouse deploy this call maps 1:1 onto Delta/Iceberg
+    * `MERGE INTO target USING updates ON target.key = updates.key ...` —
+    * the bucket layout is exactly what their file-skipping on the merge
+    * key does, minus the transaction log (single-writer here; the
+    * materialize-before-overwrite below is what the log would otherwise
+    * guarantee).
+    *
+    * `updates` must carry at most one row per key (pre-aggregate
+    * conflicts upstream — [[graft.streaming.StreamingIngest.mergeBatch]]
+    * shows the domain-specific fold); `numBuckets` must match the value
+    * the table was created with.
+    */
+  def mergeInto(spark: SparkSession, targetPath: String, updates: DataFrame,
+                keyCol: String, numBuckets: Int = MergeBuckets,
+                deleteCol: Option[String] = None): Unit = {
+    val bucket = pmod(xxhash64(col(keyCol)), lit(numBuckets.toLong)).cast("int")
+    val upserts0 = deleteCol.fold(updates)(d => updates.where(!coalesce(col(d), lit(false))))
+    val upserts = deleteCol.fold(upserts0)(d => upserts0.drop(d))
+      .withColumn("_bucket", bucket)
+    val allKeys = updates.select(col(keyCol)).withColumn("_bucket", bucket)
+    val existing =
+      try Some(spark.read.parquet(targetPath)) catch { case _: Exception => None }
+    val merged = existing match {
+      case Some(prev) =>
+        val touched = allKeys.select("_bucket").distinct()
+        // stored rows of touched buckets only, minus every matched key
+        // (updated keys re-enter from the batch side; deleted keys don't)
+        prev.join(broadcast(touched), Seq("_bucket"), "left_semi")
+          .join(allKeys.select(keyCol), Seq(keyCol), "left_anti")
+          .unionByName(upserts)
+      case None => upserts
+    }
+    // the dynamic overwrite must not read its own output mid-write —
+    // materialize fully first (same discipline as StreamingIngest)
+    val m = graft.ops.Iterate.materialize(merged)
+    try m.df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_bucket")
+      .parquet(targetPath)
+    finally m.release()
+  }
+
+  /** Read back a [[mergeInto]] table without its layout column. */
+  def readMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("_bucket")
 }

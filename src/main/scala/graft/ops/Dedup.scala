@@ -827,15 +827,23 @@ object Dedup {
       posexplode(call_function("word_gram_hashes", col(textCol), lit(k), lit(15)))
         .as(Seq("gpos", "gh")))
       .select(col(idCol), col("gpos").cast("long").as("gpos"), col("gh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // Corpus-global duplicated grams + their first occurrence in ONE
     // partial-aggregable hash aggregation: map-side combine absorbs hot
     // boilerplate grams before the exchange and nothing is ever globally
     // SORTED — this replaced a per-gh window (rn over gh), whose exchange
     // carried every gram row into a per-partition sort. Only grams with
     // ≥ 2 occurrences survive (the dup mass, tiny vs the corpus), so the
-    // join marking losing occurrences broadcasts against the cached gram
-    // stream — map-side, no second exchange of the big side.
+    // join marking losing occurrences broadcasts against the gram stream
+    // — map-side, no second exchange of the big side.
+    //
+    // NOTHING here is persisted (the r11 version cached both the
+    // corpus-sized gram stream and `covered`, caches that outlived the op
+    // — ADVICE r11): the gram stream is ONE codegen'd pass over the text
+    // it feeds, cheaper to recompute than to cache at corpus scale, and
+    // the repeated subtrees below (`firsts`' gh-exchange, `covered`'s
+    // branches, `touched`'s id-exchange) canonicalize identically, so
+    // ReuseExchange computes each shuffle/broadcast once per action
+    // (pinned by the OpsSpec plan-reuse + leak tests).
     val firsts = grams.groupBy("gh")
       .agg(count(lit(1)).as("_c"), min(struct(col(idCol), col("gpos"))).as("_m"))
       .where(col("_c") >= 2)
@@ -843,15 +851,14 @@ object Dedup {
         col("_m.gpos").as("_mpos"))
     val losing = grams.join(firsts, "gh")
       .where(!(col(idCol) === col("_mid") && col("gpos") === col("_mpos")))
-    // Covered positions, persisted: it feeds both the touched-doc set and
-    // the kept-token anti-join (no common-subplan sharing in DataFrames).
-    // Size is O(duplicated-span positions), the dup mass itself. NOT
-    // distinct'd: overlapping losing spans duplicate (id, pos) rows, but
-    // an anti-join build ignores duplicates and `touched` dedups on its
-    // own — the distinct was a full exchange of the dup mass for nothing.
+    // Covered positions feed both the touched-doc set and the kept-token
+    // anti-join. Size is O(duplicated-span positions), the dup mass
+    // itself. NOT distinct'd: overlapping losing spans duplicate
+    // (id, pos) rows, but an anti-join build ignores duplicates and
+    // `touched` dedups on its own — the distinct was a full exchange of
+    // the dup mass for nothing.
     val covered = losing
       .select(col(idCol), explode(expr(s"sequence(gpos, gpos + ${k - 1})")).as("pos"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val touched = covered.select(col(idCol)).distinct()
     // Only TOUCHED docs pay the token explode and regroup (wide
     // collect_list shuffle + per-doc array_sort); untouched docs — the

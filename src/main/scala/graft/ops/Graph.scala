@@ -398,7 +398,21 @@ object Graph {
     */
   private val BroadcastDegreeLimit = 5_000_000L
 
-  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    triangleCountImpl(edges, srcCol, dstCol, neighborListWedges = false)
+
+  /** Both wedge builds, probe-selectable (TriangleProbe): the SELF-JOIN
+    * (ships each oriented partition twice through one p-keyed exchange;
+    * the broadcast variant ships it once) and the NEIGHBOR-LIST build
+    * (one src-keyed aggregation into sorted out-neighbor arrays —
+    * bounded at O(√m) by the orientation — then a row-local C(d,2) pair
+    * explode). Round-11 measurements at sf0.1 favored the self-join
+    * (commit 55c12f2 reverted the list build); the round-12 TriangleProbe
+    * re-race on hash-wired graphs at 1.6M and 16M edges confirms it at
+    * BOTH scales (see NOTES r12), so the self-join stays the default.
+    */
+  private[graft] def triangleCountImpl(edges: DataFrame, srcCol: String,
+      dstCol: String, neighborListWedges: Boolean): DataFrame = {
     val e = edges.select(
         least(col(srcCol), col(dstCol)).cast("long").as("u"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
@@ -424,9 +438,20 @@ object Graph {
           .otherwise(col("u")).as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // wedges at the pivot (two out-edges), closed by a third oriented edge
-    val w1 = oriented.select(col("src").as("p"), col("dst").as("a"))
-    val w2 = oriented.select(col("src").as("p"), col("dst").as("b"))
-    val wedges = w1.join(w2, "p").where(col("a") < col("b"))
+    val wedges =
+      if (neighborListWedges)
+        oriented.groupBy("src")
+          .agg(sort_array(collect_list(col("dst"))).as("ds"))
+          .where(size(col("ds")) >= 2)
+          .select(explode(expr(
+            "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"))
+            .as("w"))
+          .select(col("w.a"), col("w.b"))
+      else {
+        val w1 = oriented.select(col("src").as("p"), col("dst").as("a"))
+        val w2 = oriented.select(col("src").as("p"), col("dst").as("b"))
+        w1.join(w2, "p").where(col("a") < col("b"))
+      }
     val closing = oriented.select(
       least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
     val triangles = wedges.join(closing, Seq("a", "b"), "left_semi")

@@ -137,6 +137,7 @@ object Rank {
     * a total order for a deterministic result. Adds `cumCol` (inclusive
     * running sum, BIGINT for integer inputs).
     */
+
   def globalCumSum(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
                    valCol: String, cumCol: String,
                    parts: Int = 32): DataFrame = {
@@ -154,5 +155,99 @@ object Rank {
       .join(broadcast(offsets), "_pid")
       .withColumn(cumCol, col("_offset") + col("_local"))
       .drop("_pid", "_local", "_offset")
+  }
+
+  /** Exact per-group rank-percentiles (element at rank `ceil(n·p)` in
+    * ascending `valCol` order) WITHOUT the per-group single-task window
+    * trap: `row_number().over(partitionBy(group))` funnels each group —
+    * 20M+ rows per flag at TPC-H 100× — into ONE task's sort. This is
+    * the classic two-level histogram refinement for exact distributed
+    * quantiles:
+    *
+    *  1. ONE partial-aggregable pass builds a (group, bucket, count)
+    *     histogram with fixed-width buckets `floor(val / bucketWidth)` —
+    *     its size is bounded by |groups| × valueRange/bucketWidth,
+    *     INDEPENDENT of row count; it is collected into one sorted array
+    *     per group and the cumulative walk is a row-local fold.
+    *  2. For each (group, percentile) the histogram locates the target
+    *     bucket and the residual rank within it — a |groups|·|ps|-row
+    *     broadcast.
+    *  3. A second pass broadcast-joins the input to its target buckets
+    *     (keeping ~n/buckets rows per group·percentile), aggregates
+    *     per distinct value, and picks the least value whose within-
+    *     bucket cumulative count reaches the residual rank — another
+    *     row-local fold over the distinct values of ONE bucket
+    *     (duplicates already combined map-side: a million repeats of
+    *     one hot value are one row). A pathological bucket with millions of DISTINCT
+    *     values would want one more refinement level; one level is
+    *     right for real numeric columns.
+    *
+    * Two scans of the input (the TopK-scaladoc trade: cheaper than
+    * caching a corpus-sized intermediate), two key-partitioned hash
+    * aggregations, no range sampling, no checkpoint, and NO window
+    * anywhere in the plan. The rank expression
+    * is the same `ceil(n * p)` a SQL row_number oracle computes, so
+    * results hash-match the window formulation exactly.
+    *
+    * `ps` are (outputColumn, fraction) pairs with 0 < fraction ≤ 1.
+    */
+  def groupRankPercentiles(df: DataFrame, groupCol: String, valCol: String,
+                           ps: Seq[(String, Double)],
+                           bucketWidth: Double = 64.0): DataFrame = {
+    val vType = df.schema(df.schema.fieldIndex(valCol)).dataType
+    val bucket = floor(col(valCol) / bucketWidth).cast("long")
+    // level 1: bounded histogram, collected per group into ONE sorted
+    // array row; the cumulative walk is a row-local `aggregate` fold, so
+    // NO window (single-task-per-group or otherwise) appears anywhere in
+    // the plan
+    val hist = df.groupBy(col(groupCol), bucket.as("_b"))
+      .agg(count(lit(1)).as("_cnt"))
+      .groupBy(col(groupCol).as("_g"))
+      .agg(sort_array(collect_list(struct(col("_b"), col("_cnt")))).as("_h"),
+        sum("_cnt").as("_n"))
+    // per (group, percentile): target bucket + residual rank = first
+    // bucket whose cumulative count reaches rank (rank <= n, so one
+    // always exists and the -1 sentinel never survives the fold)
+    val targets = hist.select(col("_g"),
+        explode(array(ps.map { case (name, p) =>
+          val r = ceil(col("_n") * p)
+          val found = aggregate(col("_h"),
+            struct(lit(0L).as("_cum"), lit(-1L).as("_b"), lit(0L).as("_rr")),
+            (acc, x) => {
+              val cum2 = (acc("_cum") + x("_cnt")).as("_cum")
+              when(acc("_b") >= 0, acc)
+                .when(acc("_cum") + x("_cnt") >= r,
+                  struct(cum2, x("_b").as("_b"), (r - acc("_cum")).as("_rr")))
+                .otherwise(struct(cum2, lit(-1L).as("_b"), lit(0L).as("_rr")))
+            })
+          struct(lit(name).as("_pn"), found("_b").as("_b"), found("_rr").as("_rr"))
+        }: _*)).as("_t"))
+      .select(col("_g"), col("_t._pn").as("_pn"), col("_t._b").as("_b"),
+        col("_t._rr").as("_rr"))
+    // level 2: only rows of target buckets survive the broadcast join
+    // (~n/buckets per group-percentile); duplicate values combine
+    // map-side in the per-value aggregation, and the within-bucket pick
+    // is again a row-local fold over the sorted (value, count) array
+    val picked = df.join(broadcast(targets),
+        col(groupCol) === col("_g") && bucket === col("_b"))
+      .groupBy(col("_g"), col("_pn"), col("_rr"), col(valCol))
+      .agg(count(lit(1)).as("_c2"))
+      .groupBy(col("_g"), col("_pn"), col("_rr"))
+      .agg(sort_array(collect_list(struct(col(valCol).as("_v"), col("_c2")))).as("_vs"))
+      .select(col("_g"), col("_pn"),
+        aggregate(col("_vs"),
+          struct(lit(0L).as("_cum"), lit(null).cast(vType).as("_v")),
+          (acc, x) => {
+            val cum2 = (acc("_cum") + x("_c2")).as("_cum")
+            when(acc("_v").isNotNull, acc)
+              .when(acc("_cum") + x("_c2") >= col("_rr"),
+                struct(cum2, x("_v").as("_v")))
+              .otherwise(struct(cum2, lit(null).cast(vType).as("_v")))
+          })("_v").as("_v"))
+    val fAggs = ps.map { case (name, _) =>
+      min(when(col("_pn") === name, col("_v"))).as(name) }
+    picked.groupBy(col("_g"))
+      .agg(fAggs.head, fAggs.tail: _*)
+      .withColumnRenamed("_g", groupCol)
   }
 }

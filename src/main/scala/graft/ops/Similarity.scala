@@ -68,19 +68,13 @@ object Similarity {
   /** Rank the per-query top-k of a scored pair table: the custom
     * two-phase [[graft.plans.TopKPerGroup]] exec prunes map-side (the
     * exchange carries ≤ k rows per query per partition instead of the
-    * whole |corpus|×|queries| scored set), then a window ranks the ≤ k
-    * survivors per query — the window's input is already tiny.
+    * whole |corpus|×|queries| scored set) and emits `rank` directly from
+    * its merge order — no trailing window exchange.
     */
   private def rankTopK(scored: DataFrame, qIdCol: String, scoreCol: String,
-                       k: Int): DataFrame = {
-    val pruned = TopK.topKPerGroupExec(scored, Seq(qIdCol),
-      Seq((scoreCol, true), ("neighbor_id", false)), k)
-    pruned.select(col("*"),
-        row_number().over(
-          Window.partitionBy(qIdCol).orderBy(col(scoreCol).desc, col("neighbor_id")))
-          .as("rank"))
-      .where(col("rank") <= k)
-  }
+                       k: Int): DataFrame =
+    TopK.topKPerGroupExecRanked(scored, Seq(qIdCol),
+      Seq((scoreCol, true), ("neighbor_id", false)), k, "rank")
 
   /** Exact top-k neighbors for each query row (small query side broadcast
     * against the full corpus; linear in corpus size).
@@ -118,17 +112,24 @@ object Similarity {
   def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
                 embCol: String, cIdCol: String, cEmbCol: String,
                 replication: Int = 1): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(centroids))
-      .select(col("*"),
-        (dotFixed(cEmbCol, embCol) /
-          (sqrt(dotFixed(cEmbCol, cEmbCol)) * sqrt(dotFixed(embCol, embCol))))
-          .as("_c_cos"))
-    scored
-      .select(col(idCol), col(embCol), col(cIdCol), col("_c_cos"),
-        row_number().over(
-          Window.partitionBy(idCol).orderBy(col("_c_cos").desc, col(cIdCol))).as("_rk"))
-      .where(col("_rk") <= replication)
-      .select(col(idCol), col(embCol), col(cIdCol).as("cluster"))
+    // The K candidate scores per vector are ROW-LOCAL, so ranking them
+    // must not leave the row — a row_number().over(partitionBy(id))
+    // window (the shape this replaced) shuffled corpus×K rows just to
+    // pick r of them. Instead the centroid side collapses to ONE
+    // broadcast row holding a sorted (id, emb, norm) array, and each
+    // corpus row picks its r nearest cells inside the fused native
+    // [[graft.functions.VecTopCells]] expression: a map-only
+    // whole-stage-codegen plan with NO exchange of the corpus at any
+    // replication, scoring with the exact cosine expression tree of the
+    // scored-join form so selections are bit-identical.
+    val centArr = centroids.agg(
+      array_sort(collect_list(struct(
+        col(cIdCol).cast("long").as("_cid"), col(cEmbCol).as("_cemb"),
+        sqrt(dotFixed(cEmbCol, cEmbCol)).as("_cnrm")))).as("_cents"))
+    corpus.crossJoin(broadcast(centArr))
+      .select(col(idCol), col(embCol),
+        explode(expr(s"vec_top_cells(_cents, $embCol, $replication)"))
+          .as("cluster"))
   }
 
   /** IVF-pruned top-k: each query searches the inverted lists of its
@@ -155,17 +156,17 @@ object Similarity {
     // query base must carry one row per query (payload columns are
     // identical across the duplicates, so the dedup is content-stable)
     val qBase = if (replication > 1) qBase0.dropDuplicates("q_id") else qBase0
-    // top-`nprobe` centroids per query — same scoring and tiebreak as
-    // ivfAssign, so probe 1 is exactly the query's own storage cluster
-    val qProbes = qBase.crossJoin(broadcast(centroids))
-      .select(col("q_id"), col("q_emb"), col("_qnrm"), col(cIdCol).as("cluster"),
-        (dotFixed(cEmbCol, "q_emb") /
-          (sqrt(dotFixed(cEmbCol, cEmbCol)) * col("_qnrm"))).as("_c_cos"))
-      .select(col("q_id"), col("q_emb"), col("_qnrm"), col("cluster"),
-        row_number().over(
-          Window.partitionBy("q_id").orderBy(col("_c_cos").desc, col("cluster"))).as("_rk"))
-      .where(col("_rk") <= nprobe)
-      .drop("_rk", "_c_cos")
+    // top-`nprobe` centroids per query — the same fused vec_top_cells
+    // kernel as ivfAssign (identical scoring and tiebreak, so probe 1 is
+    // exactly the query's own storage cluster), with no window in the
+    // probe sub-plan either
+    val qCentArr = centroids.agg(
+      array_sort(collect_list(struct(
+        col(cIdCol).cast("long").as("_cid"), col(cEmbCol).as("_cemb"),
+        sqrt(dotFixed(cEmbCol, cEmbCol)).as("_cnrm")))).as("_cents"))
+    val qProbes = qBase.crossJoin(broadcast(qCentArr))
+      .select(col("q_id"), col("q_emb"), col("_qnrm"),
+        explode(expr(s"vec_top_cells(_cents, q_emb, $nprobe)")).as("cluster"))
     val scored0 = assigned.join(broadcast(qProbes), "cluster")
       .where(col(idCol) =!= col("q_id"))
       .select(col("q_id"), col(idCol).as("neighbor_id"),
@@ -401,9 +402,31 @@ object Similarity {
   private def inferM(codebooks: DataFrame, m: Int): Int =
     if (m > 0) m else codebooks.agg(max(col("m"))).head.getInt(0) + 1
 
+  /** Integer-deterministic PQ training — the ORACLE-CHECKABLE twin of
+    * [[pqTrainCodebooks]], closing its "float k-means has no SQL oracle"
+    * gap for a toy configuration. Feed it an INTEGER-VALUED embedding
+    * column ([[quantizeInt8]] output cast back to ARRAY<FLOAT>); each
+    * refreshed codeword component is `round(mean(members))`: integer sums
+    * are exact in double, IEEE division is correctly rounded (identical
+    * doubles in every engine), and `round` is half-away-from-zero in both
+    * Spark and DuckDB — so codewords stay on the integer grid and every
+    * squared distance, comparison, and tie resolution reproduces
+    * bit-for-bit across engines and across iterations. Same plan shape as
+    * the float twin (broadcast assign via partial-aggregable min(struct),
+    * one (m, code, pos) mean aggregation per round, lineage-cut rounds).
+    */
+  def pqTrainCodebooksInt(corpus: DataFrame, idCol: String, embCol: String,
+                          m: Int, k: Int, iterations: Int,
+                          dim: Int = 0): DataFrame = {
+    val d = inferDim(corpus, embCol, dim)
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    pqTrainCodebooksImpl(corpus, idCol, embCol, m, k, iterations, d,
+      roundMeans = true)
+  }
+
   private def pqTrainCodebooksImpl(corpus: DataFrame, idCol: String,
                        embCol: String, m: Int, k: Int, iterations: Int,
-                       dim: Int): DataFrame = {
+                       dim: Int, roundMeans: Boolean = false): DataFrame = {
     val sub = dim / m
     val subs = corpus.select(col(idCol).as("_id"), posexplode(expr(
         s"transform(sequence(0, ${m - 1}), i -> slice($embCol, i * $sub + 1, $sub))")))
@@ -411,10 +434,10 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def d2(a: String, b: String): Column =
       expr(s"vec_dot($a, $a) - 2 * vec_dot($a, $b) + vec_dot($b, $b)")
-    val seeds = subs
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy("m").orderBy(col("_id"))))
-      .where(col("_rk") <= k)
+    // first k subvectors per subspace by id — the two-phase TopK exec
+    // (map-side bounded heaps), not a per-m single-task window sort
+    val seeds = TopK.topKPerGroupExecRanked(subs, Seq("m"),
+        Seq(("_id", false)), k, "_rk")
       .select(col("m"), (col("_rk") - 1).as("code"), col("sv").as("cv"))
     var round = Iterate.materialize(seeds)
     var i = 0
@@ -422,12 +445,19 @@ object Similarity {
       val assigned = subs.join(broadcast(round.df), "m")
         .select(col("_id"), col("m"), col("sv"), col("code"),
           d2("sv", "cv").as("_d2"))
-        .withColumn("_rk", row_number().over(
-          Window.partitionBy("_id", "m").orderBy(col("_d2"), col("code"))))
-        .where(col("_rk") === 1)
+        // argmin via partial-aggregable min(struct): same (d2, code)
+        // tiebreak as the row_number window it replaces, without the
+        // corpus×m×k exchange (sv is constant within the group)
+        .groupBy(col("_id"), col("m"))
+        .agg(min(struct(col("_d2"), col("code"))).as("_b"),
+          first(col("sv")).as("sv"))
+        .select(col("_id"), col("m"), col("sv"), col("_b.code").as("code"))
       val newCents = assigned
         .select(col("m"), col("code"), posexplode(col("sv")))
-        .groupBy("m", "code", "pos").agg(avg(col("col")).as("v"))
+        .groupBy("m", "code", "pos")
+        .agg((if (roundMeans)
+            org.apache.spark.sql.functions.round(avg(col("col")))
+          else avg(col("col"))).as("v"))
         .groupBy("m", "code")
         .agg(expr("transform(array_sort(collect_list(struct(pos, v))), s -> CAST(s.v AS FLOAT))")
           .as("cv"))
@@ -459,10 +489,12 @@ object Similarity {
     subs.join(broadcast(codebooks), "m")
       .select(col(idCol), col("m"), col("code"),
         expr("vec_dot(sv, sv) - 2 * vec_dot(sv, cv) + vec_dot(cv, cv)").as("_d2"))
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy(idCol, "m").orderBy(col("_d2"), col("code"))))
-      .where(col("_rk") === 1)
-      .select(col(idCol), col("m"), col("code"))
+      // argmin as a partial-aggregable min(struct) — the k candidate rows
+      // per (id, m) combine map-side; a row_number window here (the shape
+      // this replaced) shuffled corpus×m×k rows to rank them
+      .groupBy(col(idCol), col("m"))
+      .agg(min(struct(col("_d2"), col("code"))).as("_b"))
+      .select(col(idCol), col("m"), col("_b.code").as("code"))
   }
 
   /** PQ asymmetric-distance (ADC) top-k — the PQ SEARCH path: each query

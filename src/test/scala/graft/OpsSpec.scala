@@ -705,6 +705,7 @@ class OpsSpec extends SparkSpec {
       Dedup.ngramCandidates(docs, "text", "doc_id"),
       Dedup.prefixJaccardJoin(docs, "text", "doc_id"),
       Dedup.connectedComponents(Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), "a", "b"),
+      Dedup.dedupSpans(docs, "text", "doc_id", k = 5),
       graft.ops.Rank.bm25TopTerms(docs, "text", "doc_id"))
     results.foreach(_.collect())
     // each op may leave exactly its RESULT's backing storage (caller-

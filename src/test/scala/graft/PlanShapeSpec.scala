@@ -49,6 +49,38 @@ class PlanShapeSpec extends SparkSpec {
       s"candidate join duplicated:\n$p")
   }
 
+  test("q24_percentile has no per-flag window: every Window runs over the bounded histogram") {
+    val lp = SparkEntry.queries("q24_percentile")(spark, dir)
+      .queryExecution.optimizedPlan
+    // the 3-value-key single-task window sort is the regression this pins
+    // against: any window whose partition key is l_returnflag alone puts a
+    // whole flag (20M+ rows at 100×) into one task
+    val badWindows = lp.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.exists(_.references.exists(_.name == "l_returnflag")) &&
+             w.child.maxRows.isEmpty &&
+             !w.partitionSpec.exists(_.references.exists(_.name == "_b")) &&
+             w.partitionSpec.forall(e =>
+               e.references.forall(_.name == "l_returnflag")) => w
+    }
+    assert(badWindows.isEmpty,
+      s"per-flag window over unbounded input returned:\n${lp.treeString}")
+  }
+
+  test("ivfAssign is map-only: no Window, no exchange of the corpus") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = emb.limit(4).select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    for (r <- Seq(1, 2)) {
+      val p = graft.ops.Similarity.ivfAssign(emb, cents, "vec_id", "embedding",
+        "c_id", "c_emb", replication = r).queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"r=$r assign windows the corpus:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"r=$r assign shuffles the corpus:\n$p")
+      assert(p.contains("vec_top_cells"), s"fused kernel missing at r=$r:\n$p")
+    }
+  }
+
   test("topKPerGroupExecRanked emits rank without a Window node") {
     import org.apache.spark.sql.functions._
     val df = spark.read.parquet(s"$dir/orders.parquet")

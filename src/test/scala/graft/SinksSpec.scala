@@ -24,6 +24,58 @@ class SinksSpec extends SparkSpec {
     assert(back.select("type").distinct().count() === 2) // partition column survives
   }
 
+  test("mergeInto: upsert + delete, untouched buckets byte-identical, replay-idempotent") {
+    val path = java.nio.file.Files.createTempDirectory("graft_merge").toString + "/t"
+    def table() = Sinks.readMerged(spark, path)
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    def bucketFiles(): Map[String, Array[Byte]] = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.toString.contains("_bucket=") && p.toString.endsWith(".parquet"))
+          .map(p => p.toString -> java.nio.file.Files.readAllBytes(p))
+          .toMap
+      } finally walk.close()
+    }
+    // create: 200 keys spread over the buckets
+    val base = (1L to 200L).map(k => (k, s"v$k")).toDF("k", "v")
+    Sinks.mergeInto(spark, path, base, "k", numBuckets = 16)
+    assert(table() === (1L to 200L).map(k => (k, s"v$k")))
+    val before = bucketFiles()
+
+    // batch 2: update 2 keys, insert 1, delete 1 — all hashing into a
+    // small subset of buckets
+    val batch = Seq((5L, "V5", false), (6L, "V6", false),
+      (1000L, "new", false), (7L, "", true)).toDF("k", "v", "_del")
+    Sinks.mergeInto(spark, path, batch, "k", numBuckets = 16,
+      deleteCol = Some("_del"))
+    val expect = ((1L to 200L).filterNot(k => Set(5L, 6L, 7L)(k)).map(k => (k, s"v$k"))
+      ++ Seq((5L, "V5"), (6L, "V6"), (1000L, "new"))).sortBy(_._1)
+    assert(table() === expect)
+
+    // untouched buckets: every file not in a touched bucket partition is
+    // byte-identical to its pre-merge self (dynamic overwrite contract)
+    val touched = Set(5L, 6L, 7L, 1000L)
+      .map(k => spark.range(1).select(
+        pmod(xxhash64(lit(k)), lit(16L)).cast("int")).head.getInt(0))
+    val after = bucketFiles()
+    val untouchedBefore = before.filterNot { case (p, _) =>
+      touched.exists(b => p.contains(s"_bucket=$b/")) }
+    assert(untouchedBefore.nonEmpty, "fixture degenerate: every bucket touched")
+    untouchedBefore.foreach { case (p, bytes) =>
+      assert(after.contains(p), s"untouched bucket file vanished: $p")
+      assert(java.util.Arrays.equals(after(p), bytes),
+        s"untouched bucket file rewritten: $p")
+    }
+
+    // replay the same batch: at-least-once delivery converges
+    Sinks.mergeInto(spark, path, batch, "k", numBuckets = 16,
+      deleteCol = Some("_del"))
+    assert(table() === expect)
+  }
+
   test("bucketed tables join without a shuffle") {
     // clean any residue from a previous aborted run (dir without catalog entry)
     Seq("graft_bucket_left", "graft_bucket_right").foreach { tbl =>
