@@ -31,7 +31,7 @@ object TriangleProbe {
         var best = Double.MaxValue
         (1 to 2).foreach { _ =>
           val t0 = System.nanoTime()
-          tri = Graph.triangleCountImpl(e, "src", "dst", neighborListWedges = nl)
+          tri = Graph.triangleCountImpl(e, "src", "dst", neighborListWedges = Some(nl))
             .collect().head.getLong(2)
           best = math.min(best, (System.nanoTime() - t0) / 1e9)
           GraftSession.releaseAll(spark)

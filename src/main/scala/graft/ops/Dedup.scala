@@ -836,14 +836,10 @@ object Dedup {
     // join marking losing occurrences broadcasts against the gram stream
     // — map-side, no second exchange of the big side.
     //
-    // NOTHING here is persisted (the r11 version cached both the
-    // corpus-sized gram stream and `covered`, caches that outlived the op
-    // — ADVICE r11): the gram stream is ONE codegen'd pass over the text
-    // it feeds, cheaper to recompute than to cache at corpus scale, and
-    // the repeated subtrees below (`firsts`' gh-exchange, `covered`'s
-    // branches, `touched`'s id-exchange) canonicalize identically, so
-    // ReuseExchange computes each shuffle/broadcast once per action
-    // (pinned by the OpsSpec plan-reuse + leak tests).
+    // The corpus-sized gram stream is NOT cached (the r11 version cached
+    // it for the op's lifetime — a cache that outlived the op, ADVICE
+    // r11): it is one codegen'd pass over the text and feeds exactly one
+    // materializing job below.
     val firsts = grams.groupBy("gh")
       .agg(count(lit(1)).as("_c"), min(struct(col(idCol), col("gpos"))).as("_m"))
       .where(col("_c") >= 2)
@@ -857,8 +853,18 @@ object Dedup {
     // (id, pos) rows, but an anti-join build ignores duplicates and
     // `touched` dedups on its own — the distinct was a full exchange of
     // the dup mass for nothing.
-    val covered = losing
-      .select(col(idCol), explode(expr(s"sequence(gpos, gpos + ${k - 1})")).as("pos"))
+    //
+    // EAGER from here (like the ingest ops): the dup-mass `covered` set
+    // materializes ONCE via a lineage-cut checkpoint. Left lazy, each
+    // consuming branch re-ran the whole gram aggregation — the branches
+    // prune different columns into the subtree, so the plans never
+    // canonicalize equal and ReuseExchange cannot fire (measured: 22
+    // parquet scans, 0 reused exchanges at sf0.1). Storage is released
+    // with the result's lineage (Iterate.releaseCheckpoint / session
+    // releaseAll) — no cache outlives the caller's control (OpsSpec leak
+    // test covers this op).
+    val covered = graft.ops.Iterate.materialize(losing
+      .select(col(idCol), explode(expr(s"sequence(gpos, gpos + ${k - 1})")).as("pos"))).df
     val touched = covered.select(col(idCol)).distinct()
     // Only TOUCHED docs pay the token explode and regroup (wide
     // collect_list shuffle + per-doc array_sort); untouched docs — the
@@ -866,31 +872,32 @@ object Dedup {
     // since split-on-' ' joined with ' ' reconstitutes the original text
     // exactly. The semi-join runs BEFORE posexplode (a semi-join can't
     // push through a Generate, so filtering the doc rows first keeps the
-    // untouched majority from ever exploding). The .tok field-extract on
-    // the sorted struct array is a codegen'd GetArrayStructFields — no
-    // interpreted per-token lambda.
+    // untouched majority from ever exploding). Coverage is a LEFT-join
+    // marker over the per-(id, pos) distinct of `covered` (the marker
+    // join must not multiply token rows) with CASE-gated aggregates, so
+    // `rebuilt` emits one row for EVERY touched doc — fully-covered docs
+    // keep n_kept = 0 / clean_text = '' — and the result is one left
+    // join, not a three-branch union re-deriving `touched` per branch.
+    // The .tok field-extract on the sorted struct array is a codegen'd
+    // GetArrayStructFields — no interpreted per-token lambda.
     val touchedToks = df.select(col(idCol), col(textCol))
       .join(touched, Seq(idCol), "left_semi")
       .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
       .select(col(idCol), col("pos").cast("long").as("pos"), col("tok"))
     val rebuilt = touchedToks
-      .join(covered, Seq(idCol, "pos"), "left_anti")
+      .join(covered.distinct().withColumn("_cov", lit(1)),
+        Seq(idCol, "pos"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_kept"),
+      .agg(count(when(col("_cov").isNull, 1)).as("n_kept"),
         array_join(expr(
-          "array_sort(collect_list(struct(pos, tok))).tok"),
+          "array_sort(collect_list(CASE WHEN _cov IS NULL THEN struct(pos, tok) END)).tok"),
           " ").as("clean_text"))
-    val withTok = df.select(col(idCol), col(textCol),
-      size(split(col(textCol), " ")).cast("long").as("n_tok"))
-    val untouchedOut = withTok.join(touched, Seq(idCol), "left_anti")
-      .select(col(idCol), col("n_tok"), col("n_tok").as("n_kept"),
-        col(textCol).as("clean_text"))
-    val touchedOut = withTok.join(touched, Seq(idCol), "left_semi")
+    df.select(col(idCol), col(textCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tok"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), col("n_tok"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
-    untouchedOut.union(touchedOut)
+        coalesce(col("n_kept"), col("n_tok")).as("n_kept"),
+        coalesce(col("clean_text"), col(textCol)).as("clean_text"))
   }
 
   /** Boundary-stitch dedup candidates: ordered pairs (a, b) where doc a's

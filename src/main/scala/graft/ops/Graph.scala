@@ -398,21 +398,28 @@ object Graph {
     */
   private val BroadcastDegreeLimit = 5_000_000L
 
-  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
-    triangleCountImpl(edges, srcCol, dstCol, neighborListWedges = false)
+  /** Edge-count bound above which the wedge build switches from the
+    * self-join to the per-pivot neighbor-list aggregation. TriangleProbe
+    * (r12) on the hash-wired skewed graph: 1.6M edges — self-join 5.5 s
+    * vs list 6.0 s (broadcast-friendly sizes, the join is free); 16M
+    * edges — self-join 27.2 s vs list 18.0 s (the join re-ships the
+    * oriented set; the list build pays one src-keyed exchange and
+    * explodes C(outdeg ≤ O(√m), 2) pairs row-locally). The r11 sf0.1-only
+    * measurement that reverted the list build (55c12f2) sat below the
+    * crossover — this dispatch keeps both regimes on their winner.
+    */
+  private val WedgeListEdgeCutover = 4_000_000L
 
-  /** Both wedge builds, probe-selectable (TriangleProbe): the SELF-JOIN
-    * (ships each oriented partition twice through one p-keyed exchange;
-    * the broadcast variant ships it once) and the NEIGHBOR-LIST build
-    * (one src-keyed aggregation into sorted out-neighbor arrays —
-    * bounded at O(√m) by the orientation — then a row-local C(d,2) pair
-    * explode). Round-11 measurements at sf0.1 favored the self-join
-    * (commit 55c12f2 reverted the list build); the round-12 TriangleProbe
-    * re-race on hash-wired graphs at 1.6M and 16M edges confirms it at
-    * BOTH scales (see NOTES r12), so the self-join stays the default.
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    triangleCountImpl(edges, srcCol, dstCol, neighborListWedges = None)
+
+  /** Both wedge builds, probe-selectable (TriangleProbe) or
+    * size-dispatched on [[WedgeListEdgeCutover]] when `neighborListWedges`
+    * is None — the edge count reads the already-filled cache, one cheap
+    * scalar job that also replaces the final n_edges aggregation.
     */
   private[graft] def triangleCountImpl(edges: DataFrame, srcCol: String,
-      dstCol: String, neighborListWedges: Boolean): DataFrame = {
+      dstCol: String, neighborListWedges: Option[Boolean]): DataFrame = {
     val e = edges.select(
         least(col(srcCol), col(dstCol)).cast("long").as("u"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
@@ -427,6 +434,10 @@ object Graph {
     val nNodes = deg.count()
     val degSide: DataFrame => DataFrame =
       if (nNodes <= BroadcastDegreeLimit) broadcast else identity
+    // cache-read scalar: picks the wedge build and replaces the final
+    // n_edges aggregation below
+    val nEdges = e.count()
+    val useList = neighborListWedges.getOrElse(nEdges > WedgeListEdgeCutover)
     // orient by (deg, id): lower endpoint keeps the out-edge
     val oriented = e
       .join(degSide(deg.withColumnsRenamed(Map("n" -> "u", "deg" -> "du"))), "u")
@@ -439,7 +450,7 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // wedges at the pivot (two out-edges), closed by a third oriented edge
     val wedges =
-      if (neighborListWedges)
+      if (useList)
         oriented.groupBy("src")
           .agg(sort_array(collect_list(col("dst"))).as("ds"))
           .where(size(col("ds")) >= 2)
@@ -455,9 +466,9 @@ object Graph {
     val closing = oriented.select(
       least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
     val triangles = wedges.join(closing, Seq("a", "b"), "left_semi")
-    val out = e.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
-      .select(lit(nNodes).as("n_nodes"), col("n_edges"), col("n_triangles"))
+    val out = triangles.agg(count(lit(1)).as("n_triangles"))
+      .select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
+        col("n_triangles"))
     // checkpoint the one-row result, then free the edge caches
     Iterate.scoped(out, e, oriented, deg)
   }
