@@ -29,6 +29,8 @@ object Functions {
     native("vec_sign_bits", exprs => graft.functions.VecSignBits(exprs(0)))
     native("vec_top_cells", exprs => graft.functions.VecTopCells(
       exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Int]))
+    native("common_prefix_len", exprs => graft.functions.CommonPrefixLen(
+      exprs(0), exprs(1)))
     native("md5_long", exprs => graft.functions.Md5Long(
       exprs(0), exprs(1).eval().asInstanceOf[Int]))
     native("nt_unescape", exprs => graft.functions.NtUnescape(exprs(0)))

@@ -3338,6 +3338,40 @@ object SparkEntry {
           k = 5)
         .orderBy("doc_id")),
 
+    // Distributed SUFFIX ARRAY (Manber–Myers prefix doubling — see
+    // ops/SuffixArray.scala): the full per-suffix rank table, checked
+    // against DuckDB literally sorting every suffix string. Closes the
+    // dedupSpans k-gram approximation gap with the exact structure the
+    // Lee et al. pipeline builds.
+    "suffix_array" -> ((s, dir) =>
+      graft.ops.SuffixArray.build(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id", "pos")),
+
+    // Longest repeated substrings — the textbook SA application: max-LCP
+    // SA-adjacent pairs, top 20 with a 10-token snippet. The trailing
+    // rank window runs over the 20 post-limit rows (TakeOrderedAndProject
+    // does the global top-k; nothing corpus-sized is sorted in one task).
+    "suffix_repeated_top" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sa = graft.ops.SuffixArray.build(docs, "text", "doc_id")
+      val ord = Seq(col("lcp").desc, col("doc_id").asc, col("pos").asc,
+        col("nbr_id").asc, col("nbr_pos").asc)
+      val top = graft.ops.SuffixArray.lcpNeighbors(docs, "text", "doc_id", sa)
+        .orderBy(ord: _*)
+        .limit(20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      docs.select(col("doc_id").as("_sid"), split(col("text"), " ").as("_sws"))
+        .join(broadcast(top), col("_sid") === col("doc_id"))
+        .select(col("doc_id"), col("pos"), col("nbr_id"), col("nbr_pos"),
+          col("lcp"),
+          array_join(expr(
+            "slice(_sws, CAST(pos + 1 AS INT), CAST(least(lcp, 10) AS INT))"),
+            " ").as("snippet"),
+          col("rank"))
+        .orderBy("rank")
+    }),
+
     // Boundary-stitch dedup candidates (split-document crawl artifact):
     // see Dedup.stitchCandidates.
     "dedup_stitch" -> ((s, dir) =>
@@ -7028,6 +7062,38 @@ object SparkEntry {
         |        coalesce(clean_text, '') AS clean_text
         | FROM w LEFT JOIN rebuilt USING (doc_id)
         | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "suffix_array" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | sfx0 AS (SELECT doc_id, unnest(range(0, len(ws))) AS pos, ws FROM t),
+        | sfx AS (SELECT doc_id, pos, array_to_string(ws[pos + 1 :], ' ') AS s FROM sfx0)
+        | SELECT doc_id, pos, row_number() OVER (ORDER BY s, doc_id, pos) AS sa_rank
+        | FROM sfx ORDER BY doc_id, pos""".stripMargin.replace("\n", " "),
+
+    // the oracle SORTS EVERY SUFFIX STRING outright — feasible single-node,
+    // which is exactly the contrast with the distributed prefix-doubling
+    // build; token-level LCP via the first-mismatch list comprehension
+    "suffix_repeated_top" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | sfx0 AS (SELECT doc_id, unnest(range(0, len(ws))) AS pos, ws FROM t),
+        | sfx AS MATERIALIZED (SELECT doc_id, pos, ws,
+        |     array_to_string(ws[pos + 1 :], ' ') AS s FROM sfx0),
+        | sa AS MATERIALIZED (SELECT doc_id, pos, ws,
+        |     row_number() OVER (ORDER BY s, doc_id, pos) AS rk FROM sfx),
+        | pairs AS (SELECT a.doc_id, a.pos, b.doc_id AS nbr_id, b.pos AS nbr_pos,
+        |     a.ws[a.pos + 1 :] AS wa, b.ws[b.pos + 1 :] AS wb
+        |   FROM sa a JOIN sa b ON b.rk = a.rk + 1),
+        | lcp AS (SELECT doc_id, pos, nbr_id, nbr_pos, wa,
+        |     coalesce(list_min([i for i in range(1, least(len(wa), len(wb)) + 1)
+        |                        if wa[i] IS DISTINCT FROM wb[i]]),
+        |              least(len(wa), len(wb)) + 1) - 1 AS lcp
+        |   FROM pairs),
+        | top AS (SELECT *, row_number() OVER (ORDER BY lcp DESC, doc_id, pos, nbr_id, nbr_pos) AS rnk
+        |   FROM lcp)
+        | SELECT doc_id, pos, nbr_id, nbr_pos, CAST(lcp AS BIGINT) AS lcp,
+        |   array_to_string(wa[1 : least(lcp, 10)], ' ') AS snippet,
+        |   CAST(rnk AS BIGINT) AS rank
+        | FROM top WHERE rnk <= 20 ORDER BY rnk""".stripMargin.replace("\n", " "),
 
     "dedup_spans" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

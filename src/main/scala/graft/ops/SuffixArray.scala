@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed suffix array over a tokenized document corpus — the exact
+  * backbone of suffix-based substring dedup (Lee et al. '22 build one to
+  * find duplicated spans; [[Dedup.dedupSpans]] is the k-gram
+  * approximation of that pipeline, and this op closes the remaining
+  * named-algorithm gap exactly).
+  *
+  * Construction is Manber–Myers prefix doubling (1990), the standard
+  * distributed/external-memory SA skeleton (pSAC, Flick & Aluru '15):
+  * suffixes are ranked by their length-h prefix, and one round turns h
+  * into 2h by re-ranking on the pair `(rank(p), rank(p + h))`. A round
+  * is one keyed self-join of the 4-long-column state plus one ranking
+  * in the [[Rank.globalRowNumber]] topology (range-partitioned
+  * checkpoint, local window, broadcast offsets — never a global
+  * single-task sort), re-materialized per round with the previous
+  * round's storage released immediately. Convergence is decided from
+  * THREE sums carried by an `observe()` on the round's own
+  * materializing action (no dedicated convergence job, and no wasted
+  * confirmation round — see [[rankRound]]): the round that reaches the
+  * E_2h = E_h fixpoint, or resolves every group to a singleton, is
+  * detected as it lands.
+  *
+  * Suffixes are PER DOCUMENT (no corpus concatenation, so no sentinel
+  * tokens): suffix (id, pos) = tokens[pos..end]. Identical suffixes
+  * (full duplicates) tie forever and are broken (id, pos) in the emitted
+  * row_number, which the accepted round's ranking already carries. The
+  * seed ranking uses the space-joined length-`startPrefix` token slice
+  * as its sort key — for a single-space-tokenized corpus (this engine's
+  * text contract), string order of the joined slice equals
+  * token-sequence order (space sorts below every printable character),
+  * which is also what lets a SQL oracle reproduce the order with a plain
+  * ORDER BY over suffix strings. Seeding at 64 tokens replaces the first
+  * six doubling rounds; rounds-to-fixpoint is
+  * log2(longestRepeatedPrefix / startPrefix) + 2 — corpus size affects
+  * round WIDTH (keyed join + range exchange, parallel at any size),
+  * never round COUNT.
+  *
+  * Output: one row per suffix — (idCol, pos, sa_rank), sa_rank the
+  * 1-based position in (suffix, id, pos) order.
+  */
+object SuffixArray {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** One ranking round: range-checkpoint `in` on `keys`, lazily compute
+    * global row numbers (the [[Rank.globalRowNumber]] topology: local
+    * window per range partition + broadcast cumulative offsets) and the
+    * group rank (min row number over `grpKeys`), then materialize the
+    * STATE (4 long columns) and release the pre-rank checkpoint. The
+    * state's own materializing action fills an observation carrying
+    * Σgroup-rank, Σrow-number, and (when `prevRank` is set) Σprevious-
+    * rank — the three sums that decide convergence without any extra
+    * job:
+    *   - Σg == Σprev  ⟺ no group split this round ⟺ E_2h = E_h, the
+    *     fixpoint (sums strictly increase on any split: the later
+    *     fragment's min row number exceeds the group's);
+    *   - Σg == Σrn    ⟺ every group is a singleton — fully resolved,
+    *     no future round can change anything.
+    */
+  private def rankRound(in: DataFrame, keys: Seq[Column], grpKeys: Seq[String],
+                        parts: Int, obsName: String, prevRank: Option[String])
+      : (Iterate.Materialized, Long, Option[Long], Long) = {
+    val ranged = Iterate.materialize(
+      in.repartitionByRange(parts, keys: _*)
+        .withColumn("_pid", spark_partition_id()))
+    val offsets = ranged.df.groupBy("_pid").agg(count(lit(1)).as("_c"))
+      .withColumn("_offset",
+        coalesce(sum("_c").over(Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_pid", "_offset")
+    val rn = ranged.df
+      .withColumn("_local", row_number().over(
+        Window.partitionBy("_pid").orderBy(keys: _*)))
+      .join(broadcast(offsets), "_pid")
+      .withColumn("rn", col("_offset") + col("_local"))
+      .drop("_pid", "_local", "_offset")
+    val grp = rn.groupBy(grpKeys.map(col): _*).agg(min("rn").as("_g"))
+    val obs = new Observation(obsName)
+    val metrics = Seq(
+      coalesce(sum("_g"), lit(0L)).as("s"),
+      coalesce(sum("rn"), lit(0L)).as("srn")) ++
+      prevRank.map(c => coalesce(sum(col(c)), lit(0L)).as("sprev"))
+    val state = Iterate.materialize(
+      rn.join(grp, grpKeys)
+        .observe(obs, metrics.head, metrics.tail: _*)
+        .select(col("_id"), col("pos"), col("_g").as("_r"), col("rn")))
+    ranged.release()
+    (state,
+      obs.get("s").asInstanceOf[Long],
+      prevRank.map(_ => obs.get("sprev").asInstanceOf[Long]),
+      obs.get("srn").asInstanceOf[Long])
+  }
+
+  def build(df: DataFrame, textCol: String, idCol: String,
+            startPrefix: Int = 64, parts: Int = 32,
+            maxRounds: Int = 16): DataFrame = {
+    val sfx = df
+      .select(col(idCol).as("_id"), split(col(textCol), " ").as("_ws"))
+      .select(col("_id"), col("_ws"),
+        explode(expr("sequence(0, size(_ws) - 1)")).as("_p"))
+      .select(col("_id"), col("_p").cast("long").as("pos"),
+        array_join(expr(s"slice(_ws, _p + 1, $startPrefix)"), " ").as("_p0"))
+    var (state, s0, _, srn0) = rankRound(sfx,
+      Seq(col("_p0"), col("_id"), col("pos")), Seq("_p0"), parts, "sa_seed", None)
+    var h = startPrefix.toLong
+    var round = 1
+    var done = s0 == srn0 // every length-startPrefix prefix already unique
+    while (!done && round <= maxRounds) {
+      // suffix p extends with the rank of suffix p+h of the SAME doc; a
+      // suffix shorter than h+1 tokens has no extension — rank 0 sorts
+      // below every real rank (shorter-is-smaller, the prefix rule)
+      val b = state.df.select(col("_id").as("_bid"), (col("pos") - h).as("_bpos"),
+        col("_r").as("_r2"))
+      val paired = state.df.join(b,
+          col("_id") === col("_bid") && col("pos") === col("_bpos"), "left")
+        .select(col("_id"), col("pos"), col("_r").as("_r1"),
+          coalesce(col("_r2"), lit(0L)).as("_r2"))
+      val tR = System.nanoTime()
+      val (next, sG, sPrev, sRn) = rankRound(paired,
+        Seq(col("_r1"), col("_r2"), col("_id"), col("pos")),
+        Seq("_r1", "_r2"), parts, s"sa_round_$round", Some("_r1"))
+      state.release() // consumed into the new round's checkpoint
+      state = next
+      if (sys.env.contains("GRAFT_SA_DEBUG"))
+        System.err.println(f"[sa] round $round h=$h sumRank=$sG " +
+          f"prev=${sPrev.get} srn=$sRn secs=${(System.nanoTime() - tR) / 1e9}%.2f")
+      // no split this round (fixpoint) or every group singleton (resolved)
+      done = sPrev.contains(sG) || sG == sRn
+      h *= 2
+      round += 1
+    }
+    // at the fixpoint rn = row_number over (suffix, id, pos): groups are
+    // exactly the identical-suffix classes and rn breaks them by (id, pos)
+    state.df.select(col("_id").as(idCol), col("pos"), col("rn").as("sa_rank"))
+  }
+
+  /** LCP between each suffix and its successor in suffix-array order —
+    * one row per consecutive pair: (idCol, pos, nbr_id, nbr_pos, lcp).
+    * The longest repeated substring in the corpus is the max-LCP pair
+    * (a repeat's two occurrences are SA-adjacent at the maximum), and
+    * duplicated spans of length ≥ L are exactly the SA runs with
+    * neighbor LCP ≥ L — the Lee et al. extraction. One rank self-join +
+    * two keyed joins back to the token arrays; the per-pair compare is
+    * the native codegen [[graft.functions.CommonPrefixLen]] loop.
+    */
+  def lcpNeighbors(df: DataFrame, textCol: String, idCol: String,
+                   sa: DataFrame): DataFrame = {
+    val ws = df.select(col(idCol).as("_wid"), split(col(textCol), " ").as("_ws"))
+    val nbr = sa.select(col(idCol).as("nbr_id"), col("pos").as("nbr_pos"),
+      (col("sa_rank") - 1).as("_prev"))
+    sa.join(nbr, col("sa_rank") === col("_prev"))
+      .join(ws, col(idCol) === col("_wid"))
+      .withColumnRenamed("_ws", "_wsa").drop("_wid")
+      .join(ws, col("nbr_id") === col("_wid"))
+      .select(col(idCol), col("pos"), col("nbr_id"), col("nbr_pos"),
+        call_function("common_prefix_len",
+          expr("slice(_wsa, CAST(pos + 1 AS INT), size(_wsa))"),
+          expr("slice(_ws, CAST(nbr_pos + 1 AS INT), size(_ws))"))
+          .cast("long").as("lcp"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LogicalPlan, Window}
 
 /** Opt-in analysis guardrail against the single-task global window: a
   * window with an empty PARTITION BY moves every row of its input into
@@ -10,9 +10,11 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Wind
   *
   * Enabled with `spark.graft.forbidGlobalWindows=true` (default off —
   * zero behavior change otherwise). Global windows whose input subtree
-  * contains an Aggregate are allowed: post-aggregation frames are
-  * already reduced (e.g. the parts-row offset table inside
-  * `globalRowNumber` itself); the trap is a global window over RAW data.
+  * contains an Aggregate or a LIMIT are allowed: post-aggregation
+  * frames are already reduced (e.g. the parts-row offset table inside
+  * `globalRowNumber` itself) and a limit bounds the window's input by
+  * construction (e.g. ranking the 20 survivors of a top-k); the trap is
+  * a global window over RAW data.
   *
   * Injected via [[graft.GraftExtensions]] `injectCheckRule` — the
   * extension point for analysis-time plan validation, run after
@@ -23,7 +25,8 @@ case class GlobalWindowCheck(spark: SparkSession) extends (LogicalPlan => Unit) 
     if (spark.conf.getOption("spark.graft.forbidGlobalWindows").contains("true")) {
       plan.foreach {
         case w: Window if w.partitionSpec.isEmpty &&
-            !w.child.exists(_.isInstanceOf[Aggregate]) =>
+            !w.child.exists(n =>
+              n.isInstanceOf[Aggregate] || n.isInstanceOf[GlobalLimit]) =>
           throw new IllegalStateException(
             "Global window (no PARTITION BY) over raw data moves every row " +
               "into one task and cannot scale; use Rank.globalRowNumber " +
