@@ -42,6 +42,8 @@ object Functions {
       exprs(0), exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]))
     native("word_gram_hashes", exprs => graft.functions.WordGramHashes(
       exprs(0), exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]))
+    native("word_grams", exprs => graft.functions.WordGrams(
+      exprs(0), exprs(1).eval().asInstanceOf[Int]))
     native("gopher_stats", exprs => graft.functions.GopherStatsExpr(exprs(0)))
     native("unicode_norm", exprs => graft.functions.UnicodeNormalize(
       exprs(0), graft.functions.UnicodeNormalize.formOf(

@@ -3338,6 +3338,15 @@ object SparkEntry {
           k = 5)
         .orderBy("doc_id")),
 
+    // Exact span dedup on the suffix array — the collision-free twin of
+    // dedup_spans (duplicated k-gram ⟺ SA run with neighbor LCP ≥ k);
+    // its oracle keys on the RAW gram string where dedup_spans' keys on
+    // md5, the only difference between the two pipelines.
+    "dedup_spans_exact" -> ((s, dir) =>
+      graft.ops.Dedup.dedupSpansExact(t(s, dir, "documents"), "text",
+          "doc_id", k = 5)
+        .orderBy("doc_id")),
+
     // Distributed SUFFIX ARRAY (Manber–Myers prefix doubling — see
     // ops/SuffixArray.scala): the full per-suffix rank table, checked
     // against DuckDB literally sorting every suffix string. Closes the
@@ -7061,6 +7070,29 @@ object SparkEntry {
         |        coalesce(n_kept, 0) AS n_kept,
         |        coalesce(clean_text, '') AS clean_text
         | FROM w LEFT JOIN rebuilt USING (doc_id)
+        | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "dedup_spans_exact" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | g AS (SELECT doc_id,
+        |         unnest(range(0, len(ws) - 4)) AS gpos,
+        |         unnest(list_transform(range(0, len(ws) - 4),
+        |           i -> array_to_string(ws[i + 1:i + 5], ' '))) AS gh
+        |       FROM w WHERE len(ws) >= 5),
+        | r AS (SELECT doc_id, gpos,
+        |         row_number() OVER (PARTITION BY gh ORDER BY doc_id, gpos) AS rn
+        |       FROM g),
+        | cov AS (SELECT DISTINCT doc_id, gpos + unnest(range(0, 5)) AS pos
+        |         FROM r WHERE rn >= 2),
+        | t AS (SELECT doc_id, unnest(range(0, len(ws))) AS pos, unnest(ws) AS tok FROM w),
+        | kept AS (SELECT t.doc_id, t.pos, t.tok FROM t ANTI JOIN cov USING (doc_id, pos)),
+        | rb AS (SELECT doc_id, count(*) AS n_kept,
+        |          array_to_string(list(tok ORDER BY pos), ' ') AS clean_text
+        |        FROM kept GROUP BY doc_id)
+        | SELECT w.doc_id, len(ws)::BIGINT AS n_tok,
+        |        coalesce(n_kept, 0)::BIGINT AS n_kept,
+        |        coalesce(clean_text, '') AS clean_text
+        | FROM w LEFT JOIN rb USING (doc_id)
         | ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "suffix_array" ->

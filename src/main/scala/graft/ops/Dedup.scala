@@ -817,15 +817,34 @@ object Dedup {
     * fully-duplicated docs keep n_kept = 0 and clean_text = ''.
     */
   def dedupSpans(df: DataFrame, textCol: String, idCol: String,
-                 k: Int = 5): DataFrame = {
-    // Positional gram hashes in ONE native pass (word_gram_hashes md5s
-    // byte slices of the text — each space-joined gram IS a byte range of
-    // the original string). The interpreted transform/slice/array_join
-    // form this replaces was 11.7 s of the query's 11.7 s at sf0.1.
-    // The < k-token guard lives inside the expression (empty array).
+                 k: Int = 5): DataFrame =
+    dedupSpansImpl(df, textCol, idCol, k,
+      call_function("word_gram_hashes", col(textCol), lit(k), lit(15)))
+
+  /** [[dedupSpans]] with EXACT string gram keys instead of 60-bit md5 —
+    * zero collisions at the price of shuffling ~k·tokenBytes per gram
+    * key instead of 8 bytes (the [[graft.functions.WordGrams]] pass is
+    * the same zero-copy byte-slice scan as the hash form). Identical
+    * output wherever md5 doesn't collide — OpsSpec asserts equality on
+    * the fixture, and also cross-validates BOTH against a third
+    * machinery: duplicated-k-gram groups recomputed as suffix-array runs
+    * with neighbor LCP ≥ k ([[SuffixArray]]), the Lee et al. structure.
+    */
+  def dedupSpansExact(df: DataFrame, textCol: String, idCol: String,
+                      k: Int = 5): DataFrame =
+    dedupSpansImpl(df, textCol, idCol, k,
+      call_function("word_grams", col(textCol), lit(k)))
+
+  private def dedupSpansImpl(df: DataFrame, textCol: String, idCol: String,
+                             k: Int, gramArr: org.apache.spark.sql.Column): DataFrame = {
+    // Positional grams in ONE native pass (word_gram_hashes/word_grams
+    // slice byte ranges of the text — each space-joined gram IS a byte
+    // range of the original string). The interpreted
+    // transform/slice/array_join form this replaces was 11.7 s of the
+    // query's 11.7 s at sf0.1. The < k-token guard lives inside the
+    // expression (empty array).
     val grams = df.select(col(idCol),
-      posexplode(call_function("word_gram_hashes", col(textCol), lit(k), lit(15)))
-        .as(Seq("gpos", "gh")))
+      posexplode(gramArr).as(Seq("gpos", "gh")))
       .select(col(idCol), col("gpos").cast("long").as("gpos"), col("gh"))
     // Corpus-global duplicated grams + their first occurrence in ONE
     // partial-aggregable hash aggregation: map-side combine absorbs hot
@@ -865,21 +884,31 @@ object Dedup {
     // test covers this op).
     val covered = graft.ops.Iterate.materialize(losing
       .select(col(idCol), explode(expr(s"sequence(gpos, gpos + ${k - 1})")).as("pos"))).df
+    rebuildWithoutCovered(df, textCol, idCol, covered)
+  }
+
+  /** Shared rebuild tail of the span-dedup family: drop every covered
+    * (id, pos) token and re-join the survivors per doc. Only TOUCHED
+    * docs pay the token explode and regroup (wide collect_list shuffle +
+    * per-doc array_sort); untouched docs — the overwhelming majority of
+    * a real corpus — pass through verbatim, since split-on-' ' joined
+    * with ' ' reconstitutes the original text exactly. The semi-join
+    * runs BEFORE posexplode (a semi-join can't push through a Generate,
+    * so filtering the doc rows first keeps the untouched majority from
+    * ever exploding). Coverage is a LEFT-join marker over the
+    * per-(id, pos) distinct of `covered` (the marker join must not
+    * multiply token rows) with CASE-gated aggregates, so `rebuilt` emits
+    * one row for EVERY touched doc — fully-covered docs keep n_kept = 0
+    * / clean_text = '' — and the result is one left join, not a
+    * three-branch union re-deriving `touched` per branch. The .tok
+    * field-extract on the sorted struct array is a codegen'd
+    * GetArrayStructFields — no interpreted per-token lambda. `covered`
+    * must be cheap to consume twice (both callers materialize it — the
+    * dup mass, O(duplicated-span positions)).
+    */
+  private def rebuildWithoutCovered(df: DataFrame, textCol: String,
+      idCol: String, covered: DataFrame): DataFrame = {
     val touched = covered.select(col(idCol)).distinct()
-    // Only TOUCHED docs pay the token explode and regroup (wide
-    // collect_list shuffle + per-doc array_sort); untouched docs — the
-    // overwhelming majority of a real corpus — pass through verbatim,
-    // since split-on-' ' joined with ' ' reconstitutes the original text
-    // exactly. The semi-join runs BEFORE posexplode (a semi-join can't
-    // push through a Generate, so filtering the doc rows first keeps the
-    // untouched majority from ever exploding). Coverage is a LEFT-join
-    // marker over the per-(id, pos) distinct of `covered` (the marker
-    // join must not multiply token rows) with CASE-gated aggregates, so
-    // `rebuilt` emits one row for EVERY touched doc — fully-covered docs
-    // keep n_kept = 0 / clean_text = '' — and the result is one left
-    // join, not a three-branch union re-deriving `touched` per branch.
-    // The .tok field-extract on the sorted struct array is a codegen'd
-    // GetArrayStructFields — no interpreted per-token lambda.
     val touchedToks = df.select(col(idCol), col(textCol))
       .join(touched, Seq(idCol), "left_semi")
       .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))

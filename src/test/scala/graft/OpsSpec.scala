@@ -621,6 +621,68 @@ class OpsSpec extends SparkSpec {
     assert(kept === Seq(2L, 2L))
   }
 
+  test("span dedup three ways: md5 grams = exact grams = suffix-array runs") {
+    // every dedupSpans behavior case plus the shifted/self-repeat shapes
+    val docs = Seq(
+      (1L, "a b c d e x"),
+      (2L, "q a b c d e r"),
+      (3L, "a b c d f"),
+      (4L, "a b c d e"),
+      (5L, "u v w x y z u v w x y z"),
+      (6L, "a b"),
+      (7L, "m n o p q r s t m n o p q r s t u"))
+      .toDF("doc_id", "text")
+    for (k <- Seq(5, 6)) {
+      // pipelines 1 & 2 share only the rebuild tail: hash keys vs raw
+      // string keys; identical wherever md5(60-bit) cannot collide
+      val approx = Dedup.dedupSpans(docs, "text", "doc_id", k = k)
+        .orderBy("doc_id").collect().toSeq
+      val exact = Dedup.dedupSpansExact(docs, "text", "doc_id", k = k)
+        .orderBy("doc_id").collect().toSeq
+      assert(exact === approx, s"k=$k")
+
+      // pipeline 3, entirely different machinery: duplicated-k-gram
+      // groups recomputed as SUFFIX-ARRAY runs with neighbor LCP >= k
+      // (suffixes sharing a k-prefix are SA-contiguous); the losing
+      // (id, pos) gram starts must match the exact-gram derivation
+      val sa = graft.ops.SuffixArray.build(docs, "text", "doc_id",
+        startPrefix = 4)
+      val lcp = graft.ops.SuffixArray.lcpNeighbors(docs, "text", "doc_id", sa)
+      val bnd = sa.join(
+          lcp.select(col("nbr_id").as("_ni"), col("nbr_pos").as("_np"),
+            col("lcp").as("_plcp")),
+          col("doc_id") === col("_ni") && col("pos") === col("_np"), "left")
+        .select(col("doc_id"), col("pos"), col("sa_rank"),
+          when(col("_plcp").isNull || col("_plcp") < k, 1L).otherwise(0L).as("_b"))
+      val runs = graft.ops.Rank.globalCumSum(bnd, Seq(col("sa_rank")), "_b", "_run")
+      val saLosing = runs
+        .join(runs.groupBy("_run")
+          .agg(count(lit(1)).as("_n"), min(struct(col("doc_id"), col("pos"))).as("_w"))
+          .where(col("_n") >= 2)
+          .select(col("_run").as("_r2"), col("_w.doc_id").as("_wid"),
+            col("_w.pos").as("_wpos")),
+          col("_run") === col("_r2"))
+        .where(!(col("doc_id") === col("_wid") && col("pos") === col("_wpos")))
+        .select("doc_id", "pos").as[(Long, Long)].collect().toSet
+      val gramLosing = docs.select(col("doc_id"),
+          posexplode(call_function("word_grams", col("text"), lit(k)))
+            .as(Seq("gpos", "gh")))
+        .withColumn("gpos", col("gpos").cast("long"))
+        .join(
+          docs.select(col("doc_id").as("_d2"),
+              posexplode(call_function("word_grams", col("text"), lit(k)))
+                .as(Seq("_p2", "_g2")))
+            .groupBy("_g2")
+            .agg(count(lit(1)).as("_c"),
+              min(struct(col("_d2"), col("_p2").cast("long").as("_p2"))).as("_m"))
+            .where(col("_c") >= 2),
+          col("gh") === col("_g2"))
+        .where(!(col("doc_id") === col("_m._d2") && col("gpos") === col("_m._p2")))
+        .select("doc_id", "gpos").as[(Long, Long)].collect().toSet
+      assert(saLosing === gramLosing, s"k=$k")
+    }
+  }
+
   test("iterative ops release per-round storage (no block accumulation)") {
     val sc = spark.sparkContext
     def persisted = sc.getPersistentRDDs.size
