@@ -3347,6 +3347,32 @@ object SparkEntry {
           "doc_id", k = 5)
         .orderBy("doc_id")),
 
+    // IVF-PQ composed search, ORACLE-CHECKED end to end (the r11
+    // verdict's last spec-only similarity path): int8-quantized corpus,
+    // integer seed centroids (vec_id < 8), integer-grid trained
+    // codebooks (pqTrainCodebooksInt, m=4 k=4, 2 rounds), nprobe=2 —
+    // every ADC distance is an exact integer, so codes, candidates,
+    // distances, and ranks all hash-match the SQL rebuild. Float-recall
+    // behavior of the same path stays pinned by AnnRecallSpec.
+    "embed_ivfpq" -> ((s, dir) => {
+      val qv = t(s, dir, "embeddings")
+        .withColumn("_ma", Similarity.maxAbs("embedding"))
+        .withColumn("_q", Similarity.quantizeInt8("embedding", "_ma"))
+        .select(col("vec_id"),
+          expr("transform(_q, x -> CAST(x AS FLOAT))").as("emb_q"))
+      val cents = qv.where(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("emb_q").as("c_emb"))
+      val cb = Similarity.pqTrainCodebooksInt(qv, "vec_id", "emb_q",
+        m = 4, k = 4, iterations = 2, dim = 64)
+      Similarity.ivfPqTopK(qv, "vec_id", "emb_q", cents, "c_id", "c_emb", cb,
+          a => a.where(col("vec_id") >= 10 && col("vec_id") < 15),
+          k = 3, nprobe = 2, dim = 64, m = 4)
+        .select(col("q_id"), col("neighbor_id"),
+          col("adc2").cast("long").as("adc2"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
     // Distributed SUFFIX ARRAY (Manber–Myers prefix doubling — see
     // ops/SuffixArray.scala): the full per-suffix rank table, checked
     // against DuckDB literally sorting every suffix string. Closes the
@@ -7071,6 +7097,86 @@ object SparkEntry {
         |        coalesce(clean_text, '') AS clean_text
         | FROM w LEFT JOIN rebuilt USING (doc_id)
         | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // the full composed pipeline rebuilt in SQL: quantize → seed
+    // centroids → 2 unrolled Lloyd rounds (same CTEs as embed_pq_train)
+    // → encode → IVF assign (argmin cosine) → 2-probe per query → ADC
+    // over codes in probed cells → top-3; integer arithmetic end to end
+    "embed_ivfpq" ->
+      """WITH ma AS (SELECT vec_id, embedding,
+        |     CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS ma
+        |   FROM embeddings),
+        | qv AS MATERIALIZED (SELECT vec_id,
+        |     CASE WHEN ma = 0 THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+        |          ELSE list_transform(embedding,
+        |            x -> CAST(CAST(round(127 * CAST(x AS DOUBLE) / ma) AS INTEGER) AS DOUBLE))
+        |     END AS q
+        |   FROM ma),
+        | mm AS (SELECT unnest(range(0, 4)) AS m),
+        | subs AS MATERIALIZED (SELECT vec_id, mm.m AS m,
+        |     q[mm.m * 16 + 1 : mm.m * 16 + 16] AS sv FROM qv, mm),
+        | seed AS MATERIALIZED (SELECT m, rn - 1 AS code, sv AS cv FROM
+        |     (SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
+        |      FROM subs) WHERE rn <= 4),
+        | a1 AS MATERIALIZED (SELECT s.vec_id, s.m,
+        |     min(struct_pack(d2 := list_sum([pow(s.sv[i] - c.cv[i], 2) for i in range(1, 17)]),
+        |                     code := c.code)).code AS code
+        |   FROM subs s JOIN seed c ON s.m = c.m GROUP BY s.vec_id, s.m),
+        | e1 AS (SELECT a.m, a.code, r.range AS pos, s.sv[r.range] AS v
+        |   FROM a1 a JOIN subs s ON a.vec_id = s.vec_id AND a.m = s.m, range(1, 17) r),
+        | n1 AS (SELECT m, code,
+        |     [x.v for x in list_sort(list(struct_pack(pos := pos, v := v)))] AS cv
+        |   FROM (SELECT m, code, pos, round(avg(v)) AS v FROM e1 GROUP BY m, code, pos)
+        |   GROUP BY m, code),
+        | c1 AS MATERIALIZED (SELECT s.m, s.code, coalesce(n.cv, s.cv) AS cv
+        |   FROM seed s LEFT JOIN n1 n ON s.m = n.m AND s.code = n.code),
+        | a2 AS MATERIALIZED (SELECT s.vec_id, s.m,
+        |     min(struct_pack(d2 := list_sum([pow(s.sv[i] - c.cv[i], 2) for i in range(1, 17)]),
+        |                     code := c.code)).code AS code
+        |   FROM subs s JOIN c1 c ON s.m = c.m GROUP BY s.vec_id, s.m),
+        | e2 AS (SELECT a.m, a.code, r.range AS pos, s.sv[r.range] AS v
+        |   FROM a2 a JOIN subs s ON a.vec_id = s.vec_id AND a.m = s.m, range(1, 17) r),
+        | n2 AS (SELECT m, code,
+        |     [x.v for x in list_sort(list(struct_pack(pos := pos, v := v)))] AS cv
+        |   FROM (SELECT m, code, pos, round(avg(v)) AS v FROM e2 GROUP BY m, code, pos)
+        |   GROUP BY m, code),
+        | c2 AS MATERIALIZED (SELECT s.m, s.code, coalesce(n.cv, s.cv) AS cv
+        |   FROM c1 s LEFT JOIN n2 n ON s.m = n.m AND s.code = n.code),
+        | enc AS MATERIALIZED (SELECT s.vec_id, s.m,
+        |     min(struct_pack(d2 := list_sum([pow(s.sv[i] - c.cv[i], 2) for i in range(1, 17)]),
+        |                     code := c.code)).code AS code
+        |   FROM subs s JOIN c2 c ON s.m = c.m GROUP BY s.vec_id, s.m),
+        | cents AS MATERIALIZED (SELECT vec_id AS c_id, q AS c_emb FROM qv WHERE vec_id < 8),
+        | assign AS MATERIALIZED (SELECT v.vec_id,
+        |     min(struct_pack(nc := -(list_dot_product(c.c_emb, v.q) /
+        |           (sqrt(list_dot_product(c.c_emb, c.c_emb)) * sqrt(list_dot_product(v.q, v.q)))),
+        |         cid := c.c_id)).cid AS cluster
+        |   FROM qv v, cents c GROUP BY v.vec_id),
+        | probes AS (SELECT q_id, cluster FROM (
+        |     SELECT v.vec_id AS q_id, c.c_id AS cluster,
+        |       row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |         (list_dot_product(c.c_emb, v.q) /
+        |           (sqrt(list_dot_product(c.c_emb, c.c_emb)) * sqrt(list_dot_product(v.q, v.q)))) DESC,
+        |         c.c_id) AS rk
+        |     FROM qv v, cents c WHERE v.vec_id >= 10 AND v.vec_id < 15)
+        |   WHERE rk <= 2),
+        | cand AS (SELECT p.q_id, a.vec_id AS neighbor_id
+        |   FROM probes p JOIN assign a ON a.cluster = p.cluster
+        |   WHERE a.vec_id <> p.q_id),
+        | qsubs AS (SELECT v.vec_id AS q_id, mm.m AS m,
+        |     v.q[mm.m * 16 + 1 : mm.m * 16 + 16] AS qv_sub
+        |   FROM qv v, mm WHERE v.vec_id >= 10 AND v.vec_id < 15),
+        | adc AS (SELECT c.q_id, c.neighbor_id,
+        |     sum(list_sum([pow(qs.qv_sub[i] - cb.cv[i], 2) for i in range(1, 17)])) AS adc2
+        |   FROM cand c JOIN enc e ON e.vec_id = c.neighbor_id
+        |               JOIN c2 cb ON cb.m = e.m AND cb.code = e.code
+        |               JOIN qsubs qs ON qs.q_id = c.q_id AND qs.m = e.m
+        |   GROUP BY c.q_id, c.neighbor_id),
+        | ranked AS (SELECT q_id, neighbor_id, adc2,
+        |     row_number() OVER (PARTITION BY q_id ORDER BY adc2, neighbor_id) AS rank
+        |   FROM adc)
+        | SELECT q_id, neighbor_id, CAST(adc2 AS BIGINT) AS adc2, CAST(rank AS BIGINT) AS rank
+        | FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin.replace("\n", " "),
 
     "dedup_spans_exact" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -104,8 +104,14 @@ object Sinks {
     val upserts = deleteCol.fold(upserts0)(d => upserts0.drop(d))
       .withColumn("_bucket", bucket)
     val allKeys = updates.select(col(keyCol)).withColumn("_bucket", bucket)
-    val existing =
-      try Some(spark.read.parquet(targetPath)) catch { case _: Exception => None }
+    // explicit existence check, NOT a catch-all around the read: an
+    // EXISTING but unreadable table must fail the merge loudly — treating
+    // it as "new" would overwrite the table with just this batch
+    val existing = {
+      val p = new org.apache.hadoop.fs.Path(targetPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) Some(spark.read.parquet(targetPath)) else None
+    }
     val merged = existing match {
       case Some(prev) =>
         val touched = allKeys.select("_bucket").distinct()

@@ -557,16 +557,15 @@ object Similarity {
     val qBase0 = queryIds(assigned)
       .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
     val qBase = if (replication > 1) qBase0.dropDuplicates("q_id") else qBase0
-    val qProbes = qBase.crossJoin(broadcast(centroids))
-      .select(col("q_id"), col(cIdCol).as("cluster"),
-        (dotFixed(cEmbCol, "q_emb") /
-          (sqrt(dotFixed(cEmbCol, cEmbCol)) * sqrt(dotFixed("q_emb", "q_emb"))))
-          .as("_c_cos"))
-      .select(col("q_id"), col("cluster"),
-        row_number().over(
-          Window.partitionBy("q_id").orderBy(col("_c_cos").desc, col("cluster"))).as("_rk"))
-      .where(col("_rk") <= nprobe)
-      .select("q_id", "cluster")
+    // probe selection through the same fused vec_top_cells kernel as
+    // ivfAssign/ivfTopK — no per-query window anywhere in this plan
+    val pqCentArr = centroids.agg(
+      array_sort(collect_list(struct(
+        col(cIdCol).cast("long").as("_cid"), col(cEmbCol).as("_cemb"),
+        sqrt(dotFixed(cEmbCol, cEmbCol)).as("_cnrm")))).as("_cents"))
+    val qProbes = qBase.crossJoin(broadcast(pqCentArr))
+      .select(col("q_id"),
+        explode(expr(s"vec_top_cells(_cents, q_emb, $nprobe)")).as("cluster"))
     val qsubs = qBase.select(col("q_id"), posexplode(expr(
         s"transform(sequence(0, ${mm - 1}), i -> slice(q_emb, i * $sub + 1, $sub))")))
       .select(col("q_id"), col("pos").as("m"), col("col").as("qv"))
@@ -585,15 +584,16 @@ object Similarity {
       .agg(expr("""aggregate(array_sort(collect_list(struct(m, d2))),
              | CAST(0 AS DOUBLE), (a, x) -> a + x.d2)"""
         .stripMargin.replace("\n", " ")).as("adc2"))
-    val adcRanked = adc.select(col("*"),
-        row_number().over(
-          Window.partitionBy("q_id").orderBy(col("adc2"), col("neighbor_id")))
-          .as("rank"))
-    if (rerank <= 0) adcRanked.where(col("rank") <= k)
+    // per-query ADC ranking via the two-phase TopK exec: map-side bounded
+    // heaps prune to ≤ max(k, rerank) candidates per query per partition
+    // before the exchange, and rank is emitted from the merge order — the
+    // row_number window this replaces shuffled every scored candidate
+    def adcTop(n: Int) = TopK.topKPerGroupExecRanked(adc, Seq("q_id"),
+      Seq(("adc2", false), ("neighbor_id", false)), n, "rank")
+    if (rerank <= 0) adcTop(k)
     else {
       // exact re-rank: fetch floats for ONLY the ADC top-`rerank` rows
-      val short = adcRanked.where(col("rank") <= math.max(k, rerank))
-        .drop("rank")
+      val short = adcTop(math.max(k, rerank)).drop("rank")
       val floats = corpus.select(col(idCol).as("neighbor_id"),
         col(embCol).as("n_emb"),
         sqrt(dotFixed(embCol, embCol)).as("_nrm"))
