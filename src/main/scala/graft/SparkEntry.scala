@@ -4493,6 +4493,38 @@ object SparkEntry {
         .orderBy("_id")
     }),
 
+    // Deploy-shaped MERGE sink (the reference's upsert path,
+    // `lib/ingest.js:134-165`, at deploy shape): replay three
+    // micro-batches — create, update+insert, delete+upsert — through
+    // Sinks.mergeInto's hash-bucketed dynamic-overwrite layout, then read
+    // the final table back. The oracle computes the same per-key fold in
+    // closed form (last-writer-wins with deletes), so a hash match proves
+    // the multi-batch merge semantics end to end — previously this sink
+    // was spec-only. Values are integer-derived (custkey), so the compare
+    // is exact cross-engine.
+    "sink_merge_into" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_sink_merge")
+        .toString + "/t"
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey"))
+      // batch 1 (create): every %3 key, v = custkey
+      graft.ingest.Sinks.mergeInto(s, path,
+        o.where(col("k") % 3 === 0).select(col("k"), col("o_custkey").as("v")),
+        "k", numBuckets = 16)
+      // batch 2 (update + insert): every %2 key, v = 2·custkey
+      graft.ingest.Sinks.mergeInto(s, path,
+        o.where(col("k") % 2 === 0)
+          .select(col("k"), (col("o_custkey") * 2).as("v")),
+        "k", numBuckets = 16)
+      // batch 3 (delete + upsert): %5-only keys deleted (absent keys are
+      // a no-op), %7 keys upserted to -1
+      graft.ingest.Sinks.mergeInto(s, path,
+        o.where(col("k") % 5 === 0 || col("k") % 7 === 0)
+          .select(col("k"), lit(-1L).as("v"), (col("k") % 7 =!= 0).as("_del")),
+        "k", numBuckets = 16, deleteCol = Some("_del"))
+      graft.ingest.Sinks.readMerged(s, path).orderBy("k")
+    }),
+
     // Multimodal plumbing: documents as binary payloads through the typed
     // mapPartitions decode (text → deterministic stub path — see Multimodal).
     "mm_decode" -> ((s, dir) =>
@@ -8081,6 +8113,19 @@ object SparkEntry {
         | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "merge_fast_docs" -> mergeFastDocsOracle,
+
+    // closed-form twin of the 3-batch merge replay: per-key
+    // last-writer-wins with deletes — %7 upserts (-1) win over %5
+    // deletes, which win over batch 2's %2 doubles over batch 1's %3 base
+    "sink_merge_into" ->
+      """SELECT o_orderkey AS k,
+        |        CASE WHEN o_orderkey % 7 = 0 THEN -1
+        |             WHEN o_orderkey % 2 = 0 THEN o_custkey * 2
+        |             ELSE o_custkey END AS v
+        | FROM orders
+        | WHERE o_orderkey % 7 = 0
+        |    OR (o_orderkey % 5 <> 0 AND (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0))
+        | ORDER BY k""".stripMargin.replace("\n", " "),
 
     "mm_decode" ->
       """SELECT doc_id AS media_id, 'text/plain' AS media_type,

@@ -104,6 +104,20 @@ object Sinks {
     val upserts = deleteCol.fold(upserts0)(d => upserts0.drop(d))
       .withColumn("_bucket", bucket)
     val allKeys = updates.select(col(keyCol)).withColumn("_bucket", bucket)
+    // The touched-bucket list drives both the stored-side partition prune
+    // and the post-write empty-bucket cleanup, so it is brought to the
+    // driver ONCE, through an observe() metric on a one-column pass over
+    // the batch — the list is bounded by `numBuckets` (a layout constant,
+    // 64 by default), never by data size, so this is a counters-class
+    // driver value, not a data collect.
+    val touchedBuckets: Seq[Int] = {
+      val obs = Observation()
+      allKeys.select("_bucket")
+        .observe(obs, collect_set(col("_bucket")).as("bs"))
+        .foreach(_ => ())
+      obs.get("bs").asInstanceOf[scala.collection.Seq[Any]]
+        .map(_.asInstanceOf[Int]).toSeq.sorted
+    }
     // explicit existence check, NOT a catch-all around the read: an
     // EXISTING but unreadable table must fail the merge loudly — treating
     // it as "new" would overwrite the table with just this batch
@@ -114,22 +128,48 @@ object Sinks {
     }
     val merged = existing match {
       case Some(prev) =>
-        val touched = allKeys.select("_bucket").distinct()
-        // stored rows of touched buckets only, minus every matched key
-        // (updated keys re-enter from the batch side; deleted keys don't)
-        prev.join(broadcast(touched), Seq("_bucket"), "left_semi")
+        // stored rows of touched buckets only (literal IN over the
+        // partition column — statically partition-pruned at the scan),
+        // minus every matched key (updated keys re-enter from the batch
+        // side; deleted keys don't)
+        prev.where(col("_bucket").isin(touchedBuckets: _*))
           .join(allKeys.select(keyCol), Seq(keyCol), "left_anti")
           .unionByName(upserts)
       case None => upserts
     }
     // the dynamic overwrite must not read its own output mid-write —
-    // materialize fully first (same discipline as StreamingIngest)
-    val m = graft.ops.Iterate.materialize(merged)
-    try m.df.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("_bucket")
-      .parquet(targetPath)
-    finally m.release()
+    // materialize fully first (same discipline as StreamingIngest); the
+    // materializing action also completes the present-bucket observation
+    val presentObs = Observation()
+    val m = graft.ops.Iterate.materialize(
+      merged.observe(presentObs, collect_set(col("_bucket")).as("bs")))
+    try {
+      m.df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_bucket")
+        .parquet(targetPath)
+      // Dynamic partition overwrite only rewrites partitions PRESENT in
+      // the written data — a touched bucket whose merged output is empty
+      // (the batch deleted every stored row and no upsert hashed there)
+      // keeps its old files and the deleted keys would silently
+      // resurrect. Delete those now-empty partition directories
+      // explicitly, AFTER the write commits (pre-deleting would lose the
+      // overwrite's crash-safety: old files must survive until the new
+      // commit lands; a crash in the window before this cleanup leaves
+      // stale rows that the next replay of the batch removes again —
+      // at-least-once delivery still converges).
+      val present = presentObs.get("bs").asInstanceOf[scala.collection.Seq[Any]]
+        .map(_.asInstanceOf[Int]).toSet
+      val emptied = touchedBuckets.filterNot(present)
+      if (emptied.nonEmpty) {
+        val fs = new org.apache.hadoop.fs.Path(targetPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        emptied.foreach { b =>
+          val dir = new org.apache.hadoop.fs.Path(targetPath, s"_bucket=$b")
+          if (fs.exists(dir)) fs.delete(dir, true)
+        }
+      }
+    } finally m.release()
   }
 
   /** Read back a [[mergeInto]] table without its layout column. */

@@ -76,6 +76,34 @@ class SinksSpec extends SparkSpec {
     assert(table() === expect)
   }
 
+  test("mergeInto: a fully-emptied bucket does not resurrect deleted keys") {
+    val path = java.nio.file.Files.createTempDirectory("graft_merge_empty").toString + "/t"
+    def bucketOf(k: Long): Int = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(8L)).cast("int")).head.getInt(0)
+    val keys = (1L to 64L)
+    Sinks.mergeInto(spark, path, keys.map(k => (k, s"v$k")).toDF("k", "v"),
+      "k", numBuckets = 8)
+    // delete EVERY key of one bucket (and nothing else): the merged
+    // output for that partition is empty, so dynamic overwrite alone
+    // would leave its old files in place and the keys would resurrect
+    val victim = bucketOf(1L)
+    val doomed = keys.filter(k => bucketOf(k) == victim)
+    assert(doomed.nonEmpty)
+    val batch = doomed.map(k => (k, "", true)).toDF("k", "v", "_del")
+    Sinks.mergeInto(spark, path, batch, "k", numBuckets = 8,
+      deleteCol = Some("_del"))
+    val back = Sinks.readMerged(spark, path).orderBy("k")
+      .as[(Long, String)].collect().toSeq
+    assert(back === keys.filterNot(doomed.contains).map(k => (k, s"v$k")),
+      "deleted keys resurrected from an emptied bucket's stale files")
+    // and the emptied partition directory itself is gone
+    assert(!new java.io.File(s"$path/_bucket=$victim").exists())
+    // replay converges (delete of absent keys is a no-op)
+    Sinks.mergeInto(spark, path, batch, "k", numBuckets = 8,
+      deleteCol = Some("_del"))
+    assert(Sinks.readMerged(spark, path).count() === (64 - doomed.size).toLong)
+  }
+
   test("bucketed tables join without a shuffle") {
     // clean any residue from a previous aborted run (dir without catalog entry)
     Seq("graft_bucket_left", "graft_bucket_right").foreach { tbl =>
