@@ -24,6 +24,23 @@ import org.apache.spark.sql.types._
   * bit-identical to the window formulation and to a SQL oracle that
   * recomputes it. Returns ARRAY<BIGINT> of min(r, |cents|) cell ids in
   * (cos desc, cid asc) order.
+  *
+  * Ordering uses Spark SQL's TOTAL order on scores, not raw IEEE
+  * comparisons, so the bit-identity claim holds for non-finite inputs
+  * too (raw `>` compares would silently rank every NaN worst):
+  *
+  *   - a ZERO divisor (zero-norm centroid or query embedding) is what
+  *     Spark SQL's `Divide` returns NULL for — and `cos DESC` is NULLS
+  *     LAST, so that candidate ranks strictly BELOW every real score;
+  *   - a NaN score with a NONZERO divisor (NaN component in either
+  *     vector) sorts as Spark's largest double — ABOVE +Infinity, so it
+  *     ranks FIRST under desc;
+  *   - finite scores compare through the monotone sign-folded bit key
+  *     (`doubleToLongBits` with the negative range reflected), −0.0
+  *     normalized to 0.0 like Spark's sort.
+  *
+  * Ties in every class break by cid asc. CodegenSpec pins all three
+  * classes against the actual row_number window formulation.
   */
 case class VecTopCells(left: Expression, right: Expression, r: Int)
     extends BinaryExpression {
@@ -62,7 +79,7 @@ case class VecTopCells(left: Expression, right: Expression, r: Int)
     val vnrm = math.sqrt(vv)
     val n = cents.numElements()
     val k = math.min(r, n)
-    val bestNc = new Array[Double](k)
+    val bestKey = new Array[Long](k)
     val bestId = new Array[Long](k)
     var filled = 0
     i = 0
@@ -75,16 +92,26 @@ case class VecTopCells(left: Expression, right: Expression, r: Int)
       var dot = 0.0
       var j = 0
       while (j < d) { dot += cemb.getFloat(j).toDouble * emb.getFloat(j).toDouble; j += 1 }
-      val nc = -(dot / (cnrm * vnrm))
-      // insertion into the sorted (nc asc, cid asc) top-k buffer
+      val den = cnrm * vnrm
+      // key classes (buffer keeps (key desc, cid asc)): MinValue = the
+      // NULL Spark's Divide returns for a zero divisor (NULLS LAST under
+      // desc — doubleToLongBits canonicalizes NaN, so no real score folds
+      // to MinValue); otherwise the monotone sign-folded bit key, under
+      // which NaN (canonical bits) lands above +Inf like Spark's sort
+      val key = if (den == 0.0) Long.MinValue else {
+        var cos = dot / den
+        if (cos == 0.0) cos = 0.0 // normalize -0.0 (Spark sorts them equal)
+        val b = java.lang.Double.doubleToLongBits(cos)
+        b ^ ((b >> 63) & Long.MaxValue)
+      }
       var pos = filled
-      while (pos > 0 && (bestNc(pos - 1) > nc ||
-        (bestNc(pos - 1) == nc && bestId(pos - 1) > cid))) pos -= 1
+      while (pos > 0 && (bestKey(pos - 1) < key ||
+        (bestKey(pos - 1) == key && bestId(pos - 1) > cid))) pos -= 1
       if (pos < k) {
         val last = math.min(filled, k - 1)
         var m = last
-        while (m > pos) { bestNc(m) = bestNc(m - 1); bestId(m) = bestId(m - 1); m -= 1 }
-        bestNc(pos) = nc
+        while (m > pos) { bestKey(m) = bestKey(m - 1); bestId(m) = bestId(m - 1); m -= 1 }
+        bestKey(pos) = key
         bestId(pos) = cid
         if (filled < k) filled += 1
       }
@@ -111,7 +138,9 @@ case class VecTopCells(left: Expression, right: Expression, r: Int)
       val d = ctx.freshName("d")
       val dot = ctx.freshName("dot")
       val j = ctx.freshName("j")
-      val nc = ctx.freshName("nc")
+      val den = ctx.freshName("den")
+      val cos = ctx.freshName("cos")
+      val key = ctx.freshName("key")
       val pos = ctx.freshName("pos")
       val m = ctx.freshName("m")
       val last = ctx.freshName("last")
@@ -124,7 +153,7 @@ case class VecTopCells(left: Expression, right: Expression, r: Int)
          |double $vnrm = java.lang.Math.sqrt($vv);
          |int $n = $cents.numElements();
          |int $k = java.lang.Math.min($r, $n);
-         |double[] $bestNc = new double[$k];
+         |long[] $bestNc = new long[$k];
          |long[] $bestId = new long[$k];
          |int $filled = 0;
          |for (int $i = 0; $i < $n; $i++) {
@@ -137,17 +166,26 @@ case class VecTopCells(left: Expression, right: Expression, r: Int)
          |  for (int $j = 0; $j < $d; $j++) {
          |    $dot += (double) $cemb.getFloat($j) * (double) $emb.getFloat($j);
          |  }
-         |  double $nc = -($dot / ($cnrm * $vnrm));
+         |  double $den = $cnrm * $vnrm;
+         |  long $key;
+         |  if ($den == 0.0) {
+         |    $key = java.lang.Long.MIN_VALUE;
+         |  } else {
+         |    double $cos = $dot / $den;
+         |    if ($cos == 0.0) $cos = 0.0;
+         |    $key = java.lang.Double.doubleToLongBits($cos);
+         |    $key ^= ($key >> 63) & java.lang.Long.MAX_VALUE;
+         |  }
          |  int $pos = $filled;
-         |  while ($pos > 0 && ($bestNc[$pos - 1] > $nc ||
-         |      ($bestNc[$pos - 1] == $nc && $bestId[$pos - 1] > $cid))) $pos--;
+         |  while ($pos > 0 && ($bestNc[$pos - 1] < $key ||
+         |      ($bestNc[$pos - 1] == $key && $bestId[$pos - 1] > $cid))) $pos--;
          |  if ($pos < $k) {
          |    int $last = java.lang.Math.min($filled, $k - 1);
          |    for (int $m = $last; $m > $pos; $m--) {
          |      $bestNc[$m] = $bestNc[$m - 1];
          |      $bestId[$m] = $bestId[$m - 1];
          |    }
-         |    $bestNc[$pos] = $nc;
+         |    $bestNc[$pos] = $key;
          |    $bestId[$pos] = $cid;
          |    if ($filled < $k) $filled++;
          |  }

@@ -134,6 +134,14 @@ object SuffixArray {
       h *= 2
       round += 1
     }
+    // A silent exit here would return an UNDER-REFINED (wrong) ranking:
+    // suffixes still sharing a length-h prefix would keep tied group
+    // ranks that the next doubling round would have split. Reachable
+    // with a small startPrefix or pathologically long repeats — fail
+    // loudly instead of emitting a wrong suffix array.
+    require(done,
+      s"suffix array did not converge within maxRounds=$maxRounds " +
+        s"(reached prefix length $h); raise maxRounds or startPrefix")
     // at the fixpoint rn = row_number over (suffix, id, pos): groups are
     // exactly the identical-suffix classes and rn breaks them by (id, pos)
     state.df.select(col("_id").as(idCol), col("pos"), col("rn").as("sa_rank"))

@@ -9,12 +9,18 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Logi
   * [[graft.ops.Rank.globalRowNumber]] for the scalable alternative).
   *
   * Enabled with `spark.graft.forbidGlobalWindows=true` (default off —
-  * zero behavior change otherwise). Global windows whose input subtree
-  * contains an Aggregate or a LIMIT are allowed: post-aggregation
-  * frames are already reduced (e.g. the parts-row offset table inside
-  * `globalRowNumber` itself) and a limit bounds the window's input by
-  * construction (e.g. ranking the 20 survivors of a top-k); the trap is
-  * a global window over RAW data.
+  * zero behavior change otherwise). Global windows are allowed when the
+  * input subtree contains an Aggregate (post-aggregation frames are
+  * already reduced — e.g. the parts-row offset table inside
+  * `globalRowNumber` itself), or when a LIMIT below the window still
+  * bounds the window's DIRECT input (`GlobalLimit` in the subtree AND
+  * `maxRows.isDefined` at the window's child — e.g. ranking the 20
+  * survivors of a top-k). Both halves are required: a small limit under
+  * a join/explode that re-expands to unbounded rows loses its `maxRows`
+  * bound on the way up and is rejected, while a statically-sized local
+  * relation (whose `maxRows` is just its data length, not a bound by
+  * construction) doesn't whitelist itself. The trap is a global window
+  * over RAW data.
   *
   * Injected via [[graft.GraftExtensions]] `injectCheckRule` — the
   * extension point for analysis-time plan validation, run after
@@ -25,8 +31,9 @@ case class GlobalWindowCheck(spark: SparkSession) extends (LogicalPlan => Unit) 
     if (spark.conf.getOption("spark.graft.forbidGlobalWindows").contains("true")) {
       plan.foreach {
         case w: Window if w.partitionSpec.isEmpty &&
-            !w.child.exists(n =>
-              n.isInstanceOf[Aggregate] || n.isInstanceOf[GlobalLimit]) =>
+            !(w.child.maxRows.isDefined &&
+              w.child.exists(_.isInstanceOf[GlobalLimit])) &&
+            !w.child.exists(_.isInstanceOf[Aggregate]) =>
           throw new IllegalStateException(
             "Global window (no PARTITION BY) over raw data moves every row " +
               "into one task and cannot scale; use Rank.globalRowNumber " +

@@ -82,4 +82,44 @@ class CodegenSpec extends SparkSpec {
       .collect()
     rows.foreach(r => assert(r.getInt(0) === r.getInt(1), r.toString))
   }
+
+  test("vec_top_cells ranks zero-divisor and NaN scores like the window twin") {
+    val s = spark.newSession()
+    Functions.register(s)
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // Three score classes the raw-double kernel used to get wrong:
+    //   cid 2: zero-norm centroid (cnrm = 0) -> Spark Divide returns NULL
+    //          -> NULLS LAST under cos DESC -> ranks WORST;
+    //   cid 4: NaN component with nonzero cnrm -> cos = NaN -> Spark sorts
+    //          NaN above +Inf -> ranks FIRST;
+    //   emb 11: zero-norm query -> every divisor 0 -> all NULL -> cid order.
+    // ANSI is turned off for the window twin: under ANSI a 0 divisor
+    // THROWS instead of producing the NULL whose ordering this pins down.
+    s.conf.set("spark.sql.ansi.enabled", "false")
+    val cents = "array(" +
+      "struct(CAST(1 AS BIGINT) AS cid, CAST(array(1.0, 0.0) AS ARRAY<FLOAT>) AS cemb, CAST(1.0 AS DOUBLE) AS cnrm), " +
+      "struct(CAST(2 AS BIGINT) AS cid, CAST(array(0.0, 0.0) AS ARRAY<FLOAT>) AS cemb, CAST(0.0 AS DOUBLE) AS cnrm), " +
+      "struct(CAST(3 AS BIGINT) AS cid, CAST(array(0.0, 1.0) AS ARRAY<FLOAT>) AS cemb, CAST(1.0 AS DOUBLE) AS cnrm), " +
+      "struct(CAST(4 AS BIGINT) AS cid, CAST(array(CAST('NaN' AS FLOAT), 0.0) AS ARRAY<FLOAT>) AS cemb, CAST(1.0 AS DOUBLE) AS cnrm))"
+    val emb = s.createDataset(Seq((10L, Seq(1f, 1f)), (11L, Seq(0f, 0f))))
+      .toDF("id", "emb")
+      .repartition(2) // off the LocalRelation fast path -> real codegen
+    val fused = emb
+      .select(col("id"), expr(s"vec_top_cells($cents, emb, 3)").as("cells"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val win = emb
+      .select(col("id"), explode(expr(cents)).as("c"), col("emb"))
+      .select(col("id"), col("c.cid"),
+        (expr("vec_dot(c.cemb, emb)") /
+          (col("c.cnrm") * sqrt(expr("vec_dot(emb, emb)")))).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("cos").desc, col("cid"))))
+      .where(col("rn") <= 3)
+      .select("id", "rn", "cid").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(fused === win)
+    assert(fused(10L) === Seq(4L, 1L, 3L)) // NaN first, 0.707-tie by cid, NULL (cid 2) excluded
+    assert(fused(11L) === Seq(1L, 2L, 3L)) // all NULL: pure cid order
+  }
 }
