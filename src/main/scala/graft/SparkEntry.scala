@@ -3347,6 +3347,17 @@ object SparkEntry {
           "doc_id", k = 5)
         .orderBy("doc_id")),
 
+    // The SAME span dedup through the literal Lee et al. pipeline —
+    // suffix array + neighbor LCP runs instead of a k-gram aggregate
+    // (see Dedup.dedupSpansSa): capped LCP at exactly k (nothing
+    // full-length shuffles), winner selection over the dup mass only.
+    // Same oracle SQL as dedup_spans_exact — the two pipelines must
+    // hash-identically.
+    "dedup_spans_sa" -> ((s, dir) =>
+      graft.ops.Dedup.dedupSpansSa(t(s, dir, "documents"), "text",
+          "doc_id", k = 5)
+        .orderBy("doc_id")),
+
     // IVF-PQ composed search, ORACLE-CHECKED end to end (the r11
     // verdict's last spec-only similarity path): int8-quantized corpus,
     // integer seed centroids (vec_id < 8), integer-grid trained
@@ -7210,28 +7221,10 @@ object SparkEntry {
         | SELECT q_id, neighbor_id, CAST(adc2 AS BIGINT) AS adc2, CAST(rank AS BIGINT) AS rank
         | FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin.replace("\n", " "),
 
-    "dedup_spans_exact" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        | g AS (SELECT doc_id,
-        |         unnest(range(0, len(ws) - 4)) AS gpos,
-        |         unnest(list_transform(range(0, len(ws) - 4),
-        |           i -> array_to_string(ws[i + 1:i + 5], ' '))) AS gh
-        |       FROM w WHERE len(ws) >= 5),
-        | r AS (SELECT doc_id, gpos,
-        |         row_number() OVER (PARTITION BY gh ORDER BY doc_id, gpos) AS rn
-        |       FROM g),
-        | cov AS (SELECT DISTINCT doc_id, gpos + unnest(range(0, 5)) AS pos
-        |         FROM r WHERE rn >= 2),
-        | t AS (SELECT doc_id, unnest(range(0, len(ws))) AS pos, unnest(ws) AS tok FROM w),
-        | kept AS (SELECT t.doc_id, t.pos, t.tok FROM t ANTI JOIN cov USING (doc_id, pos)),
-        | rb AS (SELECT doc_id, count(*) AS n_kept,
-        |          array_to_string(list(tok ORDER BY pos), ' ') AS clean_text
-        |        FROM kept GROUP BY doc_id)
-        | SELECT w.doc_id, len(ws)::BIGINT AS n_tok,
-        |        coalesce(n_kept, 0)::BIGINT AS n_kept,
-        |        coalesce(clean_text, '') AS clean_text
-        | FROM w LEFT JOIN rb USING (doc_id)
-        | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "dedup_spans_exact" -> spanDedupExactOracle,
+
+    // the SA-run pipeline must land on the identical table — one oracle
+    "dedup_spans_sa" -> spanDedupExactOracle,
 
     "suffix_array" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -8240,6 +8233,32 @@ object SparkEntry {
     * conflicting projections: richness = |prefLabel|+|type|+Σ|array elems|;
     * richer doc's type wins (tie → lexicographically greater type).
     */
+  // one oracle for the whole exact-span-dedup family: the k-gram
+  // aggregate (dedup_spans_exact) and the SA-run pipeline
+  // (dedup_spans_sa) must land on the identical table
+  private val spanDedupExactOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      | g AS (SELECT doc_id,
+      |         unnest(range(0, len(ws) - 4)) AS gpos,
+      |         unnest(list_transform(range(0, len(ws) - 4),
+      |           i -> array_to_string(ws[i + 1:i + 5], ' '))) AS gh
+      |       FROM w WHERE len(ws) >= 5),
+      | r AS (SELECT doc_id, gpos,
+      |         row_number() OVER (PARTITION BY gh ORDER BY doc_id, gpos) AS rn
+      |       FROM g),
+      | cov AS (SELECT DISTINCT doc_id, gpos + unnest(range(0, 5)) AS pos
+      |         FROM r WHERE rn >= 2),
+      | t AS (SELECT doc_id, unnest(range(0, len(ws))) AS pos, unnest(ws) AS tok FROM w),
+      | kept AS (SELECT t.doc_id, t.pos, t.tok FROM t ANTI JOIN cov USING (doc_id, pos)),
+      | rb AS (SELECT doc_id, count(*) AS n_kept,
+      |          array_to_string(list(tok ORDER BY pos), ' ') AS clean_text
+      |        FROM kept GROUP BY doc_id)
+      | SELECT w.doc_id, len(ws)::BIGINT AS n_tok,
+      |        coalesce(n_kept, 0)::BIGINT AS n_kept,
+      |        coalesce(clean_text, '') AS clean_text
+      | FROM w LEFT JOIN rb USING (doc_id)
+      | ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   private def mergeFastDocsOracle: String = {
     val nName = nsSql("p_name")
     val nType = nsSql("p_type")

@@ -887,6 +887,51 @@ object Dedup {
     rebuildWithoutCovered(df, textCol, idCol, covered)
   }
 
+  /** Span dedup driven by the SUFFIX ARRAY itself — the literal Lee et
+    * al. '22 pipeline (build SA → neighbor LCP → drop all but the first
+    * copy of every duplicated run), where [[dedupSpans]] /
+    * [[dedupSpansExact]] reach the same answer through a k-gram
+    * aggregate. Output and semantics are IDENTICAL to
+    * [[dedupSpansExact]] at the same k (OpsSpec + the dedup_spans_sa
+    * oracle row assert it): a maximal SA run whose consecutive neighbor
+    * LCPs are ≥ k is exactly the occurrence set of one duplicated
+    * k-gram — every suffix in the run starts with the same k tokens, and
+    * every occurrence of a duplicated gram is SA-adjacent to another —
+    * so "first copy of the run" = min (id, pos) of the gram group.
+    *
+    * Scale shape: the SA build's keyed rounds, one CAPPED LCP pass
+    * (`cap = k` and `exact = false` — a threshold test `lcp >= k` never
+    * needs tokens past k, so nothing full-length is ever shuffled), then
+    * the k-gram winner selection runs over MEMBERS ONLY (the dup mass,
+    * not the corpus): gram keys are re-read as the member suffix's first
+    * k tokens, one bounded slice join.
+    */
+  def dedupSpansSa(df: DataFrame, textCol: String, idCol: String,
+                   k: Int = 5, startPrefix: Int = 64,
+                   parts: Int = 32): DataFrame = {
+    val sa = SuffixArray.build(df, textCol, idCol, startPrefix, parts)
+    val lcp = SuffixArray.lcpNeighbors(df, textCol, idCol, sa,
+      cap = k, exact = false)
+    val dup = lcp.where(col("lcp") >= k.toLong)
+    // both endpoints of every LCP>=k pair are duplicated-gram occurrences
+    val members = dup.select(col(idCol), col("pos"))
+      .unionAll(dup.select(col("nbr_id").as(idCol), col("nbr_pos").as("pos")))
+      .distinct()
+    val ws = df.select(col(idCol).as("_wid"), split(col(textCol), " ").as("_ws"))
+    val withGram = members.join(ws, col(idCol) === col("_wid"))
+      .select(col(idCol), col("pos"),
+        array_join(expr(s"slice(_ws, CAST(pos + 1 AS INT), $k)"), " ").as("_g"))
+    val firsts = withGram.groupBy("_g")
+      .agg(min(struct(col(idCol), col("pos"))).as("_m"))
+      .select(col("_g"), col(s"_m.$idCol").as("_mid"), col("_m.pos").as("_mpos"))
+    val losing = withGram.join(firsts, "_g")
+      .where(!(col(idCol) === col("_mid") && col("pos") === col("_mpos")))
+    val covered = graft.ops.Iterate.materialize(losing
+      .select(col(idCol), col("pos").as("_p0"))
+      .select(col(idCol), explode(expr(s"sequence(_p0, _p0 + ${k - 1})")).as("pos"))).df
+    rebuildWithoutCovered(df, textCol, idCol, covered)
+  }
+
   /** Shared rebuild tail of the span-dedup family: drop every covered
     * (id, pos) token and re-join the survivors per doc. Only TOUCHED
     * docs pay the token explode and regroup (wide collect_list shuffle +

@@ -152,23 +152,70 @@ object SuffixArray {
     * The longest repeated substring in the corpus is the max-LCP pair
     * (a repeat's two occurrences are SA-adjacent at the maximum), and
     * duplicated spans of length ≥ L are exactly the SA runs with
-    * neighbor LCP ≥ L — the Lee et al. extraction. One rank self-join +
-    * two keyed joins back to the token arrays; the per-pair compare is
-    * the native codegen [[graft.functions.CommonPrefixLen]] loop.
+    * neighbor LCP ≥ L — the Lee et al. extraction. The per-pair compare
+    * is the native codegen [[graft.functions.CommonPrefixLen]] loop.
+    *
+    * Scale shape — capped compare with escalation, NOT full-array
+    * replication: each SA row carries only its first `cap` suffix
+    * tokens into the rank self-join, so the shuffle payload is
+    * O(suffixes × cap) instead of O(suffixes × doc_len) (the r12 form
+    * attached the COMPLETE document token array to BOTH sides of every
+    * pair — O(corpus_tokens × mean_doc_len) at 100 TB). A capped
+    * compare is exact unless BOTH suffixes extend past the cap and the
+    * compare saturated; only those pairs — repeats ≥ cap tokens, a
+    * vanishing fraction of any real corpus — escalate to a second join
+    * against the full token arrays, resuming the compare at offset
+    * `cap`. With `exact = false` the escalation is skipped and `lcp` is
+    * min(true LCP, cap) — all a threshold test `lcp >= L` needs
+    * whenever L ≤ cap (the span-dedup case, [[Dedup.dedupSpansSa]]).
+    *
+    * Eager: the pair table (narrow: ids, positions, three longs)
+    * materializes once and feeds the exact/saturated split — left lazy,
+    * both branches would re-run the slice join. Its checkpoint is
+    * reclaimed with the result's lineage (session releaseAll / cleaner
+    * GC), the [[Dedup.dedupSpansImpl]] discipline.
     */
   def lcpNeighbors(df: DataFrame, textCol: String, idCol: String,
-                   sa: DataFrame): DataFrame = {
+                   sa: DataFrame, cap: Int = 128,
+                   exact: Boolean = true): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
     val ws = df.select(col(idCol).as("_wid"), split(col(textCol), " ").as("_ws"))
-    val nbr = sa.select(col(idCol).as("nbr_id"), col("pos").as("nbr_pos"),
-      (col("sa_rank") - 1).as("_prev"))
-    sa.join(nbr, col("sa_rank") === col("_prev"))
-      .join(ws, col(idCol) === col("_wid"))
-      .withColumnRenamed("_ws", "_wsa").drop("_wid")
-      .join(ws, col("nbr_id") === col("_wid"))
-      .select(col(idCol), col("pos"), col("nbr_id"), col("nbr_pos"),
-        call_function("common_prefix_len",
-          expr("slice(_wsa, CAST(pos + 1 AS INT), size(_wsa))"),
-          expr("slice(_ws, CAST(nbr_pos + 1 AS INT), size(_ws))"))
-          .cast("long").as("lcp"))
+    // lazy persist: the slice join feeds both sides of the rank self-join
+    // below; the cache fills during the materializing job and is dropped
+    // right after it
+    val sliced = sa.join(ws, col(idCol) === col("_wid"))
+      .select(col(idCol), col("pos"), col("sa_rank"),
+        expr(s"slice(_ws, CAST(pos + 1 AS INT), $cap)").as("_sfx"),
+        (size(col("_ws")).cast("long") - col("pos")).as("_rem"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nbr = sliced.select((col("sa_rank") - 1).as("_prev"),
+      col(idCol).as("nbr_id"), col("pos").as("nbr_pos"),
+      col("_sfx").as("_nsfx"), col("_rem").as("_nrem"))
+    val base = Iterate.materialize(
+      sliced.join(nbr, col("sa_rank") === col("_prev"))
+        .select(col(idCol), col("pos"), col("nbr_id"), col("nbr_pos"),
+          call_function("common_prefix_len", col("_sfx"), col("_nsfx"))
+            .cast("long").as("_lcp0"),
+          col("_rem"), col("_nrem")))
+    sliced.unpersist()
+    val saturated = col("_lcp0") === cap.toLong &&
+      col("_rem") > cap.toLong && col("_nrem") > cap.toLong
+    val outCols = Seq(col(idCol), col("pos"), col("nbr_id"), col("nbr_pos"))
+    if (!exact)
+      base.df.select(outCols :+ col("_lcp0").as("lcp"): _*)
+    else {
+      val done = base.df.where(!saturated)
+        .select(outCols :+ col("_lcp0").as("lcp"): _*)
+      val esc = base.df.where(saturated)
+        .join(ws, col(idCol) === col("_wid"))
+        .withColumnRenamed("_ws", "_wsa").drop("_wid")
+        .join(ws, col("nbr_id") === col("_wid"))
+        .select(outCols :+
+          (lit(cap.toLong) + call_function("common_prefix_len",
+            expr(s"slice(_wsa, CAST(pos + 1 + $cap AS INT), size(_wsa))"),
+            expr(s"slice(_ws, CAST(nbr_pos + 1 + $cap AS INT), size(_ws))"))
+            .cast("long")).as("lcp"): _*)
+      done.unionByName(esc)
+    }
   }
 }

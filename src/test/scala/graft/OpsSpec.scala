@@ -641,6 +641,13 @@ class OpsSpec extends SparkSpec {
         .orderBy("doc_id").collect().toSeq
       assert(exact === approx, s"k=$k")
 
+      // pipeline 4, the composed operator (Dedup.dedupSpansSa): SA +
+      // capped LCP (cap = k, no escalation) + per-run winner selection —
+      // must land on the identical table
+      val viaSa = Dedup.dedupSpansSa(docs, "text", "doc_id", k = k)
+        .orderBy("doc_id").collect().toSeq
+      assert(viaSa === exact, s"k=$k (dedupSpansSa)")
+
       // pipeline 3, entirely different machinery: duplicated-k-gram
       // groups recomputed as SUFFIX-ARRAY runs with neighbor LCP >= k
       // (suffixes sharing a k-prefix are SA-contiguous); the losing

@@ -111,4 +111,31 @@ class SuffixArraySpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size === base,
       s"leaked: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
   }
+
+  test("capped lcpNeighbors escalates saturated pairs to exact values") {
+    // shared 20-token repeat with cap=4: the capped compare saturates and
+    // must escalate to the exact LCP; non-exact mode reports min(lcp, cap)
+    val run = (1 to 20).map(_ % 3).mkString(" ")
+    val docs = Seq(
+      (1L, run + " x a"),
+      (2L, run + " y b"),
+      (3L, "q r s"))
+    val df = docs.toDF("doc_id", "text")
+    val sa = SuffixArray.build(df, "text", "doc_id", startPrefix = 4)
+    val exact = SuffixArray.lcpNeighbors(df, "text", "doc_id", sa, cap = 4)
+    val maxRow = exact.orderBy(col("lcp").desc).limit(1)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(maxRow._5 === 20L, s"escalation returned $maxRow")
+    assert(Set(maxRow._1, maxRow._3) === Set(1L, 2L))
+    // the default big cap agrees pair-for-pair with the tiny-cap+escalate
+    val wide = SuffixArray.lcpNeighbors(df, "text", "doc_id", sa)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(exact.as[(Long, Long, Long, Long, Long)].collect().toSet === wide)
+    // non-exact mode: capped at 4, never above
+    val capped = SuffixArray.lcpNeighbors(df, "text", "doc_id", sa,
+        cap = 4, exact = false)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(capped.map(_._5).max === 4L)
+    assert(capped.length === wide.size)
+  }
 }
