@@ -51,24 +51,68 @@ object Graph {
     // The static out-degree rides IN the rank state (null = dangling), so
     // a round joins state to edges and aggregates — the per-round
     // state⋈outDeg exchange is paid once here, not `iterations` times.
-    //
-    // PageRank keeps PER-ROUND materialization at every iteration count
-    // (unlike labelPropagation/bfsLevels' bounded-depth lazy path): the
-    // next round's teleport term needs THIS round's dangling mass as a
-    // driver-known scalar. The mass rides the round's own materializing
-    // action as an `observe()` metric (the CC-endgame pattern,
+    val init = nodes
+      .join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .withColumn("rank", lit(1.0 / n))
+    if (iterations <= Iterate.LazyRounds) {
+      // Bounded depth: no per-round driver action (the bfsLevels
+      // discipline). The edge list and the init state are lineage-cut
+      // ONCE (two small jobs) so every round builds on LogicalRDD
+      // LEAVES — left as raw plans, each round re-embeds the caller's
+      // whole edge derivation (a 4-way join in graph_pagerank's case)
+      // and Catalyst's analyze/optimize/cache-lookup cost on the
+      // exponentially nested tree dwarfs the actual work at toy scale
+      // (measured: job time ~1 s of a 6 s wall). Each round's state is
+      // then LAZILY persisted — three consumers (the dangling-mass
+      // aggregate, the inbound branch, the carry join) read the cache
+      // after the first computes it — and the dangling mass enters
+      // round i+1 as a one-row broadcast aggregate IN the plan, so the
+      // final materialize is the only synchronous round job; the nested
+      // dmass broadcast jobs compute each round's cache exactly once on
+      // the way (a strict chain — round i+1's broadcast depends on
+      // round i's cached state). Above LazyRounds the eager path below
+      // keeps plan depth and storage O(1) in rounds.
+      val matE = Iterate.materialize(e)
+      val matInit = Iterate.materialize(init)
+      var states = List(matInit.df)
+      var i = 0
+      while (i < iterations) {
+        val st = states.head
+        val dm = st.agg(coalesce(sum(when(col("deg").isNull, col("rank"))),
+          lit(0.0)).as("_dmass"))
+        val inbound = st.where(col("deg").isNotNull)
+          .select(col("node").as("src"), (col("rank") / col("deg")).as("share"))
+          .join(matE.df, "src")
+          .groupBy("dst")
+          .agg(sum("share").as("inbound"))
+        val next = st.select("node", "deg")
+          .join(inbound.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .crossJoin(broadcast(dm))
+          .select(col("node"), col("deg"),
+            (lit((1.0 - damping) / n) +
+              lit(damping) * (coalesce(col("inbound"), lit(0.0)) +
+                col("_dmass") / lit(n.toDouble))).as("rank"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        states ::= next
+        i += 1
+      }
+      val out = Iterate.materialize(states.head.select("node", "rank"))
+      states.foreach(_.unpersist())
+      matE.release(); matInit.release()
+      rawD.unpersist(); e.unpersist(); nodes.unpersist()
+      return out.df
+    }
+    // Unbounded depth: PER-ROUND materialization — the next round's
+    // teleport term needs THIS round's dangling mass as a driver-known
+    // scalar. The mass rides the round's own materializing action as an
+    // `observe()` metric (the CC-endgame pattern,
     // [[Dedup.connectedComponents]]) and is injected into round i+1 as a
     // LITERAL — no dangling aggregate job, no one-row broadcast exchange:
-    // each round is exactly one job. (An earlier broadcast-based variant
-    // over lazily-persisted rounds recomputed rounds 1..k-1 per broadcast,
-    // measured 1.6 s → 4-12 s at sf0.1 — don't resurrect it.)
+    // each round is exactly one job.
     def dmassMetric: Column =
       coalesce(sum(when(col("deg").isNull, col("rank"))), lit(0.0)).as("dmass")
     var obs = org.apache.spark.sql.Observation()
-    var ranks = Iterate.materialize(nodes
-      .join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left")
-      .withColumn("rank", lit(1.0 / n))
-      .observe(obs, dmassMetric))
+    var ranks = Iterate.materialize(init.observe(obs, dmassMetric))
     var i = 0
     while (i < iterations) {
       val dmass = obs.get("dmass").asInstanceOf[Double]
@@ -123,20 +167,56 @@ object Graph {
     require(nS > 0, "personalizedPageRank needs at least one source node in the graph")
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // static per-node state: teleport weight + out-degree; rank starts AT
-    // the teleport distribution. Per-round materialization for the same
-    // reason as [[pageRank]]: the next round needs this round's dangling
-    // mass, which rides the materializing action as an observe() metric
-    // and enters round i+1 as a literal — one job per round, no dangling
-    // aggregate job or broadcast.
-    def dmassMetric: Column =
-      coalesce(sum(when(col("deg").isNull, col("rank"))), lit(0.0)).as("dmass")
-    var obs = org.apache.spark.sql.Observation()
-    var ranks = Iterate.materialize(nodes
+    // the teleport distribution.
+    val init = nodes
       .join(srcSet.withColumn("_s", lit(1)), Seq("node"), "left")
       .join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left")
       .withColumn("t", when(col("_s").isNotNull, lit(1.0) / nS).otherwise(lit(0.0)))
       .select(col("node"), col("deg"), col("t"), col("t").as("rank"))
-      .observe(obs, dmassMetric))
+    if (iterations <= Iterate.LazyRounds) {
+      // bounded depth: edge list + init state lineage-cut once, then
+      // lazily-persisted rounds over the leaves, dangling mass as an
+      // in-plan one-row broadcast aggregate, single final round job —
+      // see the twin branch in [[pageRank]] for the full rationale
+      val matE = Iterate.materialize(e)
+      val matInit = Iterate.materialize(init)
+      var states = List(matInit.df)
+      var i = 0
+      while (i < iterations) {
+        val st = states.head
+        val dm = st.agg(coalesce(sum(when(col("deg").isNull, col("rank"))),
+          lit(0.0)).as("_dmass"))
+        val inbound = st.where(col("deg").isNotNull)
+          .select(col("node").as("src"), (col("rank") / col("deg")).as("share"))
+          .join(matE.df, "src")
+          .groupBy("dst")
+          .agg(sum("share").as("inbound"))
+        val next = st.select("node", "deg", "t")
+          .join(inbound.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .crossJoin(broadcast(dm))
+          .select(col("node"), col("deg"), col("t"),
+            (lit(1.0 - damping) * col("t") +
+              lit(damping) * (coalesce(col("inbound"), lit(0.0)) +
+                col("_dmass") * col("t"))).as("rank"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        states ::= next
+        i += 1
+      }
+      val out = Iterate.materialize(states.head.select("node", "rank"))
+      states.foreach(_.unpersist())
+      matE.release(); matInit.release()
+      rawD.unpersist(); e.unpersist(); nodes.unpersist(); srcSet.unpersist()
+      return out.df
+    }
+    // unbounded depth: per-round materialization, the next round needs
+    // this round's dangling mass as a driver-known scalar — it rides the
+    // materializing action as an observe() metric and enters round i+1
+    // as a literal; one job per round, no dangling aggregate job or
+    // broadcast
+    def dmassMetric: Column =
+      coalesce(sum(when(col("deg").isNull, col("rank"))), lit(0.0)).as("dmass")
+    var obs = org.apache.spark.sql.Observation()
+    var ranks = Iterate.materialize(init.observe(obs, dmassMetric))
     var i = 0
     while (i < iterations) {
       val dmass = obs.get("dmass").asInstanceOf[Double]

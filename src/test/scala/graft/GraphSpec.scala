@@ -53,6 +53,22 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
 
+  test("bounded-depth lazy path matches the naive reference (3 rounds)") {
+    // iterations <= Iterate.LazyRounds takes the lazily-persisted chain
+    // with the in-plan dangling-mass broadcast — must agree with the
+    // same reference as the eager observe() path
+    val rnd = new Random(11)
+    val edges = Seq.fill(60)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter(e => e._1 != e._2)
+    val got = run(edges, 3)
+    val ref = reference(edges, 3)
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (node, r) =>
+      assert(math.abs(r - ref(node)) < 1e-12, s"node $node: $r vs ${ref(node)}")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
   test("matches the naive reference on seeded random graphs") {
     val rnd = new Random(7)
     val edges = Seq.fill(60)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
@@ -72,6 +88,15 @@ class GraphSpec extends SparkSpec {
     Graph.personalizedPageRank(edges.toDF("s", "d"), "s", "d",
         seeds.toDF("n"), "n", iters)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("personalizedPageRank bounded-depth lazy path (4 rounds): mass + seed bias") {
+    // 4, not 3: in a 2-cycle the rank oscillates with round parity and
+    // the seed leads only on even rounds (rank3 = (0.258, 0.742) exactly)
+    val got = ppr(Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)), Seq(1L), iters = 4)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, s"mass drifted: $got")
+    assert(got(3L) === 0.0 && got(4L) === 0.0)
+    assert(got(1L) > got(2L))
+  }
 
   test("personalizedPageRank: mass conserved, zero off the seed component") {
     // two disconnected 2-cycles; seeds only in the first
