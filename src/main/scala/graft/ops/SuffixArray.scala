@@ -34,11 +34,15 @@ import org.apache.spark.sql.functions._
   * text contract), string order of the joined slice equals
   * token-sequence order (space sorts below every printable character),
   * which is also what lets a SQL oracle reproduce the order with a plain
-  * ORDER BY over suffix strings. Seeding at 64 tokens replaces the first
-  * six doubling rounds; rounds-to-fixpoint is
-  * log2(longestRepeatedPrefix / startPrefix) + 2 — corpus size affects
-  * round WIDTH (keyed join + range exchange, parallel at any size),
-  * never round COUNT.
+  * ORDER BY over suffix strings. The seed length defaults to ADAPTIVE
+  * ([[AdaptiveSeed]]): a one-pass max-doc-length probe picks the
+  * smallest power of two covering the longest document (capped at
+  * [[AdaptiveSeedCap]]), so short-document corpora converge in the seed
+  * round itself — the unresolved-group criterion (see [[rankRound]])
+  * accepts it without a confirmation round. When the cap binds,
+  * rounds-to-fixpoint is log2(longestRepeatedPrefix / seed) + 1 —
+  * corpus size affects round WIDTH (keyed join + range exchange,
+  * parallel at any size), never round COUNT.
   *
   * Output: one row per suffix — (idCol, pos, sa_rank), sa_rank the
   * 1-based position in (suffix, id, pos) order.
@@ -51,20 +55,33 @@ object SuffixArray {
     * global row numbers (the [[Rank.globalRowNumber]] topology: local
     * window per range partition + broadcast cumulative offsets) and the
     * group rank (min row number over `grpKeys`), then materialize the
-    * STATE (4 long columns) and release the pre-rank checkpoint. The
+    * STATE (5 long columns) and release the pre-rank checkpoint. The
     * state's own materializing action fills an observation carrying
-    * Σgroup-rank, Σrow-number, and (when `prevRank` is set) Σprevious-
-    * rank — the three sums that decide convergence without any extra
-    * job:
+    * Σgroup-rank, Σrow-number, an unresolved-group count, and (when
+    * `prevRank` is set) Σprevious-rank — the sums that decide
+    * convergence without any extra job:
     *   - Σg == Σprev  ⟺ no group split this round ⟺ E_2h = E_h, the
     *     fixpoint (sums strictly increase on any split: the later
     *     fragment's min row number exceeds the group's);
     *   - Σg == Σrn    ⟺ every group is a singleton — fully resolved,
-    *     no future round can change anything.
+    *     no future round can change anything;
+    *   - unresolved == 0 ⟺ every multi-member group's LONGEST suffix
+    *     fits inside the currently resolved prefix (`resolvedLen`, the
+    *     `_rem` column carries each suffix's token length): members
+    *     share a resolvedLen-prefix, so length ≤ resolvedLen makes the
+    *     shared prefix the WHOLE suffix — the group is an
+    *     identical-suffix class and can never split. This is the
+    *     criterion that retires the otherwise-mandatory no-split
+    *     CONFIRMATION round: the fixpoint test needs a round *after*
+    *     the last split to observe Σg == Σprev, while this one fires on
+    *     the converging round itself (full-duplicate docs keep ties
+    *     forever, so the singleton test alone never fires on real
+    *     corpora).
     */
   private def rankRound(in: DataFrame, keys: Seq[Column], grpKeys: Seq[String],
-                        parts: Int, obsName: String, prevRank: Option[String])
-      : (Iterate.Materialized, Long, Option[Long], Long) = {
+                        parts: Int, obsName: String, prevRank: Option[String],
+                        resolvedLen: Long)
+      : (Iterate.Materialized, Long, Option[Long], Long, Long) = {
     val ranged = Iterate.materialize(
       in.repartitionByRange(parts, keys: _*)
         .withColumn("_pid", spark_partition_id()))
@@ -79,37 +96,75 @@ object SuffixArray {
       .join(broadcast(offsets), "_pid")
       .withColumn("rn", col("_offset") + col("_local"))
       .drop("_pid", "_local", "_offset")
-    val grp = rn.groupBy(grpKeys.map(col): _*).agg(min("rn").as("_g"))
+    val grp = rn.groupBy(grpKeys.map(col): _*)
+      .agg(min("rn").as("_g"), count(lit(1)).as("_n"), max("_rem").as("_gmax"))
     val obs = new Observation(obsName)
     val metrics = Seq(
       coalesce(sum("_g"), lit(0L)).as("s"),
-      coalesce(sum("rn"), lit(0L)).as("srn")) ++
+      coalesce(sum("rn"), lit(0L)).as("srn"),
+      coalesce(sum(when(col("_n") > 1L && col("_gmax") > resolvedLen, 1L)),
+        lit(0L)).as("unresolved")) ++
       prevRank.map(c => coalesce(sum(col(c)), lit(0L)).as("sprev"))
     val state = Iterate.materialize(
       rn.join(grp, grpKeys)
         .observe(obs, metrics.head, metrics.tail: _*)
-        .select(col("_id"), col("pos"), col("_g").as("_r"), col("rn")))
+        .select(col("_id"), col("pos"), col("_g").as("_r"), col("rn"),
+          col("_rem")))
     ranged.release()
     (state,
       obs.get("s").asInstanceOf[Long],
       prevRank.map(_ => obs.get("sprev").asInstanceOf[Long]),
-      obs.get("srn").asInstanceOf[Long])
+      obs.get("srn").asInstanceOf[Long],
+      obs.get("unresolved").asInstanceOf[Long])
   }
 
+  /** Sentinel for [[build]]'s `startPrefix`: probe the corpus max
+    * document token length (one cheap projection pass, an observe()
+    * metric) and seed at the smallest power of two covering it, capped
+    * at [[AdaptiveSeedCap]]. When the cap doesn't bind, every
+    * non-identical suffix pair is separated by the seed itself and the
+    * unresolved-group criterion accepts the SEED round — one ranking
+    * round total, zero doubling rounds.
+    */
+  val AdaptiveSeed: Int = -1
+
+  /** Upper bound for the adaptively chosen seed prefix: past this, the
+    * space-joined seed key's shuffle bytes (O(suffixes × seed tokens))
+    * outgrow what the saved doubling rounds (log₂ of repeat length,
+    * 4-long-column exchanges) cost.
+    */
+  val AdaptiveSeedCap: Int = 256
+
   def build(df: DataFrame, textCol: String, idCol: String,
-            startPrefix: Int = 64, parts: Int = 32,
+            startPrefix: Int = AdaptiveSeed, parts: Int = 32,
             maxRounds: Int = 16): DataFrame = {
+    val seedLen =
+      if (startPrefix != AdaptiveSeed) startPrefix
+      else {
+        // one-column probe; max token count rides an observe() metric
+        val obs = new Observation("sa_probe")
+        df.select(size(split(col(textCol), " ")).as("_n"))
+          .observe(obs, coalesce(max(col("_n")), lit(0)).as("mx"))
+          .foreach(_ => ())
+        val maxLen = obs.get("mx").asInstanceOf[Int]
+        math.min(AdaptiveSeedCap,
+          math.max(java.lang.Integer.highestOneBit(math.max(maxLen, 1) * 2 - 1), 1))
+      }
     val sfx = df
       .select(col(idCol).as("_id"), split(col(textCol), " ").as("_ws"))
       .select(col("_id"), col("_ws"),
         explode(expr("sequence(0, size(_ws) - 1)")).as("_p"))
       .select(col("_id"), col("_p").cast("long").as("pos"),
-        array_join(expr(s"slice(_ws, _p + 1, $startPrefix)"), " ").as("_p0"))
-    var (state, s0, _, srn0) = rankRound(sfx,
-      Seq(col("_p0"), col("_id"), col("pos")), Seq("_p0"), parts, "sa_seed", None)
-    var h = startPrefix.toLong
+        array_join(expr(s"slice(_ws, _p + 1, $seedLen)"), " ").as("_p0"),
+        (size(col("_ws")).cast("long") - col("_p")).as("_rem"))
+    var (state, s0, _, srn0, unres0) = rankRound(sfx,
+      Seq(col("_p0"), col("_id"), col("pos")), Seq("_p0"), parts, "sa_seed",
+      None, seedLen.toLong)
+    var h = seedLen.toLong
     var round = 1
-    var done = s0 == srn0 // every length-startPrefix prefix already unique
+    // every seed prefix unique, or every tied group already an
+    // identical-suffix class (longest member fits inside the seed)
+    var done = s0 == srn0 || unres0 == 0L
     while (!done && round <= maxRounds) {
       // suffix p extends with the rank of suffix p+h of the SAME doc; a
       // suffix shorter than h+1 tokens has no extension — rank 0 sorts
@@ -119,18 +174,20 @@ object SuffixArray {
       val paired = state.df.join(b,
           col("_id") === col("_bid") && col("pos") === col("_bpos"), "left")
         .select(col("_id"), col("pos"), col("_r").as("_r1"),
-          coalesce(col("_r2"), lit(0L)).as("_r2"))
+          coalesce(col("_r2"), lit(0L)).as("_r2"), col("_rem"))
       val tR = System.nanoTime()
-      val (next, sG, sPrev, sRn) = rankRound(paired,
+      val (next, sG, sPrev, sRn, unres) = rankRound(paired,
         Seq(col("_r1"), col("_r2"), col("_id"), col("pos")),
-        Seq("_r1", "_r2"), parts, s"sa_round_$round", Some("_r1"))
+        Seq("_r1", "_r2"), parts, s"sa_round_$round", Some("_r1"), h * 2)
       state.release() // consumed into the new round's checkpoint
       state = next
       if (sys.env.contains("GRAFT_SA_DEBUG"))
         System.err.println(f"[sa] round $round h=$h sumRank=$sG " +
-          f"prev=${sPrev.get} srn=$sRn secs=${(System.nanoTime() - tR) / 1e9}%.2f")
-      // no split this round (fixpoint) or every group singleton (resolved)
-      done = sPrev.contains(sG) || sG == sRn
+          f"prev=${sPrev.get} srn=$sRn unresolved=$unres " +
+          f"secs=${(System.nanoTime() - tR) / 1e9}%.2f")
+      // fixpoint (no split), every group singleton, or every remaining
+      // group an identical-suffix class — all three are final
+      done = sPrev.contains(sG) || sG == sRn || unres == 0L
       h *= 2
       round += 1
     }
