@@ -1919,6 +1919,27 @@ object SparkEntry {
         .orderBy("vec_id", "m")
     }),
 
+    // The FLOAT trainer (pqTrainCodebooks, NO mean rounding — the actual
+    // production path, spec-only until now) pinned by oracle through the
+    // integer-grid projection: integer inputs make every Lloyd mean an
+    // exact integer SUM with one correctly-rounded division (identical
+    // doubles cross-engine, order-free), the float cast of the mean is
+    // the same IEEE rounding in both engines, and the check hashes the
+    // ASSIGNMENTS — a discrete projection stable under the remaining
+    // ulp-level d2 shape differences — not the off-grid centroids.
+    "embed_pq_train_assign" -> ((s, dir) => {
+      val qv = t(s, dir, "embeddings")
+        .withColumn("_ma", Similarity.maxAbs("embedding"))
+        .withColumn("_q", Similarity.quantizeInt8("embedding", "_ma"))
+        .select(col("vec_id"),
+          expr("transform(_q, x -> CAST(x AS FLOAT))").as("emb_q"))
+      val cb = Similarity.pqTrainCodebooks(qv, "vec_id", "emb_q",
+        m = 4, k = 4, iterations = 2, dim = 64)
+      Similarity.pqEncode(qv, cb, "vec_id", "emb_q", dim = 64, m = 4)
+        .select(col("vec_id"), col("m"), col("code").cast("long").as("code"))
+        .orderBy("vec_id", "m")
+    }),
+
     // PQ asymmetric distance (ADC) top-k — the IVF-PQ SEARCH path: each
     // query scores corpus vectors by the distance from its own subvectors
     // to each vector's ASSIGNED codewords (codes + codebook only, never
@@ -3226,6 +3247,41 @@ object SparkEntry {
           sig.where(col("doc_id") % 2 === 0), sig.where(col("doc_id") % 2 === 1),
           "doc_id", threshold = 0.25)
         .orderBy("in_id", "stored_id")
+    }),
+
+    // REAL streaming replay of the incremental-dedup pipeline: the corpus
+    // is staged as 8 parquet files and drained 2 per trigger (4
+    // micro-batches) through StreamingDedup.foreachBatch — each batch is
+    // MinHash-signed, checked against the persisted signature store, and
+    // appended to it; the replay-idempotent _batch-partitioned sinks are
+    // the claim under test. The FINAL duplicate-pair table, normalized to
+    // unordered pairs, must hash-match the batch twin (one LSH self-join
+    // over the whole corpus): band collisions are deterministic per pair,
+    // so the pair SET is invariant to how the stream happened to split
+    // into batches.
+    "streaming_replay_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      // fresh store + checkpoint per run: the replay WRITES, and a stale
+      // signature store would duplicate every cross-batch pair
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_stream_dedup").toString
+      docs.repartition(8).write.mode("overwrite").parquet(s"$base/in")
+      val src = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2).parquet(s"$base/in")
+      // 8 state partitions, the streaming_replay_q14 rationale: tiny
+      // per-batch frames make 32 shuffle tasks pure overhead here
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.StreamingDedup.start(src, "text", "doc_id",
+          s"$base/sig", s"$base/dups", s"$base/ckpt", threshold = 0.25)
+        q.awaitTermination() // AvailableNow: returns once drained
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(s"$base/dups")
+        .select(least(col("in_id"), col("stored_id")).as("a_id"),
+          greatest(col("in_id"), col("stored_id")).as("b_id"),
+          col("est_jaccard"))
+        .orderBy("a_id", "b_id")
     }),
 
     "dedup_simhash" -> ((s, dir) =>
@@ -6146,6 +6202,66 @@ object SparkEntry {
         | FROM enc e JOIN c2 c ON e.m = c.m AND e.code = c.code
         | ORDER BY e.vec_id, e.m""".stripMargin.replace("\n", " "),
 
+    // float-trainer twin: same CTE chain as embed_pq_train, but the
+    // refreshed codeword component is the UNROUNDED mean pushed through
+    // a REAL (float32) cast — Spark's CAST(avg AS FLOAT) — and only the
+    // discrete assignments are emitted; d2 mirrors Spark's
+    // dot-expansion shape
+    "embed_pq_train_assign" ->
+      """WITH ma AS (SELECT vec_id, embedding,
+        |     CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS ma
+        |   FROM embeddings),
+        | qv AS (SELECT vec_id,
+        |     CASE WHEN ma = 0 THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+        |          ELSE list_transform(embedding,
+        |            x -> CAST(CAST(round(127 * CAST(x AS DOUBLE) / ma) AS INTEGER) AS DOUBLE))
+        |     END AS q
+        |   FROM ma),
+        | mm AS (SELECT unnest(range(0, 4)) AS m),
+        | subs AS MATERIALIZED (SELECT vec_id, mm.m AS m,
+        |     q[mm.m * 16 + 1 : mm.m * 16 + 16] AS sv FROM qv, mm),
+        | seed AS MATERIALIZED (SELECT m, rn - 1 AS code, sv AS cv FROM
+        |     (SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
+        |      FROM subs) WHERE rn <= 4),
+        | a1 AS MATERIALIZED (SELECT s.vec_id, s.m,
+        |     min(struct_pack(d2 := list_sum([s.sv[i] * s.sv[i] for i in range(1, 17)])
+        |                         - 2 * list_sum([s.sv[i] * c.cv[i] for i in range(1, 17)])
+        |                         + list_sum([c.cv[i] * c.cv[i] for i in range(1, 17)]),
+        |                     code := c.code)).code AS code
+        |   FROM subs s JOIN seed c ON s.m = c.m GROUP BY s.vec_id, s.m),
+        | e1 AS (SELECT a.m, a.code, r.range AS pos, s.sv[r.range] AS v
+        |   FROM a1 a JOIN subs s ON a.vec_id = s.vec_id AND a.m = s.m, range(1, 17) r),
+        | n1 AS (SELECT m, code,
+        |     [x.v for x in list_sort(list(struct_pack(pos := pos, v := v)))] AS cv
+        |   FROM (SELECT m, code, pos, CAST(CAST(avg(v) AS REAL) AS DOUBLE) AS v
+        |         FROM e1 GROUP BY m, code, pos)
+        |   GROUP BY m, code),
+        | c1 AS MATERIALIZED (SELECT s.m, s.code, coalesce(n.cv, s.cv) AS cv
+        |   FROM seed s LEFT JOIN n1 n ON s.m = n.m AND s.code = n.code),
+        | a2 AS MATERIALIZED (SELECT s.vec_id, s.m,
+        |     min(struct_pack(d2 := list_sum([s.sv[i] * s.sv[i] for i in range(1, 17)])
+        |                         - 2 * list_sum([s.sv[i] * c.cv[i] for i in range(1, 17)])
+        |                         + list_sum([c.cv[i] * c.cv[i] for i in range(1, 17)]),
+        |                     code := c.code)).code AS code
+        |   FROM subs s JOIN c1 c ON s.m = c.m GROUP BY s.vec_id, s.m),
+        | e2 AS (SELECT a.m, a.code, r.range AS pos, s.sv[r.range] AS v
+        |   FROM a2 a JOIN subs s ON a.vec_id = s.vec_id AND a.m = s.m, range(1, 17) r),
+        | n2 AS (SELECT m, code,
+        |     [x.v for x in list_sort(list(struct_pack(pos := pos, v := v)))] AS cv
+        |   FROM (SELECT m, code, pos, CAST(CAST(avg(v) AS REAL) AS DOUBLE) AS v
+        |         FROM e2 GROUP BY m, code, pos)
+        |   GROUP BY m, code),
+        | c2 AS MATERIALIZED (SELECT s.m, s.code, coalesce(n.cv, s.cv) AS cv
+        |   FROM c1 s LEFT JOIN n2 n ON s.m = n.m AND s.code = n.code),
+        | enc AS (SELECT s.vec_id, s.m,
+        |     min(struct_pack(d2 := list_sum([s.sv[i] * s.sv[i] for i in range(1, 17)])
+        |                         - 2 * list_sum([s.sv[i] * c.cv[i] for i in range(1, 17)])
+        |                         + list_sum([c.cv[i] * c.cv[i] for i in range(1, 17)]),
+        |                     code := c.code)).code AS code
+        |   FROM subs s JOIN c2 c ON s.m = c.m GROUP BY s.vec_id, s.m)
+        | SELECT vec_id, m, CAST(code AS BIGINT) AS code
+        | FROM enc ORDER BY vec_id, m""".stripMargin.replace("\n", " "),
+
     "embed_pq_adc" ->
       """WITH m AS (SELECT unnest(range(0, 8)) AS m),
         | subs AS (SELECT vec_id, m.m AS m,
@@ -6945,6 +7061,20 @@ object SparkEntry {
          |   ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND ($bandsMatch)
          | WHERE round(($matches) / 8.0, 4) >= 0.25
          | ORDER BY in_id, stored_id""".stripMargin.replace("\n", " ")
+    },
+
+    // batch twin of the streamed replay: one LSH self-join over the
+    // whole corpus, unordered pairs
+    "streaming_replay_dedup" -> {
+      val matches = (0 until 8).map(i => s"(a.s$i = b.s$i)::INT").mkString(" + ")
+      val bandsMatch = (0 until 4).map(b =>
+        s"(a.s${2 * b} = b.s${2 * b} AND a.s${2 * b + 1} = b.s${2 * b + 1})").mkString(" OR ")
+      s"""WITH $minhashSigCte
+         | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |        round(($matches) / 8.0, 4) AS est_jaccard
+         | FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandsMatch)
+         | WHERE round(($matches) / 8.0, 4) >= 0.25
+         | ORDER BY a_id, b_id""".stripMargin.replace("\n", " ")
     },
 
     "dedup_clusters" -> {
