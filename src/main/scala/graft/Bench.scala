@@ -257,6 +257,14 @@ object Bench {
       .stripTrailingZeros.toPlainString
     val ctlMin = results.map(_._3).min
     val ctlMax = results.map(_._3).max
+    // the window's typical steal level: lets a reader normalize totals
+    // across rounds measured under different contention (ADVICE r12 #8 —
+    // common-subset regressions were unattributable when one round's
+    // controls sat at 0.76 and the next at 0.95)
+    val ctlMed = {
+      val sorted = results.map(_._3).sorted
+      sorted(sorted.size / 2)
+    }
     results.collect { case (k, _, c, _) if c > 2 * ctlMin =>
       System.err.println(s"[bench] steal $k control=${ms(c)}") }
     System.err.println(f"[bench] control min=${ctlMin}%.2f max=${ctlMax}%.2f")
@@ -279,13 +287,14 @@ object Bench {
         "counted in the total, flagged here and in BENCH_FULL.") }
     val fullLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
       s""""n":${results.size},"failed":$failedJson,"rebenched":$rebenchedJson,""" +
-      s""""informational":$informationalJson,"queries_ctl":$fullQs,"sf":"$sfDir"}"""
+      s""""informational":$informationalJson,"ctl_med":${ms(ctlMed)},""" +
+      s""""queries_ctl":$fullQs,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullLine)
     val qs = results.collect { case (k, v, _, _) if headline(k) => "\"" + k + "\":" + cs(v) }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},""" +
       s""""failed":${failedQs.size},"rebenched":${rebenched.size},"queries":$qs,""" +
-      s""""ctl":{"min":${cs(ctlMin)},"max":${cs(ctlMax)}},""" +
+      s""""ctl":{"min":${cs(ctlMin)},"med":${cs(ctlMed)},"max":${cs(ctlMax)}},""" +
       s""""full":"BENCH_FULL.json","sf":"$sfDir"}"""
     System.err.println(s"[bench] json line length: ${line.length}")
     // The payload line must be the LAST thing in a combined stdout+stderr
@@ -302,7 +311,8 @@ object Bench {
     * plan comparison. Still timed and counted in the total (nothing is
     * hidden); flagged in BENCH_FULL and on stderr.
     */
-  private[graft] val informational: Set[String] = Set("streaming_replay_q14")
+  private[graft] val informational: Set[String] =
+    Set("streaming_replay_q14", "streaming_replay_dedup")
 
   /** The stdout line's query subset: the reference-core dataflow plus the
     * most scale-relevant representative of each operator family. The
