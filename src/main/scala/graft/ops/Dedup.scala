@@ -907,20 +907,20 @@ object Dedup {
     * k tokens, one bounded slice join.
     */
   def dedupSpansSa(df: DataFrame, textCol: String, idCol: String,
-                   k: Int = 5, startPrefix: Int = 64,
+                   k: Int = 5, startPrefix: Int = SuffixArray.AdaptiveSeed,
                    parts: Int = 32): DataFrame = {
     val sa = SuffixArray.build(df, textCol, idCol, startPrefix, parts)
     val lcp = SuffixArray.lcpNeighbors(df, textCol, idCol, sa,
-      cap = k, exact = false)
+      cap = k, exact = false, emitPrefix = true)
+    // a pair with lcp >= k shares its first k tokens, so the emitted
+    // cap-token prefix IS both endpoints' gram — no third join back to
+    // the token arrays
     val dup = lcp.where(col("lcp") >= k.toLong)
-    // both endpoints of every LCP>=k pair are duplicated-gram occurrences
-    val members = dup.select(col(idCol), col("pos"))
-      .unionAll(dup.select(col("nbr_id").as(idCol), col("nbr_pos").as("pos")))
+    val withGram = dup
+      .select(col(idCol), col("pos"), col("sfx_prefix").as("_g"))
+      .unionAll(dup.select(col("nbr_id").as(idCol), col("nbr_pos").as("pos"),
+        col("sfx_prefix").as("_g")))
       .distinct()
-    val ws = df.select(col(idCol).as("_wid"), split(col(textCol), " ").as("_ws"))
-    val withGram = members.join(ws, col(idCol) === col("_wid"))
-      .select(col(idCol), col("pos"),
-        array_join(expr(s"slice(_ws, CAST(pos + 1 AS INT), $k)"), " ").as("_g"))
     val firsts = withGram.groupBy("_g")
       .agg(min(struct(col(idCol), col("pos"))).as("_m"))
       .select(col("_g"), col(s"_m.$idCol").as("_mid"), col("_m.pos").as("_mpos"))
