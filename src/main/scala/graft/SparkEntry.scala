@@ -50,6 +50,20 @@ object SparkEntry {
   private[graft] def stopEnPublic: Seq[String] = stopEn
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** NDCG@10 integer position weights — w(i) = round(10^6 / log2(i+1)) —
+    * and their prefix sums (the ideal-DCG lookup by relevant-result
+    * count). Pinned as literals and rendered into BOTH engines' SQL from
+    * this one table, so the log never enters either query
+    * (retrieval_ndcg).
+    */
+  private val NdcgWeights = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+    356207L, 333333L, 315465L, 301030L, 289065L)
+  private val NdcgCums = NdcgWeights.scanLeft(0L)(_ + _).tail
+  private def NdcgW = NdcgWeights.mkString("array(", "L, ", "L)")
+  private def NdcgCw = NdcgCums.mkString("array(", "L, ", "L)")
+  private def duckNdcgW = NdcgWeights.mkString("[", ", ", "]")
+  private def duckNdcgCw = NdcgCums.mkString("[", ", ", "]")
+
   private def duckCosine(a: String, b: String): String =
     s"""(list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
        | / (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))
@@ -784,6 +798,26 @@ object SparkEntry {
       graft.ops.Graph.triangleCount(e, "src", "dst")
     }),
 
+    // Link prediction over the same parts-co-ordered graph: Jaccard
+    // neighbor-similarity via the shared-neighbor inverted index
+    // (ops/Graph.neighborSimilarity — pairs exist ONLY through a shared
+    // center node, never node × node; hub centers past the degree guard
+    // are excluded from pair generation). Top 100 pairs by exact
+    // integer-basis-point Jaccard; already-linked pairs are flagged
+    // rather than dropped, so the row doubles as an edge-confirmation
+    // score.
+    "graph_jaccard" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(col("l_linenumber") <= 4)
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      val e = li.as("a").join(li.as("b"), Seq("k"))
+        .where(col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      graft.ops.Graph.neighborSimilarity(e, "src", "dst", maxDegree = 128)
+        .orderBy(col("jaccard_bp").desc, col("u"), col("v"))
+        .limit(100)
+    }),
+
     // Damped PageRank over the nation trade graph (customer nation →
     // supplier nation, deduped): 25 nodes, so 3 unrolled rounds are
     // cheap in the oracle and the float story is safe — both engines
@@ -940,6 +974,43 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bigrams"),
           round(col("_s") / col("n_bigrams").cast("double"), 3).as("avg_logp_r3"))
         .orderBy("doc_id")
+    }),
+
+    // Interpolated Kneser-Ney bigram probabilities (Chen & Goodman '98)
+    // at discount d = 3/4, entirely in exact integer rationals:
+    //   P(w|v) = max(c(vw)−d, 0)/c(v·) + d·N1+(v·)/c(v·) · N1+(·w)/N1+(··)
+    // cross-multiplied to
+    //   ppm = 10^6·(T·max(4·c(vw)−3, 0) + 3·N1+(v·)·N1+(·w))
+    //         div (4·c(v·)·T)
+    // — the LM smoothing the perplexity-quality gates build on, with the
+    // continuation counts (how many DISTINCT contexts a word follows)
+    // that make KN beat add-k on reused phrases. One (w1, w2)-keyed
+    // aggregation builds the bigram-type table; heads, tails, and the
+    // type total all derive from IT (partial-aggregable, corpus scanned
+    // once); the total rides a one-row broadcast. Magnitude bound:
+    // num ≤ 10^6·T·4·max(c) — BIGINT-safe while T·max(c) < ~2·10^12;
+    // past that the multiply moves to DECIMAL(38,0) (same plan shape).
+    "text_lm_kn" -> ((s, dir) => {
+      val bt = t(s, dir, "documents")
+        .select(expr("filter(split(text, ' '), x -> x <> '')").as("a"))
+        .where(size(col("a")) >= 2)
+        .select(explode(arrays_zip(
+          expr("slice(a, 1, size(a) - 1)").as("l"),
+          expr("slice(a, 2, size(a) - 1)").as("r"))).as("z"))
+        .select(col("z.l").as("w1"), col("z.r").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val heads = bt.groupBy("w1")
+        .agg(sum("c").as("cv"), count(lit(1)).as("n1pv"))
+      val tails = bt.groupBy("w2").agg(count(lit(1)).as("ncw"))
+      val tot = bt.agg(count(lit(1)).as("t"))
+      bt.where(col("c") >= 5)
+        .join(heads, "w1").join(tails, "w2").crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("c"),
+          expr("(1000000 * (t * greatest(4 * c - 3, 0) + 3 * n1pv * ncw))" +
+            " div (4 * cv * t)").as("kn_ppm"))
+        .orderBy(col("kn_ppm").desc, col("w1"), col("w2"))
+        .limit(100)
     }),
 
     // Count-min sketch point estimates for the heavy terms: the oracle
@@ -3610,6 +3681,29 @@ object SparkEntry {
         .orderBy("level")
     }),
 
+    // l-diversity companion to the k-anonymity profile (Machanavajjhala
+    // '06): k-anonymity alone fails on HOMOGENEOUS groups — a
+    // quasi-identifier group whose sensitive attribute takes one value
+    // leaks it to anyone who can place a person in the group, however
+    // large the group is. Per (nation, segment) QI group the sensitive
+    // attribute (balance band) must take ≥ l distinct values; the
+    // per-nation report carries the group count, the worst-case
+    // diversity, and the rows sitting in groups below l = 3. Two
+    // key-local aggregations — the same shape as governance_kanon.
+    "governance_ldiv" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(
+        col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      c.groupBy("nation", "segment")
+        .agg(count(lit(1)).as("cnt"), countDistinct("bal_band").as("l_div"))
+        .groupBy("nation")
+        .agg(count(lit(1)).as("n_groups"),
+          min("l_div").as("min_l"),
+          sum(when(col("l_div") < 3, col("cnt")).otherwise(0L)).as("rows_at_risk"))
+        .orderBy("nation")
+    }),
+
     // Hashing-trick featurization (Weinberger et al. '09 — the fixed-dim
     // sparse text features a linear classifier at scale trains on, no
     // vocabulary pass needed): feature id = md5(token) mod D. Emitted as
@@ -3848,6 +3942,36 @@ object SparkEntry {
           when(col("n_rel") > 0,
             expr("_ap2520 * 10000 div (n_rel * 2520)")).otherwise(lit(0L))
             .as("ap_bp"))
+        .orderBy("q_id")
+    }),
+
+    // Binary-relevance NDCG@10 with a PINNED integer weight table:
+    // w(i) = round(10^6 / log2(i+1)) precomputed as literals on BOTH
+    // engines, so DCG = Σ rel_i·w(i) and the ideal DCG (the prefix sum
+    // of the first min(n_rel, 10) weights) stay exact integer
+    // arithmetic — the log never enters the query, sidestepping the
+    // libm-vs-java ulp hazard that makes float NDCG un-hashable
+    // cross-engine (same trick as retrieval_ap's lcm scaling).
+    "retrieval_ndcg" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val lab = emb.select(col("vec_id"), col("label"))
+      val q = emb.where(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val ranked = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+          "q_id", "q_emb", 10, dim = 64)
+        .join(broadcast(lab.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label"))), "neighbor_id")
+        .join(broadcast(lab.select(col("vec_id").as("q_id"),
+          col("label").as("q_label"))), "q_id")
+        .select(col("q_id"), col("rank"),
+          (col("n_label") === col("q_label")).cast("long").as("rel"))
+      ranked.groupBy("q_id")
+        .agg(sum("rel").as("n_rel"),
+          sum(expr(s"rel * element_at($NdcgW, cast(rank AS int))")).as("dcg"))
+        .select(col("q_id"), col("n_rel"),
+          when(col("n_rel") > 0,
+            expr(s"dcg * 10000 div element_at($NdcgCw, cast(least(n_rel, 10) AS int))"))
+            .otherwise(lit(0L)).as("ndcg_bp"))
         .orderBy("q_id")
     }),
 
@@ -5285,6 +5409,26 @@ object SparkEntry {
         | SELECT n_nodes, n_edges, n_triangles FROM nodes, edges, tri
         | ORDER BY n_nodes""".stripMargin.replace("\n", " "),
 
+    "graph_jaccard" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_linenumber <= 4),
+        | e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |        FROM li a JOIN li b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        | adj AS (SELECT u AS n, v AS nb FROM e UNION ALL SELECT v, u FROM e),
+        | deg AS MATERIALIZED (SELECT n, count(*)::BIGINT AS deg FROM adj GROUP BY n),
+        | sm AS (SELECT adj.n, adj.nb FROM adj JOIN deg ON adj.n = deg.n
+        |        WHERE deg.deg <= 128),
+        | cn AS (SELECT a.nb AS u, b.nb AS v, count(*)::BIGINT AS cn
+        |        FROM sm a JOIN sm b ON a.n = b.n AND a.nb < b.nb GROUP BY 1, 2),
+        | j AS (SELECT cn.u, cn.v, cn.cn, du.deg AS deg_u, dv.deg AS deg_v,
+        |         (cn.cn * 10000 // (du.deg + dv.deg - cn.cn))::BIGINT AS jaccard_bp,
+        |         coalesce(le.linked, false) AS linked
+        |       FROM cn JOIN deg du ON cn.u = du.n JOIN deg dv ON cn.v = dv.n
+        |       LEFT JOIN (SELECT u, v, true AS linked FROM e) le
+        |         ON cn.u = le.u AND cn.v = le.v)
+        | SELECT u, v, cn, deg_u, deg_v, jaccard_bp, linked FROM j
+        | ORDER BY jaccard_bp DESC, u, v LIMIT 100""".stripMargin.replace("\n", " "),
+
     // 3 PageRank rounds unrolled as chained CTEs; expression shapes
     // mirror Graph.pageRank term by term ((1.0-0.85)/n, NOT 0.15/n —
     // IEEE 1.0-0.85 != 0.15 exactly).
@@ -5435,6 +5579,23 @@ object SparkEntry {
         |             - ln(x.lcf::DOUBLE + x.v::DOUBLE)) for x in lst]),
         |          (a, b) -> a + b) / n_bigrams::DOUBLE, 3) AS avg_logp_r3
         | FROM per ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "text_lm_kn" ->
+      """WITH w AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS a
+        |           FROM documents),
+        | bg AS (SELECT z[1] AS w1, z[2] AS w2 FROM (
+        |          SELECT unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS z
+        |          FROM w WHERE len(a) >= 2)),
+        | bt AS (SELECT w1, w2, count(*)::BIGINT AS c FROM bg GROUP BY 1, 2),
+        | heads AS (SELECT w1, sum(c)::BIGINT AS cv, count(*)::BIGINT AS n1pv
+        |           FROM bt GROUP BY w1),
+        | tails AS (SELECT w2, count(*)::BIGINT AS ncw FROM bt GROUP BY w2),
+        | tot AS (SELECT count(*)::BIGINT AS t FROM bt)
+        | SELECT w1, w2, c,
+        |   ((1000000 * (t * greatest(4 * c - 3, 0) + 3 * n1pv * ncw))
+        |    // (4 * cv * t))::BIGINT AS kn_ppm
+        | FROM bt JOIN heads USING (w1) JOIN tails USING (w2) CROSS JOIN tot
+        | WHERE c >= 5 ORDER BY kn_ppm DESC, w1, w2 LIMIT 100""".stripMargin.replace("\n", " "),
 
     "sketch_cms" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
@@ -7510,6 +7671,16 @@ object SparkEntry {
         |   sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END)::BIGINT AS rows_at_risk
         | FROM g GROUP BY level ORDER BY level""".stripMargin.replace("\n", " "),
 
+    "governance_ldiv" ->
+      """WITH q AS (SELECT c_nationkey AS nation, c_mktsegment AS segment,
+        |             floor(c_acctbal / 1000)::BIGINT AS bal_band FROM customer),
+        | g AS (SELECT nation, segment, count(*)::BIGINT AS cnt,
+        |              count(DISTINCT bal_band)::BIGINT AS l_div
+        |       FROM q GROUP BY nation, segment)
+        | SELECT nation, count(*) AS n_groups, min(l_div) AS min_l,
+        |   sum(CASE WHEN l_div < 3 THEN cnt ELSE 0 END)::BIGINT AS rows_at_risk
+        | FROM g GROUP BY nation ORDER BY nation""".stripMargin.replace("\n", " "),
+
     "text_feature_hash" ->
       """SELECT doc_id,
         |   ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS feat,
@@ -7661,6 +7832,26 @@ object SparkEntry {
          |   CASE WHEN n_rel > 0 THEN (ap2520 * 10000 // (n_rel * 2520))::BIGINT
          |        ELSE 0 END AS ap_bp
          | FROM ap ORDER BY q_id""".stripMargin.replace("\n", " "),
+
+    "retrieval_ndcg" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+         |           FROM embeddings WHERE vec_id < 50),
+         | scored AS (
+         |   SELECT q.q_id, q.q_label, e.vec_id AS neighbor_id, e.label AS n_label,
+         |          ${duckCosine("q.q_emb", "e.embedding")} AS cos
+         |   FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id),
+         | ranked AS (
+         |   SELECT q_id, (n_label = q_label)::BIGINT AS rel,
+         |          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+         |   FROM scored),
+         | agg AS (SELECT q_id, sum(rel)::BIGINT AS n_rel,
+         |     sum(rel * ($duckNdcgW)[rank::INT])::BIGINT AS dcg
+         |   FROM ranked WHERE rank <= 10 GROUP BY q_id)
+         | SELECT q_id, n_rel,
+         |   CASE WHEN n_rel > 0
+         |        THEN (dcg * 10000 // ($duckNdcgCw)[least(n_rel, 10)::INT])::BIGINT
+         |        ELSE 0 END AS ndcg_bp
+         | FROM agg ORDER BY q_id""".stripMargin.replace("\n", " "),
 
     "ann_lsh" ->
       s"""WITH planes AS (

@@ -568,6 +568,54 @@ object Graph {
     Iterate.scoped(out, e, oriented, deg)
   }
 
+  /** Common-neighbor / Jaccard link-prediction scores (Liben-Nowell &
+    * Kleinberg '03): for every node pair (u, v) sharing at least one
+    * neighbor, the shared-neighbor count `cn`, both full-graph degrees,
+    * the Jaccard coefficient |N(u)∩N(v)| / |N(u)∪N(v)| in exact basis
+    * points (integer `div` — no float), and whether the pair is already
+    * an edge (link-prediction candidates are the unlinked ones). The
+    * standard similar-entity primitive over co-occurrence graphs
+    * (related products, author disambiguation, document linking).
+    *
+    * Scale shape: pairs are generated ONLY through shared neighbors —
+    * a self-join of the symmetric adjacency on the CENTER node (the
+    * inverted-index topology every similarity join here uses), never
+    * node × node. Centers with degree > `maxDegree` are excluded from
+    * pair GENERATION: a hub of degree d contributes C(d, 2) wedges but
+    * near-zero per-pair evidence (each shared hub adds 1 to cn while
+    * its degree dilutes every Jaccard it touches), so dropping hub
+    * centers is the standard bounded-wedge guard. Degrees in the output
+    * stay TRUE full-graph degrees, so the score's denominator is exact.
+    * The pair-keyed count aggregation is partial-aggregable and the
+    * join back to degrees is node-keyed — skew lands on AQE's
+    * skew-join split like every other keyed self-join in this module.
+    */
+  def neighborSimilarity(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDegree: Int = 128): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = e.select(col("u").as("n"), col("v").as("nb"))
+      .unionAll(e.select(col("v").as("n"), col("u").as("nb")))
+    val deg = adj.groupBy("n").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val small = adj.join(deg.where(col("deg") <= maxDegree), "n")
+      .select(col("n"), col("nb"))
+    val cn = small.select(col("n"), col("nb").as("u"))
+      .join(small.select(col("n"), col("nb").as("v")), "n")
+      .where(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("cn"))
+    cn.join(deg.select(col("n").as("u"), col("deg").as("deg_u")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("deg_v")), "v")
+      .join(e.withColumn("linked", lit(true)), Seq("u", "v"), "left")
+      .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"),
+        expr("cn * 10000 div (deg_u + deg_v - cn)").as("jaccard_bp"),
+        coalesce(col("linked"), lit(false)).as("linked"))
+  }
+
   /** k-core decomposition for a fixed k (Matula–Beck peeling): the
     * unique maximal subgraph in which every node has degree ≥ k, found
     * by synchronously removing all nodes of degree < k and repeating to

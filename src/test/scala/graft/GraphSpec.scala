@@ -358,4 +358,65 @@ class GraphSpec extends SparkSpec {
       }
     }
   }
+
+  // -------------------------------------------- neighborSimilarity (Jaccard)
+
+  private def nsRun(edges: Seq[(Long, Long)], maxDeg: Int)
+      : Map[(Long, Long), (Long, Long, Long, Long, Boolean)] =
+    Graph.neighborSimilarity(edges.toDF("s", "d"), "s", "d", maxDeg)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6)))).toMap
+
+  /** In-memory reference: full-graph degrees, pair generation only via
+    * shared centers whose degree passes the hub guard. */
+  private def nsRef(edges: Seq[(Long, Long)], maxDeg: Int)
+      : Map[(Long, Long), (Long, Long, Long, Long, Boolean)] = {
+    val e = edges.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val nb = e.flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1))
+      .groupBy(_._1).map { case (n, g) => n -> g.map(_._2).toSet }
+    val deg = nb.map { case (n, s) => n -> s.size.toLong }
+    val cn = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for ((n, s) <- nb if deg(n) <= maxDeg; u <- s; v <- s if u < v)
+      cn((u, v)) = cn.getOrElse((u, v), 0L) + 1
+    cn.map { case ((u, v), c) =>
+      (u, v) -> ((c, deg(u), deg(v), c * 10000 / (deg(u) + deg(v) - c),
+        e.contains((u, v))))
+    }.toMap
+  }
+
+  test("neighborSimilarity: unlinked twins score a perfect 10000 bp") {
+    // square 1-2-3-4 plus diagonal (1,3): nodes 2 and 4 have identical
+    // neighborhoods {1, 3} but no edge — the classic link-prediction hit
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val got = nsRun(edges, maxDeg = 128)
+    assert(got((2L, 4L)) === ((2L, 2L, 2L, 10000L, false)))
+    // 1 and 3 are linked and share {2, 4}: J = 2/(3+3-2) = 5000 bp
+    assert(got((1L, 3L)) === ((2L, 3L, 3L, 5000L, true)))
+    assert(got === nsRef(edges, 128))
+  }
+
+  test("neighborSimilarity: hub guard drops hub-mediated pairs, keeps true degrees") {
+    // star center 0 over leaves 1..5, plus one triangle edge (1,2)
+    val edges = (1L to 5L).map((0L, _)) ++ Seq((1L, 2L))
+    // hub excluded as a center: only center 1/2 wedges remain — the pair
+    // (0-side) leaves no longer pair up through the hub
+    val got = nsRun(edges, maxDeg = 4)
+    assert(got === nsRef(edges, 4))
+    assert(got.keySet === Set((0L, 1L), (0L, 2L)))
+    // degrees are FULL-graph: deg(0) = 5 even though 0 never centers
+    assert(got((0L, 1L))._2 === 5L || got((0L, 1L))._3 === 5L)
+  }
+
+  test("neighborSimilarity matches the in-memory reference on seeded random graphs") {
+    val rnd = new Random(7)
+    for (trial <- 1 to 3) {
+      val edges = (1 to 150).map(_ =>
+        (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      for (maxDeg <- Seq(4, 8, 128))
+        assert(nsRun(edges, maxDeg) === nsRef(edges, maxDeg),
+          s"trial=$trial maxDeg=$maxDeg")
+    }
+  }
 }
