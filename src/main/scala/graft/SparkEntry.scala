@@ -798,22 +798,56 @@ object SparkEntry {
       graft.ops.Graph.triangleCount(e, "src", "dst")
     }),
 
-    // Link prediction over the same parts-co-ordered graph: Jaccard
-    // neighbor-similarity via the shared-neighbor inverted index
-    // (ops/Graph.neighborSimilarity — pairs exist ONLY through a shared
-    // center node, never node × node; hub centers past the degree guard
-    // are excluded from pair generation). Top 100 pairs by exact
-    // integer-basis-point Jaccard; already-linked pairs are flagged
-    // rather than dropped, so the row doubles as an edge-confirmation
-    // score.
+    // Strongly connected components of the DIRECTED nation-trade graph
+    // (customer nation → supplier nation), sparsified to the lanes whose
+    // trade count is ≡ 0 (mod 11) — a deterministic pseudo-random
+    // subgraph with a real multi-node SCC at every fixture scale
+    // (sf0.1: one 20-node component among singletons; sf0.001: a 3-node
+    // component) that settles in ≤ 3 FW-BW rounds / ~8 propagation
+    // steps (the mod was chosen by simulating the settle depth — a
+    // sparser graph has MORE rounds, a denser one is a single boring
+    // SCC).
+    // ops/Graph.stronglyConnectedComponents is distributed FW-BW
+    // min-label coloring; the ORACLE computes the same components from
+    // a transitive-closure recursive CTE — feasible only because this
+    // graph is ≤ 25 nodes. The operator itself never materializes a
+    // closure, which is exactly why it scales and the CTE does not.
+    "graph_scc" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val e = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .where(col("c_nationkey") =!= col("s_nationkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") % 11 === 0)
+        .select("src", "dst")
+      graft.ops.Graph.stronglyConnectedComponents(e, "src", "dst")
+        .orderBy("node")
+    }),
+
+    // Link prediction over a parts-co-ordered graph (first 3 lines per
+    // order — C(3,2) pairs/order keeps the candidate space ~5M at
+    // sf0.1): Jaccard neighbor-similarity via the shared-neighbor
+    // inverted index (ops/Graph.neighborSimilarity — pairs exist ONLY
+    // through a shared center node, never node × node; hub centers past
+    // the degree guard are excluded from pair generation; single-witness
+    // pairs fall to the cn ≥ 2 support threshold). Top 100 pairs by
+    // exact integer-basis-point Jaccard; already-linked pairs are
+    // flagged rather than dropped, so the row doubles as an
+    // edge-confirmation score.
     "graph_jaccard" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-        .where(col("l_linenumber") <= 4)
+        .where(col("l_linenumber") <= 3)
         .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
       val e = li.as("a").join(li.as("b"), Seq("k"))
         .where(col("a.p") < col("b.p"))
         .select(col("a.p").as("src"), col("b.p").as("dst"))
-      graft.ops.Graph.neighborSimilarity(e, "src", "dst", maxDegree = 128)
+      graft.ops.Graph.neighborSimilarity(e, "src", "dst", maxDegree = 128,
+          minCn = 2)
         .orderBy(col("jaccard_bp").desc, col("u"), col("v"))
         .limit(100)
     }),
@@ -5409,8 +5443,26 @@ object SparkEntry {
         | SELECT n_nodes, n_edges, n_triangles FROM nodes, edges, tri
         | ORDER BY n_nodes""".stripMargin.replace("\n", " "),
 
+    "graph_scc" ->
+      """WITH RECURSIVE raw AS MATERIALIZED (
+        |   SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS cnt
+        |   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |   JOIN customer c ON o.o_custkey = c.c_custkey
+        |   JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |   WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2),
+        | e AS MATERIALIZED (SELECT src, dst FROM raw WHERE cnt % 11 = 0),
+        | nodes AS (SELECT DISTINCT src AS n FROM e UNION SELECT DISTINCT dst FROM e),
+        | reach(s, d) AS (SELECT src, dst FROM e
+        |   UNION SELECT r.s, e.dst FROM reach r JOIN e ON r.d = e.src),
+        | mutual AS (SELECT a.s AS u, a.d AS v
+        |            FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s),
+        | scc AS (SELECT n.n AS node, least(n.n, coalesce(min(m.v), n.n)) AS scc_id
+        |         FROM nodes n LEFT JOIN mutual m ON m.u = n.n GROUP BY n.n)
+        | SELECT node::BIGINT AS node, scc_id::BIGINT AS scc_id
+        | FROM scc ORDER BY node""".stripMargin.replace("\n", " "),
+
     "graph_jaccard" ->
-      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_linenumber <= 4),
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_linenumber <= 3),
         | e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         |        FROM li a JOIN li b
         |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
@@ -5418,8 +5470,10 @@ object SparkEntry {
         | deg AS MATERIALIZED (SELECT n, count(*)::BIGINT AS deg FROM adj GROUP BY n),
         | sm AS (SELECT adj.n, adj.nb FROM adj JOIN deg ON adj.n = deg.n
         |        WHERE deg.deg <= 128),
-        | cn AS (SELECT a.nb AS u, b.nb AS v, count(*)::BIGINT AS cn
-        |        FROM sm a JOIN sm b ON a.n = b.n AND a.nb < b.nb GROUP BY 1, 2),
+        | cn AS (SELECT u, v, cn FROM (
+        |          SELECT a.nb AS u, b.nb AS v, count(*)::BIGINT AS cn
+        |          FROM sm a JOIN sm b ON a.n = b.n AND a.nb < b.nb GROUP BY 1, 2)
+        |        WHERE cn >= 2),
         | j AS (SELECT cn.u, cn.v, cn.cn, du.deg AS deg_u, dv.deg AS deg_v,
         |         (cn.cn * 10000 // (du.deg + dv.deg - cn.cn))::BIGINT AS jaccard_bp,
         |         coalesce(le.linked, false) AS linked

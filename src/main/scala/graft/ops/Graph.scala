@@ -568,6 +568,172 @@ object Graph {
     Iterate.scoped(out, e, oriented, deg)
   }
 
+  /** Strongly connected components of a DIRECTED graph via iterated
+    * forward/backward minimum-label reachability — the distributed
+    * FW-BW / coloring family (Orzan '04; Slota et al. '14), in its
+    * min-label form:
+    *
+    * One outer round computes F(v) = min id over nodes that can REACH v
+    * along forward edges (v included) and B(v) = the same along
+    * reversed edges. F(v) = B(v) = c certifies mutual reachability with
+    * c, and members of one SCC share identical (F, B) pairs (mutual
+    * reachability makes their reacher/reachee sets equal), so
+    * {v : F(v) = B(v)} settles WHOLE components exactly — never a
+    * superset or a split. Settled components leave the graph (a cycle
+    * can never pass through a foreign settled SCC — it would merge with
+    * it), and the round repeats on the induced remainder. The global
+    * minimum live node always has F = B = itself, so every round
+    * settles ≥ 1 component; in practice the min labels partition the
+    * graph and many SCCs settle per round.
+    *
+    * Scale shape: each propagation step is ONE edge-keyed join + a
+    * node-keyed min aggregation; the label sum is strictly decreasing,
+    * so convergence is read from an `observe()` in the same action that
+    * materializes the step (no extra job). Steps are lineage-cut and
+    * storage-released ([[Iterate]]). Inner steps are bounded by the
+    * live graph's diameter (a min label moves one hop per step), outer
+    * rounds by the condensation's settle depth; both are require()d —
+    * an under-iterated SCC answer is WRONG, not approximate (same
+    * contract as SuffixArray.build's convergence check).
+    *
+    * Returns (node, scc_id) with scc_id = the component's minimum
+    * member id.
+    */
+  def stronglyConnectedComponents(edges: DataFrame, srcCol: String,
+      dstCol: String, maxOuter: Int = 25, maxInner: Int = 100): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+    var live = Iterate.materialize(e0)
+    // NOTE on constants (measured at sf0.1, 25-node label tables): the
+    // loop's cost is per-exchange scheduling — with AQE each of the
+    // O(total steps) label exchanges costs ~0.15 s regardless of chunk
+    // length (stages serialize through AQE's re-planning barrier), and
+    // WITHOUT AQE the chained joins fall back to sort-merge and run 3×
+    // slower (28 s vs 8-10 s) — so AQE stays on and the win comes from
+    // fewer steps, not cheaper ones.
+    // nodes derive from the MATERIALIZED edge list — never re-run the
+    // caller's (possibly expensive) edge pipeline a second time
+    var nodes = live.df.select(col("src").as("node"))
+      .unionAll(live.df.select(col("dst").as("node"))).distinct()
+    var nLive = nodes.count()
+    // label-table handles stay alive across rounds: settled rows and the
+    // next round's node set are LAZY views over them (zero bookkeeping
+    // jobs per round beyond the edge semi-join), released after the
+    // final union materializes
+    val labs = scala.collection.mutable.ArrayBuffer.empty[Iterate.Materialized]
+    var outer = 0
+    while (nLive > 0 && outer < maxOuter) {
+      val (lab, unresolved) = minReachBoth(live.df, nodes, maxInner)
+      labs += lab
+      nLive = unresolved
+      outer += 1
+      // F(v) = B(v) certifies v's whole component — join-free settle test
+      if (unresolved > 0) { // skip the edge shrink when everything settled
+        val remaining = lab.df.where(col("f") =!= col("b")).select("node")
+        val liveNext = Iterate.materialize(
+          live.df
+            .join(remaining.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+            .join(remaining.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi"))
+        live.release()
+        nodes = remaining; live = liveNext
+      }
+    }
+    require(nLive == 0,
+      s"SCC not settled after $maxOuter outer rounds ($nLive nodes live) — raise maxOuter")
+    live.release()
+    if (labs.isEmpty) return e0.sparkSession.emptyDataFrame
+      .withColumn("node", lit(0L)).withColumn("scc_id", lit(0L))
+      .select("node", "scc_id").limit(0)
+    val out = Iterate.materialize(
+      labs.map(_.df.where(col("f") === col("b"))
+        .select(col("node"), col("f").as("scc_id"))).reduce(_ unionAll _))
+    labs.foreach(_.release())
+    out.df
+  }
+
+  /** Fused forward/backward min-label reachability fixpoint: one label
+    * table (node, f, b) where f is the min id over nodes with a path TO
+    * v and b the min id over nodes v has a path to (both include v).
+    * Each step ships both propagations through a single node-keyed
+    * aggregation (min ignores the NULL the other direction contributes),
+    * so one materialized job advances BOTH frontiers — half the per-step
+    * scheduling of separate F/B loops. Labels only decrease, so
+    * sum(f) + sum(b) is strictly decreasing until fixpoint; the metric
+    * rides an `observe()` on the materializing action. Caller releases
+    * the returned handle.
+    */
+  private def minReachBoth(edges: DataFrame, nodes: DataFrame,
+      maxInner: Int): (Iterate.Materialized, Long) = {
+    // One min-label step, lazily composed — [[Iterate.LazyRounds]] of
+    // these chain between materializations, so a diameter-d fixpoint
+    // costs ceil(d / LazyRounds) jobs, not d (the LPA lesson: per-round
+    // scheduling dwarfs per-round work on all but the largest graphs).
+    // The step must reference `lab` exactly ONCE or the chained plan
+    // grows EXPONENTIALLY in chunk length (3 refs/step = 3^k leaf
+    // copies — measured 8 s → 27 s before this shape): one message
+    // table carries forward edges, reversed edges, AND per-node
+    // self-loops in both roles, so propagation + keep-own-label is a
+    // single join + single aggregation over it.
+    val msgs = edges
+      .select(col("src").as("from"), col("dst").as("to"), lit(true).as("isF"))
+      .unionByName(edges
+        .select(col("dst").as("from"), col("src").as("to"), lit(false).as("isF")))
+      .unionByName(nodes
+        .select(col("node").as("from"), col("node").as("to"), lit(true).as("isF")))
+      .unionByName(nodes
+        .select(col("node").as("from"), col("node").as("to"), lit(false).as("isF")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def step(lab: DataFrame): DataFrame =
+      msgs.join(lab.withColumnRenamed("node", "from"), "from")
+        .groupBy(col("to"))
+        .agg(min(when(col("isF"), col("f"))).as("f"),
+          min(when(!col("isF"), col("b"))).as("b"))
+        .withColumnRenamed("to", "node")
+    val obs0 = org.apache.spark.sql.Observation()
+    var lab = Iterate.materialize(
+      nodes.select(col("node"), col("node").as("f"), col("node").as("b"))
+        .observe(obs0, (sum("f") + sum("b")).as("s"),
+          count(when(col("f") =!= col("b"), 1)).as("unresolved")))
+    var prevSum = obs0.get("s").asInstanceOf[Long]
+    var unresolved = obs0.get("unresolved").asInstanceOf[Long] // 0 at init
+    var steps = 0
+    var converged = false
+    while (!converged && steps < maxInner) {
+      // single-reference steps keep plan growth linear, but trailing
+      // no-op steps still pay their exchange stages — LazyRounds (4)
+      // measured faster than 8 (4.7 s vs 3.3 s at sf0.1: stage cost
+      // dominates job cost on this loop)
+      val chunk = math.min(Iterate.LazyRounds, maxInner - steps)
+      // EVERY step in the chunk carries its own observe(): the label sum
+      // is non-increasing, so the first adjacent-equal pair certifies
+      // the fixpoint INSIDE the chunk — no separate confirmation job
+      // (the trailing no-op steps ride the same action), and a chunk
+      // that lands exactly on the fixpoint is the only case that needs
+      // a second chunk. Metrics nodes stream over rows — no extra
+      // stage, no extra job.
+      val obsList = (1 to chunk).map(_ => org.apache.spark.sql.Observation())
+      val next = (1 to chunk).foldLeft(lab.df) { (df, i) =>
+        step(df).observe(obsList(i - 1), (sum("f") + sum("b")).as("s"),
+          count(when(col("f") =!= col("b"), 1)).as("unresolved"))
+      }
+      val m = Iterate.materialize(next)
+      val sums = obsList.map(_.get("s").asInstanceOf[Long])
+      converged = (prevSum +: sums).sliding(2).exists(p => p(0) == p(1))
+      prevSum = sums.last
+      unresolved = obsList.last.get("unresolved").asInstanceOf[Long]
+      lab.release()
+      lab = m
+      steps += chunk
+    }
+    msgs.unpersist()
+    require(converged,
+      s"min-label reachability not converged after $maxInner steps — raise maxInner")
+    (lab, unresolved)
+  }
+
   /** Common-neighbor / Jaccard link-prediction scores (Liben-Nowell &
     * Kleinberg '03): for every node pair (u, v) sharing at least one
     * neighbor, the shared-neighbor count `cn`, both full-graph degrees,
@@ -589,9 +755,14 @@ object Graph {
     * The pair-keyed count aggregation is partial-aggregable and the
     * join back to degrees is node-keyed — skew lands on AQE's
     * skew-join split like every other keyed self-join in this module.
+    * `minCn` drops pairs below a shared-neighbor support threshold
+    * RIGHT after the pair aggregation — single-witness pairs are noise
+    * in link prediction and typically ~95% of the candidate space, so
+    * the threshold is also what keeps the degree joins and the top-k
+    * sort off the full pair table.
     */
   def neighborSimilarity(edges: DataFrame, srcCol: String, dstCol: String,
-      maxDegree: Int = 128): DataFrame = {
+      maxDegree: Int = 128, minCn: Int = 1): DataFrame = {
     val e = edges.select(
         least(col(srcCol), col(dstCol)).cast("long").as("u"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
@@ -608,6 +779,7 @@ object Graph {
       .join(small.select(col("n"), col("nb").as("v")), "n")
       .where(col("u") < col("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("cn"))
+      .where(col("cn") >= minCn)
     cn.join(deg.select(col("n").as("u"), col("deg").as("deg_u")), "u")
       .join(deg.select(col("n").as("v"), col("deg").as("deg_v")), "v")
       .join(e.withColumn("linked", lit(true)), Seq("u", "v"), "left")

@@ -419,4 +419,97 @@ class GraphSpec extends SparkSpec {
           s"trial=$trial maxDeg=$maxDeg")
     }
   }
+
+  test("neighborSimilarity minCn support threshold filters the reference set") {
+    val rnd = new Random(13)
+    val edges = (1 to 150).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+    val got = Graph.neighborSimilarity(edges.toDF("s", "d"), "s", "d",
+        maxDegree = 128, minCn = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6)))).toMap
+    assert(got === nsRef(edges, 128).filter(_._2._1 >= 3))
+    assert(got.nonEmpty) // the fixture must actually exercise the branch
+  }
+
+  // ------------------------------------------------------------------- SCC
+
+  private def sccRun(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.stronglyConnectedComponents(edges.toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Iterative Tarjan (explicit stack — no JVM recursion limit). */
+  private def sccRef(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = edges.filter(p => p._1 != p._2).distinct
+    val nodes = es.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val adj = es.groupBy(_._1).map { case (s, g) => s -> g.map(_._2) }
+    val idx = scala.collection.mutable.Map.empty[Long, Int]
+    val low = scala.collection.mutable.Map.empty[Long, Int]
+    val onStack = scala.collection.mutable.Set.empty[Long]
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = scala.collection.mutable.Map.empty[Long, Long]
+    var counter = 0
+    for (root <- nodes if !idx.contains(root)) {
+      // frames: (node, iterator over its successors)
+      val frames = scala.collection.mutable.ArrayBuffer(
+        (root, adj.getOrElse(root, Seq.empty).iterator))
+      idx(root) = counter; low(root) = counter; counter += 1
+      stack += root; onStack += root
+      while (frames.nonEmpty) {
+        val (v, it) = frames.last
+        if (it.hasNext) {
+          val w = it.next()
+          if (!idx.contains(w)) {
+            idx(w) = counter; low(w) = counter; counter += 1
+            stack += w; onStack += w
+            frames += ((w, adj.getOrElse(w, Seq.empty).iterator))
+          } else if (onStack(w)) low(v) = math.min(low(v), idx(w))
+        } else {
+          frames.remove(frames.size - 1)
+          if (frames.nonEmpty) {
+            val p = frames.last._1
+            low(p) = math.min(low(p), low(v))
+          }
+          if (low(v) == idx(v)) {
+            val comp = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var done = false
+            while (!done) {
+              val w = stack.remove(stack.size - 1); onStack -= w
+              comp += w
+              if (w == v) done = true
+            }
+            val m = comp.min
+            comp.foreach(w => out(w) = m)
+          }
+        }
+      }
+    }
+    out.toMap
+  }
+
+  test("SCC: two cycles joined by a one-way bridge stay separate components") {
+    // cycle {1,2,3} → bridge 3→10 → cycle {10,11}; 20 is a dangling sink
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 10L), (10L, 11L),
+      (11L, 10L), (10L, 20L))
+    val got = sccRun(edges)
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L, 20L -> 20L))
+  }
+
+  test("SCC: a DAG is all singletons; a full cycle is one component") {
+    assert(sccRun(Seq((1L, 2L), (2L, 3L), (1L, 3L))) ===
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    val cyc = (0L until 6L).map(i => (i, (i + 1) % 6))
+    assert(sccRun(cyc) === (0L until 6L).map(_ -> 0L).toMap)
+  }
+
+  test("SCC matches iterative Tarjan on seeded random directed graphs") {
+    val rnd = new Random(31)
+    for ((n, m) <- Seq((12, 20), (20, 45), (30, 90))) {
+      val edges = (1 to m).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      assert(sccRun(edges) === sccRef(edges), s"n=$n m=$m")
+    }
+  }
 }

@@ -62,4 +62,34 @@ class PushdownSpec extends SparkSpec {
     assert(plan.contains("IsNotNull(o_custkey)") || plan.contains("IsNotNull(c_custkey)"),
       s"join-key null filter not pushed:\n$plan")
   }
+
+  test("parquet aggregate pushdown answers count/min/max from footer stats (DSv2)") {
+    // The 100 TB profiling lever: an unfiltered COUNT/MIN/MAX over a
+    // parquet table is answerable from row-group footer statistics alone
+    // — zero data pages read. Needs the DSv2 parquet path (the default
+    // v1 FileSourceStrategy has no aggregate pushdown rule), so both
+    // flags are scoped to this test and restored.
+    val prevV1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val agg = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .agg(count(lit(1)).as("n"), min("o_orderkey").as("lo"),
+          max("o_orderkey").as("hi"))
+      val plan = planOf(agg)
+      assert(plan.contains("PushedAggregation") && plan.contains("COUNT(*)") &&
+        plan.contains("MIN(o_orderkey)") && plan.contains("MAX(o_orderkey)"),
+        s"aggregate not pushed into the parquet scan:\n$plan")
+      val r = agg.collect().head
+      assert(r.getLong(0) > 0)
+      // pushed answer must equal the data-page answer
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+      val full = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .agg(count(lit(1)), min("o_orderkey"), max("o_orderkey")).collect().head
+      assert(r === full, s"pushed=$r footer-less=$full")
+    } finally {
+      spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+    }
+  }
 }
