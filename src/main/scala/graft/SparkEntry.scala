@@ -1155,6 +1155,59 @@ object SparkEntry {
     // the first-seen aggregate + co-partitioned join back, then the tiny
     // cohort grid); pairs are pre-deduped so no count_distinct Expand.
     // Day arithmetic at µs resolution on both engines (NOTES fact 13).
+    // Kaplan-Meier time-to-conversion (the survival curve the
+    // product-analytics stack reports): per user, duration = days from
+    // first event to first 'purchase', administratively censored at the
+    // corpus's day 3 (the study-end cutoff) — users who have not
+    // converted by the cutoff stay in the at-risk denominators up to
+    // their censor time without ever counting as converted (dropping
+    // them would bias the curve one way, counting them as converted the
+    // other — the correction KM exists for; at sf0.1 ~1 in 6 users is
+    // censored). S(t) = Π_{t_i ≤ t} (1 − d_i/n_i) over conversion
+    // times, evaluated as exp of a cumulative ln sum with identical
+    // expression shapes on both engines and a round-3 output (the
+    // text_lm_score float discipline). Both windows run over the
+    // AGGREGATED per-duration table — bounded by the observation
+    // window's day span, never the row count (the GlobalWindowCheck
+    // exemption) — after one user-keyed and one duration-keyed
+    // aggregation; corpus bounds ride one-row broadcasts.
+    "events_survival" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+      val users = ev.groupBy("user_id").agg(min("day").as("fd"))
+      val conv = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("day").as("pd"))
+      val cut = ev.agg((min("day") + 3).as("_cut"))
+      val durs = users.join(conv, Seq("user_id"), "left")
+        .crossJoin(broadcast(cut))
+        .where(col("fd") <= col("_cut"))
+        .select(
+          when(col("pd").isNotNull && col("pd") <= col("_cut"),
+            col("pd") - col("fd"))
+            .otherwise(col("_cut") - col("fd")).as("dur"),
+          (col("pd").isNotNull && col("pd") <= col("_cut"))
+            .cast("long").as("dead"))
+      val byDur = durs.groupBy("dur")
+        .agg(count(lit(1)).as("n_all"), sum("dead").as("d"))
+      val w = Window.orderBy("dur")
+      val atRisk = byDur
+        .crossJoin(broadcast(durs.agg(count(lit(1)).as("_n"))))
+        .select(col("dur"), col("d"),
+          (col("_n") - coalesce(
+            sum("n_all").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L))).as("n_risk"))
+      atRisk.where(col("d") > 0)
+        .select(col("dur"), col("n_risk"), col("d"),
+          round(exp(
+            sum(expr("ln(cast(n_risk - d AS double) / cast(n_risk AS double))"))
+              .over(w.rowsBetween(Window.unboundedPreceding, 0))), 3)
+            .as("surv_r3"))
+        .select(col("dur").as("t_day"), col("n_risk"),
+          col("d").as("n_churn"), col("surv_r3"))
+        .orderBy("t_day")
+    }),
+
     "cohort_retention" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
@@ -4926,6 +4979,39 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Image near-dup pairs: collapse the corpus to DISTINCT phash
+    // classes first (the dedup_exact shape — the class table is what
+    // scales, not the image count), then Manku 4×16-bit banding + exact
+    // popcount over the classes (ops/Multimodal.phashPairs). Output is
+    // every class pair within Hamming ≤ 3 with both class populations —
+    // the image twin of dedup_simhash_pairs, proving the multimodal
+    // dedup story composes end-to-end (decode → hash → groupBy → banded
+    // pair join).
+    "mm_phash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      import graft.model.MediaRecord
+      import graft.ops.{BmpPixels, Multimodal}
+      val recs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (id % 16).toInt + 1
+          val h = (id % 12).toInt + 1
+          val base = (id % 5).toInt
+          val payload = BmpPixels.bmpBytes(w, h, (x, y) => {
+            val v = x * 7 + y * 11 + base
+            (v, v + 3, v + 6)
+          })
+          MediaRecord(id, "image/bmp", payload, Map.empty)
+        }
+      val classes = Multimodal.perceptualHashes(recs).toDF()
+        .groupBy("phash_hex").agg(count(lit(1)).as("n"))
+      Multimodal.phashPairs(classes, "phash_hex", maxHamming = 3)
+        .join(classes.select(col("phash_hex").as("pa"), col("n").as("n_a")), "pa")
+        .join(classes.select(col("phash_hex").as("pb"), col("n").as("n_b")), "pb")
+        .select(col("pa"), col("pb"), col("hamming"), col("n_a"), col("n_b"))
+        .orderBy("hamming", "pa", "pb")
+    }),
+
     "mm_decode_headers" -> ((s, dir) => {
       import s.implicits._
       import graft.model.MediaRecord
@@ -5884,6 +5970,32 @@ object SparkEntry {
         |    END)::BIGINT AS filled_x1000,
         |   (cnt IS NULL)::INT AS gap
         | FROM w ORDER BY user_id, day""".stripMargin.replace("\n", " "),
+
+    "events_survival" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |              epoch_us(ts) // 86400000000 AS day FROM events),
+        | users AS (SELECT user_id, min(day) AS fd FROM ev GROUP BY user_id),
+        | conv AS (SELECT user_id, min(day) AS pd FROM ev
+        |          WHERE event_type = 'purchase' GROUP BY user_id),
+        | cut AS (SELECT min(day) + 3 AS c FROM ev),
+        | durs AS (SELECT CASE WHEN pd IS NOT NULL AND pd <= c THEN pd - fd
+        |                      ELSE c - fd END AS dur,
+        |            (pd IS NOT NULL AND pd <= c)::BIGINT AS dead
+        |          FROM users LEFT JOIN conv USING (user_id), cut
+        |          WHERE fd <= c),
+        | bydur AS (SELECT dur, count(*)::BIGINT AS n_all, sum(dead)::BIGINT AS d
+        |           FROM durs GROUP BY dur),
+        | tot AS (SELECT count(*)::BIGINT AS n FROM durs),
+        | ar AS (SELECT dur, d,
+        |     (n - coalesce(sum(n_all) OVER (ORDER BY dur
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS n_risk
+        |   FROM bydur, tot),
+        | deaths AS (SELECT dur, d, n_risk FROM ar WHERE d > 0)
+        | SELECT dur AS t_day, n_risk, d AS n_churn,
+        |   round(exp(sum(ln((n_risk - d)::DOUBLE / n_risk::DOUBLE))
+        |     OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 3)
+        |     AS surv_r3
+        | FROM deaths ORDER BY t_day""".stripMargin.replace("\n", " "),
 
     "cohort_retention" ->
       """WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
@@ -8581,6 +8693,44 @@ object SparkEntry {
         | SELECT p.media_id, p.w::INT AS width, p.h::INT AS height, h.phash_hex
         | FROM p JOIN hashes h ON h.media_id = p.media_id
         | ORDER BY p.media_id""".stripMargin.replace("\n", " "),
+
+    "mm_phash_pairs" ->
+      """WITH p AS (SELECT doc_id::BIGINT AS media_id,
+        |        (doc_id % 16 + 1)::BIGINT AS w,
+        |        (doc_id % 12 + 1)::BIGINT AS h,
+        |        (doc_id % 5)::BIGINT AS base
+        |        FROM documents),
+        | xs AS (SELECT media_id, w, h, base, unnest(range(0, w)) AS x FROM p),
+        | xy AS (SELECT media_id, w, h, base, x, unnest(range(0, h)) AS y FROM xs),
+        | px AS (SELECT media_id, w, h,
+        |        3 * (x * 7 + y * 11 + base) + 9 AS lum,
+        |        (x * 8) // w AS bx, (y * 8) // h AS by FROM xy),
+        | blocks AS (SELECT media_id, w, h, by, bx,
+        |        sum(lum)::BIGINT AS bs, count(*)::BIGINT AS bc
+        |   FROM px GROUP BY media_id, w, h, by, bx),
+        | tot AS (SELECT media_id, sum(lum)::BIGINT AS ts FROM px GROUP BY media_id),
+        | rb AS (SELECT b.media_id, b.by,
+        |     sum(CASE WHEN b.bs * (b.w * b.h) > t.ts * b.bc
+        |              THEN 1 << b.bx ELSE 0 END)::BIGINT AS rbyte
+        |   FROM blocks b JOIN tot t ON t.media_id = b.media_id
+        |   GROUP BY b.media_id, b.by),
+        | grid AS (SELECT media_id, unnest(range(0, 8)) AS by FROM p),
+        | fullrows AS (SELECT g.media_id, g.by, coalesce(rb.rbyte, 0) AS rbyte
+        |   FROM grid g LEFT JOIN rb ON rb.media_id = g.media_id AND rb.by = g.by),
+        | hashes AS (SELECT media_id,
+        |     string_agg(printf('%02x', rbyte), '' ORDER BY by) AS phash_hex
+        |   FROM fullrows GROUP BY media_id),
+        | classes AS (SELECT phash_hex, count(*)::BIGINT AS n
+        |   FROM hashes GROUP BY phash_hex),
+        | cb AS (SELECT phash_hex, n,
+        |     ('0x' || substr(phash_hex, 1, 8))::BIGINT AS hi,
+        |     ('0x' || substr(phash_hex, 9, 8))::BIGINT AS lo FROM classes)
+        | SELECT a.phash_hex AS pa, b.phash_hex AS pb,
+        |   (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))::INT AS hamming,
+        |   a.n AS n_a, b.n AS n_b
+        | FROM cb a JOIN cb b ON a.phash_hex < b.phash_hex
+        | WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+        | ORDER BY hamming, pa, pb""".stripMargin.replace("\n", " "),
 
     "mm_decode_video" ->
       """WITH p AS (SELECT doc_id::BIGINT AS media_id,

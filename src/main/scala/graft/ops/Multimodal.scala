@@ -162,6 +162,44 @@ object Multimodal {
     }
   }
 
+  /** Near-duplicate IMAGE detection by perceptual-hash Hamming distance:
+    * Manku banding over the 64-bit average hash — 4 disjoint 16-bit
+    * bands, lossless for Hamming ≤ 3 by pigeonhole (≤ 3 flipped bits
+    * cannot touch all 4 bands) — then exact popcount verification on the
+    * band-colliding candidates. Runs over the DISTINCT hash-class table
+    * (image dedup collapses exact classes first, the dedup_exact
+    * groupBy shape), so the self-join is |classes|-bounded and each band
+    * is an equi-join key — the image twin of [[Dedup.simhashPairs]]'
+    * text banding. Input rows carry the hash as the 16-hex-char
+    * `hexCol`; output is (pa, pb, hamming) with pa < pb.
+    */
+  def phashPairs(classes: DataFrame, hexCol: String,
+                 maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4,
+      s"4x16-bit banding is lossless only for hamming < 4 (got $maxHamming)")
+    // 64-bit values split into two 32-bit halves: `conv` returns the
+    // UNSIGNED decimal string, so a full 64-bit parse of a high-bit hash
+    // would overflow the signed cast; 8 hex chars always fit
+    val withBits = classes.select(col(hexCol).as("_ph"),
+      expr(s"cast(conv(substring($hexCol, 1, 8), 16, 10) AS bigint)").as("_hi"),
+      expr(s"cast(conv(substring($hexCol, 9, 8), 16, 10) AS bigint)").as("_lo"))
+    val banded = withBits.select(col("_ph"), col("_hi"), col("_lo"),
+        explode(expr(
+          "transform(sequence(0, 3), b -> struct(b AS band, substring(_ph, b * 4 + 1, 4) AS key))"))
+          .as("z"))
+      .select(col("_ph"), col("_hi"), col("_lo"),
+        col("z.band").as("band"), col("z.key").as("key"))
+    val a = banded.select(col("band"), col("key"), col("_ph").as("pa"),
+      col("_hi").as("ha"), col("_lo").as("la"))
+    val b = banded.select(col("band"), col("key"), col("_ph").as("pb"),
+      col("_hi").as("hb"), col("_lo").as("lb"))
+    a.join(b, Seq("band", "key")).where(col("pa") < col("pb"))
+      .select(col("pa"), col("pb"),
+        expr("cast(bit_count(ha ^ hb) + bit_count(la ^ lb) AS int)").as("hamming"))
+      .distinct() // a pair may collide on several bands; hamming is pair-determined
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Deterministic frame sampling for (pseudo) video payloads: split the
     * payload into `frameSize`-byte frames, keep every `stride`-th. Shows
     * the explode-shaped plumbing a real frame sampler needs.
