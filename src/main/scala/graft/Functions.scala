@@ -45,6 +45,8 @@ object Functions {
     native("word_grams", exprs => graft.functions.WordGrams(
       exprs(0), exprs(1).eval().asInstanceOf[Int]))
     native("gopher_stats", exprs => graft.functions.GopherStatsExpr(exprs(0)))
+    native("cdc_chunks", exprs => graft.functions.CdcChunks(
+      exprs(0), exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]))
     native("unicode_norm", exprs => graft.functions.UnicodeNormalize(
       exprs(0), graft.functions.UnicodeNormalize.formOf(
         exprs(1).eval().toString)))

@@ -3674,6 +3674,36 @@ object SparkEntry {
         col("doc_id"), expr("rolling_hash(text)").as("rh"))
         .orderBy("doc_id")),
 
+    // Content-defined chunk dedup (LBFS / rsync / FastCDC — the
+    // insertion-ROBUST exact-substring key): `cdc_chunks` (native
+    // one-pass codegen expression) cuts each doc where the trailing
+    // 8-codepoint polynomial hash lands on a 5-bit zero mask (expected
+    // 32-char chunks). Boundaries depend only on local content, so an
+    // edit re-chunks its neighborhood and every later chunk RE-ALIGNS —
+    // shared chunks survive insertions that shift every fixed-width
+    // gram (the property dedup_spans' fixed k-grams lack). Corpus dedup
+    // is then the dedup_exact shape on chunk hashes: one generator
+    // explode + one key-local aggregation, linear, no pair space.
+    "dedup_cdc" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .where(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+          expr("cdc_chunks(text, 8, 5)").as("cuts"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(cuts)), i ->
+             | substring(text, IF(i = 1, 0, element_at(cuts, i - 1)) + 1,
+             |   element_at(cuts, i) - IF(i = 1, 0, element_at(cuts, i - 1))))"""
+            .stripMargin.replace("\n", " "))).as("chunk"))
+        .select(expr("md5_long(chunk, 15)").as("h"),
+          col("doc_id"), length(col("chunk")).as("clen"))
+        .groupBy("h")
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct("doc_id").as("n_docs"),
+          min("clen").as("clen"))
+        .where(col("n_copies") > 1)
+        .orderBy(col("n_copies").desc, col("h"))
+        .limit(100)),
+
     // Winnowing (MOSS) fingerprints: every verbatim match of length
     // ≥ w+k−1 = 11 chars is guaranteed a shared fingerprint; output is
     // the per-doc fingerprint count + order-independent XOR digest.
@@ -7534,6 +7564,32 @@ object SparkEntry {
         |       ELSE list_reduce([unicode(ch)::BIGINT for ch in string_split(text, '')],
         |                        (a, b) -> (a * 31 + b) % 999999999999989) END AS rh
         | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "dedup_cdc" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, '') AS a
+        |           FROM documents WHERE length(text) > 0),
+        | cut0 AS (SELECT doc_id, text, len(a) AS n,
+        |     [p for p in range(8, len(a) + 1) if
+        |        (list_sum([unicode(a[p - j])::BIGINT
+        |           * ([1, 31, 961, 29791, 923521, 28629151, 887503681, 512613922])[j + 1]::BIGINT
+        |           for j in range(0, 8)]) % 1000000007) % 32 = 0] AS cs
+        |   FROM d),
+        | cuts AS (SELECT doc_id, text,
+        |     CASE WHEN len(cs) = 0 OR cs[-1] <> n THEN list_append(cs, n)
+        |          ELSE cs END AS cuts
+        |   FROM cut0),
+        | chunks AS (SELECT doc_id,
+        |     unnest([substr(text,
+        |         (CASE WHEN i = 1 THEN 0 ELSE cuts[i - 1] END) + 1,
+        |         cuts[i] - (CASE WHEN i = 1 THEN 0 ELSE cuts[i - 1] END))
+        |       for i in range(1, len(cuts) + 1)]) AS chunk
+        |   FROM cuts),
+        | hs AS (SELECT doc_id, ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS h,
+        |          length(chunk) AS clen FROM chunks)
+        | SELECT h, count(*)::BIGINT AS n_copies,
+        |   count(DISTINCT doc_id)::BIGINT AS n_docs, min(clen)::INT AS clen
+        | FROM hs GROUP BY h HAVING count(*) > 1
+        | ORDER BY n_copies DESC, h LIMIT 100""".stripMargin.replace("\n", " "),
 
     "text_boilerplate" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
