@@ -81,6 +81,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "word_gram_hashes(text, k, nibbles) - positional word-k-gram md5-prefix hashes"),
       (exprs: Seq[Expression]) => WordGramHashes(exprs(0),
         exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("cdc_chunks"),
+      info("cdc_chunks",
+        "cdc_chunks(text, w, maskBits) - content-defined chunk end positions (FastCDC-style)"),
+      (exprs: Seq[Expression]) => graft.functions.CdcChunks(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
     // analysis-time scale guardrail (opt-in via spark.graft.forbidGlobalWindows)
     ext.injectCheckRule(s => graft.plans.GlobalWindowCheck(s))
     // whole-operator extension: bounded per-group top-k with a map-side

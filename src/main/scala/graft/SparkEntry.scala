@@ -2307,6 +2307,53 @@ object SparkEntry {
     // DECIMAL so the floats appear only in the final t formula — exact,
     // partition-order-free, and partial-aggregable (the 100 TB shape for
     // any experiment readout).
+    // Mann-Whitney U (Wilcoxon rank-sum) with the tie correction — the
+    // NONPARAMETRIC A/B test the t-test cannot replace on skewed
+    // metrics: compares purchase vs click value distributions rank-wise.
+    // Entirely exact integer arithmetic: values land on a cent grid, so
+    // ranking is a value-keyed count table; DOUBLED average ranks
+    // (2·cumBelow + cnt + 1) stay integer under ties; the 5% two-sided
+    // normal approximation cross-multiplies to
+    //   3·N(N−1)·(U2 − nA·nB)²·10⁴ > 38416·nA·nB·T,
+    //   T = (N+1)·N(N−1) − Σ(t³−t),
+    // evaluated in DECIMAL(38,0) (HUGEINT in the oracle) — no float, no
+    // sqrt, so the verdict bit is hashable cross-engine. The rank
+    // window runs over the AGGREGATED distinct-cent-value table
+    // (bounded by the value domain — the GlobalWindowCheck exemption);
+    // everything else is key-local aggregation into one row.
+    "events_mannwhitney" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .where(col("event_type").isin("purchase", "click"))
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      val byV = e.groupBy("v").agg(
+        count(lit(1)).as("cnt"),
+        count(when(col("event_type") === "purchase", 1)).as("cnt_a"))
+      val w = Window.orderBy("v")
+      val ranked = byV.select(col("cnt"), col("cnt_a"),
+        coalesce(sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("below"))
+      ranked.agg(
+          sum("cnt_a").as("n_a"),
+          sum(col("cnt") - col("cnt_a")).as("n_b"),
+          sum(col("cnt_a") * (lit(2L) * col("below") + col("cnt") + lit(1L)))
+            .as("r2a"),
+          sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties"))
+        .select(col("n_a"), col("n_b"),
+          (col("r2a") - col("n_a") * (col("n_a") + lit(1L))).as("u2_a"),
+          col("ties"))
+        .select(col("n_a"), col("n_b"), col("u2_a"),
+          expr("""CAST(3 * (n_a + n_b) * (n_a + n_b - 1) AS DECIMAL(38,0))
+                 |  * CAST((u2_a - n_a * n_b) * (u2_a - n_a * n_b) AS DECIMAL(38,0))
+                 |  * 10000
+                 | >
+                 | CAST(38416 * n_a * n_b AS DECIMAL(38,0))
+                 |  * CAST((n_a + n_b + 1) * (n_a + n_b) * (n_a + n_b - 1) - ties
+                 |         AS DECIMAL(38,0))"""
+            .stripMargin.replace("\n", " ")).as("significant"))
+        .orderBy("n_a")
+    }),
+
     "events_ab_ttest" -> ((s, dir) => {
       val e = t(s, dir, "events").select(col("event_type"),
         (col("user_id") % 2).as("cohort"), col("value"))
@@ -3611,12 +3658,17 @@ object SparkEntry {
     // SA-adjacent pairs, top 20 with a 10-token snippet. The trailing
     // rank window runs over the 20 post-limit rows (TakeOrderedAndProject
     // does the global top-k; nothing corpus-sized is sorted in one task).
+    // cap = 32 bounds the per-suffix slice shipped into the rank
+    // self-join (the default 128 exceeds this corpus's max doc length,
+    // degenerating to whole-suffix payloads); exact = true escalates the
+    // rare saturated pairs, so the output is cap-independent.
     "suffix_repeated_top" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val sa = graft.ops.SuffixArray.build(docs, "text", "doc_id")
       val ord = Seq(col("lcp").desc, col("doc_id").asc, col("pos").asc,
         col("nbr_id").asc, col("nbr_pos").asc)
-      val top = graft.ops.SuffixArray.lcpNeighbors(docs, "text", "doc_id", sa)
+      val top = graft.ops.SuffixArray.lcpNeighbors(docs, "text", "doc_id", sa,
+          cap = 32)
         .orderBy(ord: _*)
         .limit(20)
         .withColumn("rank",
@@ -4354,6 +4406,25 @@ object SparkEntry {
     // int8 scalar quantization audit: per-vector scale + integer summary
     // of the quantized index (float32 → int8 is the 4× footprint cut that
     // decides whether the ANN index fits executor memory at 100 TB).
+    // Greedy k-center coreset over int8-quantized embeddings
+    // (Gonzalez '85 farthest-point traversal — 2-approx covering
+    // radius; ops/Sampling.kCenterCoreset): the diverse-exemplar
+    // selection step of a curation pipeline — each new exemplar is the
+    // point FARTHEST from everything already kept (exact integer
+    // squared L2, ties to the smaller id), so sel_d2 is the
+    // non-increasing covering-radius curve. The oracle unrolls all 8
+    // selection rounds as chained MATERIALIZED CTE stages (the
+    // graph_pagerank discipline — DuckDB would otherwise inline the
+    // doubly-referenced stage 2^7 times).
+    "sample_coreset" -> ((s, dir) => {
+      val qv = t(s, dir, "embeddings")
+        .withColumn("_ma", Similarity.maxAbs("embedding"))
+        .withColumn("_q", Similarity.quantizeInt8("embedding", "_ma"))
+        .select(col("vec_id"), col("_q"))
+      graft.ops.Sampling.kCenterCoreset(qv, "vec_id", "_q", k = 8)
+        .orderBy("rank")
+    }),
+
     "embed_quantize" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       emb.withColumn("_m", Similarity.maxAbs("embedding"))
@@ -6767,6 +6838,29 @@ object SparkEntry {
          | FROM pc CROSS JOIN pl ORDER BY cohort""".stripMargin.replace("\n", " ")
     },
 
+    "events_mannwhitney" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        |           FROM events WHERE event_type IN ('purchase', 'click')),
+        | byv AS (SELECT v, count(*)::BIGINT AS cnt,
+        |           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS cnt_a
+        |         FROM e GROUP BY v),
+        | ranked AS (SELECT cnt, cnt_a,
+        |     coalesce(sum(cnt) OVER (ORDER BY v
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS below
+        |   FROM byv),
+        | agg AS (SELECT sum(cnt_a)::BIGINT AS n_a, sum(cnt - cnt_a)::BIGINT AS n_b,
+        |     sum(cnt_a * (2 * below + cnt + 1))::BIGINT AS r2a,
+        |     sum(cnt * cnt * cnt - cnt)::BIGINT AS ties FROM ranked),
+        | u AS (SELECT n_a, n_b, (r2a - n_a * (n_a + 1))::BIGINT AS u2_a, ties FROM agg)
+        | SELECT n_a, n_b, u2_a,
+        |   ((3 * (n_a + n_b) * (n_a + n_b - 1))::HUGEINT
+        |     * ((u2_a - n_a * n_b) * (u2_a - n_a * n_b))::HUGEINT * 10000
+        |    >
+        |    (38416 * n_a * n_b)::HUGEINT
+        |     * ((n_a + n_b + 1) * (n_a + n_b) * (n_a + n_b - 1) - ties)::HUGEINT)
+        |     AS significant
+        | FROM u ORDER BY n_a""".stripMargin.replace("\n", " "),
+
     "events_ab_ttest" ->
       """WITH e AS (SELECT event_type, user_id % 2 AS cohort, value FROM events),
         | stats AS (SELECT event_type, cohort, count(*) AS n,
@@ -8269,6 +8363,37 @@ object SparkEntry {
          |   FROM p)
          | SELECT domain, count(DISTINCT url_canon) AS n_urls, count(*) AS n_docs
          | FROM c GROUP BY domain ORDER BY domain""".stripMargin.replace("\n", " "),
+
+    "sample_coreset" -> {
+      def dist(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i])::BIGINT * ($a[i] - $b[i])))"
+      val stages = (2 to 8).map { r =>
+        s""" n$r AS (SELECT vec_id AS cid, best AS sel FROM s${r - 1}
+           |   ORDER BY best DESC, vec_id LIMIT 1),
+           | c$r AS (SELECT n$r.cid, q.qv AS cq, n$r.sel
+           |   FROM n$r JOIN q ON q.vec_id = n$r.cid),
+           | s$r AS MATERIALIZED (SELECT s.vec_id, s.qv,
+           |   least(s.best, ${dist("s.qv", "c.cq")}) AS best
+           |   FROM s${r - 1} s, c$r c)""".stripMargin
+      }.mkString(",")
+      val tails = (2 to 8).map(r =>
+        s"UNION ALL SELECT CAST($r AS BIGINT), cid, sel::BIGINT FROM n$r")
+        .mkString(" ")
+      s"""WITH m AS (SELECT vec_id, embedding,
+         |     CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS ma
+         |   FROM embeddings),
+         | q AS MATERIALIZED (SELECT vec_id,
+         |   CASE WHEN ma = 0 THEN list_transform(embedding, x -> 0)
+         |        ELSE list_transform(embedding,
+         |               x -> CAST(round(127 * CAST(x AS DOUBLE) / ma) AS INTEGER)) END AS qv
+         |   FROM m),
+         | c1 AS (SELECT vec_id AS cid, qv AS cq FROM q
+         |        WHERE vec_id = (SELECT min(vec_id) FROM q)),
+         | s1 AS MATERIALIZED (SELECT q.vec_id, q.qv, ${dist("q.qv", "c.cq")} AS best
+         |   FROM q, c1 c),$stages
+         | SELECT CAST(1 AS BIGINT) AS rank, cid AS vec_id, CAST(0 AS BIGINT) AS sel_d2
+         | FROM c1 $tails ORDER BY rank""".stripMargin.replace("\n", " ")
+    },
 
     "embed_quantize" ->
       """WITH m AS (SELECT vec_id, embedding,

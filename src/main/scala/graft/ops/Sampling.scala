@@ -73,6 +73,74 @@ object Sampling {
   def kFold(df: DataFrame, keyCol: String, k: Int): DataFrame =
     df.withColumn("fold", pmod(Dedup.md5Int(col(keyCol).cast("string")), lit(k)))
 
+  /** Greedy k-center coreset (Gonzalez '85 farthest-point traversal —
+    * a 2-approximation of the optimal covering radius): start from the
+    * minimum id, then k−1 times add the point FARTHEST from the chosen
+    * set (exact integer squared L2 over an int-quantized vector column;
+    * ties break to the smaller id). The diverse-subset selection step a
+    * curation pipeline runs when it can afford k passes — unlike
+    * hash/temperature sampling it guarantees every point is within the
+    * final covering radius of a kept exemplar.
+    *
+    * Scale shape: the working state is ONE narrow row per point
+    * (id, vector, best-distance-so-far), re-materialized per round with
+    * the previous round's storage released; each round updates `best`
+    * against the single new center (a one-row broadcast subquery — the
+    * argmax rides a `max(struct(best, -id))` aggregation, never a
+    * collect) and the whole round is ONE job. Rounds = k by
+    * construction — the k passes are the algorithm, not an
+    * implementation artifact.
+    *
+    * Output: (rank, idCol, sel_d2) — selection order and the max-min
+    * squared distance at selection (sel_d2 of rank r+1 is the covering
+    * radius of the first r centers; rank 1 seeds at 0).
+    */
+  def kCenterCoreset(df: DataFrame, idCol: String, qCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k-center needs k >= 1, got $k")
+    def d2(a: String, b: String): Column = expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> CAST(x - y AS BIGINT) * (x - y)), 0L, (acc, v) -> acc + v)")
+    val pts = df.select(col(idCol).cast("long").as("_id"), col(qCol).as("_q"))
+    val seed = pts.agg(min("_id").as("_cid"))
+    val c1 = pts.join(broadcast(seed), col("_id") === col("_cid"))
+      .select(col("_cid"), col("_q").as("_cq"), lit(1L).as("rank"),
+        lit(0L).as("sel_d2"))
+    // each selected-center row is materialized (one tiny row) BEFORE the
+    // state it derives from is released — a lazy center row would hold
+    // lineage into an already-unpersisted round checkpoint
+    val centerRows = scala.collection.mutable.ArrayBuffer(
+      Iterate.materialize(c1))
+    var state = Iterate.materialize(
+      pts.crossJoin(broadcast(centerRows.head.df.select(col("_cq"))))
+        .select(col("_id"), col("_q"), d2("_q", "_cq").as("_best")))
+    var r = 2
+    while (r <= k) {
+      val nxt = state.df
+        .agg(max(struct(col("_best"), (-col("_id")).as("_nid"))).as("_m"))
+        .select(col("_m._best").as("sel_d2"), (-col("_m._nid")).as("_cid"))
+      val cRow = Iterate.materialize(
+        state.df.join(broadcast(nxt), col("_id") === col("_cid"))
+          .select(col("_cid"), col("_q").as("_cq"), lit(r.toLong).as("rank"),
+            col("sel_d2")))
+      centerRows += cRow
+      if (r < k) {
+        val nextState = Iterate.materialize(
+          state.df.crossJoin(broadcast(cRow.df.select(col("_cq"))))
+            .select(col("_id"), col("_q"),
+              least(col("_best"), d2("_q", "_cq")).as("_best")))
+        state.release()
+        state = nextState
+      }
+      r += 1
+    }
+    val out = Iterate.materialize(
+      centerRows.map(_.df).reduce(_ unionByName _)
+        .select(col("rank"), col("_cid").as(idCol), col("sel_d2")))
+    state.release()
+    centerRows.foreach(_.release())
+    out.df
+  }
+
   /** Per-group cap: keep at most `cap` rows per `groupCol` value — the
     * standard "no domain may dominate the corpus" curation step. Row
     * choice is a deterministic hash rank (tie-broken by the key itself),

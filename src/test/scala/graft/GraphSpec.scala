@@ -504,6 +504,13 @@ class GraphSpec extends SparkSpec {
     assert(sccRun(cyc) === (0L until 6L).map(_ -> 0L).toMap)
   }
 
+  test("SCC: self-loop-only / empty edge sets yield an empty typed result") {
+    assert(sccRun(Seq((1L, 1L), (2L, 2L))) === Map.empty)
+    val out = Graph.stronglyConnectedComponents(
+      Seq.empty[(Long, Long)].toDF("s", "d"), "s", "d")
+    assert(out.columns.toSeq === Seq("node", "scc_id") && out.count() === 0)
+  }
+
   test("SCC matches iterative Tarjan on seeded random directed graphs") {
     val rnd = new Random(31)
     for ((n, m) <- Seq((12, 20), (20, 45), (30, 90))) {
