@@ -1010,6 +1010,47 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Per-document Kneser-Ney quality score — the perplexity-style gate
+    // composed from text_lm_kn's machinery with ZERO float anywhere:
+    // each doc's mean KN bigram probability in ppm is
+    //   Σ_types c_doc(v,w)·kn_ppm(v,w)  div  n_bigrams(doc)
+    // (integer: per-TYPE corpus probability × per-doc count — the mean
+    // over occurrences without touching a float fold, unlike
+    // text_lm_bigram's ln() version). Low-probability docs are the
+    // gibberish/boilerplate candidates. Shapes: corpus bigram-type table
+    // built once (one keyed agg), per-doc type counts (one keyed agg),
+    // one keyed join between them, one doc-keyed reduce.
+    "text_lm_kn_doc" -> ((s, dir) => {
+      val bg = t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("a"))
+        .where(size(col("a")) >= 2)
+        .select(col("doc_id"), explode(arrays_zip(
+          expr("slice(a, 1, size(a) - 1)").as("l"),
+          expr("slice(a, 2, size(a) - 1)").as("r"))).as("z"))
+        .select(col("doc_id"), col("z.l").as("w1"), col("z.r").as("w2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val heads = bt.groupBy("w1")
+        .agg(sum("c").as("cv"), count(lit(1)).as("n1pv"))
+      val tails = bt.groupBy("w2").agg(count(lit(1)).as("ncw"))
+      val tot = bt.agg(count(lit(1)).as("t"))
+      val knTypes = bt
+        .join(heads, "w1").join(tails, "w2").crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"),
+          expr("(1000000 * (t * greatest(4 * c - 3, 0) + 3 * n1pv * ncw))" +
+            " div (4 * cv * t)").as("kn_ppm"))
+      bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("dc"))
+        .join(knTypes, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(sum("dc").as("n_bigrams"),
+          sum(col("dc") * col("kn_ppm")).as("_s"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("_s div n_bigrams").as("mean_kn_ppm"))
+        .orderBy("doc_id")
+    }),
+
     // Interpolated Kneser-Ney bigram probabilities (Chen & Goodman '98)
     // at discount d = 3/4, entirely in exact integer rationals:
     //   P(w|v) = max(c(vw)−d, 0)/c(v·) + d·N1+(v·)/c(v·) · N1+(·w)/N1+(··)
@@ -5820,6 +5861,28 @@ object SparkEntry {
         |             - ln(x.lcf::DOUBLE + x.v::DOUBLE)) for x in lst]),
         |          (a, b) -> a + b) / n_bigrams::DOUBLE, 3) AS avg_logp_r3
         | FROM per ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "text_lm_kn_doc" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a
+        |           FROM documents),
+        | bg AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM (
+        |          SELECT doc_id, unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS z
+        |          FROM w WHERE len(a) >= 2)),
+        | bt AS (SELECT w1, w2, count(*)::BIGINT AS c FROM bg GROUP BY 1, 2),
+        | heads AS (SELECT w1, sum(c)::BIGINT AS cv, count(*)::BIGINT AS n1pv
+        |           FROM bt GROUP BY w1),
+        | tails AS (SELECT w2, count(*)::BIGINT AS ncw FROM bt GROUP BY w2),
+        | tot AS (SELECT count(*)::BIGINT AS t FROM bt),
+        | kn AS (SELECT w1, w2,
+        |     ((1000000 * (t * greatest(4 * c - 3, 0) + 3 * n1pv * ncw))
+        |      // (4 * cv * t))::BIGINT AS kn_ppm
+        |   FROM bt JOIN heads USING (w1) JOIN tails USING (w2) CROSS JOIN tot),
+        | dcnt AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS dc
+        |          FROM bg GROUP BY 1, 2, 3)
+        | SELECT doc_id, sum(dc)::BIGINT AS n_bigrams,
+        |   (sum(dc * kn_ppm) // sum(dc))::BIGINT AS mean_kn_ppm
+        | FROM dcnt JOIN kn USING (w1, w2)
+        | GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "text_lm_kn" ->
       """WITH w AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS a

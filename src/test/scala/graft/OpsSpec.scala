@@ -740,6 +740,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("kCenterCoreset matches the in-memory greedy reference; radius non-increasing") {
+    val rnd = new scala.util.Random(41)
+    val dim = 6
+    val pts = (0L until 40L).map(i =>
+      (i, Seq.fill(dim)(rnd.nextInt(201) - 100)))
+    def d2(a: Seq[Int], b: Seq[Int]): Long =
+      a.zip(b).map { case (x, y) => (x - y).toLong * (x - y) }.sum
+    // reference: farthest-point traversal, ties to the smaller id
+    def ref(k: Int): Seq[(Long, Long, Long)] = {
+      val best = scala.collection.mutable.Map(pts.map(p => p._1 -> Long.MaxValue): _*)
+      var out = Vector((1L, 0L, 0L))
+      pts.foreach(p => best(p._1) = d2(p._2, pts(0)._2))
+      (2 to k).foreach { r =>
+        val (nid, nd) = pts.map(p => (p._1, best(p._1)))
+          .maxBy { case (id, d) => (d, -id) }
+        out :+= ((r.toLong, nid, nd))
+        val nv = pts(nid.toInt)._2
+        pts.foreach(p => best(p._1) = math.min(best(p._1), d2(p._2, nv)))
+      }
+      out
+    }
+    val got = graft.ops.Sampling.kCenterCoreset(
+        pts.toDF("id", "q"), "id", "q", k = 6)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === ref(6))
+    // covering radius never increases as centers accumulate
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a }, radii)
+  }
+
   test("warm-start CC equals full recompute, including cross-cluster merges") {
     import graft.ops.Dedup
     // old edges: two chains {1..4} and {10..13}; a lone old pair {20,21}
