@@ -308,11 +308,15 @@ object Bench {
     * micro-batches with a state store — the point of the row is the
     * replay ⇒ batch-answer parity proven in CORRECTNESS, and racing N
     * triggers + state snapshots against one batch SQL statement is not a
-    * plan comparison. Still timed and counted in the total (nothing is
-    * hidden); flagged in BENCH_FULL and on stderr.
+    * plan comparison. `sink_merge_into` is the same shape at the sink:
+    * three complete write → read → merge → commit-cleanup filesystem
+    * cycles (the deploy-shaped upsert semantics under test) raced
+    * against the oracle's one closed-form fold. Still timed and counted
+    * in the total (nothing is hidden); flagged in BENCH_FULL and on
+    * stderr.
     */
   private[graft] val informational: Set[String] =
-    Set("streaming_replay_q14", "streaming_replay_dedup")
+    Set("streaming_replay_q14", "streaming_replay_dedup", "sink_merge_into")
 
   /** The stdout line's query subset: the reference-core dataflow plus the
     * most scale-relevant representative of each operator family. The
