@@ -1238,11 +1238,19 @@ object SparkEntry {
           (col("_n") - coalesce(
             sum("n_all").over(w.rowsBetween(Window.unboundedPreceding, -1)),
             lit(0L))).as("n_risk"))
+      // n_risk = d can only happen on the LAST conversion time (nothing
+      // has a longer duration once everyone at risk converts), but the
+      // engines disagree on ln(0) — Spark returns NULL (sum would skip
+      // it) and DuckDB raises — so the zero factor is kept OUT of the
+      // fold (its term folds ln(1) = 0) and that row's survival is
+      // pinned to the exact 0.0 the product semantics demand.
       atRisk.where(col("d") > 0)
         .select(col("dur"), col("n_risk"), col("d"),
-          round(exp(
-            sum(expr("ln(cast(n_risk - d AS double) / cast(n_risk AS double))"))
-              .over(w.rowsBetween(Window.unboundedPreceding, 0))), 3)
+          when(col("n_risk") === col("d"), lit(0.0)).otherwise(
+            round(exp(
+              sum(expr("ln(cast(CASE WHEN n_risk = d THEN n_risk" +
+                  " ELSE n_risk - d END AS double) / cast(n_risk AS double))"))
+                .over(w.rowsBetween(Window.unboundedPreceding, 0))), 3))
             .as("surv_r3"))
         .select(col("dur").as("t_day"), col("n_risk"),
           col("d").as("n_churn"), col("surv_r3"))
@@ -2379,18 +2387,26 @@ object SparkEntry {
           sum(col("cnt") - col("cnt_a")).as("n_b"),
           sum(col("cnt_a") * (lit(2L) * col("below") + col("cnt") + lit(1L)))
             .as("r2a"),
-          sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties"))
+          // tie cubes in DECIMAL from the first factor (a 2.1M-row value
+          // bin would wrap cnt³ in 64-bit)
+          sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt")).as("ties"))
         .select(col("n_a"), col("n_b"),
           (col("r2a") - col("n_a") * (col("n_a") + lit(1L))).as("u2_a"),
           col("ties"))
         .select(col("n_a"), col("n_b"), col("u2_a"),
-          expr("""CAST(3 * (n_a + n_b) * (n_a + n_b - 1) AS DECIMAL(38,0))
-                 |  * CAST((u2_a - n_a * n_b) * (u2_a - n_a * n_b) AS DECIMAL(38,0))
+          // every multi-factor product casts a FACTOR (not the finished
+          // product) to DECIMAL, so nothing is squared or cubed in
+          // 64-bit first — the pre-cast form wrapped past ~80k rows per
+          // group (|u2−nAnB|² > 2⁶³) exactly where the no-float claim
+          // matters
+          expr("""CAST(3 * (n_a + n_b) AS DECIMAL(38,0)) * (n_a + n_b - 1)
+                 |  * CAST(u2_a - n_a * n_b AS DECIMAL(38,0))
+                 |  * CAST(u2_a - n_a * n_b AS DECIMAL(38,0))
                  |  * 10000
                  | >
-                 | CAST(38416 * n_a * n_b AS DECIMAL(38,0))
-                 |  * CAST((n_a + n_b + 1) * (n_a + n_b) * (n_a + n_b - 1) - ties
-                 |         AS DECIMAL(38,0))"""
+                 | CAST(38416 * n_a AS DECIMAL(38,0)) * n_b *
+                 |   (CAST(n_a + n_b + 1 AS DECIMAL(38,0)) * (n_a + n_b)
+                 |     * (n_a + n_b - 1) - ties)"""
             .stripMargin.replace("\n", " ")).as("significant"))
         .orderBy("n_a")
     }),
@@ -5145,8 +5161,12 @@ object SparkEntry {
           })
           MediaRecord(id, "image/bmp", payload, Map.empty)
         }
+      // persisted: the class table feeds BOTH sides of the band
+      // self-join plus the two population joins — uncached, the full
+      // BMP encode + decode + hash pipeline would run four times
       val classes = Multimodal.perceptualHashes(recs).toDF()
         .groupBy("phash_hex").agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Multimodal.phashPairs(classes, "phash_hex", maxHamming = 3)
         .join(classes.select(col("phash_hex").as("pa"), col("n").as("n_a")), "pa")
         .join(classes.select(col("phash_hex").as("pb"), col("n").as("n_b")), "pb")
@@ -6156,9 +6176,11 @@ object SparkEntry {
         |   FROM bydur, tot),
         | deaths AS (SELECT dur, d, n_risk FROM ar WHERE d > 0)
         | SELECT dur AS t_day, n_risk, d AS n_churn,
-        |   round(exp(sum(ln((n_risk - d)::DOUBLE / n_risk::DOUBLE))
+        |   CASE WHEN n_risk = d THEN 0.0 ELSE
+        |   round(exp(sum(ln((CASE WHEN n_risk = d THEN n_risk
+        |                     ELSE n_risk - d END)::DOUBLE / n_risk::DOUBLE))
         |     OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 3)
-        |     AS surv_r3
+        |   END AS surv_r3
         | FROM deaths ORDER BY t_day""".stripMargin.replace("\n", " "),
 
     "cohort_retention" ->
@@ -6913,14 +6935,15 @@ object SparkEntry {
         |   FROM byv),
         | agg AS (SELECT sum(cnt_a)::BIGINT AS n_a, sum(cnt - cnt_a)::BIGINT AS n_b,
         |     sum(cnt_a * (2 * below + cnt + 1))::BIGINT AS r2a,
-        |     sum(cnt * cnt * cnt - cnt)::BIGINT AS ties FROM ranked),
+        |     sum(cnt::HUGEINT * cnt * cnt - cnt) AS ties FROM ranked),
         | u AS (SELECT n_a, n_b, (r2a - n_a * (n_a + 1))::BIGINT AS u2_a, ties FROM agg)
         | SELECT n_a, n_b, u2_a,
-        |   ((3 * (n_a + n_b) * (n_a + n_b - 1))::HUGEINT
-        |     * ((u2_a - n_a * n_b) * (u2_a - n_a * n_b))::HUGEINT * 10000
+        |   ((3 * (n_a + n_b))::HUGEINT * (n_a + n_b - 1)
+        |     * (u2_a - n_a * n_b)::HUGEINT
+        |     * (u2_a - n_a * n_b)::HUGEINT * 10000
         |    >
-        |    (38416 * n_a * n_b)::HUGEINT
-        |     * ((n_a + n_b + 1) * (n_a + n_b) * (n_a + n_b - 1) - ties)::HUGEINT)
+        |    (38416 * n_a)::HUGEINT * n_b
+        |     * ((n_a + n_b + 1)::HUGEINT * (n_a + n_b) * (n_a + n_b - 1) - ties))
         |     AS significant
         | FROM u ORDER BY n_a""".stripMargin.replace("\n", " "),
 
