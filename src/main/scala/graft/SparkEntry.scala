@@ -64,6 +64,49 @@ object SparkEntry {
   private def duckNdcgW = NdcgWeights.mkString("[", ", ", "]")
   private def duckNdcgCw = NdcgCums.mkString("[", ", ", "]")
 
+  /** Kneser-Ney cross-multiplied ppm over the bigram-type columns
+    * (c, cv, n1pv, ncw, t) — ONE formula string for both engines so the
+    * two Spark rows and their two oracles can never drift (`idiv` is
+    * Spark's `div` / DuckDB's `//`). Magnitude bound: BIGINT-safe while
+    * T·max(c) < ~2·10¹²; past that the multiply moves to DECIMAL(38,0)
+    * (same plan shape) — change it HERE, in one place.
+    */
+  private def knPpm(idiv: String): String =
+    s"(1000000 * (t * greatest(4 * c - 3, 0) + 3 * n1pv * ncw)) $idiv (4 * cv * t)"
+
+  /** Shared DuckDB CTE chain rebuilding the perceptual hash arithmetically
+    * from the BMP generator formula — spliced into mm_phash AND
+    * mm_phash_pairs so a derivation fix cannot be applied one-sided.
+    * Expects `documents`; yields `p` (media params) and `hashes`
+    * (media_id, phash_hex).
+    */
+  private val duckPhashCte: String =
+    """p AS (SELECT doc_id::BIGINT AS media_id,
+      |        (doc_id % 16 + 1)::BIGINT AS w,
+      |        (doc_id % 12 + 1)::BIGINT AS h,
+      |        (doc_id % 5)::BIGINT AS base
+      |        FROM documents),
+      | xs AS (SELECT media_id, w, h, base, unnest(range(0, w)) AS x FROM p),
+      | xy AS (SELECT media_id, w, h, base, x, unnest(range(0, h)) AS y FROM xs),
+      | px AS (SELECT media_id, w, h,
+      |        3 * (x * 7 + y * 11 + base) + 9 AS lum,
+      |        (x * 8) // w AS bx, (y * 8) // h AS by FROM xy),
+      | blocks AS (SELECT media_id, w, h, by, bx,
+      |        sum(lum)::BIGINT AS bs, count(*)::BIGINT AS bc
+      |   FROM px GROUP BY media_id, w, h, by, bx),
+      | tot AS (SELECT media_id, sum(lum)::BIGINT AS ts FROM px GROUP BY media_id),
+      | rb AS (SELECT b.media_id, b.by,
+      |     sum(CASE WHEN b.bs * (b.w * b.h) > t.ts * b.bc
+      |              THEN 1 << b.bx ELSE 0 END)::BIGINT AS rbyte
+      |   FROM blocks b JOIN tot t ON t.media_id = b.media_id
+      |   GROUP BY b.media_id, b.by),
+      | grid AS (SELECT media_id, unnest(range(0, 8)) AS by FROM p),
+      | fullrows AS (SELECT g.media_id, g.by, coalesce(rb.rbyte, 0) AS rbyte
+      |   FROM grid g LEFT JOIN rb ON rb.media_id = g.media_id AND rb.by = g.by),
+      | hashes AS (SELECT media_id,
+      |     string_agg(printf('%02x', rbyte), '' ORDER BY by) AS phash_hex
+      |   FROM fullrows GROUP BY media_id)""".stripMargin.replace("\n", " ")
+
   private def duckCosine(a: String, b: String): String =
     s"""(list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
        | / (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))
@@ -1039,8 +1082,7 @@ object SparkEntry {
       val knTypes = bt
         .join(heads, "w1").join(tails, "w2").crossJoin(broadcast(tot))
         .select(col("w1"), col("w2"),
-          expr("(1000000 * (t * greatest(4 * c - 3, 0) + 3 * n1pv * ncw))" +
-            " div (4 * cv * t)").as("kn_ppm"))
+          expr(knPpm("div")).as("kn_ppm"))
       bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("dc"))
         .join(knTypes, Seq("w1", "w2"))
         .groupBy("doc_id")
@@ -1082,8 +1124,7 @@ object SparkEntry {
       bt.where(col("c") >= 5)
         .join(heads, "w1").join(tails, "w2").crossJoin(broadcast(tot))
         .select(col("w1"), col("w2"), col("c"),
-          expr("(1000000 * (t * greatest(4 * c - 3, 0) + 3 * n1pv * ncw))" +
-            " div (4 * cv * t)").as("kn_ppm"))
+          expr(knPpm("div")).as("kn_ppm"))
         .orderBy(col("kn_ppm").desc, col("w1"), col("w2"))
         .limit(100)
     }),
@@ -2366,10 +2407,15 @@ object SparkEntry {
     //   3·N(N−1)·(U2 − nA·nB)²·10⁴ > 38416·nA·nB·T,
     //   T = (N+1)·N(N−1) − Σ(t³−t),
     // evaluated in DECIMAL(38,0) (HUGEINT in the oracle) — no float, no
-    // sqrt, so the verdict bit is hashable cross-engine. The rank
-    // window runs over the AGGREGATED distinct-cent-value table
-    // (bounded by the value domain — the GlobalWindowCheck exemption);
-    // everything else is key-local aggregation into one row.
+    // sqrt, so the verdict bit is hashable cross-engine. Range
+    // contract: the left side grows ~N⁶·10⁴ in the worst case, so the
+    // exact-integer verdict is valid to N = nA+nB ≈ 5·10⁵ (DECIMAL(38)/
+    // HUGEINT ceiling; fixture N ≈ 4·10⁴). Past that, sample (the test
+    // has long since saturated) or move the final compare to the double
+    // z-score and accept the 1.96-boundary ulp. The rank window runs
+    // over the AGGREGATED distinct-cent-value table (bounded by the
+    // value domain — the GlobalWindowCheck exemption); everything else
+    // is key-local aggregation into one row.
     "events_mannwhitney" -> ((s, dir) => {
       val e = t(s, dir, "events")
         .where(col("event_type").isin("purchase", "click"))
@@ -4173,14 +4219,20 @@ object SparkEntry {
 
     // Binary-relevance NDCG@10 with a PINNED integer weight table:
     // w(i) = round(10^6 / log2(i+1)) precomputed as literals on BOTH
-    // engines, so DCG = Σ rel_i·w(i) and the ideal DCG (the prefix sum
-    // of the first min(n_rel, 10) weights) stay exact integer
-    // arithmetic — the log never enters the query, sidestepping the
-    // libm-vs-java ulp hazard that makes float NDCG un-hashable
-    // cross-engine (same trick as retrieval_ap's lcm scaling).
+    // engines, so DCG = Σ rel_i·w(i) and the ideal DCG stay exact
+    // integer arithmetic — the log never enters the query, sidestepping
+    // the libm-vs-java ulp hazard that makes float NDCG un-hashable
+    // cross-engine (same trick as retrieval_ap's lcm scaling). The
+    // ideal is the prefix sum of the first min(CORPUS-relevant, 10)
+    // weights — the corpus relevant count (same-label vectors, self
+    // excluded), NOT the retrieved-relevant count, so a query that
+    // misses relevant items is penalized instead of self-normalized to
+    // a perfect score (the recall-blindness a retrieved-only ideal
+    // introduces).
     "retrieval_ndcg" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val lab = emb.select(col("vec_id"), col("label"))
+      val labCnt = lab.groupBy("label").agg(count(lit(1)).as("n_lab"))
       val q = emb.where(col("vec_id") < 50)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val ranked = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
@@ -4189,14 +4241,17 @@ object SparkEntry {
           col("label").as("n_label"))), "neighbor_id")
         .join(broadcast(lab.select(col("vec_id").as("q_id"),
           col("label").as("q_label"))), "q_id")
-        .select(col("q_id"), col("rank"),
+        .select(col("q_id"), col("q_label"), col("rank"),
           (col("n_label") === col("q_label")).cast("long").as("rel"))
-      ranked.groupBy("q_id")
+      ranked.groupBy("q_id", "q_label")
         .agg(sum("rel").as("n_rel"),
           sum(expr(s"rel * element_at($NdcgW, cast(rank AS int))")).as("dcg"))
+        .join(broadcast(labCnt.withColumnRenamed("label", "q_label")), "q_label")
         .select(col("q_id"), col("n_rel"),
-          when(col("n_rel") > 0,
-            expr(s"dcg * 10000 div element_at($NdcgCw, cast(least(n_rel, 10) AS int))"))
+          (col("n_lab") - 1).as("n_rel_corpus"),
+          when(col("n_lab") > 1,
+            expr(s"dcg * 10000 div element_at($NdcgCw," +
+              " cast(least(n_lab - 1, 10) AS int))"))
             .otherwise(lit(0L)).as("ndcg_bp"))
         .orderBy("q_id")
     }),
@@ -5883,7 +5938,7 @@ object SparkEntry {
         | FROM per ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "text_lm_kn_doc" ->
-      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a
+      s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a
         |           FROM documents),
         | bg AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM (
         |          SELECT doc_id, unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS z
@@ -5894,8 +5949,7 @@ object SparkEntry {
         | tails AS (SELECT w2, count(*)::BIGINT AS ncw FROM bt GROUP BY w2),
         | tot AS (SELECT count(*)::BIGINT AS t FROM bt),
         | kn AS (SELECT w1, w2,
-        |     ((1000000 * (t * greatest(4 * c - 3, 0) + 3 * n1pv * ncw))
-        |      // (4 * cv * t))::BIGINT AS kn_ppm
+        |     (${knPpm("//")})::BIGINT AS kn_ppm
         |   FROM bt JOIN heads USING (w1) JOIN tails USING (w2) CROSS JOIN tot),
         | dcnt AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS dc
         |          FROM bg GROUP BY 1, 2, 3)
@@ -5905,7 +5959,7 @@ object SparkEntry {
         | GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "text_lm_kn" ->
-      """WITH w AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS a
+      s"""WITH w AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS a
         |           FROM documents),
         | bg AS (SELECT z[1] AS w1, z[2] AS w2 FROM (
         |          SELECT unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS z
@@ -5916,8 +5970,7 @@ object SparkEntry {
         | tails AS (SELECT w2, count(*)::BIGINT AS ncw FROM bt GROUP BY w2),
         | tot AS (SELECT count(*)::BIGINT AS t FROM bt)
         | SELECT w1, w2, c,
-        |   ((1000000 * (t * greatest(4 * c - 3, 0) + 3 * n1pv * ncw))
-        |    // (4 * cv * t))::BIGINT AS kn_ppm
+        |   (${knPpm("//")})::BIGINT AS kn_ppm
         | FROM bt JOIN heads USING (w1) JOIN tails USING (w2) CROSS JOIN tot
         | WHERE c >= 5 ORDER BY kn_ppm DESC, w1, w2 LIMIT 100""".stripMargin.replace("\n", " "),
 
@@ -8238,22 +8291,24 @@ object SparkEntry {
     "retrieval_ndcg" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
          |           FROM embeddings WHERE vec_id < 50),
+         | lc AS (SELECT label, count(*)::BIGINT AS n_lab FROM embeddings GROUP BY label),
          | scored AS (
          |   SELECT q.q_id, q.q_label, e.vec_id AS neighbor_id, e.label AS n_label,
          |          ${duckCosine("q.q_emb", "e.embedding")} AS cos
          |   FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id),
          | ranked AS (
-         |   SELECT q_id, (n_label = q_label)::BIGINT AS rel,
+         |   SELECT q_id, q_label, (n_label = q_label)::BIGINT AS rel,
          |          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
          |   FROM scored),
-         | agg AS (SELECT q_id, sum(rel)::BIGINT AS n_rel,
+         | agg AS (SELECT q_id, q_label, sum(rel)::BIGINT AS n_rel,
          |     sum(rel * ($duckNdcgW)[rank::INT])::BIGINT AS dcg
-         |   FROM ranked WHERE rank <= 10 GROUP BY q_id)
-         | SELECT q_id, n_rel,
-         |   CASE WHEN n_rel > 0
-         |        THEN (dcg * 10000 // ($duckNdcgCw)[least(n_rel, 10)::INT])::BIGINT
+         |   FROM ranked WHERE rank <= 10 GROUP BY q_id, q_label)
+         | SELECT q_id, n_rel, (n_lab - 1)::BIGINT AS n_rel_corpus,
+         |   CASE WHEN n_lab > 1
+         |        THEN (dcg * 10000 // ($duckNdcgCw)[least(n_lab - 1, 10)::INT])::BIGINT
          |        ELSE 0 END AS ndcg_bp
-         | FROM agg ORDER BY q_id""".stripMargin.replace("\n", " "),
+         | FROM agg JOIN lc ON lc.label = agg.q_label
+         | ORDER BY q_id""".stripMargin.replace("\n", " "),
 
     "ann_lsh" ->
       s"""WITH planes AS (
@@ -8932,61 +8987,13 @@ object SparkEntry {
         | FROM w ORDER BY media_id, window_id""".stripMargin.replace("\n", " "),
 
     "mm_phash" ->
-      """WITH p AS (SELECT doc_id::BIGINT AS media_id,
-        |        (doc_id % 16 + 1)::BIGINT AS w,
-        |        (doc_id % 12 + 1)::BIGINT AS h,
-        |        (doc_id % 5)::BIGINT AS base
-        |        FROM documents),
-        | xs AS (SELECT media_id, w, h, base, unnest(range(0, w)) AS x FROM p),
-        | xy AS (SELECT media_id, w, h, base, x, unnest(range(0, h)) AS y FROM xs),
-        | px AS (SELECT media_id, w, h,
-        |        3 * (x * 7 + y * 11 + base) + 9 AS lum,
-        |        (x * 8) // w AS bx, (y * 8) // h AS by FROM xy),
-        | blocks AS (SELECT media_id, w, h, by, bx,
-        |        sum(lum)::BIGINT AS bs, count(*)::BIGINT AS bc
-        |   FROM px GROUP BY media_id, w, h, by, bx),
-        | tot AS (SELECT media_id, sum(lum)::BIGINT AS ts FROM px GROUP BY media_id),
-        | rb AS (SELECT b.media_id, b.by,
-        |     sum(CASE WHEN b.bs * (b.w * b.h) > t.ts * b.bc
-        |              THEN 1 << b.bx ELSE 0 END)::BIGINT AS rbyte
-        |   FROM blocks b JOIN tot t ON t.media_id = b.media_id
-        |   GROUP BY b.media_id, b.by),
-        | grid AS (SELECT media_id, unnest(range(0, 8)) AS by FROM p),
-        | fullrows AS (SELECT g.media_id, g.by, coalesce(rb.rbyte, 0) AS rbyte
-        |   FROM grid g LEFT JOIN rb ON rb.media_id = g.media_id AND rb.by = g.by),
-        | hashes AS (SELECT media_id,
-        |     string_agg(printf('%02x', rbyte), '' ORDER BY by) AS phash_hex
-        |   FROM fullrows GROUP BY media_id)
+      s"""WITH $duckPhashCte
         | SELECT p.media_id, p.w::INT AS width, p.h::INT AS height, h.phash_hex
         | FROM p JOIN hashes h ON h.media_id = p.media_id
         | ORDER BY p.media_id""".stripMargin.replace("\n", " "),
 
     "mm_phash_pairs" ->
-      """WITH p AS (SELECT doc_id::BIGINT AS media_id,
-        |        (doc_id % 16 + 1)::BIGINT AS w,
-        |        (doc_id % 12 + 1)::BIGINT AS h,
-        |        (doc_id % 5)::BIGINT AS base
-        |        FROM documents),
-        | xs AS (SELECT media_id, w, h, base, unnest(range(0, w)) AS x FROM p),
-        | xy AS (SELECT media_id, w, h, base, x, unnest(range(0, h)) AS y FROM xs),
-        | px AS (SELECT media_id, w, h,
-        |        3 * (x * 7 + y * 11 + base) + 9 AS lum,
-        |        (x * 8) // w AS bx, (y * 8) // h AS by FROM xy),
-        | blocks AS (SELECT media_id, w, h, by, bx,
-        |        sum(lum)::BIGINT AS bs, count(*)::BIGINT AS bc
-        |   FROM px GROUP BY media_id, w, h, by, bx),
-        | tot AS (SELECT media_id, sum(lum)::BIGINT AS ts FROM px GROUP BY media_id),
-        | rb AS (SELECT b.media_id, b.by,
-        |     sum(CASE WHEN b.bs * (b.w * b.h) > t.ts * b.bc
-        |              THEN 1 << b.bx ELSE 0 END)::BIGINT AS rbyte
-        |   FROM blocks b JOIN tot t ON t.media_id = b.media_id
-        |   GROUP BY b.media_id, b.by),
-        | grid AS (SELECT media_id, unnest(range(0, 8)) AS by FROM p),
-        | fullrows AS (SELECT g.media_id, g.by, coalesce(rb.rbyte, 0) AS rbyte
-        |   FROM grid g LEFT JOIN rb ON rb.media_id = g.media_id AND rb.by = g.by),
-        | hashes AS (SELECT media_id,
-        |     string_agg(printf('%02x', rbyte), '' ORDER BY by) AS phash_hex
-        |   FROM fullrows GROUP BY media_id),
+      s"""WITH $duckPhashCte,
         | classes AS (SELECT phash_hex, count(*)::BIGINT AS n
         |   FROM hashes GROUP BY phash_hex),
         | cb AS (SELECT phash_hex, n,

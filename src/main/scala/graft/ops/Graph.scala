@@ -780,12 +780,17 @@ object Graph {
       .where(col("u") < col("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("cn"))
       .where(col("cn") >= minCn)
-    cn.join(deg.select(col("n").as("u"), col("deg").as("deg_u")), "u")
+    val result = cn
+      .join(deg.select(col("n").as("u"), col("deg").as("deg_u")), "u")
       .join(deg.select(col("n").as("v"), col("deg").as("deg_v")), "v")
       .join(e.withColumn("linked", lit(true)), Seq("u", "v"), "left")
       .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"),
         expr("cn * 10000 div (deg_u + deg_v - cn)").as("jaccard_bp"),
         coalesce(col("linked"), lit(false)).as("linked"))
+    // checkpoint the result, then free the edge/degree caches — without
+    // this a long-lived library session pins them until stop()
+    // (the triangleCount discipline)
+    Iterate.scoped(result, e, deg)
   }
 
   /** k-core decomposition for a fixed k (Matula–Beck peeling): the

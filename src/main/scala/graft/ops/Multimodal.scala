@@ -196,8 +196,11 @@ object Multimodal {
     a.join(b, Seq("band", "key")).where(col("pa") < col("pb"))
       .select(col("pa"), col("pb"),
         expr("cast(bit_count(ha ^ hb) + bit_count(la ^ lb) AS int)").as("hamming"))
-      .distinct() // a pair may collide on several bands; hamming is pair-determined
+      // filter BEFORE the dedup exchange: hamming is pair-determined, so
+      // the order is free, and most band collisions are 4..64-bit pairs
+      // about to be dropped — no reason to shuffle them into distinct()
       .where(col("hamming") <= maxHamming)
+      .distinct() // a pair may collide on several bands
   }
 
   /** Deterministic frame sampling for (pseudo) video payloads: split the

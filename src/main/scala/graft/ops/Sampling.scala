@@ -93,7 +93,10 @@ object Sampling {
     *
     * Output: (rank, idCol, sel_d2) — selection order and the max-min
     * squared distance at selection (sel_d2 of rank r+1 is the covering
-    * radius of the first r centers; rank 1 seeds at 0).
+    * radius of the first r centers; rank 1 seeds at 0). Up to k rows:
+    * selection STOPS once the covering radius reaches 0 (fewer distinct
+    * vectors than k) — continuing would re-emit the seed as a duplicate
+    * exemplar.
     */
   def kCenterCoreset(df: DataFrame, idCol: String, qCol: String,
                      k: Int): DataFrame = {
@@ -114,24 +117,34 @@ object Sampling {
       pts.crossJoin(broadcast(centerRows.head.df.select(col("_cq"))))
         .select(col("_id"), col("_q"), d2("_q", "_cq").as("_best")))
     var r = 2
-    while (r <= k) {
+    var covered = false
+    while (r <= k && !covered) {
       val nxt = state.df
         .agg(max(struct(col("_best"), (-col("_id")).as("_nid"))).as("_m"))
         .select(col("_m._best").as("sel_d2"), (-col("_m._nid")).as("_cid"))
+      val obs = org.apache.spark.sql.Observation()
       val cRow = Iterate.materialize(
         state.df.join(broadcast(nxt), col("_id") === col("_cid"))
           .select(col("_cid"), col("_q").as("_cq"), lit(r.toLong).as("rank"),
-            col("sel_d2")))
-      centerRows += cRow
-      if (r < k) {
-        val nextState = Iterate.materialize(
-          state.df.crossJoin(broadcast(cRow.df.select(col("_cq"))))
-            .select(col("_id"), col("_q"),
-              least(col("_best"), d2("_q", "_cq")).as("_best")))
-        state.release()
-        state = nextState
+            col("sel_d2"))
+          .observe(obs, max("sel_d2").as("d")))
+      // covering radius 0 ⟹ every point coincides with a chosen center:
+      // a further "farthest" point would just re-select the seed (the
+      // max(struct) tie rule lands on the global min id), emitting the
+      // same exemplar twice — stop with fewer than k rows instead
+      if (obs.get("d").asInstanceOf[Long] == 0L) { cRow.release(); covered = true }
+      else {
+        centerRows += cRow
+        if (r < k) {
+          val nextState = Iterate.materialize(
+            state.df.crossJoin(broadcast(cRow.df.select(col("_cq"))))
+              .select(col("_id"), col("_q"),
+                least(col("_best"), d2("_q", "_cq")).as("_best")))
+          state.release()
+          state = nextState
+        }
+        r += 1
       }
-      r += 1
     }
     val out = Iterate.materialize(
       centerRows.map(_.df).reduce(_ unionByName _)

@@ -771,6 +771,18 @@ class OpsSpec extends SparkSpec {
     assert(radii.zip(radii.tail).forall { case (a, b) => b <= a }, radii)
   }
 
+  test("kCenterCoreset stops at radius 0 instead of re-emitting the seed") {
+    // 10 rows, only 3 distinct vectors: k=6 must yield exactly 3 exemplars
+    val pts = (0L until 10L).map(i => (i, Seq.fill(4)((i % 3).toInt * 10)))
+    val got = graft.ops.Sampling.kCenterCoreset(
+        pts.toDF("id", "q"), "id", "q", k = 6)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.size === 3, got)
+    assert(got.map(_._2).distinct.size === 3)
+    assert(got.last._3 > 0L) // every KEPT selection still carries a real radius
+  }
+
   test("warm-start CC equals full recompute, including cross-cluster merges") {
     import graft.ops.Dedup
     // old edges: two chains {1..4} and {10..13}; a lone old pair {20,21}
