@@ -4527,7 +4527,8 @@ object SparkEntry {
     // non-increasing covering-radius curve. The oracle unrolls all 8
     // selection rounds as chained MATERIALIZED CTE stages (the
     // graph_pagerank discipline — DuckDB would otherwise inline the
-    // doubly-referenced stage 2^7 times).
+    // doubly-referenced stage 2^7 times) and drops sel = 0 stages,
+    // mirroring the operator's radius-0 stop.
     "sample_coreset" -> ((s, dir) => {
       val qv = t(s, dir, "embeddings")
         .withColumn("_ma", Similarity.maxAbs("embedding"))
@@ -5218,14 +5219,18 @@ object SparkEntry {
         }
       // persisted: the class table feeds BOTH sides of the band
       // self-join plus the two population joins — uncached, the full
-      // BMP encode + decode + hash pipeline would run four times
+      // BMP encode + decode + hash pipeline would run four times. The
+      // result is checkpointed via Iterate.scoped so the cache is
+      // RELEASED at query-build exit (the neighborSimilarity
+      // discipline), not pinned until session stop.
       val classes = Multimodal.perceptualHashes(recs).toDF()
         .groupBy("phash_hex").agg(count(lit(1)).as("n"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Multimodal.phashPairs(classes, "phash_hex", maxHamming = 3)
+      val pairs = Multimodal.phashPairs(classes, "phash_hex", maxHamming = 3)
         .join(classes.select(col("phash_hex").as("pa"), col("n").as("n_a")), "pa")
         .join(classes.select(col("phash_hex").as("pb"), col("n").as("n_b")), "pb")
         .select(col("pa"), col("pb"), col("hamming"), col("n_a"), col("n_b"))
+      graft.ops.Iterate.scoped(pairs, classes)
         .orderBy("hamming", "pa", "pb")
     }),
 
@@ -8517,8 +8522,12 @@ object SparkEntry {
            |   least(s.best, ${dist("s.qv", "c.cq")}) AS best
            |   FROM s${r - 1} s, c$r c)""".stripMargin
       }.mkString(",")
+      // sel > 0 mirrors kCenterCoreset's radius-0 stop: once the
+      // covering radius collapses (fewer distinct vectors than k), every
+      // later stage would re-select the seed at sel = 0 — drop those
+      // rows so both engines emit the same (possibly < 8) exemplar set
       val tails = (2 to 8).map(r =>
-        s"UNION ALL SELECT CAST($r AS BIGINT), cid, sel::BIGINT FROM n$r")
+        s"UNION ALL SELECT CAST($r AS BIGINT), cid, sel::BIGINT FROM n$r WHERE sel > 0")
         .mkString(" ")
       s"""WITH m AS (SELECT vec_id, embedding,
          |     CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS ma

@@ -110,41 +110,44 @@ object Sampling {
         lit(0L).as("sel_d2"))
     // each selected-center row is materialized (one tiny row) BEFORE the
     // state it derives from is released — a lazy center row would hold
-    // lineage into an already-unpersisted round checkpoint
+    // lineage into an already-unpersisted round checkpoint. The state
+    // materializations carry max(_best) as an observe() metric: that IS
+    // the next selection's covering radius, so the radius-0 stop costs
+    // no extra job in either path.
     val centerRows = scala.collection.mutable.ArrayBuffer(
       Iterate.materialize(c1))
+    val obs0 = org.apache.spark.sql.Observation()
     var state = Iterate.materialize(
       pts.crossJoin(broadcast(centerRows.head.df.select(col("_cq"))))
-        .select(col("_id"), col("_q"), d2("_q", "_cq").as("_best")))
+        .select(col("_id"), col("_q"), d2("_q", "_cq").as("_best"))
+        .observe(obs0, coalesce(max("_best"), lit(0L)).as("radius")))
+    var radius = obs0.get("radius").asInstanceOf[Long]
     var r = 2
-    var covered = false
-    while (r <= k && !covered) {
+    // covering radius 0 ⟹ every point coincides with a chosen center: a
+    // further "farthest" point would just re-select the seed (the
+    // max(struct) tie rule lands on the global min id), emitting the
+    // same exemplar twice — stop with fewer than k rows instead
+    while (r <= k && radius > 0) {
       val nxt = state.df
         .agg(max(struct(col("_best"), (-col("_id")).as("_nid"))).as("_m"))
         .select(col("_m._best").as("sel_d2"), (-col("_m._nid")).as("_cid"))
-      val obs = org.apache.spark.sql.Observation()
       val cRow = Iterate.materialize(
         state.df.join(broadcast(nxt), col("_id") === col("_cid"))
           .select(col("_cid"), col("_q").as("_cq"), lit(r.toLong).as("rank"),
-            col("sel_d2"))
-          .observe(obs, max("sel_d2").as("d")))
-      // covering radius 0 ⟹ every point coincides with a chosen center:
-      // a further "farthest" point would just re-select the seed (the
-      // max(struct) tie rule lands on the global min id), emitting the
-      // same exemplar twice — stop with fewer than k rows instead
-      if (obs.get("d").asInstanceOf[Long] == 0L) { cRow.release(); covered = true }
-      else {
-        centerRows += cRow
-        if (r < k) {
-          val nextState = Iterate.materialize(
-            state.df.crossJoin(broadcast(cRow.df.select(col("_cq"))))
-              .select(col("_id"), col("_q"),
-                least(col("_best"), d2("_q", "_cq")).as("_best")))
-          state.release()
-          state = nextState
-        }
-        r += 1
+            col("sel_d2")))
+      centerRows += cRow
+      if (r < k) {
+        val obs = org.apache.spark.sql.Observation()
+        val nextState = Iterate.materialize(
+          state.df.crossJoin(broadcast(cRow.df.select(col("_cq"))))
+            .select(col("_id"), col("_q"),
+              least(col("_best"), d2("_q", "_cq")).as("_best"))
+            .observe(obs, coalesce(max("_best"), lit(0L)).as("radius")))
+        state.release()
+        state = nextState
+        radius = obs.get("radius").asInstanceOf[Long]
       }
+      r += 1
     }
     val out = Iterate.materialize(
       centerRows.map(_.df).reduce(_ unionByName _)
