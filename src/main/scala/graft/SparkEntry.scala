@@ -3761,17 +3761,15 @@ object SparkEntry {
     // SA-adjacent pairs, top 20 with a 10-token snippet. The trailing
     // rank window runs over the 20 post-limit rows (TakeOrderedAndProject
     // does the global top-k; nothing corpus-sized is sorted in one task).
-    // cap = 32 bounds the per-suffix slice shipped into the rank
-    // self-join (the default 128 exceeds this corpus's max doc length,
-    // degenerating to whole-suffix payloads); exact = true escalates the
-    // rare saturated pairs, so the output is cap-independent.
+    // neighborLcps fuses build + neighbor compare into one sorted pass
+    // (lead() over the ranking's own checkpoint — no slice join, no rank
+    // self-join, exact LCPs); long-doc corpora fall back to the capped
+    // escalating pipeline inside the op.
     "suffix_repeated_top" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val sa = graft.ops.SuffixArray.build(docs, "text", "doc_id")
       val ord = Seq(col("lcp").desc, col("doc_id").asc, col("pos").asc,
         col("nbr_id").asc, col("nbr_pos").asc)
-      val top = graft.ops.SuffixArray.lcpNeighbors(docs, "text", "doc_id", sa,
-          cap = 32)
+      val top = graft.ops.SuffixArray.neighborLcps(docs, "text", "doc_id")
         .orderBy(ord: _*)
         .limit(20)
         .withColumn("rank",

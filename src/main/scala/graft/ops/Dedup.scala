@@ -899,36 +899,47 @@ object Dedup {
     * every occurrence of a duplicated gram is SA-adjacent to another —
     * so "first copy of the run" = min (id, pos) of the gram group.
     *
-    * Scale shape: the SA build's keyed rounds, one CAPPED LCP pass
+    * Scale shape: a `refineTo = k` BOUNDED SA build (one ranking whose
+    * shuffle payload is O(suffixes × k), ties past the first k tokens
+    * broken (id, pos) instead of by further tokens), one CAPPED LCP pass
     * (`cap = k` and `exact = false` — a threshold test `lcp >= k` never
     * needs tokens past k, so nothing full-length is ever shuffled), then
     * the k-gram winner selection runs over MEMBERS ONLY (the dup mass,
     * not the corpus): gram keys are re-read as the member suffix's first
     * k tokens, one bounded slice join.
+    *
+    * Why the bounded build is EXACT here (not an approximation): in both
+    * the full and the k-bounded ordering, an equal-first-k-tokens class
+    * is a contiguous run (the bounded order sorts by exactly those k
+    * tokens; the full order refines within the class only). A capped
+    * neighbor LCP reaches k iff both suffixes share their first k tokens
+    * — i.e. iff the pair lies inside one class (two suffixes of
+    * different classes differ within the first k tokens, or one ends
+    * before k, capping the LCP below k either way) — so the
+    * `lcp >= k`-connected runs are the same classes under either order,
+    * and the winner (min (id, pos) per class) is order-independent.
+    * Refinement past k can therefore never change the output; the
+    * dedup_spans_sa ⇔ dedup_spans_exact oracle identity pins it.
     */
   def dedupSpansSa(df: DataFrame, textCol: String, idCol: String,
                    k: Int = 5, startPrefix: Int = SuffixArray.AdaptiveSeed,
                    parts: Int = 32): DataFrame = {
-    val sa = SuffixArray.build(df, textCol, idCol, startPrefix, parts)
-    val lcp = SuffixArray.lcpNeighbors(df, textCol, idCol, sa,
-      cap = k, exact = false, emitPrefix = true)
-    // a pair with lcp >= k shares its first k tokens, so the emitted
-    // cap-token prefix IS both endpoints' gram — no third join back to
-    // the token arrays
-    val dup = lcp.where(col("lcp") >= k.toLong)
-    val withGram = dup
-      .select(col(idCol), col("pos"), col("sfx_prefix").as("_g"))
-      .unionAll(dup.select(col("nbr_id").as(idCol), col("nbr_pos").as("pos"),
-        col("sfx_prefix").as("_g")))
-      .distinct()
-    val firsts = withGram.groupBy("_g")
-      .agg(min(struct(col(idCol), col("pos"))).as("_m"))
-      .select(col("_g"), col(s"_m.$idCol").as("_mid"), col("_m.pos").as("_mpos"))
-    val losing = withGram.join(firsts, "_g")
-      .where(!(col(idCol) === col("_mid") && col("pos") === col("_mpos")))
+    // run members straight off the k-bounded sorted ranking (see
+    // SuffixArray.boundedRunMembers for why SA-adjacency membership is
+    // a per-row neighbor-key test there); `startPrefix` is subsumed —
+    // the bounded build's seed IS k
+    val (sorted, members) = SuffixArray.boundedRunMembers(
+      df, textCol, idCol, k, parts)
+    // winner per duplicated gram = min (id, pos) — a window over the
+    // dup mass only (members, not the corpus), no join-back
+    val wG = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    val losing = members
+      .withColumn("_w", min(struct(col(idCol), col("pos"))).over(wG))
+      .where(!(col(idCol) === col(s"_w.$idCol") && col("pos") === col("_w.pos")))
     val covered = graft.ops.Iterate.materialize(losing
-      .select(col(idCol), col("pos").as("_p0"))
-      .select(col(idCol), explode(expr(s"sequence(_p0, _p0 + ${k - 1})")).as("pos"))).df
+      .select(col(idCol), col("pos").as("_sp"))
+      .select(col(idCol), explode(expr(s"sequence(_sp, _sp + ${k - 1})")).as("pos"))).df
+    sorted.release() // members fully consumed into the covered checkpoint
     rebuildWithoutCovered(df, textCol, idCol, covered)
   }
 

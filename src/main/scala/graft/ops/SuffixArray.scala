@@ -13,52 +13,107 @@ import org.apache.spark.sql.functions._
   * Construction is Manber–Myers prefix doubling (1990), the standard
   * distributed/external-memory SA skeleton (pSAC, Flick & Aluru '15):
   * suffixes are ranked by their length-h prefix, and one round turns h
-  * into 2h by re-ranking on the pair `(rank(p), rank(p + h))`. A round
-  * is one keyed self-join of the 4-long-column state plus one ranking
-  * in the [[Rank.globalRowNumber]] topology (range-partitioned
-  * checkpoint, local window, broadcast offsets — never a global
-  * single-task sort), re-materialized per round with the previous
-  * round's storage released immediately. Convergence is decided from
-  * THREE sums carried by an `observe()` on the round's own
-  * materializing action (no dedicated convergence job, and no wasted
-  * confirmation round — see [[rankRound]]): the round that reaches the
-  * E_2h = E_h fixpoint, or resolves every group to a singleton, is
-  * detected as it lands.
+  * into 2h by re-ranking on the pair `(rank(p), rank(p + h))`.
+  *
+  * Ranking topology (round 14 — the seconds at sf0.1 were NOT in the
+  * doubling rounds, which never even fire on a corpus whose longest doc
+  * fits the seed, but in the per-ranking constant: checkpoint + a
+  * window whose `_pid` clustering Spark cannot prove, forcing a phantom
+  * hash exchange + a grpKeys groupBy + a join-back — five exchanges and
+  * two checkpoints per ranking). A ranking is now ONE range exchange
+  * with an in-partition sort, checkpointed with a
+  * `monotonically_increasing_id` column assigned in sorted order; a
+  * collected per-partition `(min id, row count)` table — at most
+  * `parts` rows, a counters-class driver value — turns the per-partition
+  * ids into global row numbers as a PURE EXPRESSION (`_mid + adj[pid]`,
+  * a literal map lookup: no window, no broadcast join, no second
+  * exchange). Only the mid's monotonicity WITHIN a partition scan is
+  * relied on, not its bit layout. Group ranks (doubling path only) take
+  * one further hash-partitioned window on the group keys — the single
+  * exchange that replaces the old groupBy + join-back pair.
   *
   * Suffixes are PER DOCUMENT (no corpus concatenation, so no sentinel
   * tokens): suffix (id, pos) = tokens[pos..end]. Identical suffixes
   * (full duplicates) tie forever and are broken (id, pos) in the emitted
-  * row_number, which the accepted round's ranking already carries. The
-  * seed ranking uses the space-joined length-`startPrefix` token slice
-  * as its sort key — for a single-space-tokenized corpus (this engine's
-  * text contract), string order of the joined slice equals
-  * token-sequence order (space sorts below every printable character),
-  * which is also what lets a SQL oracle reproduce the order with a plain
-  * ORDER BY over suffix strings. The seed length defaults to ADAPTIVE
-  * ([[AdaptiveSeed]]): a one-pass max-doc-length probe picks the
-  * smallest power of two covering the longest document (capped at
-  * [[AdaptiveSeedCap]]), so short-document corpora converge in the seed
-  * round itself — the unresolved-group criterion (see [[rankRound]])
-  * accepts it without a confirmation round. When the cap binds,
-  * rounds-to-fixpoint is log2(longestRepeatedPrefix / seed) + 1 —
-  * corpus size affects round WIDTH (keyed join + range exchange,
-  * parallel at any size), never round COUNT.
+  * row_number. The seed ranking uses the space-joined length-
+  * `startPrefix` token slice as its sort key — for a single-space-
+  * tokenized corpus (this engine's text contract), string order of the
+  * joined slice equals token-sequence order (space sorts below every
+  * printable character), which is also what lets a SQL oracle reproduce
+  * the order with a plain ORDER BY over suffix strings. The seed length
+  * defaults to ADAPTIVE ([[AdaptiveSeed]]): a one-pass max-doc-length
+  * probe picks the smallest power of two covering the longest document
+  * (capped at [[AdaptiveSeedCap]]). When the probe shows the seed covers
+  * the longest document, the seed ranking IS the suffix array — the
+  * build degenerates to the single sorted ranking above, with no group
+  * machinery at all (convergence holds a priori: every suffix is fully
+  * ordered by its seed key). When the cap binds, rounds-to-fixpoint is
+  * log2(longestRepeatedPrefix / seed) + 1 — corpus size affects round
+  * WIDTH (keyed join + range exchange, parallel at any size), never
+  * round COUNT.
+  *
+  * `refineTo` bounds rank refinement at a prefix length: the build stops
+  * once suffixes are ordered by their first `refineTo` tokens, leaving
+  * ties beyond that broken by (id, pos) instead of by further tokens.
+  * Sound for any consumer whose downstream test depends only on
+  * ≥/<-refineTo-token prefix equality — [[Dedup.dedupSpansSa]]'s
+  * `lcp >= k` threshold with `cap = k ≤ refineTo` is the canonical one
+  * (proof at the call site) — and turns the build into a single bounded
+  * ranking whose shuffle payload is O(suffixes × refineTo) instead of
+  * O(suffixes × longest-doc).
   *
   * Output: one row per suffix — (idCol, pos, sa_rank), sa_rank the
-  * 1-based position in (suffix, id, pos) order.
+  * 1-based position in (suffix, id, pos) order (first `refineTo` tokens
+  * of the suffix when bounded).
   */
 object SuffixArray {
 
-  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  /** One materialized sorted ranking: range-partition `in` on `keys`,
+    * sort within partitions, checkpoint with a per-row `_mid`
+    * (monotonically increasing within each partition's sorted scan) over
+    * the projected `carry` columns. Global row number = `_mid + adj`
+    * where `adj` is the collected per-partition adjustment — returned as
+    * a frame with `rn` attached, plus the Materialized handle to
+    * release.
+    */
+  private def sortedRanking(in: DataFrame, keys: Seq[Column],
+                            carry: Seq[Column], parts: Int)
+      : (Iterate.Materialized, DataFrame) = {
+    val sorted = Iterate.materialize(
+      in.repartitionByRange(parts, keys: _*)
+        .sortWithinPartitions(keys: _*)
+        .select(carry :+ monotonically_increasing_id().as("_mid"): _*))
+    // per-partition (min mid, count): ≤ `parts` rows, a counters-class
+    // driver value — partition order IS key order under range
+    // partitioning, so cumulative counts in _pp order are the offsets
+    val info = sorted.df
+      .withColumn("_pp", spark_partition_id())
+      .groupBy("_pp")
+      .agg(min("_mid").as("_m0"), count(lit(1)).as("_c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    if (info.isEmpty) return (sorted, sorted.df.withColumn("rn", lit(0L)))
+    // rn = _mid - minMid[pid] + offset[pid] + 1  =  _mid + adj[pid]
+    val adj = {
+      var off = 0L
+      info.map { case (pid, m0, c) =>
+        val a = off + 1L - m0; off += c; (pid, a)
+      }
+    }
+    val adjExpr = element_at(
+      map(adj.flatMap { case (p, a) => Seq(lit(p), lit(a)) }: _*),
+      spark_partition_id())
+    (sorted, sorted.df.withColumn("rn", col("_mid") + adjExpr))
+  }
 
-  /** One ranking round: range-checkpoint `in` on `keys`, lazily compute
-    * global row numbers (the [[Rank.globalRowNumber]] topology: local
-    * window per range partition + broadcast cumulative offsets) and the
-    * group rank (min row number over `grpKeys`), then materialize the
-    * STATE (5 long columns) and release the pre-rank checkpoint. The
-    * state's own materializing action fills an observation carrying
-    * Σgroup-rank, Σrow-number, an unresolved-group count, and (when
-    * `prevRank` is set) Σprevious-rank — the sums that decide
+  /** One doubling-path ranking round over the 4-long-column state:
+    * [[sortedRanking]] for global row numbers, then ONE hash-partitioned
+    * window on `grpKeys` for the group rank (min rn), group size, and
+    * group max remaining length, materialized as the next round's state
+    * (5 long columns). The state's own materializing action fills an
+    * observation carrying Σgroup-rank, Σrow-number, an unresolved count,
+    * and (when `prevRank` is set) Σprevious-rank — the sums that decide
     * convergence without any extra job:
     *   - Σg == Σprev  ⟺ no group split this round ⟺ E_2h = E_h, the
     *     fixpoint (sums strictly increase on any split: the later
@@ -70,34 +125,25 @@ object SuffixArray {
     *     `_rem` column carries each suffix's token length): members
     *     share a resolvedLen-prefix, so length ≤ resolvedLen makes the
     *     shared prefix the WHOLE suffix — the group is an
-    *     identical-suffix class and can never split. This is the
-    *     criterion that retires the otherwise-mandatory no-split
-    *     CONFIRMATION round: the fixpoint test needs a round *after*
-    *     the last split to observe Σg == Σprev, while this one fires on
-    *     the converging round itself (full-duplicate docs keep ties
-    *     forever, so the singleton test alone never fires on real
-    *     corpora).
+    *     identical-suffix class and can never split. This criterion
+    *     retires the otherwise-mandatory no-split CONFIRMATION round:
+    *     the fixpoint test needs a round *after* the last split to
+    *     observe Σg == Σprev, while this one fires on the converging
+    *     round itself (full-duplicate docs keep ties forever, so the
+    *     singleton test alone never fires on real corpora).
     */
   private def rankRound(in: DataFrame, keys: Seq[Column], grpKeys: Seq[String],
                         parts: Int, obsName: String, prevRank: Option[String],
                         resolvedLen: Long)
       : (Iterate.Materialized, Long, Option[Long], Long, Long) = {
-    val ranged = Iterate.materialize(
-      in.repartitionByRange(parts, keys: _*)
-        .withColumn("_pid", spark_partition_id()))
-    val offsets = ranged.df.groupBy("_pid").agg(count(lit(1)).as("_c"))
-      .withColumn("_offset",
-        coalesce(sum("_c").over(Window.orderBy("_pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("_pid", "_offset")
-    val rn = ranged.df
-      .withColumn("_local", row_number().over(
-        Window.partitionBy("_pid").orderBy(keys: _*)))
-      .join(broadcast(offsets), "_pid")
-      .withColumn("rn", col("_offset") + col("_local"))
-      .drop("_pid", "_local", "_offset")
-    val grp = rn.groupBy(grpKeys.map(col): _*)
-      .agg(min("rn").as("_g"), count(lit(1)).as("_n"), max("_rem").as("_gmax"))
+    val carry = (Seq("_id", "pos", "_rem") ++ grpKeys).distinct.map(col) ++
+      prevRank.filterNot(grpKeys.contains).map(col).toSeq
+    val (sorted, rn) = sortedRanking(in, keys, carry, parts)
+    val wg = Window.partitionBy(grpKeys.map(col): _*)
+    val st = rn
+      .withColumn("_g", min("rn").over(wg))
+      .withColumn("_n", count(lit(1)).over(wg))
+      .withColumn("_gmax", max("_rem").over(wg))
     val obs = new Observation(obsName)
     val metrics = Seq(
       coalesce(sum("_g"), lit(0L)).as("s"),
@@ -106,11 +152,10 @@ object SuffixArray {
         lit(0L)).as("unresolved")) ++
       prevRank.map(c => coalesce(sum(col(c)), lit(0L)).as("sprev"))
     val state = Iterate.materialize(
-      rn.join(grp, grpKeys)
-        .observe(obs, metrics.head, metrics.tail: _*)
+      st.observe(obs, metrics.head, metrics.tail: _*)
         .select(col("_id"), col("pos"), col("_g").as("_r"), col("rn"),
           col("_rem")))
-    ranged.release()
+    sorted.release()
     (state,
       obs.get("s").asInstanceOf[Long],
       prevRank.map(_ => obs.get("sprev").asInstanceOf[Long]),
@@ -118,13 +163,101 @@ object SuffixArray {
       obs.get("unresolved").asInstanceOf[Long])
   }
 
+  /** Duplicated-run MEMBERS of the k-bounded suffix array — the Lee et
+    * al. '22 extraction (adjacent suffixes in SA order sharing ≥ k
+    * tokens mark a duplicated span) read structurally off the sorted
+    * ranking, one row per member suffix: (idCol, pos, gram).
+    *
+    * The bounded build sorts suffixes by their first-k-token key, so a
+    * maximal run of neighbor-LCP ≥ k IS a contiguous block of equal
+    * keys (capped LCP reaches k iff both neighbors carry the same
+    * full-k-token key — a key of fewer than k tokens is the whole
+    * suffix, capping the LCP below k). Membership is therefore decided
+    * per row from its SORTED neighbors: `lag`/`lead` of the key within
+    * the range partition (one narrow hash exchange on the partition id
+    * — nothing resembling the old slice-join + rank self-join), with
+    * partition-boundary neighbors supplied as literal maps from the
+    * per-partition first/last rows (≤ `parts` entries, collected with
+    * the offset info — a counters-class driver value). Runs are
+    * homogeneous in key length (equal keys ⟹ equal token count), so
+    * `_rem >= k` on both sides is the only other test.
+    *
+    * Returns the member frame (lazy over the sorted checkpoint) plus
+    * the checkpoint handle — the caller releases it once members are
+    * consumed.
+    */
+  private[ops] def boundedRunMembers(df: DataFrame, textCol: String,
+      idCol: String, k: Int, parts: Int = 32)
+      : (Iterate.Materialized, DataFrame) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sfx = df
+      .select(col(idCol).as("_id"), split(col(textCol), " ").as("_ws"))
+      .select(col("_id"), col("_ws"),
+        explode(expr("sequence(0, size(_ws) - 1)")).as("_p"))
+      .select(col("_id"), col("_p").cast("long").as("pos"),
+        array_join(expr(s"slice(_ws, _p + 1, $k)"), " ").as("_p0"),
+        (size(col("_ws")).cast("long") - col("_p")).as("_rem"))
+    val keys = Seq(col("_p0"), col("_id"), col("pos"))
+    val sorted = Iterate.materialize(
+      sfx.repartitionByRange(parts, keys: _*)
+        .sortWithinPartitions(keys: _*)
+        .select(col("_id"), col("pos"), col("_p0"), col("_rem"),
+          monotonically_increasing_id().as("_mid")))
+    // per-partition boundary rows ride the same collected info as the
+    // offsets: (pid, first-row key/rem, last-row key/rem)
+    val info = sorted.df
+      .withColumn("_pp", spark_partition_id())
+      .groupBy("_pp")
+      .agg(min_by(struct(col("_p0"), col("_rem")), col("_mid")).as("_f"),
+        max_by(struct(col("_p0"), col("_rem")), col("_mid")).as("_l"))
+      .collect()
+      .map(r => (r.getInt(0),
+        (r.getStruct(1).getString(0), r.getStruct(1).getLong(1)),
+        (r.getStruct(2).getString(0), r.getStruct(2).getLong(1))))
+      .sortBy(_._1)
+    val empty = sorted.df
+      .select(col("_id").as(idCol), col("pos"), col("_p0").as("gram"))
+      .where(lit(false))
+    if (info.isEmpty) return (sorted, empty)
+    // literal neighbor maps: partition p's missing lead is p+1's first
+    // row; its missing lag is p-1's last row (dup-eligible only — a
+    // boundary neighbor with _rem < k can never complete a ≥k match,
+    // so ineligible entries are simply left out of the maps). Keyed on
+    // the MATERIALIZED `_pp` column — these expressions evaluate after
+    // the window exchange, where spark_partition_id() would name the
+    // exchange's partitions, not the checkpoint's.
+    def nbrMap(entries: Seq[(Int, String)]): Column =
+      if (entries.isEmpty) lit(null).cast("string")
+      else element_at(
+        map(entries.flatMap { case (p, s) => Seq(lit(p), lit(s)) }: _*),
+        col("_pp"))
+    val nextOfLast = nbrMap(info.sliding(2).collect {
+      case Array((p, _, _), (_, (fk, fr), _)) if fr >= k => (p, fk)
+    }.toSeq)
+    val prevOfFirst = nbrMap(info.sliding(2).collect {
+      case Array((pPrev, _, (lk, lr)), (p, _, _)) if lr >= k => (p, lk)
+    }.toSeq)
+    val w = Window.partitionBy("_pp").orderBy("_mid")
+    val kL = k.toLong
+    val members = sorted.df
+      .withColumn("_pp", spark_partition_id())
+      .withColumn("_nk",
+        when(lead(col("_rem"), 1).over(w) >= kL, lead(col("_p0"), 1).over(w)))
+      .withColumn("_vk",
+        when(lag(col("_rem"), 1).over(w) >= kL, lag(col("_p0"), 1).over(w)))
+      .where(col("_rem") >= kL &&
+        (col("_p0") === coalesce(col("_nk"), nextOfLast) ||
+          col("_p0") === coalesce(col("_vk"), prevOfFirst)))
+      .select(col("_id").as(idCol), col("pos"), col("_p0").as("gram"))
+    (sorted, members)
+  }
+
   /** Sentinel for [[build]]'s `startPrefix`: probe the corpus max
     * document token length (one cheap projection pass, an observe()
     * metric) and seed at the smallest power of two covering it, capped
-    * at [[AdaptiveSeedCap]]. When the cap doesn't bind, every
-    * non-identical suffix pair is separated by the seed itself and the
-    * unresolved-group criterion accepts the SEED round — one ranking
-    * round total, zero doubling rounds.
+    * at [[AdaptiveSeedCap]]. When the cap doesn't bind, the seed key
+    * totally orders every suffix and the build is a single sorted
+    * ranking — no doubling machinery at all.
     */
   val AdaptiveSeed: Int = -1
 
@@ -137,19 +270,27 @@ object SuffixArray {
 
   def build(df: DataFrame, textCol: String, idCol: String,
             startPrefix: Int = AdaptiveSeed, parts: Int = 32,
-            maxRounds: Int = 16): DataFrame = {
-    val seedLen =
-      if (startPrefix != AdaptiveSeed) startPrefix
+            maxRounds: Int = 16, refineTo: Int = Int.MaxValue): DataFrame = {
+    require(refineTo >= 1, s"refineTo must be >= 1, got $refineTo")
+    val adaptive = startPrefix == AdaptiveSeed
+    val maxLen: Option[Int] =
+      if (!adaptive) None
       else {
         // one-column probe; max token count rides an observe() metric
         val obs = new Observation("sa_probe")
         df.select(size(split(col(textCol), " ")).as("_n"))
           .observe(obs, coalesce(max(col("_n")), lit(0)).as("mx"))
           .foreach(_ => ())
-        val maxLen = obs.get("mx").asInstanceOf[Int]
-        math.min(AdaptiveSeedCap,
-          math.max(java.lang.Integer.highestOneBit(math.max(maxLen, 1) * 2 - 1), 1))
+        Some(obs.get("mx").asInstanceOf[Int])
       }
+    val seedLen = {
+      val base =
+        if (!adaptive) startPrefix
+        else math.min(AdaptiveSeedCap,
+          math.max(java.lang.Integer.highestOneBit(
+            math.max(maxLen.get, 1) * 2 - 1), 1))
+      if (refineTo < base) refineTo else base
+    }
     val sfx = df
       .select(col(idCol).as("_id"), split(col(textCol), " ").as("_ws"))
       .select(col("_id"), col("_ws"),
@@ -157,14 +298,27 @@ object SuffixArray {
       .select(col("_id"), col("_p").cast("long").as("pos"),
         array_join(expr(s"slice(_ws, _p + 1, $seedLen)"), " ").as("_p0"),
         (size(col("_ws")).cast("long") - col("_p")).as("_rem"))
-    var (state, s0, _, srn0, unres0) = rankRound(sfx,
-      Seq(col("_p0"), col("_id"), col("pos")), Seq("_p0"), parts, "sa_seed",
-      None, seedLen.toLong)
+    val seedKeys = Seq(col("_p0"), col("_id"), col("pos"))
+    // FAST PATH — the seed ranking is final, a priori, when (a) the seed
+    // covers the longest document (probe-known: the seed key IS the full
+    // suffix, totally ordered by (key, id, pos)), or (b) the seed reaches
+    // the refinement bound. No group machinery, no convergence metrics,
+    // no second checkpoint: one range exchange + in-partition sort +
+    // expression-only rank assignment.
+    if (maxLen.exists(m => seedLen >= m) || seedLen >= refineTo) {
+      val (_, rn) = sortedRanking(sfx, seedKeys,
+        Seq(col("_id"), col("pos")), parts)
+      return rn.select(col("_id").as(idCol), col("pos"),
+        col("rn").as("sa_rank"))
+    }
+    var (state, s0, _, srn0, unres0) = rankRound(sfx, seedKeys, Seq("_p0"),
+      parts, "sa_seed", None, seedLen.toLong)
     var h = seedLen.toLong
     var round = 1
-    // every seed prefix unique, or every tied group already an
-    // identical-suffix class (longest member fits inside the seed)
-    var done = s0 == srn0 || unres0 == 0L
+    // every seed prefix unique, every tied group already an
+    // identical-suffix class (longest member fits inside the seed), or
+    // the refinement bound reached by the seed itself
+    var done = s0 == srn0 || unres0 == 0L || h >= refineTo
     while (!done && round <= maxRounds) {
       // suffix p extends with the rank of suffix p+h of the SAME doc; a
       // suffix shorter than h+1 tokens has no extension — rank 0 sorts
@@ -185,10 +339,11 @@ object SuffixArray {
         System.err.println(f"[sa] round $round h=$h sumRank=$sG " +
           f"prev=${sPrev.get} srn=$sRn unresolved=$unres " +
           f"secs=${(System.nanoTime() - tR) / 1e9}%.2f")
-      // fixpoint (no split), every group singleton, or every remaining
-      // group an identical-suffix class — all three are final
-      done = sPrev.contains(sG) || sG == sRn || unres == 0L
       h *= 2
+      // fixpoint (no split), every group singleton, every remaining
+      // group an identical-suffix class, or refinement bound reached —
+      // all four are final
+      done = sPrev.contains(sG) || sG == sRn || unres == 0L || h >= refineTo
       round += 1
     }
     // A silent exit here would return an UNDER-REFINED (wrong) ranking:
@@ -202,6 +357,105 @@ object SuffixArray {
     // at the fixpoint rn = row_number over (suffix, id, pos): groups are
     // exactly the identical-suffix classes and rn breaks them by (id, pos)
     state.df.select(col("_id").as(idCol), col("pos"), col("rn").as("sa_rank"))
+  }
+
+  /** Neighbor LCPs in one fused pass: build-and-compare without the
+    * separate [[build]] → [[lcpNeighbors]] slice-join + rank self-join
+    * topology. When the corpus' longest document fits [[AdaptiveSeedCap]]
+    * (probe-known), the sorted ranking's key IS the complete suffix, so
+    * each consecutive pair is `lead()` within the range partition (one
+    * narrow exchange) and the LCP is the codegen common-prefix loop over
+    * the two keys — exact, no cap, no escalation. The ≤ parts−1
+    * partition-boundary pairs are stitched on the driver from the
+    * collected first/last rows (a counters-class value, like the rank
+    * offsets). Long-doc corpora fall back to the general pipeline with
+    * `fallbackCap` (escalation keeps it exact).
+    *
+    * Output matches [[lcpNeighbors]]: (idCol, pos, nbr_id, nbr_pos, lcp),
+    * one row per consecutive SA pair (suffix count − 1 rows).
+    */
+  def neighborLcps(df: DataFrame, textCol: String, idCol: String,
+                   parts: Int = 32, fallbackCap: Int = 128): DataFrame = {
+    val spark = df.sparkSession
+    val obs = new Observation()
+    df.select(size(split(col(textCol), " ")).as("_n"))
+      .observe(obs, coalesce(max(col("_n")), lit(0)).as("mx"))
+      .foreach(_ => ())
+    val maxLen = obs.get("mx").asInstanceOf[Int]
+    if (maxLen > AdaptiveSeedCap) {
+      val sa = build(df, textCol, idCol, parts = parts)
+      return lcpNeighbors(df, textCol, idCol, sa, cap = fallbackCap)
+    }
+    val seedLen = math.max(
+      java.lang.Integer.highestOneBit(math.max(maxLen, 1) * 2 - 1), 1)
+    val sfx = df
+      .select(col(idCol).as("_id"), split(col(textCol), " ").as("_ws"))
+      .select(col("_id"), col("_ws"),
+        explode(expr("sequence(0, size(_ws) - 1)")).as("_p"))
+      .select(col("_id"), col("_p").cast("long").as("pos"),
+        array_join(expr(s"slice(_ws, _p + 1, $seedLen)"), " ").as("_p0"))
+    val keys = Seq(col("_p0"), col("_id"), col("pos"))
+    val sorted = Iterate.materialize(
+      sfx.repartitionByRange(parts, keys: _*)
+        .sortWithinPartitions(keys: _*)
+        .select(col("_id"), col("pos"), col("_p0"),
+          monotonically_increasing_id().as("_mid")))
+    val info = sorted.df
+      .withColumn("_pp", spark_partition_id())
+      .groupBy("_pp")
+      .agg(min("_mid").as("_m0"), max("_mid").as("_m1"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val emptyPairs = sorted.df.where(lit(false))
+      .select(col("_id").as(idCol), col("pos"),
+        col("_id").as("nbr_id"), col("pos").as("nbr_pos"),
+        lit(0L).as("lcp"))
+    if (info.isEmpty) return emptyPairs
+    // within-partition pairs: lead() in sorted order
+    val w = Window.partitionBy("_pp").orderBy("_mid")
+    val inner = sorted.df
+      .withColumn("_pp", spark_partition_id())
+      .withColumn("_nid", lead(col("_id"), 1).over(w))
+      .withColumn("_npos", lead(col("pos"), 1).over(w))
+      .withColumn("_np0", lead(col("_p0"), 1).over(w))
+      .where(col("_nid").isNotNull)
+      .select(col("_id").as(idCol), col("pos"),
+        col("_nid").as("nbr_id"), col("_npos").as("nbr_pos"),
+        call_function("common_prefix_len",
+          split(col("_p0"), " "), split(col("_np0"), " "))
+          .cast("long").as("lcp"))
+    // boundary pairs: last row of partition p with first row of the next
+    // nonempty partition — collected (≤ 2·parts rows), paired and
+    // LCP'd on the driver
+    val edgeFilter = info.map { case (p, m0, m1) =>
+      col("_pp") === p && (col("_mid") === m0 || col("_mid") === m1)
+    }.reduce(_ || _)
+    val edges = sorted.df
+      .withColumn("_pp", spark_partition_id())
+      .where(edgeFilter)
+      .select(col("_pp"), col("_mid"), col("_id"), col("pos"), col("_p0"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        (r.getLong(2), r.getLong(3), r.getString(4))))
+    val byPid = edges.groupBy(_._1)
+    def commonPrefix(a: String, b: String): Long =
+      a.split(" ", -1).iterator.zip(b.split(" ", -1).iterator)
+        .takeWhile { case (x, y) => x == y }.size.toLong
+    val stitched = info.sliding(2).collect {
+      case Array((p, _, m1), (q, q0, _)) =>
+        val last = byPid(p).find(_._2 == m1).get._3
+        val first = byPid(q).find(_._2 == q0).get._3
+        (last._1, last._2, first._1, first._2,
+          commonPrefix(last._3, first._3))
+    }.toSeq
+    val boundary =
+      if (stitched.isEmpty) emptyPairs
+      else {
+        import spark.implicits._
+        stitched.toDF(idCol, "pos", "nbr_id", "nbr_pos", "lcp")
+      }
+    inner.unionByName(boundary)
   }
 
   /** LCP between each suffix and its successor in suffix-array order —

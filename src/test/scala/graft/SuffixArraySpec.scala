@@ -112,6 +112,28 @@ class SuffixArraySpec extends SparkSpec {
       s"leaked: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
   }
 
+  test("fused neighborLcps matches build + lcpNeighbors pair-for-pair") {
+    // 32 range partitions over ~45 suffixes forces most consecutive
+    // pairs across partition boundaries — the driver-stitched path
+    val docs = Seq(
+      (1L, "a b c d e x"),
+      (2L, "q a b c d e r"),
+      (3L, "a b c d f"),
+      (4L, "a b c d e"),
+      (5L, "u v w x y z u v w x y z"),
+      (6L, "a b"),
+      (7L, "m n o p q r s t m n o p q r s t u"))
+    val df = docs.toDF("doc_id", "text")
+    val sa = SuffixArray.build(df, "text", "doc_id")
+    val viaJoin = SuffixArray.lcpNeighbors(df, "text", "doc_id", sa)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val fused = SuffixArray.neighborLcps(df, "text", "doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(fused === viaJoin)
+    val n = docs.map(_._2.split(" ").length).sum
+    assert(fused.size === n - 1)
+  }
+
   test("capped lcpNeighbors escalates saturated pairs to exact values") {
     // shared 20-token repeat with cap=4: the capped compare saturates and
     // must escalate to the exact LCP; non-exact mode reports min(lcp, cap)
