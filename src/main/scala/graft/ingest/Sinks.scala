@@ -62,34 +62,53 @@ object Sinks {
     */
   val MergeBuckets = 64
 
-  /** Generic MERGE INTO over the hash-bucket parquet layout — the
-    * deploy-shaped upsert API for the reference's lookup-update path
-    * (`lib/ingest.js:134-165` recovers from duplicate-key inserts
-    * row-by-row; here the merge is declarative and partition-bounded).
-    * Semantics are SQL MERGE with whole-row actions:
+  /** Generic MERGE INTO over a manifest-committed hash-bucket parquet
+    * layout — the deploy-shaped upsert API for the reference's
+    * lookup-update path (`lib/ingest.js:134-165` recovers from
+    * duplicate-key inserts row-by-row; here the merge is declarative and
+    * partition-bounded). Semantics are SQL MERGE with whole-row actions:
     *
     *   - `WHEN MATCHED THEN UPDATE SET *`   (update row replaces stored)
     *   - `WHEN NOT MATCHED THEN INSERT *`
     *   - `WHEN MATCHED AND <deleteCol> THEN DELETE`   (when given)
     *
-    * The table is stored partitioned by `_bucket = pmod(xxhash64(key),
-    * numBuckets)` — a pure function of the merge key, so a row can never
-    * move between partitions and a batch touches ONLY the buckets its
-    * keys hash into: the stored side is scanned partition-pruned (a
-    * broadcast semi-join on the touched-bucket list), rewritten under
-    * `partitionOverwriteMode=dynamic`, and every untouched partition's
-    * files stay byte-identical (SinksSpec asserts this). Per-batch work
-    * is O(batch + touched buckets), not O(table). Replay-idempotent:
-    * re-merging an already-applied batch reproduces the same table
-    * content, so an at-least-once upstream (a streaming foreachBatch
-    * retry) converges.
+    * Rows live under `data/<version>/_bucket=<b>/` with
+    * `_bucket = pmod(xxhash64(key), numBuckets)` — a pure function of
+    * the merge key, so a row can never move between buckets and a batch
+    * touches ONLY the buckets its keys hash into. Which version holds
+    * each bucket's current files is recorded in a MANIFEST
+    * (`_manifest-<N>.json`, bucket → version dir): a batch stages its
+    * output as a brand-new version directory (never touching a live
+    * file), then commits by writing manifest N+1 — one atomic
+    * rename-to-fresh-name — and only then deletes the files the new
+    * manifest no longer references. Readers resolve the highest
+    * manifest, so EVERY crash window is safe: before the commit they
+    * see table version N intact (the staged dir is unreferenced
+    * garbage, removed by the next successful commit's sweep); after it
+    * they see N+1 complete — an emptied bucket simply has no manifest
+    * entry, so deleted keys can never transiently resurrect the way a
+    * listing-based dynamic overwrite allowed between its commit and its
+    * empty-dir cleanup (the round-13 crash window, closed here).
+    * SinksSpec injects failures at both phases via `onPhase`.
+    *
+    * Per-batch work is O(batch + touched buckets), not O(table): the
+    * stored side reads only the touched buckets' directories (manifest
+    * pruning — stronger than scan-time partition pruning), untouched
+    * buckets keep their exact files (byte-identical, asserted), and the
+    * manifest itself is O(numBuckets) — a layout constant.
+    * Replay-idempotent: re-merging an already-applied batch reproduces
+    * the same table content, so an at-least-once upstream (a streaming
+    * foreachBatch retry) converges.
     *
     * On a lakehouse deploy this call maps 1:1 onto Delta/Iceberg
     * `MERGE INTO target USING updates ON target.key = updates.key ...` —
-    * the bucket layout is exactly what their file-skipping on the merge
-    * key does, minus the transaction log (single-writer here; the
-    * materialize-before-overwrite below is what the log would otherwise
-    * guarantee).
+    * the manifest is exactly their transaction-log commit, minus
+    * multi-writer CAS (single-writer here, as documented; the immediate
+    * post-commit sweep likewise assumes no concurrent reader mid-scan —
+    * a deploy with concurrent readers delays it, Delta's VACUUM
+    * retention). The atomic step is a same-directory rename to a name
+    * that does not yet exist — atomic on HDFS and POSIX; an object
+    * store deploy would swap it for a conditional put.
     *
     * `updates` must carry at most one row per key (pre-aggregate
     * conflicts upstream — [[graft.streaming.StreamingIngest.mergeBatch]]
@@ -98,18 +117,19 @@ object Sinks {
     */
   def mergeInto(spark: SparkSession, targetPath: String, updates: DataFrame,
                 keyCol: String, numBuckets: Int = MergeBuckets,
-                deleteCol: Option[String] = None): Unit = {
+                deleteCol: Option[String] = None,
+                onPhase: String => Unit = _ => ()): Unit = {
     val bucket = pmod(xxhash64(col(keyCol)), lit(numBuckets.toLong)).cast("int")
     val upserts0 = deleteCol.fold(updates)(d => updates.where(!coalesce(col(d), lit(false))))
     val upserts = deleteCol.fold(upserts0)(d => upserts0.drop(d))
       .withColumn("_bucket", bucket)
     val allKeys = updates.select(col(keyCol)).withColumn("_bucket", bucket)
-    // The touched-bucket list drives both the stored-side partition prune
-    // and the post-write empty-bucket cleanup, so it is brought to the
-    // driver ONCE, through an observe() metric on a one-column pass over
-    // the batch — the list is bounded by `numBuckets` (a layout constant,
-    // 64 by default), never by data size, so this is a counters-class
-    // driver value, not a data collect.
+    // The touched-bucket list drives the stored-side manifest prune and
+    // the commit, so it is brought to the driver ONCE, through an
+    // observe() metric on a one-column pass over the batch — the list is
+    // bounded by `numBuckets` (a layout constant, 64 by default), never
+    // by data size, so this is a counters-class driver value, not a data
+    // collect.
     val touchedBuckets: Seq[Int] = {
       val obs = Observation()
       allKeys.select("_bucket")
@@ -118,61 +138,147 @@ object Sinks {
       obs.get("bs").asInstanceOf[scala.collection.Seq[Any]]
         .map(_.asInstanceOf[Int]).toSeq.sorted
     }
-    // explicit existence check, NOT a catch-all around the read: an
-    // EXISTING but unreadable table must fail the merge loudly — treating
-    // it as "new" would overwrite the table with just this batch
-    val existing = {
-      val p = new org.apache.hadoop.fs.Path(targetPath)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) Some(spark.read.parquet(targetPath)) else None
+    val root = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // explicit manifest resolution, NOT a catch-all around the read: an
+    // EXISTING table whose manifest is unreadable must fail the merge
+    // loudly — treating it as "new" would overwrite the table with just
+    // this batch. A data/ dir without any manifest is a crashed FIRST
+    // commit: never referenced, so the table is legitimately new.
+    val current = latestManifest(fs, root)
+    val prevMap: Map[Int, String] =
+      current.map { case (_, p) => parseManifest(fs, p) }.getOrElse(Map.empty)
+    val stored = {
+      val touched = prevMap.view.filterKeys(touchedBuckets.contains).toSeq
+      touched.groupBy(_._2).map { case (ver, entries) =>
+        spark.read
+          .option("basePath", new org.apache.hadoop.fs.Path(root, ver).toString)
+          .parquet(entries.map { case (b, _) =>
+            new org.apache.hadoop.fs.Path(root, s"$ver/_bucket=$b").toString }: _*)
+      }.reduceOption(_ unionByName _)
     }
-    val merged = existing match {
+    val merged = stored match {
       case Some(prev) =>
-        // stored rows of touched buckets only (literal IN over the
-        // partition column — statically partition-pruned at the scan),
-        // minus every matched key (updated keys re-enter from the batch
-        // side; deleted keys don't)
-        prev.where(col("_bucket").isin(touchedBuckets: _*))
-          .join(allKeys.select(keyCol), Seq(keyCol), "left_anti")
+        // stored rows of touched buckets only, minus every matched key
+        // (updated keys re-enter from the batch side; deleted keys don't)
+        prev.join(allKeys.select(keyCol), Seq(keyCol), "left_anti")
           .unionByName(upserts)
       case None => upserts
     }
-    // the dynamic overwrite must not read its own output mid-write —
-    // materialize fully first (same discipline as StreamingIngest); the
-    // materializing action also completes the present-bucket observation
+    // stage the batch as a fresh version dir; the materializing action
+    // also completes the present-bucket observation (an emptied bucket —
+    // every stored row deleted, no upsert hashed there — is absent from
+    // `present` and simply gets no manifest entry)
+    val version = "data/v-" + java.util.UUID.randomUUID().toString
     val presentObs = Observation()
     val m = graft.ops.Iterate.materialize(
       merged.observe(presentObs, collect_set(col("_bucket")).as("bs")))
     try {
-      m.df.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_bucket")
-        .parquet(targetPath)
-      // Dynamic partition overwrite only rewrites partitions PRESENT in
-      // the written data — a touched bucket whose merged output is empty
-      // (the batch deleted every stored row and no upsert hashed there)
-      // keeps its old files and the deleted keys would silently
-      // resurrect. Delete those now-empty partition directories
-      // explicitly, AFTER the write commits (pre-deleting would lose the
-      // overwrite's crash-safety: old files must survive until the new
-      // commit lands; a crash in the window before this cleanup leaves
-      // stale rows that the next replay of the batch removes again —
-      // at-least-once delivery still converges).
+      m.df.write.mode("overwrite").partitionBy("_bucket")
+        .parquet(new org.apache.hadoop.fs.Path(root, version).toString)
       val present = presentObs.get("bs").asInstanceOf[scala.collection.Seq[Any]]
         .map(_.asInstanceOf[Int]).toSet
-      val emptied = touchedBuckets.filterNot(present)
-      if (emptied.nonEmpty) {
-        val fs = new org.apache.hadoop.fs.Path(targetPath)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        emptied.foreach { b =>
-          val dir = new org.apache.hadoop.fs.Path(targetPath, s"_bucket=$b")
-          if (fs.exists(dir)) fs.delete(dir, true)
-        }
-      }
+      onPhase("staged") // crash here ⇒ readers still see version N intact
+      val nextMap = (prevMap -- touchedBuckets) ++
+        present.toSeq.sorted.map(_ -> version)
+      val nextN = current.map(_._1 + 1).getOrElse(0L)
+      writeManifest(fs, root, nextN, nextMap) // THE commit
+      onPhase("committed") // crash here ⇒ readers see N+1; sweep deferred
+      sweep(fs, root, nextN, nextMap)
     } finally m.release()
   }
 
-  /** Read back a [[mergeInto]] table without its layout column. */
-  def readMerged(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop("_bucket")
+  private val ManifestRe = "_manifest-([0-9]+)\\.json".r
+
+  private def latestManifest(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq
+      .flatMap { st =>
+        st.getPath.getName match {
+          case ManifestRe(n) => Some((n.toLong, st.getPath))
+          case _ => None
+        }
+      }
+      .maxByOption(_._1)
+
+  /** Manifest body: `{"v":N,"buckets":{"<bucket>":"<version dir>",...}}` —
+    * written and parsed by this object only (no JSON library on the
+    * classpath; the writer controls the exact shape).
+    */
+  private def parseManifest(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Map[Int, String] = {
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    "\"([0-9]+)\":\"([^\"]+)\"".r.findAllMatchIn(txt)
+      .map(m => m.group(1).toInt -> m.group(2)).toMap
+  }
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, n: Long, buckets: Map[Int, String]): Unit = {
+    val body = buckets.toSeq.sorted
+      .map { case (b, v) => s""""$b":"$v"""" }.mkString(",")
+    val txt = s"""{"v":$n,"buckets":{$body}}"""
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s"_manifest-$n.json.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(txt.getBytes("UTF-8")) finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(root, s"_manifest-$n.json")
+    // rename to a fresh name in the same directory: atomic on HDFS and
+    // POSIX; its visibility IS the commit
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"manifest commit failed: $dst")
+  }
+
+  /** Post-commit sweep: drop superseded manifests and every
+    * (version dir, bucket) subtree the current manifest no longer
+    * references — including leftovers of crashed stagings. Bounded by
+    * versions × buckets directory entries; purely garbage collection
+    * (a crash that skips it costs disk, never correctness).
+    */
+  private def sweep(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, currentN: Long,
+      buckets: Map[Int, String]): Unit = {
+    fs.listStatus(root).foreach { st =>
+      st.getPath.getName match {
+        case ManifestRe(n) if n.toLong < currentN => fs.delete(st.getPath, false)
+        case _ => ()
+      }
+    }
+    val live: Set[String] = buckets.map { case (b, v) => s"$v/_bucket=$b" }.toSet
+    val liveVers: Set[String] = buckets.values.toSet
+    val dataDir = new org.apache.hadoop.fs.Path(root, "data")
+    if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { ver =>
+      val verRel = "data/" + ver.getPath.getName
+      if (!liveVers.contains(verRel)) fs.delete(ver.getPath, true)
+      else fs.listStatus(ver.getPath).foreach { sub =>
+        val name = sub.getPath.getName
+        if (name.startsWith("_bucket=") &&
+            !live.contains(s"$verRel/$name"))
+          fs.delete(sub.getPath, true)
+      }
+    }
+  }
+
+  /** Read back a [[mergeInto]] table through its latest manifest,
+    * without the layout column. Manifest-level bucket resolution means
+    * a reader never lists data directories — staged-but-uncommitted
+    * versions are invisible by construction.
+    */
+  def readMerged(spark: SparkSession, path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = latestManifest(fs, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no manifest under $path"))
+    val buckets = parseManifest(fs, manifest._2)
+    buckets.toSeq.groupBy(_._2).map { case (ver, entries) =>
+      spark.read
+        .option("basePath", new org.apache.hadoop.fs.Path(root, ver).toString)
+        .parquet(entries.map { case (b, _) =>
+          new org.apache.hadoop.fs.Path(root, s"$ver/_bucket=$b").toString }: _*)
+    }.reduceOption(_ unionByName _)
+      .getOrElse(spark.emptyDataFrame)
+      .drop("_bucket")
+  }
 }

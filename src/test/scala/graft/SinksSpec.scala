@@ -96,12 +96,67 @@ class SinksSpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq
     assert(back === keys.filterNot(doomed.contains).map(k => (k, s"v$k")),
       "deleted keys resurrected from an emptied bucket's stale files")
-    // and the emptied partition directory itself is gone
-    assert(!new java.io.File(s"$path/_bucket=$victim").exists())
+    // and no live file for the emptied bucket remains anywhere: the
+    // current manifest carries no entry for it and the sweep removed
+    // its directories from every version
+    val victimDirs = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(p => p.toString.endsWith(s"_bucket=$victim")).toSeq
+      } finally walk.close()
+    }
+    assert(victimDirs.isEmpty, s"emptied bucket dirs survive: $victimDirs")
     // replay converges (delete of absent keys is a no-op)
     Sinks.mergeInto(spark, path, batch, "k", numBuckets = 8,
       deleteCol = Some("_del"))
     assert(Sinks.readMerged(spark, path).count() === (64 - doomed.size).toLong)
+  }
+
+  test("mergeInto: crash-injected commits never expose a half-merged table") {
+    val path = java.nio.file.Files.createTempDirectory("graft_merge_crash")
+      .toString + "/t"
+    def table() = Sinks.readMerged(spark, path)
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    case object Boom extends RuntimeException("injected crash")
+    def crashAt(phase: String): String => Unit =
+      p => if (p == phase) throw Boom
+
+    val base = (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v")
+    Sinks.mergeInto(spark, path, base, "k", numBuckets = 8)
+    val v0 = (1L to 100L).map(k => (k, s"v$k"))
+    assert(table() === v0)
+
+    // crash AFTER staging, BEFORE the manifest commit: a reader must see
+    // version N exactly — no resurrected keys, no half-applied batch
+    val batch = Seq((5L, "V5", false), (500L, "new", false), (7L, "", true))
+      .toDF("k", "v", "_del")
+    intercept[Boom.type] {
+      Sinks.mergeInto(spark, path, batch, "k", numBuckets = 8,
+        deleteCol = Some("_del"), onPhase = crashAt("staged"))
+    }
+    assert(table() === v0, "uncommitted staging leaked into readers")
+
+    // crash AFTER the manifest commit, BEFORE the sweep: a reader sees
+    // version N+1 complete — deletes applied, nothing resurrected from
+    // the superseded files still on disk
+    intercept[Boom.type] {
+      Sinks.mergeInto(spark, path, batch, "k", numBuckets = 8,
+        deleteCol = Some("_del"), onPhase = crashAt("committed"))
+    }
+    val v1 = (v0.filterNot(r => Set(5L, 7L)(r._1))
+      ++ Seq((5L, "V5"), (500L, "new"))).sortBy(_._1)
+    assert(table() === v1, "post-commit crash corrupted the visible table")
+
+    // replaying the same batch through a clean merge converges and the
+    // sweep reclaims every superseded/staged leftover
+    Sinks.mergeInto(spark, path, batch, "k", numBuckets = 8,
+      deleteCol = Some("_del"))
+    assert(table() === v1)
+    val manifests = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("_manifest-")).map(_.getName).toSeq
+    assert(manifests.size === 1, s"superseded manifests survive: $manifests")
   }
 
   test("bucketed tables join without a shuffle") {
