@@ -24,13 +24,17 @@ package graft
   *     controls looked (r7–r10 lesson: two equally-inflated passes satisfy
   *     any convergence rule, and a clean 0.2 s control window can sit
   *     inside an 11×-inflated 32-core query window).
-  *  3. RE-BENCH: after the full sweep, every suspect (over-floor or
-  *     never-clean) re-runs in a FRESH session — a later, independent
-  *     contention window — and the MINIMUM of sweep and re-bench is
-  *     recorded, with the query listed under `rebenched`. Real
-  *     regressions reproduce in the re-run and survive; phantoms don't.
-  *     The floor file is then updated with this run's clean minima, so
-  *     the cross-check self-maintains round over round.
+  *  3. RE-BENCH: after the full sweep, every suspect (over-floor,
+  *     never-clean, or recorded-control > 3× the sweep's median control)
+  *     re-runs in a FRESH session — a later, independent contention
+  *     window. A verified-CLEAN re-measurement REPLACES a dirty sweep
+  *     value even when larger (a dirty window is untrustworthy in either
+  *     direction — r13: a 0.63 s-control window under-recorded the
+  *     suite's slowest query); two clean values take the min (steal only
+  *     inflates); with no clean value anywhere the minimum is recorded
+  *     with its dirty control attached. Re-sourced queries are listed
+  *     under `rebenched`. The floor file is then updated with this run's
+  *     clean minima, so the cross-check self-maintains round over round.
   *
   * JSON fields: the stdout line carries `value` (total sec), `n`,
   * `failed` (count), `queries` (headline subset, 10 ms resolution),
@@ -58,9 +62,10 @@ object Bench {
 
   /** Best-of re-measurement of one query in an already-warm session:
     * warm-up pass, then up to `reps` control-bracketed passes; returns
-    * (best clean time if any, best time overall). */
+    * (best clean (time, worse-neighbor control) if any, best time
+    * overall). */
   private def measure(spark: org.apache.spark.sql.SparkSession, sfDir: String,
-      name: String, reps: Int): (Option[Double], Option[Double]) = {
+      name: String, reps: Int): (Option[(Double, Double)], Option[Double]) = {
     val fn = SparkEntry.queries(name)
     def onePass(): (Double, Boolean) = {
       val t0 = System.nanoTime()
@@ -81,8 +86,9 @@ object Bench {
     }
     val ok = passes.zipWithIndex.collect { case ((t, true), i) => (t, i) }
     val clean = ok.collect { case (t, i)
-      if ctls(i) <= CtlClean && ctls(i + 1) <= CtlClean => t }
-    (clean.minOption, ok.map(_._1).minOption)
+      if ctls(i) <= CtlClean && ctls(i + 1) <= CtlClean =>
+        (t, math.max(ctls(i), ctls(i + 1))) }
+    (clean.minByOption(_._1), ok.map(_._1).minOption)
   }
 
   /** bench_floor.json: {"sf":"sf0.1","floor":{"name":sec,...}} — written
@@ -185,14 +191,20 @@ object Bench {
     val failedQs = raw.collect { case (name, _, _, false, _) => name }
 
     // Historical-floor cross-check: any recorded time over 2× the query's
-    // best prior clean time (or recorded from a never-clean window) is
-    // suspect — re-measure it in a FRESH session (an independent, later
-    // contention window) and record the minimum. The 0.3 s absolute slack
+    // best prior clean time (or recorded from a never-clean window, or
+    // whose recorded control sits over 3× the sweep's median control —
+    // VERDICT r13 #1: a 0.63 s-control window under-recorded the suite's
+    // slowest query) is suspect — re-measure it in a FRESH session (an
+    // independent, later contention window). The 0.3 s absolute slack
     // keeps sub-half-second queries from flagging on scheduler jitter.
-    // Floor-flagged queries always re-run; never-clean-only ones re-run
+    // Floor-flagged queries always re-run; dirty-window ones re-run
     // biggest-first under a cap, so a fully-contended sweep (where nothing
     // is ever clean) degrades to re-checking the heaviest distortions
     // instead of doubling the whole run.
+    val ctlMedRaw = {
+      val cs = raw.collect { case (_, _, c, true, _) => c }.sorted
+      if (cs.isEmpty) CtlClean else cs(cs.size / 2)
+    }
     val overFloor = raw.collect {
       case (name, t, _, true, _)
         if floors.get(name).exists(f => t > 2 * f && t - f > 0.3) => (name, t)
@@ -202,16 +214,17 @@ object Bench {
       // raises confirmed floors so a real regression re-runs ONCE, not on
       // every future round)
     val neverClean = raw.collect {
-      case (name, t, _, true, false) if !overFloor.contains(name) => (name, t)
+      case (name, t, c, true, cl)
+        if (!cl || c > 3 * ctlMedRaw) && !overFloor.contains(name) => (name, t)
     }.sortBy(-_._2).take(40).map(_._1)
     val suspects = overFloor ++ neverClean
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    // rebenched holds only queries with a COMPLETED re-measurement: a
+    // rebench maps hold only queries with a COMPLETED re-measurement: a
     // suspect whose every re-bench pass failed is dropped (it stays a
     // failed query, not a "re-benched" one) — never Double.MaxValue.
-    val (rebenched, rebenchClean) = if (suspects.isEmpty)
-      (Map.empty[String, Double], Map.empty[String, Double])
+    val (rebenchClean, rebenchAny) = if (suspects.isEmpty)
+      (Map.empty[String, (Double, Double)], Map.empty[String, Double])
     else {
       System.err.println(s"[bench] re-bench pass: ${suspects.size} suspect(s): " +
         suspects.mkString(", "))
@@ -220,25 +233,41 @@ object Bench {
         name -> measure(spark2, sfDir, name, reps = 3) }
       spark2.sparkContext.setLogLevel("OFF")
       spark2.stop()
-      (measured.flatMap { case (n, (clean, any)) => clean.orElse(any).map(n -> _) }.toMap,
-        measured.flatMap { case (n, (clean, _)) => clean.map(n -> _) }.toMap)
+      (measured.flatMap { case (n, (clean, _)) => clean.map(n -> _) }.toMap,
+        measured.flatMap { case (n, (_, any)) => any.map(n -> _) }.toMap)
     }
-    val results = raw.collect { case (name, t, c, true, _) =>
-      val re = rebenched.get(name)
-      (name, math.min(t, re.getOrElse(t)), c, re.isDefined)
+    // Merge policy (VERDICT r13 #1 — never let a dirty-window sweep time
+    // out-vote a verified-clean re-measurement): a CLEAN re-bench
+    // REPLACES a dirty sweep value even when larger (the dirty value's
+    // window is untrustworthy in either direction); two clean values
+    // take the min (steal only inflates); with no clean value anywhere
+    // the minimum is recorded and its dirty control stays attached, so
+    // the contamination remains attributable in BENCH_FULL.
+    val results = raw.collect { case (name, t, c, true, cl) =>
+      val sweepClean = cl && c <= 3 * ctlMedRaw
+      (rebenchClean.get(name), rebenchAny.get(name)) match {
+        case (Some((rt, rc)), _) if !sweepClean => (name, rt, rc, true)
+        case (Some((rt, rc)), _) if rt < t      => (name, rt, rc, true)
+        case (Some(_), _)                       => (name, t, c, false)
+        case (None, Some(ra)) if ra < t         => (name, ra, c, true)
+        case _                                  => (name, t, c, false)
+      }
     }
     // self-maintaining floor: fold this run's clean minima into the file
     // (only at the floor file's own scale factor — loadFloors already
     // returned empty for a mismatched sf, in which case seed a new file
     // only when none exists, never overwrite another scale's floors)
-    val cleanNow = raw.collect { case (name, t, c, true, true) if c <= CtlClean =>
-      name -> math.min(t, rebenched.getOrElse(name, t)) }.toMap
+    val cleanNow = (raw.collect { case (name, t, _, true, true) =>
+        name -> rebenchClean.get(name).fold(t) { case (rt, _) => math.min(t, rt) }
+      } ++
+      raw.collect { case (name, _, _, true, false) => name }
+        .flatMap(n => rebenchClean.get(n).map { case (rt, _) => n -> rt })).toMap
     // floor AGING: an over-floor query whose fresh-session re-bench was
     // clean and STILL over the old floor is a confirmed regression (or an
     // intentional plan change) — its floor RISES to the confirmed time,
     // so the regression re-runs once rather than on every future round.
     val aged = overFloor.flatMap { name =>
-      rebenchClean.get(name).collect {
+      rebenchClean.get(name).map(_._1).collect {
         case t if floors.get(name).exists(f => t > 2 * f && t - f > 0.3) =>
           name -> t
       }
@@ -293,7 +322,7 @@ object Bench {
     val qs = results.collect { case (k, v, _, _) if headline(k) => "\"" + k + "\":" + cs(v) }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},""" +
-      s""""failed":${failedQs.size},"rebenched":${rebenched.size},"queries":$qs,""" +
+      s""""failed":${failedQs.size},"rebenched":${results.count(_._4)},"queries":$qs,""" +
       s""""ctl":{"min":${cs(ctlMin)},"med":${cs(ctlMed)},"max":${cs(ctlMax)}},""" +
       s""""full":"BENCH_FULL.json","sf":"$sfDir"}"""
     System.err.println(s"[bench] json line length: ${line.length}")
