@@ -21,6 +21,25 @@ object SparkEntry {
 
   private def ntFromPart(part: DataFrame): DataFrame = DemoCorpus.ntFromPart(part)
 
+  /** Fingerprint of a source table's files (name, size, mtime — no Spark
+    * job) for fixture-staging keys: a regenerated table, or two checkouts
+    * sharing one tmpdir, can never silently replay stale staging (the
+    * streaming_replay_q14 discipline, shared by source_zip / mm_phash).
+    */
+  private def stagingFingerprint(dir: String, table: String): String = {
+    val src = java.nio.file.Paths.get(dir, table)
+    val walk = java.nio.file.Files.walk(src)
+    val sig = try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => s"${p.getFileName}:${java.nio.file.Files.size(p)}:" +
+          s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
+        .toSeq.sorted.mkString("|")
+    } finally walk.close()
+    (scala.util.hashing.MurmurHash3.stringHash(sig) & 0x7fffffff).toString
+  }
+
   /** DuckDB spelling of [[graft.functions.Normalize.normalize]]. */
   private def normSql(x: String): String =
     s"trim(regexp_replace(regexp_replace(lower(strip_accents($x)), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
@@ -4788,6 +4807,50 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ZIP archive ingest — the reference's REAL input format
+    // (`FASTAll.nt.zip`, download_data.sh:2-6; until now the one ingest
+    // step still needing an out-of-band unzip): the NT fixture corpus is
+    // staged once per (sfDir, source fingerprint) as a 3-entry zip —
+    // staging is skipped on re-runs, so only the archive scan + decode +
+    // parse are timed — read back through ZipReader (binaryFile +
+    // per-archive ZipInputStream) and fed to the SAME FastIngest.parse
+    // as nt_parse. The oracle IS nt_parse's oracle, so the row proves
+    // the zipped round trip end to end.
+    "source_zip" -> ((s, dir) => {
+      val staged = s"${System.getProperty("java.io.tmpdir")}/graft_zip_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        stagingFingerprint(dir, "part.parquet")
+      val zipPath = java.nio.file.Paths.get(staged, "fast_all.nt.zip")
+      if (!java.nio.file.Files.exists(zipPath)) {
+        java.nio.file.Files.createDirectories(zipPath.getParent)
+        val lines = DemoCorpus.ntFromPart(t(s, dir, "part"))
+          .orderBy("line").collect().map(_.getString(0))
+        val tmp = java.nio.file.Files.createTempFile(
+          zipPath.getParent, ".staging", ".zip")
+        val zout = new java.util.zip.ZipOutputStream(
+          java.nio.file.Files.newOutputStream(tmp),
+          java.nio.charset.StandardCharsets.UTF_8)
+        try lines.grouped(math.max(1, (lines.length + 2) / 3))
+          .zipWithIndex.foreach { case (chunk, i) =>
+            zout.putNextEntry(new java.util.zip.ZipEntry(s"shard$i.nt"))
+            zout.write(chunk.mkString("", "\n", "\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            zout.closeEntry()
+          }
+        finally zout.close()
+        try java.nio.file.Files.move(tmp, zipPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { // a concurrent run staged it first — theirs is identical
+          case _: java.nio.file.FileAlreadyExistsException =>
+            java.nio.file.Files.deleteIfExists(tmp)
+        }
+      }
+      FastIngest.parse(
+          graft.sources.ZipReader.readLines(s, staged).select("line"))
+        .select(col("subject"), col("predicate"), col("obj"))
+        .orderBy("subject", "predicate", "obj")
+    }),
+
     // Semantic dedup end-to-end: embedding-cosine near-dup pairs →
     // connected components → per-cluster size and a keep/drop verdict
     // (keep = the minimum-id member, which IS the component label).
@@ -7422,6 +7485,8 @@ object SparkEntry {
         | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "nt_parse" -> ntParseOracle,
+    // the zipped round trip must land on the identical parsed table
+    "source_zip" -> ntParseOracle,
     "nt_predicate_stats" -> ntPredicateStatsOracle,
     "nt_quarantine" ->
       """SELECT 'junk line ' || p_partkey AS line FROM part
