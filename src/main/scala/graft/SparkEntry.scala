@@ -21,6 +21,36 @@ object SparkEntry {
 
   private def ntFromPart(part: DataFrame): DataFrame = DemoCorpus.ntFromPart(part)
 
+  /** BMP fixture corpus for the mm_phash family, staged once per (sfDir,
+    * source fingerprint) — VERDICT r13 #5: the synthetic ENCODE half is
+    * fixture scaffolding, not the operator under test, so it runs at
+    * staging time and the timed queries read payload bytes from parquet
+    * (scan → decode → hash only, the shape a real image corpus has).
+    */
+  private def stagedBmpCorpus(s: SparkSession,
+      dir: String): org.apache.spark.sql.Dataset[graft.model.MediaRecord] = {
+    import s.implicits._
+    import graft.model.MediaRecord
+    val staged = s"${System.getProperty("java.io.tmpdir")}/graft_bmp_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      stagingFingerprint(dir, "documents.parquet")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(staged, "_SUCCESS")))
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (id % 16).toInt + 1
+          val h = (id % 12).toInt + 1
+          val base = (id % 5).toInt
+          val payload = graft.ops.BmpPixels.bmpBytes(w, h, (x, y) => {
+            val v = x * 7 + y * 11 + base
+            (v, v + 3, v + 6)
+          })
+          MediaRecord(id, "image/bmp", payload, Map.empty)
+        }
+        .write.mode("overwrite").parquet(staged)
+    s.read.parquet(staged).as[MediaRecord]
+  }
+
   /** Fingerprint of a source table's files (name, size, mtime — no Spark
     * job) for fixture-staging keys: a regenerated table, or two checkouts
     * sharing one tmpdir, can never silently replay stale staging (the
@@ -5233,26 +5263,12 @@ object SparkEntry {
     // the dedup_exact hash-groupBy shape). The oracle recomputes every
     // bit arithmetically from the generator formula, so a hash match
     // proves the full decode → block → threshold chain pixel-exactly.
-    "mm_phash" -> ((s, dir) => {
-      import s.implicits._
-      import graft.model.MediaRecord
-      import graft.ops.{BmpPixels, Multimodal}
-      val recs = t(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .map { id =>
-          val w = (id % 16).toInt + 1
-          val h = (id % 12).toInt + 1
-          val base = (id % 5).toInt
-          val payload = BmpPixels.bmpBytes(w, h, (x, y) => {
-            val v = x * 7 + y * 11 + base
-            (v, v + 3, v + 6)
-          })
-          MediaRecord(id, "image/bmp", payload, Map.empty)
-        }
-      Multimodal.perceptualHashes(recs).toDF()
+    // The BMP corpus is STAGED (stagedBmpCorpus): encode is fixture
+    // scaffolding, so the timed path is parquet scan → decode → hash.
+    "mm_phash" -> ((s, dir) =>
+      graft.ops.Multimodal.perceptualHashes(stagedBmpCorpus(s, dir)).toDF()
         .select(col("media_id"), col("width"), col("height"), col("phash_hex"))
-        .orderBy("media_id")
-    }),
+        .orderBy("media_id")),
 
     // Image near-dup pairs: collapse the corpus to DISTINCT phash
     // classes first (the dedup_exact shape — the class table is what
@@ -5263,21 +5279,8 @@ object SparkEntry {
     // dedup story composes end-to-end (decode → hash → groupBy → banded
     // pair join).
     "mm_phash_pairs" -> ((s, dir) => {
-      import s.implicits._
-      import graft.model.MediaRecord
-      import graft.ops.{BmpPixels, Multimodal}
-      val recs = t(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .map { id =>
-          val w = (id % 16).toInt + 1
-          val h = (id % 12).toInt + 1
-          val base = (id % 5).toInt
-          val payload = BmpPixels.bmpBytes(w, h, (x, y) => {
-            val v = x * 7 + y * 11 + base
-            (v, v + 3, v + 6)
-          })
-          MediaRecord(id, "image/bmp", payload, Map.empty)
-        }
+      import graft.ops.Multimodal
+      val recs = stagedBmpCorpus(s, dir)
       // persisted: the class table feeds BOTH sides of the band
       // self-join plus the two population joins — uncached, the full
       // BMP encode + decode + hash pipeline would run four times. The
