@@ -47,6 +47,7 @@ object Functions {
     native("gopher_stats", exprs => graft.functions.GopherStatsExpr(exprs(0)))
     native("cdc_chunks", exprs => graft.functions.CdcChunks(
       exprs(0), exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]))
+    native("unicode_words", exprs => graft.functions.UnicodeWords(exprs(0)))
     native("unicode_norm", exprs => graft.functions.UnicodeNormalize(
       exprs(0), graft.functions.UnicodeNormalize.formOf(
         exprs(1).eval().toString)))

@@ -21,6 +21,22 @@ object SparkEntry {
 
   private def ntFromPart(part: DataFrame): DataFrame = DemoCorpus.ntFromPart(part)
 
+  /** Pinned multilingual sentences for the unicode-segmentation oracle
+    * row (text_tokens_unicode) — shapes chosen so JDK BreakIterator and
+    * the oracle's RE2 script-run regex provably agree: no mixed-script
+    * runs without separators, no combining sequences (precomposed
+    * forms), joiners limited to ' - . , _ between alphanumerics.
+    */
+  private[graft] val multilingualFixture: Seq[String] = Seq(
+    "Hello, world! It's 42 meters-long.",
+    "naïve café résumé",
+    "Ελληνικά κείμενο",
+    "русский текст тут",
+    "日本語のテキスト",
+    "中文文本处理",
+    "한국어 텍스트",
+    "mixed 中文 and English 1,000")
+
   /** BMP fixture corpus for the mm_phash family, staged once per (sfDir,
     * source fingerprint) — VERDICT r13 #5: the synthetic ENCODE half is
     * fixture scaffolding, not the operator under test, so it runs at
@@ -3847,6 +3863,29 @@ object SparkEntry {
         size(split(col("text"), " ")).as("n_tokens"),
         size(array_distinct(split(col("text"), " "))).as("n_distinct"))
         .orderBy("doc_id")),
+
+    // Unicode word segmentation (functions/UnicodeWords: BreakIterator
+    // boundaries, letter-or-digit segments) over a pinned multilingual
+    // fixture cycled across the documents table: Latin with joiners
+    // ("It's", "meters-long", "1,000"), precomposed accents, Greek,
+    // Cyrillic, Japanese (kanji|hiragana|katakana script runs), Han
+    // runs kept whole, Hangul. The oracle re-segments the same strings
+    // with an RE2 script-run regex that provably agrees on this
+    // fixture's shapes (UnicodeWordsSpec pins the per-sentence goldens
+    // on the Spark side). array_join(unicode_words(x), ' ') is the
+    // canonicalization that feeds the engine's single-space token
+    // contract — the downstream-composition half is TextSpec-pinned.
+    "text_tokens_unicode" -> ((s, dir) => {
+      val raw = element_at(
+        array(multilingualFixture.map(lit): _*),
+        (col("doc_id") % multilingualFixture.size).cast("int") + 1)
+      t(s, dir, "documents")
+        .select(col("doc_id"), raw.as("_raw"))
+        .select(col("doc_id"),
+          array_join(expr("unicode_words(_raw)"), " ").as("tokens"),
+          size(expr("unicode_words(_raw)")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
 
     // Overlapping document chunking (200-char windows, 150 stride → 50
     // overlap): the corpus-prep step for context-bounded training and
@@ -7848,6 +7887,26 @@ object SparkEntry {
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
         |        len(list_distinct(string_split(text, ' '))) AS n_distinct
         | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // RE2 script-run rebuild of the BreakIterator segmentation on the
+    // pinned fixture (see multilingualFixture for the shapes that make
+    // the two provably agree): per-script CJK runs, then a joiner-aware
+    // alphanumeric run over the space-separated scripts.
+    "text_tokens_unicode" -> {
+      val cases = multilingualFixture.zipWithIndex
+        .map { case (s, i) => s"WHEN $i THEN '${s.replace("'", "''")}'" }
+        .mkString(" ")
+      val pat = """[\p{Han}]+|[\p{Hiragana}]+|[\p{Katakana}]+|[\p{Hangul}]+""" +
+        """|[\p{Latin}\p{Greek}\p{Cyrillic}\p{Nd}]+""" +
+        """([''\-.,_][\p{Latin}\p{Greek}\p{Cyrillic}\p{Nd}]+)*"""
+      s"""SELECT doc_id,
+         | array_to_string(regexp_extract_all(raw, '$pat'), ' ') AS tokens,
+         | len(regexp_extract_all(raw, '$pat'))::BIGINT AS n_tokens
+         | FROM (SELECT doc_id,
+         |   CASE doc_id % ${multilingualFixture.size} $cases END AS raw
+         |   FROM documents)
+         | ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
 
     "text_chunk" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0),
