@@ -21,6 +21,33 @@ object SparkEntry {
 
   private def ntFromPart(part: DataFrame): DataFrame = DemoCorpus.ntFromPart(part)
 
+  /** Clustered (non-uniform) integer-grid embedding fixture for the
+    * trained-IVF oracle row: 16-dim vectors = center(vec_id % 16) +
+    * per-vector noise, all integers, derived from vec_id alone so the
+    * DuckDB oracle rebuilds it with the same arithmetic. Center spacing
+    * (multiples of 10, range ±80) dominates member noise (±15), so the
+    * 16 clusters are well separated — but the 16 SEED vectors (vec_id <
+    * 16) carry 12× noise, modeling the real seed hazard: a seed is an
+    * arbitrary sample and may be an outlier, so seed-centroid Voronoi
+    * cells misassign boundary vectors while trained means sit at the
+    * true centers. AnnRecallSpec measures the recall lift; near-uniform
+    * fixtures could not show it.
+    */
+  private[graft] def clusteredEmbFixture(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id")).withColumn("embedding", expr(
+      "transform(sequence(0, 15), d -> CAST(" +
+        "(((vec_id % 16) * 37 + d * 11) % 17 - 8) * 10 + " +
+        "((vec_id * 17 + d * 29) % 31 - 15) * " +
+        "(CASE WHEN vec_id < 16 THEN 12 ELSE 1 END) AS FLOAT))"))
+
+  /** The same fixture in DuckDB (list comprehension over d). */
+  private def clusteredEmbFixtureSql: String =
+    """SELECT vec_id, [CAST((((vec_id % 16) * 37 + d * 11) % 17 - 8) * 10
+      | + ((vec_id * 17 + d * 29) % 31 - 15)
+      |   * (CASE WHEN vec_id < 16 THEN 12 ELSE 1 END) AS FLOAT)
+      | FOR d IN range(16)] AS embedding FROM embeddings""".stripMargin
+      .replace("\n", " ")
+
   /** Pinned multilingual sentences for the unicode-segmentation oracle
     * row (text_tokens_unicode) — shapes chosen so JDK BreakIterator and
     * the oracle's RE2 script-run regex provably agree: no mixed-script
@@ -4363,6 +4390,27 @@ object SparkEntry {
       Similarity.ivfTopK(emb,
           a => a.where(col("vec_id") >= 10 && col("vec_id") < 20),
           "vec_id", "embedding", cents, "c_id", "c_emb", k = 3)
+        .select(col("q_id"), col("neighbor_id"),
+          round(col("cos"), 4).as("cos_sim"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // IVF with TRAINED centroids, oracle-checked end to end (VERDICT r13
+    // #7): integer-grid spherical k-means (sphericalKMeansCentroidsInt —
+    // integer inputs make every assignment cosine and every rounded mean
+    // bit-identical cross-engine, so the SQL oracle unrolls the training
+    // loop round-for-round) over a CLUSTERED fixture (16 well-separated
+    // integer centers + per-vector noise, clusteredEmbFixture) where
+    // seed centroids are single noisy members and training visibly
+    // lifts recall (AnnRecallSpec measures the lift; this row pins the
+    // trained pipeline's exact output).
+    "ann_ivf_trained" -> ((s, dir) => {
+      val emb = clusteredEmbFixture(t(s, dir, "embeddings"))
+      val cents = Similarity.sphericalKMeansCentroidsInt(
+        emb, "vec_id", "embedding", k = 16, iterations = 2)
+      Similarity.ivfTopK(emb,
+          a => a.where(col("vec_id") >= 10 && col("vec_id") < 20),
+          "vec_id", "embedding", cents, "c_id", "c_emb", k = 3, nprobe = 2)
         .select(col("q_id"), col("neighbor_id"),
           round(col("cos"), 4).as("cos_sim"), col("rank"))
         .orderBy("q_id", "rank")
@@ -8782,6 +8830,48 @@ object SparkEntry {
          |   FROM scored)
          | SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
          | FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin.replace("\n", " "),
+
+    // trained-IVF: the integer-grid k-means loop unrolled round-for-round
+    // (integer inputs ⟹ exact dots, correctly-rounded sqrt/divide, exact
+    // rounded means — every round's centroids are bit-identical to the
+    // engine's), then the nprobe=2 IVF tail over the trained centroids.
+    "ann_ivf_trained" -> {
+      def assignCte(cents: String): String =
+        s"""SELECT f.vec_id, f.embedding, c.c_id,
+           |   row_number() OVER (PARTITION BY f.vec_id
+           |     ORDER BY ${duckCosine("c.c_emb", "f.embedding")} DESC, c.c_id) AS rk
+           | FROM fix f CROSS JOIN $cents c""".stripMargin
+      def meanCte(assign: String, prev: String): String =
+        s"""SELECT p.c_id, coalesce(g.c_emb, p.c_emb) AS c_emb FROM $prev p
+           | LEFT JOIN (
+           |   SELECT c_id, list(v ORDER BY d) AS c_emb FROM (
+           |     SELECT a.c_id, d.d,
+           |       CAST(CAST(round(avg(a.embedding[d.d + 1]), 0) AS BIGINT) AS FLOAT) AS v
+           |     FROM (SELECT embedding, c_id FROM $assign WHERE rk = 1) a,
+           |          (SELECT unnest(range(16)) AS d) d
+           |     GROUP BY a.c_id, d.d)
+           |   GROUP BY c_id) g ON p.c_id = g.c_id""".stripMargin
+      s"""WITH fix AS MATERIALIZED ($clusteredEmbFixtureSql),
+         | c0 AS MATERIALIZED (SELECT vec_id AS c_id, embedding AS c_emb FROM fix WHERE vec_id < 16),
+         | a1 AS MATERIALIZED (${assignCte("c0")}),
+         | c1 AS MATERIALIZED (${meanCte("a1", "c0")}),
+         | a2 AS MATERIALIZED (${assignCte("c1")}),
+         | c2 AS MATERIALIZED (${meanCte("a2", "c1")}),
+         | assign AS MATERIALIZED (${assignCte("c2")}),
+         | stored AS (SELECT vec_id, embedding, c_id AS cluster FROM assign WHERE rk = 1),
+         | qp AS (SELECT vec_id AS q_id, embedding AS q_emb, c_id AS cluster FROM assign
+         |       WHERE vec_id >= 10 AND vec_id < 20 AND rk <= 2),
+         | scored AS (
+         |   SELECT qp.q_id, e.vec_id AS neighbor_id,
+         |          ${duckCosine("qp.q_emb", "e.embedding")} AS cos
+         |   FROM qp JOIN stored e ON qp.cluster = e.cluster AND e.vec_id <> qp.q_id),
+         | ranked AS (
+         |   SELECT q_id, neighbor_id, cos,
+         |          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+         |   FROM scored)
+         | SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
+         | FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin.replace("\n", " ")
+    },
 
     "ann_ivf_probe2" ->
       s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),

@@ -325,7 +325,33 @@ object Similarity {
     * [[ivfAssign]]'s `replication`).
     */
   def sphericalKMeansCentroids(corpus: DataFrame, idCol: String, embCol: String,
-                               k: Int, iterations: Int): DataFrame = {
+                               k: Int, iterations: Int): DataFrame =
+    sphericalKMeansImpl(corpus, idCol, embCol, k, iterations, roundMeans = false)
+
+  /** [[sphericalKMeansCentroids]] on the INTEGER grid: per-dimension
+    * means round to whole numbers each update (the
+    * [[pqTrainCodebooksInt]] policy). What this buys is an ORACLE: all
+    * inputs integer-valued ⟹ dot products exact, sqrt/divide correctly
+    * rounded IEEE ⟹ every assignment cosine is bit-identical
+    * cross-engine, and the rounded means re-enter the next round exact —
+    * so the full training loop reproduces in SQL (ann_ivf_trained
+    * unrolls it round-for-round), where float means would accumulate
+    * cross-engine ulp drift. Float-recall behavior of the real-mean
+    * variant stays pinned by AnnRecallSpec.
+    */
+  def sphericalKMeansCentroidsInt(corpus: DataFrame, idCol: String,
+                                  embCol: String, k: Int,
+                                  iterations: Int): DataFrame =
+    sphericalKMeansImpl(corpus, idCol, embCol, k, iterations, roundMeans = true)
+
+  private def sphericalKMeansImpl(corpus: DataFrame, idCol: String,
+                                  embCol: String, k: Int, iterations: Int,
+                                  roundMeans: Boolean): DataFrame = {
+    val meanExpr =
+      if (roundMeans)
+        "transform(array_sort(collect_list(struct(pos, v))), s -> CAST(CAST(round(s.v, 0) AS BIGINT) AS FLOAT))"
+      else
+        "transform(array_sort(collect_list(struct(pos, v))), s -> CAST(s.v AS FLOAT))"
     // each round is lineage-cut and the previous round's K cached centroid
     // rows are released (Iterate.materialize) — no localCheckpoint pinning,
     // no storage growth with iteration count
@@ -339,8 +365,7 @@ object Similarity {
         .groupBy(col("c_id"), col("pos"))
         .agg(avg(col("col")).as("v"))
         .groupBy(col("c_id"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, v))), s -> CAST(s.v AS FLOAT))")
-          .as("c_emb"))
+        .agg(expr(meanExpr).as("c_emb"))
       // empty-cluster keep-alive: K is a capacity promise — a centroid with
       // no members this round survives unchanged instead of vanishing
       val cents = round.df.select(col("c_id"), col("c_emb").as("_prev"))
