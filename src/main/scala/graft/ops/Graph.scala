@@ -641,8 +641,14 @@ object Graph {
         nodes = remaining; live = liveNext
       }
     }
-    require(nLive == 0,
-      s"SCC not settled after $maxOuter outer rounds ($nLive nodes live) — raise maxOuter")
+    if (nLive != 0) {
+      // release round storage BEFORE failing — a long-lived library
+      // session must not leak checkpoints on the error path (ADVICE r13)
+      live.release()
+      labs.foreach(_.release())
+      throw new IllegalArgumentException(
+        s"SCC not settled after $maxOuter outer rounds ($nLive nodes live) — raise maxOuter")
+    }
     live.release()
     if (labs.isEmpty) return e0.sparkSession.emptyDataFrame
       .withColumn("node", lit(0L)).withColumn("scc_id", lit(0L))
@@ -662,8 +668,13 @@ object Graph {
     * so one materialized job advances BOTH frontiers — half the per-step
     * scheduling of separate F/B loops. Labels only decrease, so
     * sum(f) + sum(b) is strictly decreasing until fixpoint; the metric
-    * rides an `observe()` on the materializing action. Caller releases
-    * the returned handle.
+    * rides an `observe()` on the materializing action, summed in
+    * DECIMAL(38,0) (ADVICE r13: labels are arbitrary 64-bit node ids,
+    * and a BIGINT sum over many nodes can silently wrap — two wrapped
+    * sums landing adjacent-equal would falsely certify the fixpoint;
+    * 38 digits cannot wrap at any realistic row count, so
+    * adjacent-equal stays a sound certificate). Caller releases the
+    * returned handle.
     */
   private def minReachBoth(edges: DataFrame, nodes: DataFrame,
       maxInner: Int): (Iterate.Materialized, Long) = {
@@ -692,12 +703,16 @@ object Graph {
         .agg(min(when(col("isF"), col("f"))).as("f"),
           min(when(!col("isF"), col("b"))).as("b"))
         .withColumnRenamed("to", "node")
+    val sumFB = (sum(col("f").cast("decimal(38,0)")) +
+      sum(col("b").cast("decimal(38,0)"))).as("s")
+    def sumOf(o: org.apache.spark.sql.Observation): java.math.BigDecimal =
+      o.get("s").asInstanceOf[java.math.BigDecimal]
     val obs0 = org.apache.spark.sql.Observation()
     var lab = Iterate.materialize(
       nodes.select(col("node"), col("node").as("f"), col("node").as("b"))
-        .observe(obs0, (sum("f") + sum("b")).as("s"),
+        .observe(obs0, sumFB,
           count(when(col("f") =!= col("b"), 1)).as("unresolved")))
-    var prevSum = obs0.get("s").asInstanceOf[Long]
+    var prevSum = sumOf(obs0)
     var unresolved = obs0.get("unresolved").asInstanceOf[Long] // 0 at init
     var steps = 0
     var converged = false
@@ -716,12 +731,13 @@ object Graph {
       // stage, no extra job.
       val obsList = (1 to chunk).map(_ => org.apache.spark.sql.Observation())
       val next = (1 to chunk).foldLeft(lab.df) { (df, i) =>
-        step(df).observe(obsList(i - 1), (sum("f") + sum("b")).as("s"),
+        step(df).observe(obsList(i - 1), sumFB,
           count(when(col("f") =!= col("b"), 1)).as("unresolved"))
       }
       val m = Iterate.materialize(next)
-      val sums = obsList.map(_.get("s").asInstanceOf[Long])
-      converged = (prevSum +: sums).sliding(2).exists(p => p(0) == p(1))
+      val sums = obsList.map(sumOf)
+      converged = (prevSum +: sums).sliding(2)
+        .exists(p => p(0).compareTo(p(1)) == 0)
       prevSum = sums.last
       unresolved = obsList.last.get("unresolved").asInstanceOf[Long]
       lab.release()
@@ -729,19 +745,29 @@ object Graph {
       steps += chunk
     }
     msgs.unpersist()
-    require(converged,
-      s"min-label reachability not converged after $maxInner steps — raise maxInner")
+    if (!converged) {
+      lab.release() // no checkpoint leak on the error path (ADVICE r13)
+      throw new IllegalArgumentException(
+        s"min-label reachability not converged after $maxInner steps — raise maxInner")
+    }
     (lab, unresolved)
   }
 
   /** Common-neighbor / Jaccard link-prediction scores (Liben-Nowell &
     * Kleinberg '03): for every node pair (u, v) sharing at least one
     * neighbor, the shared-neighbor count `cn`, both full-graph degrees,
-    * the Jaccard coefficient |N(u)∩N(v)| / |N(u)∪N(v)| in exact basis
-    * points (integer `div` — no float), and whether the pair is already
-    * an edge (link-prediction candidates are the unlinked ones). The
-    * standard similar-entity primitive over co-occurrence graphs
-    * (related products, author disambiguation, document linking).
+    * the GUARDED-WITNESS Jaccard coefficient cn / (deg_u + deg_v − cn)
+    * in exact basis points (integer `div` — no float), and whether the
+    * pair is already an edge (link-prediction candidates are the
+    * unlinked ones). Guarded-witness: `cn` counts only shared neighbors
+    * whose degree passes `maxDegree` (the hub guard below filters
+    * WITNESSES, not just pair generation) while deg_u/deg_v stay
+    * full-graph — so a pair that also shares a hub neighbor scores
+    * BELOW textbook |N(u)∩N(v)| / |N(u)∪N(v)|, deliberately: a hub
+    * witness carries near-zero evidence, and discounting it entirely is
+    * the same judgement the generation guard makes. The standard
+    * similar-entity primitive over co-occurrence graphs (related
+    * products, author disambiguation, document linking).
     *
     * Scale shape: pairs are generated ONLY through shared neighbors —
     * a self-join of the symmetric adjacency on the CENTER node (the
