@@ -54,61 +54,18 @@ object Graph {
     val init = nodes
       .join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left")
       .withColumn("rank", lit(1.0 / n))
-    if (iterations <= Iterate.LazyRounds) {
-      // Bounded depth: no per-round driver action (the bfsLevels
-      // discipline). The edge list and the init state are lineage-cut
-      // ONCE (two small jobs) so every round builds on LogicalRDD
-      // LEAVES — left as raw plans, each round re-embeds the caller's
-      // whole edge derivation (a 4-way join in graph_pagerank's case)
-      // and Catalyst's analyze/optimize/cache-lookup cost on the
-      // exponentially nested tree dwarfs the actual work at toy scale
-      // (measured: job time ~1 s of a 6 s wall). Each round's state is
-      // then LAZILY persisted — three consumers (the dangling-mass
-      // aggregate, the inbound branch, the carry join) read the cache
-      // after the first computes it — and the dangling mass enters
-      // round i+1 as a one-row broadcast aggregate IN the plan, so the
-      // final materialize is the only synchronous round job; the nested
-      // dmass broadcast jobs compute each round's cache exactly once on
-      // the way (a strict chain — round i+1's broadcast depends on
-      // round i's cached state). Above LazyRounds the eager path below
-      // keeps plan depth and storage O(1) in rounds.
-      val matE = Iterate.materialize(e)
-      val matInit = Iterate.materialize(init)
-      var states = List(matInit.df)
-      var i = 0
-      while (i < iterations) {
-        val st = states.head
-        val dm = st.agg(coalesce(sum(when(col("deg").isNull, col("rank"))),
-          lit(0.0)).as("_dmass"))
-        val inbound = st.where(col("deg").isNotNull)
-          .select(col("node").as("src"), (col("rank") / col("deg")).as("share"))
-          .join(matE.df, "src")
-          .groupBy("dst")
-          .agg(sum("share").as("inbound"))
-        val next = st.select("node", "deg")
-          .join(inbound.withColumnRenamed("dst", "node"), Seq("node"), "left")
-          .crossJoin(broadcast(dm))
-          .select(col("node"), col("deg"),
-            (lit((1.0 - damping) / n) +
-              lit(damping) * (coalesce(col("inbound"), lit(0.0)) +
-                col("_dmass") / lit(n.toDouble))).as("rank"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        states ::= next
-        i += 1
-      }
-      val out = Iterate.materialize(states.head.select("node", "rank"))
-      states.foreach(_.unpersist())
-      matE.release(); matInit.release()
-      rawD.unpersist(); e.unpersist(); nodes.unpersist()
-      return out.df
-    }
-    // Unbounded depth: PER-ROUND materialization — the next round's
-    // teleport term needs THIS round's dangling mass as a driver-known
-    // scalar. The mass rides the round's own materializing action as an
-    // `observe()` metric (the CC-endgame pattern,
-    // [[Dedup.connectedComponents]]) and is injected into round i+1 as a
-    // LITERAL — no dangling aggregate job, no one-row broadcast exchange:
-    // each round is exactly one job.
+    // PER-ROUND materialization at any depth — the next round's teleport
+    // term needs THIS round's dangling mass as a driver-known scalar. The
+    // mass rides the round's own materializing action as an `observe()`
+    // metric (the CC-endgame pattern, [[Dedup.connectedComponents]]) and
+    // is injected into round i+1 as a LITERAL — no dangling aggregate
+    // job, no one-row broadcast exchange: each round is exactly one job.
+    // A lazily-chained bounded-depth branch (the LPA/BFS discipline) was
+    // MEASURED SLOWER here (r14, graph_ppr at 3 rounds: 2.3-2.5 s lazy
+    // vs 1.5-1.8 s eager at sf0.1): the per-round scalar forces an
+    // in-plan one-row broadcast aggregate whose extra broadcast jobs
+    // cost more than the observe-carrying checkpoints they replace —
+    // lazy chaining pays only where rounds need no driver scalar.
     def dmassMetric: Column =
       coalesce(sum(when(col("deg").isNull, col("rank"))), lit(0.0)).as("dmass")
     var obs = org.apache.spark.sql.Observation()
@@ -173,46 +130,11 @@ object Graph {
       .join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left")
       .withColumn("t", when(col("_s").isNotNull, lit(1.0) / nS).otherwise(lit(0.0)))
       .select(col("node"), col("deg"), col("t"), col("t").as("rank"))
-    if (iterations <= Iterate.LazyRounds) {
-      // bounded depth: edge list + init state lineage-cut once, then
-      // lazily-persisted rounds over the leaves, dangling mass as an
-      // in-plan one-row broadcast aggregate, single final round job —
-      // see the twin branch in [[pageRank]] for the full rationale
-      val matE = Iterate.materialize(e)
-      val matInit = Iterate.materialize(init)
-      var states = List(matInit.df)
-      var i = 0
-      while (i < iterations) {
-        val st = states.head
-        val dm = st.agg(coalesce(sum(when(col("deg").isNull, col("rank"))),
-          lit(0.0)).as("_dmass"))
-        val inbound = st.where(col("deg").isNotNull)
-          .select(col("node").as("src"), (col("rank") / col("deg")).as("share"))
-          .join(matE.df, "src")
-          .groupBy("dst")
-          .agg(sum("share").as("inbound"))
-        val next = st.select("node", "deg", "t")
-          .join(inbound.withColumnRenamed("dst", "node"), Seq("node"), "left")
-          .crossJoin(broadcast(dm))
-          .select(col("node"), col("deg"), col("t"),
-            (lit(1.0 - damping) * col("t") +
-              lit(damping) * (coalesce(col("inbound"), lit(0.0)) +
-                col("_dmass") * col("t"))).as("rank"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        states ::= next
-        i += 1
-      }
-      val out = Iterate.materialize(states.head.select("node", "rank"))
-      states.foreach(_.unpersist())
-      matE.release(); matInit.release()
-      rawD.unpersist(); e.unpersist(); nodes.unpersist(); srcSet.unpersist()
-      return out.df
-    }
-    // unbounded depth: per-round materialization, the next round needs
-    // this round's dangling mass as a driver-known scalar — it rides the
-    // materializing action as an observe() metric and enters round i+1
-    // as a literal; one job per round, no dangling aggregate job or
-    // broadcast
+    // per-round materialization at any depth — this round's dangling
+    // mass rides the materializing action as an observe() metric and
+    // enters round i+1 as a literal; one job per round, no dangling
+    // aggregate job or broadcast (the lazily-chained branch was measured
+    // slower — see [[pageRank]])
     def dmassMetric: Column =
       coalesce(sum(when(col("deg").isNull, col("rank"))), lit(0.0)).as("dmass")
     var obs = org.apache.spark.sql.Observation()
@@ -596,17 +518,33 @@ object Graph {
     * an under-iterated SCC answer is WRONG, not approximate (same
     * contract as SuffixArray.build's convergence check).
     *
+    * LOCAL ENDGAME (r14): once the live remainder fits one task
+    * (`localThreshold` bounds BOTH live nodes and live edges — a
+    * broadcast-class constant, not data-sized), the loop collects it
+    * and finishes with iterative Tarjan on the driver, labeling each
+    * component by its min member — bit-identical to what further
+    * distributed rounds would settle. This is the standard hybrid of
+    * the parallel-SCC literature (Hong et al. PPoPP'13, Slota et al.
+    * '14: trim + FW-BW descent, serial finish on the small remainder):
+    * the descent's tail rounds each cost full scheduling to settle a
+    * shrinking fringe, which is exactly the regime a single task
+    * finishes in microseconds. Pass `localThreshold = 0` to force the
+    * pure distributed path (specs exercise both).
+    *
     * Returns (node, scc_id) with scc_id = the component's minimum
     * member id.
     */
   def stronglyConnectedComponents(edges: DataFrame, srcCol: String,
-      dstCol: String, maxOuter: Int = 25, maxInner: Int = 100): DataFrame = {
+      dstCol: String, maxOuter: Int = 25, maxInner: Int = 100,
+      localThreshold: Long = 1L << 16): DataFrame = {
     val e0 = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .distinct()
-    var live = Iterate.materialize(e0)
+    val eObs = org.apache.spark.sql.Observation()
+    var live = Iterate.materialize(e0.observe(eObs, count(lit(1)).as("m")))
+    var mLive = eObs.get("m").asInstanceOf[Long]
     // NOTE on constants (measured at sf0.1, 25-node label tables): the
     // loop's cost is per-exchange scheduling — with AQE each of the
     // O(total steps) label exchanges costs ~0.15 s regardless of chunk
@@ -624,21 +562,38 @@ object Graph {
     // jobs per round beyond the edge semi-join), released after the
     // final union materializes
     val labs = scala.collection.mutable.ArrayBuffer.empty[Iterate.Materialized]
+    val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var outer = 0
     while (nLive > 0 && outer < maxOuter) {
-      val (lab, unresolved) = minReachBoth(live.df, nodes, maxInner)
-      labs += lab
-      nLive = unresolved
-      outer += 1
-      // F(v) = B(v) certifies v's whole component — join-free settle test
-      if (unresolved > 0) { // skip the edge shrink when everything settled
-        val remaining = lab.df.where(col("f") =!= col("b")).select("node")
-        val liveNext = Iterate.materialize(
-          live.df
-            .join(remaining.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
-            .join(remaining.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi"))
-        live.release()
-        nodes = remaining; live = liveNext
+      if (nLive <= localThreshold && mLive <= localThreshold) {
+        // local endgame: the remainder is broadcast-sized — one collect,
+        // serial Tarjan, done (see scaladoc)
+        val edgeArr = live.df.collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val nodeArr = nodes.collect().map(_.getLong(0))
+        val comp = localTarjanMinLabel(nodeArr, edgeArr)
+        val sess = live.df.sparkSession
+        import sess.implicits._
+        locals += comp.toSeq.toDF("node", "scc_id")
+        nLive = 0
+      } else {
+        val (lab, unresolved) = minReachBoth(live.df, nodes, maxInner)
+        labs += lab
+        nLive = unresolved
+        outer += 1
+        // F(v) = B(v) certifies v's whole component — join-free settle test
+        if (unresolved > 0) { // skip the edge shrink when everything settled
+          val remaining = lab.df.where(col("f") =!= col("b")).select("node")
+          val mObs = org.apache.spark.sql.Observation()
+          val liveNext = Iterate.materialize(
+            live.df
+              .join(remaining.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+              .join(remaining.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+              .observe(mObs, count(lit(1)).as("m")))
+          live.release()
+          mLive = mObs.get("m").asInstanceOf[Long]
+          nodes = remaining; live = liveNext
+        }
       }
     }
     if (nLive != 0) {
@@ -650,14 +605,66 @@ object Graph {
         s"SCC not settled after $maxOuter outer rounds ($nLive nodes live) — raise maxOuter")
     }
     live.release()
-    if (labs.isEmpty) return e0.sparkSession.emptyDataFrame
+    val settled = labs.map(_.df.where(col("f") === col("b"))
+      .select(col("node"), col("f").as("scc_id"))).toSeq ++ locals
+    if (settled.isEmpty) return e0.sparkSession.emptyDataFrame
       .withColumn("node", lit(0L)).withColumn("scc_id", lit(0L))
       .select("node", "scc_id").limit(0)
-    val out = Iterate.materialize(
-      labs.map(_.df.where(col("f") === col("b"))
-        .select(col("node"), col("f").as("scc_id"))).reduce(_ unionAll _))
+    val out = Iterate.materialize(settled.reduce(_ unionAll _))
     labs.foreach(_.release())
     out.df
+  }
+
+  /** Iterative Tarjan SCC over a collected remainder, labeling every
+    * node with its component's MINIMUM member id (the exact contract of
+    * the distributed settle) — nodes without surviving edges are their
+    * own singleton components. Driver-local by design: callers bound
+    * the input to a broadcast-class constant first.
+    */
+  private def localTarjanMinLabel(nodes: Array[Long],
+      edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val index = scala.collection.mutable.HashMap.empty[Long, Int]
+    val low = scala.collection.mutable.HashMap.empty[Long, Int]
+    val onStack = scala.collection.mutable.HashSet.empty[Long]
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val comp = scala.collection.mutable.HashMap.empty[Long, Long]
+    var counter = 0
+    val empty = Array.empty[Long]
+    for (root <- nodes if !index.contains(root)) {
+      // explicit work stack: (node, next-child offset) — no recursion
+      val work = scala.collection.mutable.ArrayBuffer((root, 0))
+      while (work.nonEmpty) {
+        val (v, ci) = work.last
+        if (ci == 0) {
+          index(v) = counter; low(v) = counter; counter += 1
+          stack += v; onStack += v
+        }
+        val out = adj.getOrElse(v, empty)
+        if (ci < out.length) {
+          work(work.length - 1) = (v, ci + 1)
+          val w = out(ci)
+          if (!index.contains(w)) work += ((w, 0))
+          else if (onStack(w)) low(v) = math.min(low(v), index(w))
+        } else {
+          if (low(v) == index(v)) {
+            // pop the component, label by its min member id
+            var i = stack.length - 1
+            while (stack(i) != v) i -= 1
+            val members = stack.slice(i, stack.length)
+            stack.remove(i, stack.length - i)
+            val label = members.min
+            members.foreach { m => onStack -= m; comp(m) = label }
+          }
+          work.remove(work.length - 1)
+          if (work.nonEmpty) {
+            val (p, _) = work.last
+            low(p) = math.min(low(p), low(v))
+          }
+        }
+      }
+    }
+    comp.toMap
   }
 
   /** Fused forward/backward min-label reachability fixpoint: one label

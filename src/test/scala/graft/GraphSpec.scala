@@ -435,8 +435,13 @@ class GraphSpec extends SparkSpec {
 
   // ------------------------------------------------------------------- SCC
 
-  private def sccRun(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Graph.stronglyConnectedComponents(edges.toDF("s", "d"), "s", "d")
+  // localThreshold = 0 forces the pure distributed FW-BW path; the
+  // default exercises the local-Tarjan endgame (both paths must agree
+  // with the independent reference below)
+  private def sccRun(edges: Seq[(Long, Long)],
+      localThreshold: Long = 1L << 16): Map[Long, Long] =
+    Graph.stronglyConnectedComponents(edges.toDF("s", "d"), "s", "d",
+        localThreshold = localThreshold)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   /** Iterative Tarjan (explicit stack — no JVM recursion limit). */
@@ -492,9 +497,10 @@ class GraphSpec extends SparkSpec {
     // cycle {1,2,3} → bridge 3→10 → cycle {10,11}; 20 is a dangling sink
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 10L), (10L, 11L),
       (11L, 10L), (10L, 20L))
-    val got = sccRun(edges)
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
-      11L -> 10L, 20L -> 20L))
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L, 20L -> 20L)
+    assert(sccRun(edges) === expect)                      // endgame path
+    assert(sccRun(edges, localThreshold = 0) === expect)  // distributed path
   }
 
   test("SCC: a DAG is all singletons; a full cycle is one component") {
@@ -516,7 +522,19 @@ class GraphSpec extends SparkSpec {
     for ((n, m) <- Seq((12, 20), (20, 45), (30, 90))) {
       val edges = (1 to m).map(_ =>
         (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
-      assert(sccRun(edges) === sccRef(edges), s"n=$n m=$m")
+      assert(sccRun(edges) === sccRef(edges), s"n=$n m=$m (endgame)")
+      assert(sccRun(edges, localThreshold = 0) === sccRef(edges),
+        s"n=$n m=$m (distributed)")
     }
+  }
+
+  test("SCC hybrid: distributed descent hands a mid-sized remainder to the endgame") {
+    // threshold between the settled fringe and the full graph: the first
+    // outer round runs distributed, the shrunken remainder goes local —
+    // both halves must agree with the reference
+    val rnd = new Random(47)
+    val edges = (1 to 120).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    assert(sccRun(edges, localThreshold = 10) === sccRef(edges))
   }
 }
