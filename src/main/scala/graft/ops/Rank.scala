@@ -113,20 +113,39 @@ object Rank {
 
   def globalRowNumber(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
                       parts: Int = 32): DataFrame = {
-    val ranged = Iterate.materialize(
+    // r14 topology (the SuffixArray ranking rebuild): sort WITHIN the
+    // range exchange and checkpoint with a monotonically-increasing id
+    // assigned in sorted order; a collected per-partition (min id, row
+    // count) table — ≤ `parts` rows, counters-class — turns ids into
+    // global row numbers as a PURE EXPRESSION (literal map on the
+    // partition id). The former shape windowed over `_pid` AFTER the
+    // checkpoint, and since Spark cannot prove a LogicalRDD's
+    // clustering, that window re-exchanged the ENTIRE table by hash —
+    // one full data shuffle (plus a broadcast join) per consumer, now
+    // gone. Only within-partition monotonicity of the id is relied on,
+    // never its bit layout.
+    val sorted = Iterate.materialize(
       df.repartitionByRange(parts, sortCols: _*)
-        .withColumn("_pid", spark_partition_id())).df
-    val offsets = ranged.groupBy("_pid").agg(count(lit(1)).as("_c"))
-      .withColumn("_offset",
-        coalesce(sum("_c").over(Window.orderBy("_pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("_pid", "_offset")
-    val localW = Window.partitionBy("_pid").orderBy(sortCols: _*)
-    ranged
-      .withColumn("_local", row_number().over(localW))
-      .join(broadcast(offsets), "_pid")
-      .withColumn("rn", col("_offset") + col("_local"))
-      .drop("_pid", "_local", "_offset")
+        .sortWithinPartitions(sortCols: _*)
+        .withColumn("_mid", monotonically_increasing_id())).df
+    val info = sorted
+      .withColumn("_pp", spark_partition_id())
+      .groupBy("_pp")
+      .agg(min("_mid").as("_m0"), count(lit(1)).as("_c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    if (info.isEmpty) return sorted.withColumn("rn", lit(0L)).drop("_mid")
+    val adj = {
+      var off = 0L
+      info.map { case (pid, m0, c) =>
+        val a = off + 1L - m0; off += c; (pid, a)
+      }
+    }
+    val adjExpr = element_at(
+      map(adj.flatMap { case (p, a) => Seq(lit(p), lit(a)) }: _*),
+      spark_partition_id())
+    sorted.withColumn("rn", col("_mid") + adjExpr).drop("_mid")
   }
 
   /** Global running sum of `valCol` under a total order, without a global
