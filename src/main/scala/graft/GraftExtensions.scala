@@ -87,8 +87,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "cdc_chunks(text, w, maskBits) - content-defined chunk end positions (FastCDC-style)"),
       (exprs: Seq[Expression]) => graft.functions.CdcChunks(exprs(0),
         exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
-    // analysis-time scale guardrail (opt-in via spark.graft.forbidGlobalWindows)
+    // analysis-time scale guardrails (opt-in via spark.graft.forbid*)
     ext.injectCheckRule(s => graft.plans.GlobalWindowCheck(s))
+    ext.injectCheckRule(s => graft.plans.PartitionIdWindowCheck(s))
     // whole-operator extension: bounded per-group top-k with a map-side
     // partial phase (graft.plans.TopKPerGroup)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)

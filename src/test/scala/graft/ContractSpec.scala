@@ -80,6 +80,29 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.unset("spark.graft.forbidGlobalWindows")
   }
 
+  // Scale guard #3: the phantom partition-id exchange (r14 — a ranking
+  // window partitioned by spark_partition_id() silently hash-exchanges
+  // the whole table because the checkpoint's clustering is unprovable;
+  // it cost the old SA ranking and globalRowNumber one full shuffle per
+  // consumer). Ordered-frame aggregates and lag/lead over pid windows
+  // are exempt by the rule itself — they have no expression-only form.
+  test("no ranking window over spark_partition_id in any query (PartitionIdWindowCheck armed)") {
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.graft.forbidPartitionIdWindows", "true")
+    try {
+      val bad = SparkEntry.queries.flatMap { case (name, q) =>
+        try { q(spark, dir).queryExecution.analyzed; None }
+        catch {
+          case e: Throwable
+            if Option(e.getMessage).exists(_.contains("spark_partition_id")) ||
+              Option(e.getCause).flatMap(c => Option(c.getMessage))
+                .exists(_.contains("spark_partition_id")) => Some(name)
+        }
+      }
+      assert(bad.isEmpty, s"queries ranking over a partition-id window: $bad")
+    } finally spark.conf.unset("spark.graft.forbidPartitionIdWindows")
+  }
+
   // The driver's checker canonicalizes rows in pandas, which cannot sort
   // ndarray/dict cells — any ARRAY/STRUCT/MAP column in a query's output
   // schema makes that query un-adjudicable (CORRECTNESS_r01 regression).
