@@ -43,11 +43,14 @@ import org.apache.spark.sql.functions._
   * the order with a plain ORDER BY over suffix strings. The seed length
   * defaults to ADAPTIVE ([[AdaptiveSeed]]): a one-pass max-doc-length
   * probe picks the smallest power of two covering the longest document
-  * (capped at [[AdaptiveSeedCap]]). When the probe shows the seed covers
+  * (up to [[AdaptiveSeedCap]]). When the probe shows the seed covers
   * the longest document, the seed ranking IS the suffix array — the
   * build degenerates to the single sorted ranking above, with no group
   * machinery at all (convergence holds a priori: every suffix is fully
-  * ordered by its seed key). When the cap binds, rounds-to-fixpoint is
+  * ordered by its seed key). When the cap binds — rounds inevitable —
+  * the seed drops to the SHORT [[BoundSeed]] instead (measured: a
+  * cap-length key fattens the corpus-wide seed exchange for only log₂
+  * fewer narrow rounds); rounds-to-fixpoint is then
   * log2(longestRepeatedPrefix / seed) + 1 — corpus size affects round
   * WIDTH (keyed join + range exchange, parallel at any size), never
   * round COUNT.
@@ -261,12 +264,25 @@ object SuffixArray {
     */
   val AdaptiveSeed: Int = -1
 
-  /** Upper bound for the adaptively chosen seed prefix: past this, the
-    * space-joined seed key's shuffle bytes (O(suffixes × seed tokens))
-    * outgrow what the saved doubling rounds (log₂ of repeat length,
-    * 4-long-column exchanges) cost.
+  /** Fast-path ceiling for the adaptive seed: up to this prefix length,
+    * covering the longest document with the seed key is worth it — the
+    * build collapses to ONE sorted ranking with no rounds at all (and
+    * the key is the suffix itself, whose bytes any ranking must move
+    * at least once anyway).
     */
   val AdaptiveSeedCap: Int = 256
+
+  /** Seed length when the cap BINDS (docs longer than the fast-path
+    * ceiling — rounds are inevitable): SHORT, not the cap. Paying a
+    * cap-length key buys only log₂(cap/BoundSeed) fewer rounds, but
+    * each avoided round is a narrow 5-long-column exchange while the
+    * seed key fattens the whole corpus exchange by cap tokens/suffix.
+    * Measured (SaScaleSmoke, 5M suffixes, 2100-token planted repeats):
+    * seed 256 = 56.9 s, 64 = 38.6 s, 32 = 37.9 s, 16 = 42.2 s — flat
+    * optimum around 32-64; 64 keeps one more round off skew-prone
+    * corpora.
+    */
+  val BoundSeed: Int = 64
 
   def build(df: DataFrame, textCol: String, idCol: String,
             startPrefix: Int = AdaptiveSeed, parts: Int = 32,
@@ -286,9 +302,12 @@ object SuffixArray {
     val seedLen = {
       val base =
         if (!adaptive) startPrefix
-        else math.min(AdaptiveSeedCap,
-          math.max(java.lang.Integer.highestOneBit(
-            math.max(maxLen.get, 1) * 2 - 1), 1))
+        else {
+          val pow = math.max(java.lang.Integer.highestOneBit(
+            math.max(maxLen.get, 1) * 2 - 1), 1)
+          // cap binds ⇒ rounds are inevitable ⇒ seed SHORT (see BoundSeed)
+          if (pow <= AdaptiveSeedCap) pow else BoundSeed
+        }
       if (refineTo < base) refineTo else base
     }
     val sfx = df
