@@ -257,10 +257,16 @@ object Bench {
     // (only at the floor file's own scale factor — loadFloors already
     // returned empty for a mismatched sf, in which case seed a new file
     // only when none exists, never overwrite another scale's floors)
-    val cleanNow = (raw.collect { case (name, t, _, true, true) =>
-        name -> rebenchClean.get(name).fold(t) { case (rt, _) => math.min(t, rt) }
+    // floor candidates obey the SAME trust rule as the recorded values:
+    // a sweep time only enters the floor from a window that was both
+    // bracket-clean and under the 3×-median bound — otherwise only the
+    // fresh-session clean re-bench qualifies (an under-recorded dirty
+    // time in the floor file would flag the query over-floor forever)
+    val cleanNow = (raw.collect {
+        case (name, t, c, true, true) if c <= 3 * ctlMedRaw =>
+          name -> rebenchClean.get(name).fold(t) { case (rt, _) => math.min(t, rt) }
       } ++
-      raw.collect { case (name, _, _, true, false) => name }
+      raw.collect { case (name, _, c, true, cl) if !cl || c > 3 * ctlMedRaw => name }
         .flatMap(n => rebenchClean.get(n).map { case (rt, _) => n -> rt })).toMap
     // floor AGING: an over-floor query whose fresh-session re-bench was
     // clean and STILL over the old floor is a confirmed regression (or an

@@ -12,13 +12,12 @@ import graft.ingest.Sinks
   * and the bytes under them), (b) untouched buckets keep their exact
   * files across batches, and (c) replay converges at volume.
   *
-  * Usage: MergeScaleSmoke [nKeys] [buckets] [batchKeys]
+  * Usage: MergeScaleSmoke [nKeys] [buckets]
   */
 object MergeScaleSmoke {
   def main(args: Array[String]): Unit = {
     val nKeys = if (args.length > 0) args(0).toLong else 4000000L
     val buckets = if (args.length > 1) args(1).toInt else 64
-    val batchKeys = if (args.length > 2) args(2).toLong else 20000L
     val spark = GraftSession.local("graft-merge-smoke")
     val path = java.nio.file.Files.createTempDirectory("graft_merge_scale")
       .toString + "/t"
@@ -58,18 +57,21 @@ object MergeScaleSmoke {
     val (fullBytes, fullFiles) = dirBytes()
     val afterCreate = fileSet()
 
-    // batch 2: update a narrow key band + insert beyond the range —
-    // touches few buckets only when keys cluster? No: xxhash spreads any
-    // band over all buckets, so pick keys CONGRUENT in bucket space to
-    // prove the prune: every key hashing into bucket 0 or 1.
+    // batch 2: updates + inserts confined to buckets 0/1 (xxhash spreads
+    // any contiguous band over all buckets, so bucket membership is the
+    // selector that proves the prune). DETERMINISTIC filters only — the
+    // merge consumes its batch twice (touched-bucket observe, then the
+    // upsert union), so a limit()-style order-dependent subset could
+    // diverge between the two passes (r14 review).
     val bucketOf = pmod(xxhash64(col("k")), lit(buckets.toLong)).cast("int")
-    val batch = spark.range(nKeys + 4 * batchKeys)
-      .select(col("id").as("k"))
+    val updates = spark.range(nKeys).select(col("id").as("k"))
+      .where(bucketOf.isin(0, 1) && col("k") % 7 === 3)
+    val inserts = spark.range(nKeys, nKeys + 50000L).select(col("id").as("k"))
       .where(bucketOf.isin(0, 1))
-      .limit(batchKeys.toInt)
-      .withColumn("v", lit("UPDATED"))
+    val (nUpd, nIns) = (updates.count(), inserts.count())
+    val batch = updates.unionByName(inserts).withColumn("v", lit("UPDATED"))
     val touchedBefore = fileSet()
-    time(s"update batch (~$batchKeys keys, 2 buckets)") {
+    time(s"update batch ($nUpd updates + $nIns inserts, 2 buckets)") {
       Sinks.mergeInto(spark, path, batch, "k", buckets)
     }
     val afterUpdate = fileSet()
@@ -98,12 +100,14 @@ object MergeScaleSmoke {
       Sinks.mergeInto(spark, path, dels, "k", buckets, deleteCol = Some("_del"))
     }
     val n2 = Sinks.readMerged(spark, path).count()
-    require(n1 == n2 && n1 == nKeys - delCount,
-      s"replay diverged: $n1 vs $n2 (expect ${nKeys - delCount})")
+    require(n1 == n2 && n1 == nKeys + nIns - delCount,
+      s"replay diverged: $n1 vs $n2 (expect ${nKeys + nIns - delCount})")
     val updatedOk = Sinks.readMerged(spark, path)
       .where(col("v") === "UPDATED").count()
+    require(updatedOk == nUpd + nIns,
+      s"batch rows lost: $updatedOk of ${nUpd + nIns}")
     System.err.println(s"[merge-smoke] final rows $n2 " +
-      s"(deleted $delCount, updated $updatedOk) — replay idempotent OK")
+      s"(deleted $delCount, batch rows $updatedOk) — replay idempotent OK")
     spark.stop()
   }
 }

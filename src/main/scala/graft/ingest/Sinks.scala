@@ -143,9 +143,22 @@ object Sinks {
     // explicit manifest resolution, NOT a catch-all around the read: an
     // EXISTING table whose manifest is unreadable must fail the merge
     // loudly — treating it as "new" would overwrite the table with just
-    // this batch. A data/ dir without any manifest is a crashed FIRST
-    // commit: never referenced, so the table is legitimately new.
+    // this batch. A root holding only data/ + crashed manifest temps is
+    // a crashed FIRST commit (never referenced ⇒ legitimately new); a
+    // root holding ANYTHING else without a manifest is some other
+    // table's data (e.g. the pre-manifest bucket layout) and silently
+    // shadowing it with this batch is exactly the failure the check
+    // exists to prevent.
     val current = latestManifest(fs, root)
+    if (current.isEmpty && fs.exists(root)) {
+      val foreign = fs.listStatus(root).map(_.getPath.getName).filterNot {
+        n => n == "data" || ManifestTmpRe.matches(n)
+      }
+      require(foreign.isEmpty,
+        s"mergeInto: $targetPath exists without a manifest but holds " +
+          s"non-staging entries ${foreign.mkString(", ")} — refusing to " +
+          "shadow a foreign table with this batch")
+    }
     val prevMap: Map[Int, String] =
       current.map { case (_, p) => parseManifest(fs, p) }.getOrElse(Map.empty)
     val stored = {
@@ -189,6 +202,7 @@ object Sinks {
   }
 
   private val ManifestRe = "_manifest-([0-9]+)\\.json".r
+  private val ManifestTmpRe = "_manifest-[0-9]+\\.json\\.tmp-.*".r
 
   private def latestManifest(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Option[(Long, org.apache.hadoop.fs.Path)] =
@@ -243,6 +257,9 @@ object Sinks {
     fs.listStatus(root).foreach { st =>
       st.getPath.getName match {
         case ManifestRe(n) if n.toLong < currentN => fs.delete(st.getPath, false)
+        // a temp from a CRASHED commit (our own temp was already renamed
+        // away before sweep runs) — plain garbage
+        case n if ManifestTmpRe.matches(n) => fs.delete(st.getPath, false)
         case _ => ()
       }
     }

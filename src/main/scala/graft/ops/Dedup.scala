@@ -922,12 +922,11 @@ object Dedup {
     * dedup_spans_sa ⇔ dedup_spans_exact oracle identity pins it.
     */
   def dedupSpansSa(df: DataFrame, textCol: String, idCol: String,
-                   k: Int = 5, startPrefix: Int = SuffixArray.AdaptiveSeed,
-                   parts: Int = 32): DataFrame = {
+                   k: Int = 5, parts: Int = 32): DataFrame = {
     // run members straight off the k-bounded sorted ranking (see
     // SuffixArray.boundedRunMembers for why SA-adjacency membership is
-    // a per-row neighbor-key test there); `startPrefix` is subsumed —
-    // the bounded build's seed IS k
+    // a per-row neighbor-key test there) — the bounded build's seed IS
+    // k, so there is no seed knob to expose
     val (sorted, members) = SuffixArray.boundedRunMembers(
       df, textCol, idCol, k, parts)
     // winner per duplicated gram = min (id, pos) — a window over the

@@ -564,7 +564,11 @@ object Graph {
     val labs = scala.collection.mutable.ArrayBuffer.empty[Iterate.Materialized]
     val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var outer = 0
-    while (nLive > 0 && outer < maxOuter) {
+    // round storage must not outlive a FAILED descent either: an inner
+    // not-converged error (minReachBoth) propagating through this loop
+    // would otherwise strand `live` + every settled label checkpoint
+    // (r14 review — the same leak class the maxOuter path releases)
+    try while (nLive > 0 && outer < maxOuter) {
       if (nLive <= localThreshold && mLive <= localThreshold) {
         // local endgame: the remainder is broadcast-sized — one collect,
         // serial Tarjan, done (see scaladoc)
@@ -595,6 +599,11 @@ object Graph {
           nodes = remaining; live = liveNext
         }
       }
+    }
+    catch { case e: Throwable =>
+      live.release()
+      labs.foreach(_.release())
+      throw e
     }
     if (nLive != 0) {
       // release round storage BEFORE failing — a long-lived library

@@ -67,24 +67,6 @@ object Rank {
       tf)
   }
 
-  /** Global row numbers WITHOUT the single-partition window trap: an
-    * un-partitioned `row_number().over(Window.orderBy(...))` moves every
-    * row of the table into ONE task — the classic plan that works in a
-    * demo and dies at 100 TB. Here the data range-partitions on the sort
-    * key (a real range exchange, parallel at any size), each partition
-    * windows LOCALLY (partitioned by partition id), and a tiny
-    * per-partition count table — at most `parts` rows — turns local
-    * ranks into global ones via cumulative offsets and a broadcast join.
-    *
-    * `sortCols` must be a total order (include a unique tiebreaker).
-    * The range-partitioned frame materializes once (checkpoint/persist
-    * via [[Iterate.materialize]]) because the partition boundaries are
-    * sampled per execution — the count pass and the rank pass MUST see
-    * the same physical partitioning, and two independent executions of
-    * a range exchange need not agree. Result frame carries `rn`; caller
-    * releases nothing (the materialized input is dropped with the
-    * returned frame's lineage on session cleanup).
-    */
   /** Exact per-group k-tiles WITHOUT the per-group single-task window
     * trap: `ntile(k).over(Window.partitionBy(group).orderBy(...))` puts
     * each GROUP in one task — fatal when a group is a whole language of
@@ -111,41 +93,32 @@ object Rank {
       .drop("rn", "_n_g", "_off")
   }
 
+  /** Global row numbers WITHOUT the single-partition window trap: an
+    * un-partitioned `row_number().over(Window.orderBy(...))` moves every
+    * row of the table into ONE task — the classic plan that works in a
+    * demo and dies at 100 TB. r14 topology, shared with the suffix-array
+    * build ([[SuffixArray.sortedRanking]]): sort WITHIN the range
+    * exchange, checkpoint with a monotonically-increasing id assigned in
+    * sorted order, and turn ids into global row numbers as a PURE
+    * EXPRESSION from a collected per-partition (min id, count) table —
+    * a counters-class driver value. The former shape windowed over
+    * `_pid` AFTER the checkpoint, and since Spark cannot prove a
+    * LogicalRDD's clustering, that window re-exchanged the ENTIRE table
+    * by hash (plus a broadcast join) per consumer — both gone
+    * ([[graft.plans.PartitionIdWindowCheck]] now lints the pattern).
+    *
+    * `sortCols` must be a total order (include a unique tiebreaker).
+    * The frame materializes once because partition boundaries are
+    * sampled per execution — the offset pass and the rank expression
+    * MUST see the same physical partitioning. Result carries `rn`;
+    * caller releases nothing (the materialized input is dropped with
+    * the returned frame's lineage on session cleanup).
+    */
   def globalRowNumber(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
                       parts: Int = 32): DataFrame = {
-    // r14 topology (the SuffixArray ranking rebuild): sort WITHIN the
-    // range exchange and checkpoint with a monotonically-increasing id
-    // assigned in sorted order; a collected per-partition (min id, row
-    // count) table — ≤ `parts` rows, counters-class — turns ids into
-    // global row numbers as a PURE EXPRESSION (literal map on the
-    // partition id). The former shape windowed over `_pid` AFTER the
-    // checkpoint, and since Spark cannot prove a LogicalRDD's
-    // clustering, that window re-exchanged the ENTIRE table by hash —
-    // one full data shuffle (plus a broadcast join) per consumer, now
-    // gone. Only within-partition monotonicity of the id is relied on,
-    // never its bit layout.
-    val sorted = Iterate.materialize(
-      df.repartitionByRange(parts, sortCols: _*)
-        .sortWithinPartitions(sortCols: _*)
-        .withColumn("_mid", monotonically_increasing_id())).df
-    val info = sorted
-      .withColumn("_pp", spark_partition_id())
-      .groupBy("_pp")
-      .agg(min("_mid").as("_m0"), count(lit(1)).as("_c"))
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    if (info.isEmpty) return sorted.withColumn("rn", lit(0L)).drop("_mid")
-    val adj = {
-      var off = 0L
-      info.map { case (pid, m0, c) =>
-        val a = off + 1L - m0; off += c; (pid, a)
-      }
-    }
-    val adjExpr = element_at(
-      map(adj.flatMap { case (p, a) => Seq(lit(p), lit(a)) }: _*),
-      spark_partition_id())
-    sorted.withColumn("rn", col("_mid") + adjExpr).drop("_mid")
+    val (_, rn) = SuffixArray.sortedRanking(df, sortCols,
+      df.columns.map(col).toSeq, parts)
+    rn.drop("_mid")
   }
 
   /** Global running sum of `valCol` under a total order, without a global

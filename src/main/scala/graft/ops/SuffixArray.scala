@@ -79,8 +79,8 @@ object SuffixArray {
     * a frame with `rn` attached, plus the Materialized handle to
     * release.
     */
-  private def sortedRanking(in: DataFrame, keys: Seq[Column],
-                            carry: Seq[Column], parts: Int)
+  private[ops] def sortedRanking(in: DataFrame, keys: Seq[Column],
+                                 carry: Seq[Column], parts: Int)
       : (Iterate.Materialized, DataFrame) = {
     val sorted = Iterate.materialize(
       in.repartitionByRange(parts, keys: _*)
@@ -108,6 +108,24 @@ object SuffixArray {
       map(adj.flatMap { case (p, a) => Seq(lit(p), lit(a)) }: _*),
       spark_partition_id())
     (sorted, sorted.df.withColumn("rn", col("_mid") + adjExpr))
+  }
+
+  /** One row per suffix: (_id, pos, _p0 = the space-joined first
+    * `sliceLen` tokens, [_rem = suffix token length]) — the shared
+    * projection under [[build]], [[boundedRunMembers]], and
+    * [[neighborLcps]].
+    */
+  private def suffixes(df: DataFrame, textCol: String, idCol: String,
+                       sliceLen: Int, withRem: Boolean): DataFrame = {
+    val base = df
+      .select(col(idCol).as("_id"), split(col(textCol), " ").as("_ws"))
+      .select(col("_id"), col("_ws"),
+        explode(expr("sequence(0, size(_ws) - 1)")).as("_p"))
+    val cols = Seq(col("_id"), col("_p").cast("long").as("pos"),
+      array_join(expr(s"slice(_ws, _p + 1, $sliceLen)"), " ").as("_p0")) ++
+      (if (withRem) Seq((size(col("_ws")).cast("long") - col("_p")).as("_rem"))
+       else Seq.empty)
+    base.select(cols: _*)
   }
 
   /** One doubling-path ranking round over the 4-long-column state:
@@ -193,13 +211,7 @@ object SuffixArray {
       idCol: String, k: Int, parts: Int = 32)
       : (Iterate.Materialized, DataFrame) = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val sfx = df
-      .select(col(idCol).as("_id"), split(col(textCol), " ").as("_ws"))
-      .select(col("_id"), col("_ws"),
-        explode(expr("sequence(0, size(_ws) - 1)")).as("_p"))
-      .select(col("_id"), col("_p").cast("long").as("pos"),
-        array_join(expr(s"slice(_ws, _p + 1, $k)"), " ").as("_p0"),
-        (size(col("_ws")).cast("long") - col("_p")).as("_rem"))
+    val sfx = suffixes(df, textCol, idCol, k, withRem = true)
     val keys = Seq(col("_p0"), col("_id"), col("pos"))
     val sorted = Iterate.materialize(
       sfx.repartitionByRange(parts, keys: _*)
@@ -310,13 +322,7 @@ object SuffixArray {
         }
       if (refineTo < base) refineTo else base
     }
-    val sfx = df
-      .select(col(idCol).as("_id"), split(col(textCol), " ").as("_ws"))
-      .select(col("_id"), col("_ws"),
-        explode(expr("sequence(0, size(_ws) - 1)")).as("_p"))
-      .select(col("_id"), col("_p").cast("long").as("pos"),
-        array_join(expr(s"slice(_ws, _p + 1, $seedLen)"), " ").as("_p0"),
-        (size(col("_ws")).cast("long") - col("_p")).as("_rem"))
+    val sfx = suffixes(df, textCol, idCol, seedLen, withRem = true)
     val seedKeys = Seq(col("_p0"), col("_id"), col("pos"))
     // FAST PATH — the seed ranking is final, a priori, when (a) the seed
     // covers the longest document (probe-known: the seed key IS the full
@@ -402,17 +408,15 @@ object SuffixArray {
       .foreach(_ => ())
     val maxLen = obs.get("mx").asInstanceOf[Int]
     if (maxLen > AdaptiveSeedCap) {
-      val sa = build(df, textCol, idCol, parts = parts)
+      // the probe already ran here — seed explicitly at what the adaptive
+      // path would choose for a binding cap, so build skips its own probe
+      val sa = build(df, textCol, idCol, startPrefix = BoundSeed,
+        parts = parts)
       return lcpNeighbors(df, textCol, idCol, sa, cap = fallbackCap)
     }
     val seedLen = math.max(
       java.lang.Integer.highestOneBit(math.max(maxLen, 1) * 2 - 1), 1)
-    val sfx = df
-      .select(col(idCol).as("_id"), split(col(textCol), " ").as("_ws"))
-      .select(col("_id"), col("_ws"),
-        explode(expr("sequence(0, size(_ws) - 1)")).as("_p"))
-      .select(col("_id"), col("_p").cast("long").as("pos"),
-        array_join(expr(s"slice(_ws, _p + 1, $seedLen)"), " ").as("_p0"))
+    val sfx = suffixes(df, textCol, idCol, seedLen, withRem = false)
     val keys = Seq(col("_p0"), col("_id"), col("pos"))
     val sorted = Iterate.materialize(
       sfx.repartitionByRange(parts, keys: _*)
@@ -444,35 +448,34 @@ object SuffixArray {
         call_function("common_prefix_len",
           split(col("_p0"), " "), split(col("_np0"), " "))
           .cast("long").as("lcp"))
-    // boundary pairs: last row of partition p with first row of the next
-    // nonempty partition — collected (≤ 2·parts rows), paired and
-    // LCP'd on the driver
-    val edgeFilter = info.map { case (p, m0, m1) =>
-      col("_pp") === p && (col("_mid") === m0 || col("_mid") === m1)
-    }.reduce(_ || _)
-    val edges = sorted.df
-      .withColumn("_pp", spark_partition_id())
-      .where(edgeFilter)
-      .select(col("_pp"), col("_mid"), col("_id"), col("pos"), col("_p0"))
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1),
-        (r.getLong(2), r.getLong(3), r.getString(4))))
-    val byPid = edges.groupBy(_._1)
-    def commonPrefix(a: String, b: String): Long =
-      a.split(" ", -1).iterator.zip(b.split(" ", -1).iterator)
-        .takeWhile { case (x, y) => x == y }.size.toLong
+    // boundary pairs: last row of partition p with first row of the NEXT
+    // nonempty partition. The pid→next-nonempty-pid chain is driver-known
+    // (from `info`), so the pairing is a join of two ≤parts-row filtered
+    // frames — never a driver collect of data values, which would pin the
+    // id column to one runtime type (the r14 review's getLong bug: a
+    // String- or Int-id corpus crashed the stitch)
     val stitched = info.sliding(2).collect {
-      case Array((p, _, m1), (q, q0, _)) =>
-        val last = byPid(p).find(_._2 == m1).get._3
-        val first = byPid(q).find(_._2 == q0).get._3
-        (last._1, last._2, first._1, first._2,
-          commonPrefix(last._3, first._3))
+      case Array((p, _, m1), (_, q0, _)) => (m1, q0)
     }.toSeq
     val boundary =
       if (stitched.isEmpty) emptyPairs
       else {
-        import spark.implicits._
-        stitched.toDF(idCol, "pos", "nbr_id", "nbr_pos", "lcp")
+        val lastRows = sorted.df
+          .where(col("_mid").isin(stitched.map(_._1): _*))
+          .select(col("_mid"), col("_id").as(idCol), col("pos"), col("_p0"))
+          // the successor's mid, as a literal map over ≤ parts-1 entries
+          .withColumn("_nmid", element_at(
+            map(stitched.flatMap { case (m1, q0) => Seq(lit(m1), lit(q0)) }: _*),
+            col("_mid")))
+        val firstRows = sorted.df
+          .where(col("_mid").isin(stitched.map(_._2): _*))
+          .select(col("_mid").as("_nmid"), col("_id").as("nbr_id"),
+            col("pos").as("nbr_pos"), col("_p0").as("_np0"))
+        lastRows.join(firstRows, "_nmid")
+          .select(col(idCol), col("pos"), col("nbr_id"), col("nbr_pos"),
+            call_function("common_prefix_len",
+              split(col("_p0"), " "), split(col("_np0"), " "))
+              .cast("long").as("lcp"))
       }
     inner.unionByName(boundary)
   }

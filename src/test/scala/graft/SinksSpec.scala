@@ -159,6 +159,38 @@ class SinksSpec extends SparkSpec {
     assert(manifests.size === 1, s"superseded manifests survive: $manifests")
   }
 
+  test("mergeInto refuses to shadow an existing non-manifest table") {
+    // a pre-manifest (or foreign) directory with data must fail LOUDLY —
+    // treating it as "new" would replace the table with just this batch
+    val path = java.nio.file.Files.createTempDirectory("graft_merge_foreign")
+      .toString + "/t"
+    Seq((1L, "old")).toDF("k", "v").withColumn("_bucket", lit(0))
+      .write.partitionBy("_bucket").parquet(path)
+    val e = intercept[IllegalArgumentException] {
+      Sinks.mergeInto(spark, path, Seq((2L, "new")).toDF("k", "v"), "k",
+        numBuckets = 8)
+    }
+    assert(e.getMessage.contains("refusing to shadow"), e.getMessage)
+    // a crashed FIRST commit (data/ + manifest temp, nothing referenced)
+    // is legitimately new — the merge proceeds and sweeps the leftovers
+    val path2 = java.nio.file.Files.createTempDirectory("graft_merge_crash0")
+      .toString + "/t"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(path2, "data", "v-dead"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path2, "_manifest-0.json.tmp-dead"), "{}")
+    Sinks.mergeInto(spark, path2, Seq((2L, "new")).toDF("k", "v"), "k",
+      numBuckets = 8)
+    assert(Sinks.readMerged(spark, path2).orderBy("k")
+      .as[(Long, String)].collect().toSeq === Seq((2L, "new")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path2, "_manifest-0.json.tmp-dead")),
+      "crashed manifest temp survived the sweep")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path2, "data", "v-dead")),
+      "crashed staging dir survived the sweep")
+  }
+
   test("bucketed tables join without a shuffle") {
     // clean any residue from a previous aborted run (dir without catalog entry)
     Seq("graft_bucket_left", "graft_bucket_right").foreach { tbl =>

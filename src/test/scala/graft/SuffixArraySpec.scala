@@ -132,6 +132,14 @@ class SuffixArraySpec extends SparkSpec {
     assert(fused === viaJoin)
     val n = docs.map(_._2.split(" ").length).sum
     assert(fused.size === n - 1)
+
+    // id-type genericity: the boundary stitch must not assume Long ids
+    // (r14 review — the driver-collected stitch once getLong'd them)
+    val sdf = docs.map { case (id, t) => (s"d$id", t) }.toDF("doc_id", "text")
+    val sFused = SuffixArray.neighborLcps(sdf, "text", "doc_id")
+      .as[(String, Long, String, Long, Long)].collect().toSet
+    assert(sFused.size === n - 1)
+    assert(sFused === viaJoin.map { case (a, p, b, q, l) => (s"d$a", p, s"d$b", q, l) })
   }
 
   test("capped lcpNeighbors escalates saturated pairs to exact values") {
