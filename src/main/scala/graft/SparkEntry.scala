@@ -3877,6 +3877,23 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // Corpus duplication profile — the Lee et al. diagnostic read off
+    // the same fused neighbor-LCP pass as suffix_repeated_top: how many
+    // SA-adjacent pairs share >= L tokens, by threshold bucket (a pair
+    // with lcp >= L marks a duplicated L-token span). The report a
+    // curation run consults to PICK the span-dedup k before running it.
+    "suffix_lcp_profile" -> ((s, dir) => {
+      val lcps = graft.ops.SuffixArray.neighborLcps(
+        t(s, dir, "documents"), "text", "doc_id")
+      val bucket = when(col("lcp") >= 50, 50L).when(col("lcp") >= 20, 20L)
+        .when(col("lcp") >= 10, 10L).when(col("lcp") >= 5, 5L)
+        .when(col("lcp") >= 2, 2L).when(col("lcp") >= 1, 1L).otherwise(0L)
+      lcps.select(bucket.as("lcp_ge"), col("lcp"))
+        .groupBy("lcp_ge")
+        .agg(count(lit(1)).as("n_pairs"), max("lcp").as("max_lcp"))
+        .orderBy("lcp_ge")
+    }),
+
     // Boundary-stitch dedup candidates (split-document crawl artifact):
     // see Dedup.stitchCandidates.
     "dedup_stitch" -> ((s, dir) =>
@@ -8161,26 +8178,22 @@ object SparkEntry {
     // which is exactly the contrast with the distributed prefix-doubling
     // build; token-level LCP via the first-mismatch list comprehension
     "suffix_repeated_top" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        | sfx0 AS (SELECT doc_id, unnest(range(0, len(ws))) AS pos, ws FROM t),
-        | sfx AS MATERIALIZED (SELECT doc_id, pos, ws,
-        |     array_to_string(ws[pos + 1 :], ' ') AS s FROM sfx0),
-        | sa AS MATERIALIZED (SELECT doc_id, pos, ws,
-        |     row_number() OVER (ORDER BY s, doc_id, pos) AS rk FROM sfx),
-        | pairs AS (SELECT a.doc_id, a.pos, b.doc_id AS nbr_id, b.pos AS nbr_pos,
-        |     a.ws[a.pos + 1 :] AS wa, b.ws[b.pos + 1 :] AS wb
-        |   FROM sa a JOIN sa b ON b.rk = a.rk + 1),
-        | lcp AS (SELECT doc_id, pos, nbr_id, nbr_pos, wa,
-        |     coalesce(list_min([i for i in range(1, least(len(wa), len(wb)) + 1)
-        |                        if wa[i] IS DISTINCT FROM wb[i]]),
-        |              least(len(wa), len(wb)) + 1) - 1 AS lcp
-        |   FROM pairs),
+      s"""WITH $saNeighborLcpCte,
         | top AS (SELECT *, row_number() OVER (ORDER BY lcp DESC, doc_id, pos, nbr_id, nbr_pos) AS rnk
         |   FROM lcp)
         | SELECT doc_id, pos, nbr_id, nbr_pos, CAST(lcp AS BIGINT) AS lcp,
         |   array_to_string(wa[1 : least(lcp, 10)], ' ') AS snippet,
         |   CAST(rnk AS BIGINT) AS rank
         | FROM top WHERE rnk <= 20 ORDER BY rnk""".stripMargin.replace("\n", " "),
+
+    "suffix_lcp_profile" ->
+      s"""WITH $saNeighborLcpCte
+        | SELECT CASE WHEN lcp >= 50 THEN 50 WHEN lcp >= 20 THEN 20
+        |             WHEN lcp >= 10 THEN 10 WHEN lcp >= 5 THEN 5
+        |             WHEN lcp >= 2 THEN 2 WHEN lcp >= 1 THEN 1
+        |             ELSE 0 END AS lcp_ge,
+        |        count(*) AS n_pairs, CAST(max(lcp) AS BIGINT) AS max_lcp
+        | FROM lcp GROUP BY 1 ORDER BY lcp_ge""".stripMargin.replace("\n", " "),
 
     "dedup_spans" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -9378,6 +9391,27 @@ object SparkEntry {
       |   SELECT 'http://id.worldcat.org/fast/NaN',
       |          'http://www.w3.org/2004/02/skos/core#prefLabel', '"Bad"' FROM part WHERE p_partkey % 25 = 0)
       |)""".stripMargin.replace("\n", " ").dropRight(1)
+
+  /** DuckDB rebuild of the fused neighbor-LCP pass (SuffixArray
+    * .neighborLcps): literal suffix sort, rank-adjacent pairing, LCP via
+    * a list comprehension — shared by suffix_repeated_top and
+    * suffix_lcp_profile.
+    */
+  private val saNeighborLcpCte: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      | sfx0 AS (SELECT doc_id, unnest(range(0, len(ws))) AS pos, ws FROM t),
+      | sfx AS MATERIALIZED (SELECT doc_id, pos, ws,
+      |     array_to_string(ws[pos + 1 :], ' ') AS s FROM sfx0),
+      | sa AS MATERIALIZED (SELECT doc_id, pos, ws,
+      |     row_number() OVER (ORDER BY s, doc_id, pos) AS rk FROM sfx),
+      | pairs AS (SELECT a.doc_id, a.pos, b.doc_id AS nbr_id, b.pos AS nbr_pos,
+      |     a.ws[a.pos + 1 :] AS wa, b.ws[b.pos + 1 :] AS wb
+      |   FROM sa a JOIN sa b ON b.rk = a.rk + 1),
+      | lcp AS (SELECT doc_id, pos, nbr_id, nbr_pos, wa,
+      |     coalesce(list_min([i for i in range(1, least(len(wa), len(wb)) + 1)
+      |                        if wa[i] IS DISTINCT FROM wb[i]]),
+      |              least(len(wa), len(wb)) + 1) - 1 AS lcp
+      |   FROM pairs)""".stripMargin.replace("\n", " ")
 
   private def ntParseOracle: String =
     s"WITH $ntLinesCte SELECT subject, predicate, obj FROM lines ORDER BY subject, predicate, obj"
