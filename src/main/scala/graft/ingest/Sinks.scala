@@ -281,7 +281,11 @@ object Sinks {
   /** Read back a [[mergeInto]] table through its latest manifest,
     * without the layout column. Manifest-level bucket resolution means
     * a reader never lists data directories — staged-but-uncommitted
-    * versions are invisible by construction.
+    * versions are invisible by construction. Limitation: a table whose
+    * every row has been deleted has no files left to carry the schema,
+    * so the read degenerates to a zero-column empty frame (a lakehouse
+    * log would persist the schema in the manifest; this layout keeps
+    * the manifest to bucket → version entries).
     */
   def readMerged(spark: SparkSession, path: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(path)
