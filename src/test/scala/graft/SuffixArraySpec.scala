@@ -142,6 +142,19 @@ class SuffixArraySpec extends SparkSpec {
     assert(sFused === viaJoin.map { case (a, p, b, q, l) => (s"d$a", p, s"d$b", q, l) })
   }
 
+  test("span-dedup and neighbor-LCP pipelines leave no storage after releaseAll") {
+    GraftSession.releaseAll(spark)
+    val base = spark.sparkContext.getPersistentRDDs.size
+    val docs = Seq(
+      (1L, "a b c d e x"), (2L, "q a b c d e r"), (3L, "m n o p"))
+      .toDF("doc_id", "text")
+    graft.ops.Dedup.dedupSpansSa(docs, "text", "doc_id", k = 3).collect()
+    SuffixArray.neighborLcps(docs, "text", "doc_id").collect()
+    GraftSession.releaseAll(spark)
+    assert(spark.sparkContext.getPersistentRDDs.size === base,
+      s"leaked: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+  }
+
   test("capped lcpNeighbors escalates saturated pairs to exact values") {
     // shared 20-token repeat with cap=4: the capped compare saturates and
     // must escalate to the exact LCP; non-exact mode reports min(lcp, cap)
