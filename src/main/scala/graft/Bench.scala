@@ -62,10 +62,14 @@ object Bench {
 
   /** Best-of re-measurement of one query in an already-warm session:
     * warm-up pass, then up to `reps` control-bracketed passes; returns
-    * (best clean (time, worse-neighbor control) if any, best time
-    * overall). */
+    * (best clean (time, worse-neighbor control) if any, best overall
+    * (time, ITS OWN worse-neighbor control) — the any-pass minimum must
+    * carry the bracket of the pass actually recorded, not the sweep
+    * window it replaced, or BENCH_FULL attributes the time to a
+    * contention window it did not come from). */
   private def measure(spark: org.apache.spark.sql.SparkSession, sfDir: String,
-      name: String, reps: Int): (Option[(Double, Double)], Option[Double]) = {
+      name: String, reps: Int)
+      : (Option[(Double, Double)], Option[(Double, Double)]) = {
     val fn = SparkEntry.queries(name)
     def onePass(): (Double, Boolean) = {
       val t0 = System.nanoTime()
@@ -88,7 +92,9 @@ object Bench {
     val clean = ok.collect { case (t, i)
       if ctls(i) <= CtlClean && ctls(i + 1) <= CtlClean =>
         (t, math.max(ctls(i), ctls(i + 1))) }
-    (clean.minByOption(_._1), ok.map(_._1).minOption)
+    val anyBest = ok.minByOption(_._1).map { case (t, i) =>
+      (t, math.max(ctls(i), ctls(i + 1))) }
+    (clean.minByOption(_._1), anyBest)
   }
 
   /** bench_floor.json: {"sf":"sf0.1","floor":{"name":sec,...}} — written
@@ -224,7 +230,7 @@ object Bench {
     // suspect whose every re-bench pass failed is dropped (it stays a
     // failed query, not a "re-benched" one) — never Double.MaxValue.
     val (rebenchClean, rebenchAny) = if (suspects.isEmpty)
-      (Map.empty[String, (Double, Double)], Map.empty[String, Double])
+      (Map.empty[String, (Double, Double)], Map.empty[String, (Double, Double)])
     else {
       System.err.println(s"[bench] re-bench pass: ${suspects.size} suspect(s): " +
         suspects.mkString(", "))
@@ -249,7 +255,7 @@ object Bench {
         case (Some((rt, rc)), _) if !sweepClean => (name, rt, rc, true)
         case (Some((rt, rc)), _) if rt < t      => (name, rt, rc, true)
         case (Some(_), _)                       => (name, t, c, false)
-        case (None, Some(ra)) if ra < t         => (name, ra, c, true)
+        case (None, Some((ra, rc))) if ra < t   => (name, ra, rc, true)
         case _                                  => (name, t, c, false)
       }
     }
@@ -308,6 +314,17 @@ object Bench {
     // record: BENCH_FULL.json (committed per round) carries every query;
     // the stdout line carries total + the HEADLINE subset, sized ≤ ~1.8KB
     // so the line survives the tail capture whole.
+    // Floor-drift flag (VERDICT r14 #9): any FINAL recorded value still
+    // over 1.5× its historical floor is listed so a reviewer sees this
+    // round's regressions without diffing prior BENCH files. Uses the
+    // floors as loaded at startup (pre-aging), with the same 0.2 s
+    // absolute slack that keeps sub-half-second queries from flagging on
+    // scheduler jitter.
+    val floorDrift = results.collect { case (k, v, _, _)
+      if floors.get(k).exists(f => v > 1.5 * f && v - f > 0.2) => k }.sorted
+    if (floorDrift.nonEmpty)
+      System.err.println(s"[bench] floor drift (recorded > 1.5× floor): " +
+        floorDrift.mkString(", "))
     val fullQs = results.map { case (k, v, c, _) => s""""$k":[${ms(v)},${ms(c)}]""" }
       .mkString("{", ",", "}")
     val failedJson = failedQs.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -320,15 +337,17 @@ object Bench {
         "replay (state store + N triggers) raced against one batch SQL — " +
         "its time is structural replay overhead, not a comparable plan; " +
         "counted in the total, flagged here and in BENCH_FULL.") }
+    val floorDriftJson = floorDrift.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
       s""""n":${results.size},"failed":$failedJson,"rebenched":$rebenchedJson,""" +
-      s""""informational":$informationalJson,"ctl_med":${ms(ctlMed)},""" +
-      s""""queries_ctl":$fullQs,"sf":"$sfDir"}"""
+      s""""informational":$informationalJson,"floor_drift":$floorDriftJson,""" +
+      s""""ctl_med":${ms(ctlMed)},"queries_ctl":$fullQs,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullLine)
     val qs = results.collect { case (k, v, _, _) if headline(k) => "\"" + k + "\":" + cs(v) }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},""" +
-      s""""failed":${failedQs.size},"rebenched":${results.count(_._4)},"queries":$qs,""" +
+      s""""failed":${failedQs.size},"rebenched":${results.count(_._4)},""" +
+      s""""drift":${floorDrift.size},"queries":$qs,""" +
       s""""ctl":{"min":${cs(ctlMin)},"med":${cs(ctlMed)},"max":${cs(ctlMax)}},""" +
       s""""full":"BENCH_FULL.json","sf":"$sfDir"}"""
     System.err.println(s"[bench] json line length: ${line.length}")

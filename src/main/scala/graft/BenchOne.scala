@@ -13,8 +13,14 @@ object BenchOne {
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"RUN$i=${(System.nanoTime() - t0) / 1e9}%.2f")
+      val dt = (System.nanoTime() - t0) / 1e9
       GraftSession.releaseAll(spark)
+      // same fixed-work control as Bench: normalizes host-steal windows
+      val c0 = System.nanoTime()
+      spark.range(64L << 20).selectExpr("max(hash(id)) AS h")
+        .write.format("noop").mode("overwrite").save()
+      val ctl = (System.nanoTime() - c0) / 1e9
+      println(f"RUN$i=$dt%.2f CTL=$ctl%.2f")
     }
     spark.stop()
   }

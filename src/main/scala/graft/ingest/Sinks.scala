@@ -216,28 +216,52 @@ object Sinks {
       }
       .maxByOption(_._1)
 
-  /** Manifest body: `{"v":N,"buckets":{"<bucket>":"<version dir>",...}}` —
-    * written and parsed by this object only (no JSON library on the
-    * classpath; the writer controls the exact shape).
+  /** Manifest body:
+    * `{"v":N,"n":<bucket count>,"buckets":{"<bucket>":"<ver dir>",...},"eof":1}`
+    * — written and parsed by this object only (no JSON library on the
+    * classpath; the writer controls the exact shape). `n` and the `eof`
+    * sentinel are INTEGRITY checks: a manifest truncated by an OS-level
+    * crash (rename visible, page cache lost) would otherwise regex-parse
+    * to a PARTIAL bucket map and [[readMerged]] would silently serve a
+    * table missing buckets — the opposite of the fail-loudly contract.
+    * parseManifest throws on a count mismatch or a missing sentinel.
+    * FORMAT NOTE: manifests written before round 15 lack `n`/`eof` and
+    * are rejected the same way (no tables outlive a round in this repo;
+    * a deploy upgrading in place would regenerate the manifest by
+    * re-writing it from the parsed map before trusting new code).
     */
   private def parseManifest(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Map[Int, String] = {
     val in = fs.open(p)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    "\"([0-9]+)\":\"([^\"]+)\"".r.findAllMatchIn(txt)
+    val declared = "\"n\":([0-9]+)".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+    val entries = "\"([0-9]+)\":\"([^\"]+)\"".r.findAllMatchIn(txt)
       .map(m => m.group(1).toInt -> m.group(2)).toMap
+    if (!txt.trim.endsWith(""","eof":1}""") || !declared.contains(entries.size))
+      throw new java.io.IOException(
+        s"manifest $p is truncated or corrupt: declared n=$declared, " +
+          s"parsed ${entries.size} bucket entries, " +
+          s"eof sentinel ${if (txt.trim.endsWith(""","eof":1}""")) "present"
+            else "MISSING"} — refusing to serve a partial bucket map")
+    entries
   }
 
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, n: Long, buckets: Map[Int, String]): Unit = {
     val body = buckets.toSeq.sorted
       .map { case (b, v) => s""""$b":"$v"""" }.mkString(",")
-    val txt = s"""{"v":$n,"buckets":{$body}}"""
+    val txt = s"""{"v":$n,"n":${buckets.size},"buckets":{$body},"eof":1}"""
     val tmp = new org.apache.hadoop.fs.Path(root,
       s"_manifest-$n.json.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
-    try out.write(txt.getBytes("UTF-8")) finally out.close()
+    try {
+      out.write(txt.getBytes("UTF-8"))
+      // best-effort durability before the rename-commit; LocalFileSystem
+      // may not support hsync — the n/eof validation catches truncation
+      // either way
+      try out.hsync() catch { case _: UnsupportedOperationException => out.hflush() }
+    } finally out.close()
     val dst = new org.apache.hadoop.fs.Path(root, s"_manifest-$n.json")
     // rename to a fresh name in the same directory: atomic on HDFS and
     // POSIX; its visibility IS the commit

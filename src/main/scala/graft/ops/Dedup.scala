@@ -729,7 +729,14 @@ object Dedup {
       s"banding is lossless only for hamming < bands (got $maxHamming/$bands)")
     val width = 60 / bands
     val mask = (1L << width) - 1
+    // persisted: BOTH join sides consume the signature table, and Spark
+    // does not reuse the exchange across the broadcast/stream split — the
+    // unpersisted form tokenized + 60-vote-aggregated the whole corpus
+    // TWICE (r15 plan audit: the full simhash subtree appeared under both
+    // the stream side and the BroadcastExchange). The signature table is
+    // two longs per doc, the cheapest possible thing to cache.
     val sig = simhash(df, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col(idCol).as("_id"), col("simhash"),
         explode(expr(
           s"""transform(sequence(0, ${bands - 1}), b ->
@@ -739,10 +746,11 @@ object Dedup {
       .select(col("_id"), col("simhash"), col("z.band").as("band"), col("z.key").as("key"))
     val a = banded.select(col("band"), col("key"), col("_id").as("a"), col("simhash").as("sa"))
     val b = banded.select(col("band"), col("key"), col("_id").as("b"), col("simhash").as("sb"))
-    a.join(b, Seq("band", "key")).where(col("a") < col("b"))
+    val result = a.join(b, Seq("band", "key")).where(col("a") < col("b"))
       .select(col("a"), col("b"), expr("cast(bit_count(sa ^ sb) as int)").as("hamming"))
+      .where(col("hamming") <= maxHamming) // before the dedup exchange
       .distinct() // a pair may agree on several bands; hamming is pair-determined
-      .where(col("hamming") <= maxHamming)
+    Iterate.scoped(result, sig)
   }
 
   /** Corpus-wide segment-level dedup, keep-first (the CCNet paragraph

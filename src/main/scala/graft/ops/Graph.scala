@@ -423,28 +423,40 @@ object Graph {
 
   /** Both wedge builds, probe-selectable (TriangleProbe) or
     * size-dispatched on [[WedgeListEdgeCutover]] when `neighborListWedges`
-    * is None — the edge count reads the already-filled cache, one cheap
-    * scalar job that also replaces the final n_edges aggregation.
+    * is None. Exactly TWO jobs (r15, VERDICT r14 #3 — the former shape
+    * paid a deg.count job + an e.count job + three cache fills before the
+    * wedge job, pure scheduling overhead at small SF): job 1 dedups the
+    * edge list into a checkpoint with the edge count riding the
+    * materializing action as an `observe()` metric (the SCC pattern at
+    * [[stronglyConnectedComponents]]); job 2 is the wedge+closure
+    * computation itself, inside which the degree table's lazy cache fills
+    * and the exact node count (an OUTPUT column, so it cannot be
+    * approximated) is folded in as a broadcast one-row aggregate instead
+    * of a separate driver count.
     */
   private[graft] def triangleCountImpl(edges: DataFrame, srcCol: String,
       dstCol: String, neighborListWedges: Option[Boolean]): DataFrame = {
-    val e = edges.select(
-        least(col(srcCol), col(dstCol)).cast("long").as("u"),
-        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
-      .where(col("u") =!= col("v"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eObs = org.apache.spark.sql.Observation()
+    val em = Iterate.materialize(
+      edges.select(
+          least(col(srcCol), col(dstCol)).cast("long").as("u"),
+          greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .observe(eObs, count(lit(1)).as("m")))
+    val e = em.df
+    val nEdges = eObs.get("m").asInstanceOf[Long]
     val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // the count doubles as n_nodes AND the broadcastability decision
-    // (one scalar job over the now-filled caches, not a collect loop)
-    val nNodes = deg.count()
+    // broadcast decision WITHOUT a node-count job: deg has at most
+    // 2·nEdges rows, so edge-count ≤ half the limit guarantees the
+    // broadcast fits. (Slightly conservative — a dense multigraph with
+    // few nodes but > limit/2 edges falls back to the shuffle join — but
+    // it trades a full extra scheduling barrier for a decision the
+    // observe-carried edge count already answers.)
     val degSide: DataFrame => DataFrame =
-      if (nNodes <= BroadcastDegreeLimit) broadcast else identity
-    // cache-read scalar: picks the wedge build and replaces the final
-    // n_edges aggregation below
-    val nEdges = e.count()
+      if (2 * nEdges <= BroadcastDegreeLimit) broadcast else identity
     val useList = neighborListWedges.getOrElse(nEdges > WedgeListEdgeCutover)
     // orient by (deg, id): lower endpoint keeps the out-edge
     val oriented = e
@@ -483,11 +495,18 @@ object Graph {
     val closing =
       if (nEdges <= BroadcastEdgeLimit) broadcast(closing0) else closing0
     val triangles = wedges.join(closing, Seq("a", "b"), "left_semi")
+    // exact node count folded into the SAME job as the triangle closure:
+    // a broadcast one-row aggregate over the deg cache (which fills here),
+    // not a separate driver count() barrier
+    val nodesRow = deg.agg(count(lit(1)).as("n_nodes"))
     val out = triangles.agg(count(lit(1)).as("n_triangles"))
-      .select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
+      .crossJoin(broadcast(nodesRow))
+      .select(col("n_nodes"), lit(nEdges).as("n_edges"),
         col("n_triangles"))
-    // checkpoint the one-row result, then free the edge caches
-    Iterate.scoped(out, e, oriented, deg)
+    // checkpoint the one-row result, then free the caches + edge checkpoint
+    val res = Iterate.scoped(out, oriented, deg)
+    em.release()
+    res
   }
 
   /** Strongly connected components of a DIRECTED graph via iterated

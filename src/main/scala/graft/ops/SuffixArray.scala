@@ -73,11 +73,19 @@ object SuffixArray {
 
   /** One materialized sorted ranking: range-partition `in` on `keys`,
     * sort within partitions, checkpoint with a per-row `_mid`
-    * (monotonically increasing within each partition's sorted scan) over
-    * the projected `carry` columns. Global row number = `_mid + adj`
-    * where `adj` is the collected per-partition adjustment — returned as
-    * a frame with `rn` attached, plus the Materialized handle to
-    * release.
+    * (monotonically increasing within each partition's sorted scan) and
+    * the partition id `_pp` STORED alongside the projected `carry`
+    * columns. Global row number = `_mid + adj[_pp]` where `adj` is the
+    * collected per-partition adjustment — returned as a frame with `rn`
+    * attached, plus the Materialized handle to release.
+    *
+    * `_pp` must be materialized, not re-derived: `spark_partition_id()`
+    * reads the live task partition index, so a lazy rn projection keyed
+    * on it would silently mis-rank (or null-rank) under any consumer
+    * plan that remaps task indices before its first exchange —
+    * `coalesce()`, or a union where this frame is a non-first child.
+    * With `_pp` stored in the checkpoint the rn expression is a pure
+    * function of row data and is correct under ANY downstream plan.
     */
   private[ops] def sortedRanking(in: DataFrame, keys: Seq[Column],
                                  carry: Seq[Column], parts: Int)
@@ -85,18 +93,19 @@ object SuffixArray {
     val sorted = Iterate.materialize(
       in.repartitionByRange(parts, keys: _*)
         .sortWithinPartitions(keys: _*)
-        .select(carry :+ monotonically_increasing_id().as("_mid"): _*))
+        .select(carry ++ Seq(monotonically_increasing_id().as("_mid"),
+          spark_partition_id().as("_pp")): _*))
     // per-partition (min mid, count): ≤ `parts` rows, a counters-class
     // driver value — partition order IS key order under range
     // partitioning, so cumulative counts in _pp order are the offsets
     val info = sorted.df
-      .withColumn("_pp", spark_partition_id())
       .groupBy("_pp")
       .agg(min("_mid").as("_m0"), count(lit(1)).as("_c"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
-    if (info.isEmpty) return (sorted, sorted.df.withColumn("rn", lit(0L)))
+    if (info.isEmpty)
+      return (sorted, sorted.df.withColumn("rn", lit(0L)).drop("_pp"))
     // rn = _mid - minMid[pid] + offset[pid] + 1  =  _mid + adj[pid]
     val adj = {
       var off = 0L
@@ -106,8 +115,8 @@ object SuffixArray {
     }
     val adjExpr = element_at(
       map(adj.flatMap { case (p, a) => Seq(lit(p), lit(a)) }: _*),
-      spark_partition_id())
-    (sorted, sorted.df.withColumn("rn", col("_mid") + adjExpr))
+      col("_pp"))
+    (sorted, sorted.df.withColumn("rn", col("_mid") + adjExpr).drop("_pp"))
   }
 
   /** One row per suffix: (_id, pos, _p0 = the space-joined first

@@ -51,8 +51,17 @@ object StreamingIngest {
         richnessLen.as("_bestRich"), col("type").as("_bestType"),
         col("prefLabel").as("_bestPref"), col("prefLabel").as("_fillPref"))
       .withColumn("_bucket", bucket)
-    val existing =
-      try Some(spark.read.parquet(tablePath)) catch { case _: Exception => None }
+    // existence probe, not a catch-around-the-read: catching the
+    // PATH_NOT_FOUND AnalysisException (a) masked genuinely corrupt
+    // tables as "new" and (b) left a failed query execution on the async
+    // ExecutionListenerBus, which logged an ERROR per pre-first-commit
+    // micro-batch — noise that would page an on-call. A read error on an
+    // EXISTING path now propagates loudly.
+    val existing = {
+      val p = new org.apache.hadoop.fs.Path(tablePath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) Some(spark.read.parquet(tablePath)) else None
+    }
     val unioned = existing match {
       case Some(prev) =>
         // only the stored partitions this batch's ids hash into

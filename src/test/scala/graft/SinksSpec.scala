@@ -191,6 +191,36 @@ class SinksSpec extends SparkSpec {
       "crashed staging dir survived the sweep")
   }
 
+  test("a truncated manifest fails loudly instead of serving a partial table") {
+    // r15 (ADVICE r14): an OS-level crash can make the rename visible with
+    // lost page-cache bytes — the regex scan used to parse the remains to
+    // a PARTIAL bucket map and readMerged silently dropped buckets.
+    val path = java.nio.file.Files.createTempDirectory("graft_trunc").toString + "/t"
+    val base = (1L to 200L).map(k => (k, s"v$k")).toDF("k", "v")
+    Sinks.mergeInto(spark, path, base, "k", numBuckets = 16)
+    assert(Sinks.readMerged(spark, path).count() === 200)
+    val manifest = new java.io.File(path).listFiles()
+      .filter(_.getName.matches("_manifest-[0-9]+\\.json")).maxBy(_.getName)
+    val bytes = java.nio.file.Files.readAllBytes(manifest.toPath)
+    // chop mid-body: drops trailing bucket entries AND the eof sentinel.
+    // The Hadoop .crc sidecar would also catch this edit (deleted here to
+    // reach the validation under test) — but a REAL truncation loses the
+    // page cache for data and sidecar together, so the n/eof check is the
+    // layer that must hold on its own.
+    java.nio.file.Files.write(manifest.toPath,
+      java.util.Arrays.copyOf(bytes, bytes.length / 2))
+    new java.io.File(manifest.getParent, "." + manifest.getName + ".crc").delete()
+    val ex = intercept[java.io.IOException] { Sinks.readMerged(spark, path) }
+    assert(ex.getMessage.contains("truncated or corrupt"))
+    // mergeInto must refuse too (merging against a partial map would
+    // silently drop the missing buckets' stored rows)
+    val ex2 = intercept[java.io.IOException] {
+      Sinks.mergeInto(spark, path, Seq((1L, "x")).toDF("k", "v"), "k",
+        numBuckets = 16)
+    }
+    assert(ex2.getMessage.contains("truncated or corrupt"))
+  }
+
   test("bucketed tables join without a shuffle") {
     // clean any residue from a previous aborted run (dir without catalog entry)
     Seq("graft_bucket_left", "graft_bucket_right").foreach { tbl =>

@@ -97,6 +97,35 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("globalRowNumber ranks survive task-index remapping consumers " +
+      "(coalesce, union as non-first child)") {
+    // r15 regression guard (ADVICE r14): the rank adjustment used to key
+    // on LIVE spark_partition_id(), which a consumer plan that remaps
+    // task indices before its first exchange (coalesce, or a union where
+    // the ranked frame is a non-first child) silently re-evaluates
+    // against the WRONG indices. With _pp materialized into the
+    // checkpoint the rank is a pure function of row data.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = (1 to 5000).map(i => ((i * 7919) % 1000, i.toLong))
+    val expected = rows.sortBy(r => (r._1, r._2)).zipWithIndex
+      .map { case ((_, id), idx) => (id, idx + 1L) }.toMap
+    val df = spark.sparkContext.parallelize(rows, 7).toDF("v", "id")
+    val ranked = graft.ops.Rank.globalRowNumber(df, Seq(col("v"), col("id")),
+      parts = 5)
+    val viaCoalesce = ranked.coalesce(1)
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    assert(viaCoalesce === expected, "coalesce(1) consumer")
+    // union with a non-empty first child shifts the ranked frame's task
+    // partition indices by the first child's partition count
+    val shifted = spark.sparkContext.parallelize(
+        Seq((-1L, -1L)), 3).toDF("id", "rn")
+      .union(ranked.select("id", "rn"))
+      .where(col("id") >= 0)
+      .as[(Long, Long)].collect().toMap
+    assert(shifted === expected, "union non-first-child consumer")
+  }
+
   test("globalCumSum matches the single-window running sum at any partitioning") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
