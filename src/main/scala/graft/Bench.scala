@@ -370,7 +370,8 @@ object Bench {
     * stderr.
     */
   private[graft] val informational: Set[String] =
-    Set("streaming_replay_q14", "streaming_replay_dedup", "sink_merge_into")
+    Set("streaming_replay_q14", "streaming_replay_dedup", "sink_merge_into",
+      "streaming_replay_sessionize")
 
   /** The stdout line's query subset: the reference-core dataflow plus the
     * most scale-relevant representative of each operator family. The

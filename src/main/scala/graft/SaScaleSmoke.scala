@@ -99,6 +99,59 @@ object SaScaleSmoke {
       System.err.println(s"[sa-scale] parity OK: kept ${viaSa.getLong(0)} " +
         s"of ${viaSa.getLong(1)} tokens")
     }
+
+    // (d) APPEND section (r15): warm-start vs full recompute at volume.
+    // The stored corpus is represented only by its persisted state
+    // (spanGramIndex + spanCovered, both materialized up front — the
+    // "yesterday" artifacts); the batch re-plants the shared block in 20
+    // new docs plus fresh-random docs, so the merge exercises
+    // cross-corpus duplication against hot grams. The warm-start path
+    // must hash-equal the full recompute, and its wall-clock is the
+    // number that matters: it must not pay the O(n log n) re-sort.
+    locally {
+      val k = 50
+      val batch = spark.range(nDocs, nDocs + 100).select(col("id").as("doc_id"))
+        .select(col("doc_id"), array_join(expr(
+          s"""transform(sequence(0, $len - 1), j ->
+             |  CASE WHEN doc_id % 5 = 0 AND j < $rep
+             |    THEN concat('t', pmod(xxhash64(concat('s', j)), 1000))
+             |    ELSE concat('t', pmod(xxhash64(concat(doc_id, ':', j)), 1000))
+             |  END)""".stripMargin.replace("\n", " ")), " ").as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      batch.count()
+      // the index persists BUCKETED on gram — the deploy shape: the batch
+      // probe join shuffles only the batch to the index's bucketing, the
+      // stored side is scanned in place with NO exchange (an unbucketed
+      // in-memory index measured SLOWER than the full recompute here:
+      // re-shuffling O(distinct grams × k tokens) of index strings is the
+      // same payload the full build sorts)
+      val idx = time("state build: spanGramIndex(stored) → bucketed table") {
+        spark.sql("DROP TABLE IF EXISTS graft_span_idx")
+        graft.ingest.Sinks.writeBucketed(
+          graft.ops.Dedup.spanGramIndex(docs, "text", "doc_id", k),
+          "graft_span_idx", "gram", numBuckets = 32)
+        spark.table("graft_span_idx")
+      }
+      val cov = time("state build: spanCovered(stored)") {
+        val c = graft.ops.Iterate.materialize(
+          graft.ops.Dedup.spanCovered(docs, "text", "doc_id", k))
+        c.df
+      }
+      def digest(df: org.apache.spark.sql.DataFrame) = df
+        .agg(sum(col("n_kept")).as("kept"), sum(col("n_tok")).as("tok"),
+          expr("bit_xor(xxhash64(doc_id, clean_text))").as("h")).head
+      val inc = time("append: dedupSpansSaIncremental (warm-start)") {
+        digest(graft.ops.Dedup.dedupSpansSaIncremental(docs, batch,
+          "text", "doc_id", k, priorIndex = idx, priorCovered = cov))
+      }
+      val full = time("append: dedupSpansSa full recompute (baseline)") {
+        digest(graft.ops.Dedup.dedupSpansSa(docs.unionByName(batch),
+          "text", "doc_id", k))
+      }
+      require(inc == full, s"warm-start parity broke: $inc vs $full")
+      System.err.println(s"[sa-scale] append parity OK: kept " +
+        s"${inc.getLong(0)} of ${inc.getLong(1)} tokens")
+    }
     spark.stop()
   }
 }

@@ -475,6 +475,91 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // REAL streaming replay of the CUSTOM-STATE sessionizer
+    // (EventStream.sessionizedCustom, flatMapGroupsWithState + event-time
+    // timeout): the events table drains through file-source micro-batches
+    // in a CONTROLLED order (chunk files staged with increasing mtimes),
+    // then a per-user far-future flush file advances the watermark past
+    // every real session's end+gap, so the timeout path closes and emits
+    // them all. The emitted table must hash-match the batch q35
+    // sessionize rollup — per-user session ORDINALS included, the
+    // property that proves the state machine is batch-split-invariant.
+    // Flush events' own singleton sessions stay open forever and are
+    // never emitted. Lateness is set past the fixture's time span so no
+    // real row is ever late under any file order.
+    "streaming_replay_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      val srcFp = {
+        val src = java.nio.file.Paths.get(dir, "events.parquet")
+        val walk = java.nio.file.Files.walk(src)
+        val sig = try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(p => s"${p.getFileName}:${java.nio.file.Files.size(p)}:" +
+              s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
+            .toSeq.sorted.mkString("|")
+        } finally walk.close()
+        (scala.util.hashing.MurmurHash3.stringHash(sig) & 0x7fffffff).toString
+      }
+      val staged = s"${System.getProperty("java.io.tmpdir")}/graft_stream_sess_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + srcFp
+      val lateNanos = 3650L * 86400L * 1000000000L // 10y > fixture span
+      val gapNanos = 30L * 60 * 1000000000L
+      val events = t(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val donePath = java.nio.file.Paths.get(staged, "_DONE")
+      if (!java.nio.file.Files.exists(donePath)) {
+        val root = java.nio.file.Paths.get(staged)
+        java.nio.file.Files.createDirectories(root)
+        // one parquet FILE per chunk, moved into the staged root in
+        // sequence — the file source processes oldest-mtime first, so
+        // the flush file (written last) is guaranteed the final batch
+        def stageOne(df: DataFrame, name: String): Unit = {
+          val tmp = s"$staged/_stage_$name"
+          df.repartition(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            root.resolve(s"$name.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(); ()
+          }
+          rm(new java.io.File(tmp))
+        }
+        (0 until 4).foreach(i => stageOne(
+          events.where(pmod(col("event_id"), lit(4)) === i), s"c$i"))
+        val maxTs = events.agg(max("ts")).head.getLong(0)
+        val flushTs = maxTs + lateNanos + gapNanos + 86400L * 1000000000L
+        stageOne(events.select("user_id").distinct()
+          .select(lit(-1L).as("event_id"), lit(flushTs).as("ts"),
+            col("user_id"), lit("_flush").as("event_type"),
+            lit(0.0).as("value")), "zflush")
+        java.nio.file.Files.createFile(donePath)
+      }
+      val src = s.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2).parquet(staged)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        import s.implicits._
+        val q = graft.streaming.EventStream.sessionizedCustom(
+            src.as[graft.streaming.EventStream.Event],
+            lateness = "3650 days")
+          .writeStream.format("memory")
+          .queryName("streaming_replay_sessionize_sink")
+          .outputMode(OutputMode.Append())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("streaming_replay_sessionize_sink")
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          col("dur_us"), col("sum_val"))
+        .orderBy("user_id", "session_seq")
+    }),
+
     // Hopping (sliding) window: 2h windows every 1h — each event lands in
     // exactly two windows via a 2-element generator, then one grouped agg
     // (the batch twin of a Structured Streaming sliding window; no
@@ -3814,6 +3899,25 @@ object SparkEntry {
           "doc_id", k = 5)
         .orderBy("doc_id")),
 
+    // WARM-START span dedup — the daily-append topology: yesterday's
+    // corpus (ids % 10 ≠ 9) is represented ONLY by its persisted state
+    // (spanGramIndex = the k-bounded SA's run summary, spanCovered = its
+    // covered positions; both computed here as fixture scaffolding);
+    // today's batch (the 9s) merges against the index with one
+    // gram-keyed join — nothing old is re-sorted. The oracle is the FULL
+    // RECOMPUTE over the union: hash equality IS the warm-start
+    // soundness proof (the connectedComponentsIncremental pattern).
+    "dedup_spans_sa_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val stored = docs.where(col("doc_id") % 10 =!= 9)
+      val batch = docs.where(col("doc_id") % 10 === 9)
+      graft.ops.Dedup.dedupSpansSaIncremental(stored, batch, "text", "doc_id",
+          k = 5,
+          priorIndex = graft.ops.Dedup.spanGramIndex(stored, "text", "doc_id", k = 5),
+          priorCovered = graft.ops.Dedup.spanCovered(stored, "text", "doc_id", k = 5))
+        .orderBy("doc_id")
+    }),
+
     // IVF-PQ composed search, ORACLE-CHECKED end to end (the r11
     // verdict's last spec-only similarity path): int8-quantized corpus,
     // integer seed centroids (vec_id < 8), integer-grid trained
@@ -5338,6 +5442,44 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // REAL lossy-codec decode (JpegPixels): baseline JPEG — huffman
+    // entropy decode, DC prediction, dequant, the full 64-term IDCT,
+    // 4:2:0 chroma upsampling, JFIF color transform, restart resync,
+    // byte unstuffing. JPEG is lossy, so the fixture is built where the
+    // roundtrip is EXACT: constant 8×8 blocks quantized with Q(0,0)=8
+    // code DC = v−128 and IDCT back to precisely v (ops/JpegPixels docs),
+    // and constant chroma turns the float color transform into exact
+    // per-channel integer offsets — so the oracle recomputes every sum
+    // arithmetically and a hash match proves the full decode path
+    // touches every pixel exactly.
+    "mm_decode_jpeg" -> ((s, dir) => {
+      import s.implicits._
+      import graft.model.MediaRecord
+      import graft.ops.{JpegPixels, Multimodal}
+      val recs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (id % 21).toInt + 6
+          val h = (id % 17).toInt + 6
+          val base = ((id * 3) % 160).toInt
+          val grey = id % 2 == 0
+          val cb = 128 + ((id % 3).toInt - 1) * 10 // Cb−128 ∈ {−10,0,10}
+          val cr = 128 + ((id % 5).toInt - 2) * 5  // Cr−128 ∈ {−10..10}
+          val dri = if (id % 4 == 0) 2 else 0      // restart-marker arm
+          val payload = JpegPixels.jpegBytes(w, h, grey,
+            (bx, by) => 40 + ((bx * 5 + by * 7 + base) % 160),
+            cb = cb, cr = cr, restartInterval = dri)
+          MediaRecord(id, "image/jpeg", payload, Map.empty)
+        }
+      Multimodal.decodePixels(recs)
+        .toDF()
+        .select(col("media_id"), col("media_type"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_px"), col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("media_id")
+    }),
+
     // REAL audio sample walk (WavPcm): synthesize mono 16-bit PCM whose
     // sample i follows a closed-form integer formula, decode the bytes
     // back, and report exact per-64-sample-window sums / energy / silence
@@ -6288,6 +6430,21 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS pos,
         |        n_chars
         | FROM h ORDER BY shard, pos""".stripMargin.replace("\n", " "),
+
+    // the streaming custom-state sessionizer must reproduce the batch
+    // rollup exactly — ordinals included — so its oracle IS q35's SQL
+    "streaming_replay_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+        | f AS (SELECT user_id, ts_us, event_id, value,
+        |        CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000
+        |             OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        |        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        | g AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_seq FROM f)
+        | SELECT user_id, session_seq, count(*) AS n_events,
+        |        max(ts_us) - min(ts_us) AS dur_us,
+        |        round(sum(value::DECIMAL(20,6)), 2)::DOUBLE AS sum_val
+        | FROM g GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin.replace("\n", " "),
 
     "q35_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
@@ -8167,6 +8324,10 @@ object SparkEntry {
     // the SA-run pipeline must land on the identical table — one oracle
     "dedup_spans_sa" -> spanDedupExactOracle,
 
+    // the warm-start run must equal the full recompute over the union —
+    // the oracle IS the full recompute (same SQL as dedup_spans_sa)
+    "dedup_spans_sa_incremental" -> spanDedupExactOracle,
+
     "suffix_array" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         | sfx0 AS (SELECT doc_id, unnest(range(0, len(ws))) AS pos, ws FROM t),
@@ -9209,6 +9370,39 @@ object SparkEntry {
         |        5 * (w * (w - 1) // 2) * h + 13 * (h * (h - 1) // 2) * w + (base + 2) * w * h AS sum_g,
         |        5 * (w * (w - 1) // 2) * h + 13 * (h * (h - 1) // 2) * w + (base + 4) * w * h AS sum_b
         | FROM p ORDER BY media_id""".stripMargin.replace("\n", " "),
+
+    // DC-exact JPEG fixture: per 8×8 block Y = 40 + ((5bx+7by+base)%160);
+    // Σ over blocks weights each by its visible pixel count (partial edge
+    // blocks clip). Constant chroma (cbd, crd) adds per-channel offsets
+    // floor(c+0.5) — the same floor(x+0.5) rounding as the decoder's
+    // math.round, exact because luma is integer.
+    "mm_decode_jpeg" ->
+      """WITH p AS (SELECT doc_id::BIGINT AS id,
+        |        (doc_id % 21 + 6)::BIGINT AS w, (doc_id % 17 + 6)::BIGINT AS h,
+        |        ((doc_id * 3) % 160)::BIGINT AS base,
+        |        (doc_id % 2 = 0) AS grey,
+        |        ((doc_id % 3) - 1) * 10 AS cbd,
+        |        ((doc_id % 5) - 2) * 5 AS crd
+        |        FROM documents),
+        | bxs AS (SELECT id, unnest(range((w + 7) // 8)) AS bx FROM p),
+        | b AS (SELECT bxs.id, bxs.bx, unnest(range((p.h + 7) // 8)) AS by
+        |       FROM bxs JOIN p ON p.id = bxs.id),
+        | y AS (SELECT b.id,
+        |        sum((40 + ((b.bx * 5 + b.by * 7 + p.base) % 160))
+        |            * least(8, p.w - b.bx * 8)
+        |            * least(8, p.h - b.by * 8))::BIGINT AS sum_y
+        |       FROM b JOIN p ON p.id = b.id GROUP BY b.id),
+        | o AS (SELECT id,
+        |        floor(1.402 * crd + 0.5)::BIGINT AS roff,
+        |        floor(-0.344136 * cbd - 0.714136 * crd + 0.5)::BIGINT AS goff,
+        |        floor(1.772 * cbd + 0.5)::BIGINT AS boff FROM p)
+        | SELECT p.id AS media_id, 'image/jpeg' AS media_type,
+        |        p.w AS width, p.h AS height, p.w * p.h AS n_px,
+        |        sum_y + CASE WHEN grey THEN 0 ELSE o.roff * p.w * p.h END AS sum_r,
+        |        sum_y + CASE WHEN grey THEN 0 ELSE o.goff * p.w * p.h END AS sum_g,
+        |        sum_y + CASE WHEN grey THEN 0 ELSE o.boff * p.w * p.h END AS sum_b
+        | FROM p JOIN y ON y.id = p.id JOIN o ON o.id = p.id
+        | ORDER BY media_id""".stripMargin.replace("\n", " "),
 
     "mm_audio_energy" ->
       """WITH p AS (SELECT doc_id::BIGINT AS media_id,

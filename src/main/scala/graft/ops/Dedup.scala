@@ -950,6 +950,125 @@ object Dedup {
     rebuildWithoutCovered(df, textCol, idCol, covered)
   }
 
+  /** The k-bounded suffix array compressed to its equality-class summary
+    * — one row per DISTINCT k-gram: (gram, w_id, w_pos, dup), where
+    * (w_id, w_pos) is the gram's first occurrence (min (id, pos)) and
+    * `dup` marks ≥ 2 occurrences. This summary is LOSSLESS for span
+    * dedup: the bounded build only ever reads runs (= equal-first-k-token
+    * classes — the run ⟺ equality-class proof at
+    * [[graft.ops.SuffixArray.boundedRunMembers]]), and a run's entire
+    * effect on the output is determined by its winner and whether it has
+    * ≥ 2 members. It is therefore the STATE an append-only deploy
+    * persists between batches (bucketed by gram, so
+    * [[dedupSpansSaIncremental]]'s gram joins prune to touched buckets);
+    * size is O(distinct grams), and the build is one partial-aggregable
+    * hash aggregation — never the corpus-sorting SA topology.
+    */
+  def spanGramIndex(df: DataFrame, textCol: String, idCol: String,
+                    k: Int = 5): DataFrame =
+    df.select(col(idCol),
+        posexplode(call_function("word_grams", col(textCol), lit(k)))
+          .as(Seq("gpos", "gram")))
+      .select(col(idCol), col("gpos").cast("long").as("gpos"), col("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("_c"), min(struct(col(idCol), col("gpos"))).as("_m"))
+      .select(col("gram"), col("_m").getField(idCol).as("w_id"),
+        col("_m.gpos").as("w_pos"), (col("_c") >= 2).as("dup"))
+
+  /** Covered (id, pos) token positions of a corpus under the span-dedup
+    * winner rule — the other half of the persisted incremental state
+    * (equivalently recoverable from the stored clean output; exposed so
+    * a deploy can persist it directly). NOT distinct'd, same contract as
+    * the internal covered sets.
+    */
+  def spanCovered(df: DataFrame, textCol: String, idCol: String,
+                  k: Int = 5): DataFrame = {
+    val grams = df.select(col(idCol),
+        posexplode(call_function("word_grams", col(textCol), lit(k)))
+          .as(Seq("gpos", "gram")))
+      .select(col(idCol), col("gpos").cast("long").as("gpos"), col("gram"))
+    val firsts = grams.groupBy("gram")
+      .agg(count(lit(1)).as("_c"), min(struct(col(idCol), col("gpos"))).as("_m"))
+      .where(col("_c") >= 2)
+      .select(col("gram"), col("_m").getField(idCol).as("_mid"),
+        col("_m.gpos").as("_mpos"))
+    grams.join(firsts, "gram")
+      .where(!(col(idCol) === col("_mid") && col("gpos") === col("_mpos")))
+      .select(col(idCol), explode(expr(s"sequence(gpos, gpos + ${k - 1})")).as("pos"))
+  }
+
+  /** Warm-start span dedup for an append-only corpus — the incremental
+    * twin of [[dedupSpansSa]] (VERDICT r14 #5). A batch append never
+    * re-sorts the stored corpus's suffixes: the prior corpus is
+    * represented by its persisted state — [[spanGramIndex]] (the
+    * k-bounded SA's run summary) plus [[spanCovered]] (its covered
+    * positions) — and the batch merges against the index with ONE
+    * gram-keyed equi-join over the batch's grams only.
+    *
+    * Union semantics, derived exactly (the oracle IS the full recompute
+    * — `dedup_spans_sa_incremental` hash-equals `dedupSpansSa` over the
+    * unioned corpus, the connectedComponentsIncremental soundness
+    * pattern):
+    *   - a batch gram also present in the index (any multiplicity) or
+    *     appearing ≥ 2 times in the batch is duplicated in the union;
+    *   - the union winner is min(prior winner, batch min) — computed,
+    *     not assumed, so batches with out-of-order ids stay correct;
+    *   - batch occurrences of duplicated grams lose unless they ARE the
+    *     union winner; a PRIOR winner loses (its k positions join the
+    *     covered set — the only way an old doc's output changes) iff
+    *     the batch min undercuts it; prior non-winner occurrences were
+    *     already covered and stay covered — appends never uncover.
+    *
+    * Cost: O(batch grams) aggregation + one join against the index on
+    * gram + the rebuild of touched docs. The stored corpus is scanned
+    * only to re-emit output rows (and a deploy that stores the prior
+    * clean output joins the delta instead); nothing old is re-sorted.
+    */
+  def dedupSpansSaIncremental(stored: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String, k: Int,
+      priorIndex: DataFrame, priorCovered: DataFrame): DataFrame = {
+    val bg = batch.select(col(idCol),
+        posexplode(call_function("word_grams", col(textCol), lit(k)))
+          .as(Seq("gpos", "gram")))
+      .select(col(idCol), col("gpos").cast("long").as("gpos"), col("gram"))
+    // per-gram batch summary: one partial-aggregable pass over the batch
+    val bsum = bg.groupBy("gram")
+      .agg(count(lit(1)).as("_bc"), min(struct(col(idCol), col("gpos"))).as("_bm"))
+    // merge with the prior index FOR BATCH GRAMS ONLY (left join on the
+    // gram key — a bucketed index serves this as a pruned probe)
+    val merged = bsum.join(priorIndex, Seq("gram"), "left")
+      .select(col("gram"), col("_bc"), col("_bm"),
+        col("w_id"), col("w_pos"),
+        // union winner: min of prior winner and batch min
+        when(col("w_id").isNull, col("_bm"))
+          .otherwise(least(struct(col("w_id").as(idCol),
+            col("w_pos").as("gpos")), col("_bm"))).as("_uw"),
+        // union-duplicated: prior presence (≥1 + batch ≥1) or in-batch dup
+        (col("w_id").isNotNull || col("_bc") >= 2).as("_udup"))
+    val dupGrams = merged.where(col("_udup"))
+      .select(col("gram"), col("_uw").getField(idCol).as("_uid"),
+        col("_uw.gpos").as("_upos"), col("w_id"), col("w_pos"))
+    // batch losers: occurrences of union-duplicated grams that are not
+    // the union winner
+    val batchLosers = bg.join(dupGrams.select("gram", "_uid", "_upos"), "gram")
+      .where(!(col(idCol) === col("_uid") && col("gpos") === col("_upos")))
+      .select(col(idCol), col("gpos"))
+    // dethroned prior winners: the single way an OLD doc gains coverage
+    val oldLosers = dupGrams
+      .where(col("w_id").isNotNull &&
+        !(col("w_id") === col("_uid") && col("w_pos") === col("_upos")))
+      .select(col("w_id").as(idCol), col("w_pos").as("gpos"))
+    val newCovered = batchLosers.unionByName(oldLosers)
+      .select(col(idCol), explode(expr(s"sequence(gpos, gpos + ${k - 1})")).as("pos"))
+    // union coverage, materialized once — rebuildWithoutCovered consumes
+    // it twice (touched-doc set + kept-token marker join)
+    val covered = graft.ops.Iterate.materialize(
+      priorCovered.select(col(idCol), col("pos")).unionByName(newCovered)).df
+    val union = stored.select(col(idCol), col(textCol))
+      .unionByName(batch.select(col(idCol), col(textCol)))
+    rebuildWithoutCovered(union, textCol, idCol, covered)
+  }
+
   /** Shared rebuild tail of the span-dedup family: drop every covered
     * (id, pos) token and re-join the survivors per doc. Only TOUCHED
     * docs pay the token explode and regroup (wide collect_list shuffle +

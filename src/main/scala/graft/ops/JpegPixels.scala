@@ -1,0 +1,594 @@
+package graft.ops
+
+/** Pure-JVM baseline JPEG *pixel* decode — the codec-bound complement of
+  * [[PngPixels]]: web image corpora are overwhelmingly JPEG, so the
+  * multimodal profiling path (pixel stats, pHash) needs a real JPEG
+  * decode, and baseline sequential JPEG (ITU-T T.81 / ISO 10918-1, the
+  * public spec) is pure-JVM feasible — huffman entropy decode, dequant,
+  * 8×8 inverse DCT, 4:2:0 chroma upsampling, JFIF YCbCr→RGB — with no
+  * external codec library.
+  *
+  * Strict recognizer, like [[PngPixels]]: 8-bit baseline SOF0 only,
+  * greyscale (1 component, 1×1) or YCbCr (3 components, all 1×1 = 4:4:4
+  * or Y 2×2 + chroma 1×1 = 4:2:0), optional restart markers. Anything
+  * else — progressive SOF2, arithmetic coding, 12-bit precision, other
+  * sampling grids, truncated or mis-stuffed entropy data, a bad marker —
+  * returns None and falls to the caller's fallback path.
+  *
+  * ORACLE DISCIPLINE (the `mm_decode_jpeg` row): JPEG is lossy, so a
+  * closed-form pixel oracle needs fixtures whose decode is EXACT. DC-only
+  * blocks give that: for a constant 8×8 block of value v, the forward
+  * DCT has a single coefficient F(0,0) = 8·(v−128); with quantizer
+  * Q(0,0) = 8 the coded DC is exactly v−128, and the spec IDCT of a
+  * DC-only block is the constant F(0,0)/8 + 128 = v — bit-exact through
+  * the full general decode path (huffman magnitude categories, DC
+  * prediction, byte unstuffing, restart resync, dequant, the full 64-term
+  * IDCT, 4:2:0 replication, the float color transform). [[jpegBytes]]
+  * synthesizes such streams; JpegSpec additionally drives nonzero AC
+  * coefficients against the spec IDCT formula directly.
+  *
+  * The IDCT here is the spec's O(64²)-per-block double-precision sum —
+  * exact and obviously-correct; a throughput deploy would swap in a
+  * fixed-point AAN butterfly (pure refactor behind the same contract).
+  */
+object JpegPixels {
+
+  /** Whole-image statistics from one linear pixel walk: dimensions,
+    * channel count (1 = grey, 3 = YCbCr→RGB), pixel count, exact
+    * per-channel sums (grey fills sumR=sumG=sumB with the single channel).
+    */
+  final case class Stats(width: Int, height: Int, channels: Int, nPx: Long,
+                         sumR: Long, sumG: Long, sumB: Long)
+
+  // zigzag scan position -> natural (row-major) coefficient index
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  // cos((2x+1)·u·π/16) and the 1/√2 DC normalizer — the T.81 A.3.3 basis
+  private val Cos: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+  private val Cn: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+
+  private def u8(b: Byte): Int = b & 0xff
+
+  // ---------------------------------------------------------------- tables
+
+  /** A huffman table: BITS (counts per code length 1..16) + HUFFVAL. */
+  private final case class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    // canonical decode arrays (T.81 F.2.2.3)
+    val minCode: Array[Int] = new Array[Int](17)
+    val maxCode: Array[Int] = Array.fill(17)(-1)
+    val valPtr: Array[Int] = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      var len = 1
+      while (len <= 16) {
+        valPtr(len) = k
+        minCode(len) = code
+        code += bits(len - 1); k += bits(len - 1)
+        maxCode(len) = if (bits(len - 1) > 0) code - 1 else -1
+        code <<= 1
+        len += 1
+      }
+    }
+    // canonical encode map value -> (code, length) (T.81 C.2)
+    lazy val enc: Map[Int, (Int, Int)] = {
+      var code = 0; var k = 0
+      val m = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+      var len = 1
+      while (len <= 16) {
+        var i = 0
+        while (i < bits(len - 1)) { m(vals(k)) = (code, len); code += 1; k += 1; i += 1 }
+        code <<= 1
+        len += 1
+      }
+      m.toMap
+    }
+  }
+
+  // the T.81 Annex K typical tables — embedded by [[jpegBytes]]; the
+  // decoder reads whatever tables the DHT segments carry, so correctness
+  // never depends on these specific values
+  private val DcLumBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals = (0 to 11).toArray
+  private val DcChrBits = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val AcLumBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcLumVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+  private val AcChrBits = Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val AcChrVals = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15, 0x62, 0x72, 0xd1,
+    0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a,
+    0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  // ---------------------------------------------------------------- decode
+
+  private final class BitReader(p: Array[Byte], var pos: Int) {
+    private var buf = 0
+    private var cnt = 0
+    var bad = false
+    /** next entropy bit, honoring 0xFF00 byte stuffing; any other 0xFF
+      * sequence mid-entropy marks the stream bad (strict). */
+    def bit(): Int = {
+      if (cnt == 0) {
+        if (pos >= p.length) { bad = true; return 0 }
+        var b = u8(p(pos)); pos += 1
+        if (b == 0xff) {
+          if (pos >= p.length || u8(p(pos)) != 0x00) { bad = true; return 0 }
+          pos += 1
+          b = 0xff
+        }
+        buf = b; cnt = 8
+      }
+      cnt -= 1
+      (buf >> cnt) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    /** skip legal inter-marker noise: 0xFF fill bytes and a stuffed
+      * 0xFF00 pad byte a foreign encoder may leave before a marker. */
+    private def skipFill(): Int = {
+      var i = pos
+      var go = true
+      while (go && i + 1 < p.length) {
+        if (u8(p(i)) == 0xff && u8(p(i + 1)) == 0x00) i += 2
+        else if (u8(p(i)) == 0xff && u8(p(i + 1)) == 0xff) i += 1
+        else go = false
+      }
+      i
+    }
+    /** byte-align and consume an expected RSTn marker (restart resync). */
+    def restart(n: Int): Boolean = {
+      cnt = 0
+      val i = skipFill()
+      val ok = i + 2 <= p.length &&
+        u8(p(i)) == 0xff && u8(p(i + 1)) == (0xd0 + (n % 8))
+      if (ok) pos = i + 2
+      ok
+    }
+    /** byte-align and check the stream ends with EOI (optional fill). */
+    def eoi(): Boolean = {
+      cnt = 0
+      val i = skipFill()
+      i + 2 <= p.length && u8(p(i)) == 0xff && u8(p(i + 1)) == 0xd9
+    }
+  }
+
+  private def decodeHuff(r: BitReader, t: HuffTable): Int = {
+    var code = r.bit()
+    var len = 1
+    while (len <= 16 && code > t.maxCode(len)) {
+      code = (code << 1) | r.bit()
+      len += 1
+    }
+    if (len > 16 || r.bad) { r.bad = true; return -1 }
+    val idx = t.valPtr(len) + code - t.minCode(len)
+    if (idx < 0 || idx >= t.vals.length) { r.bad = true; return -1 }
+    t.vals(idx)
+  }
+
+  /** T.81 F.2.1.2 EXTEND: map an s-bit magnitude to its signed value. */
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  private final case class Component(id: Int, hs: Int, vs: Int, tq: Int,
+                                     var td: Int = 0, var ta: Int = 0)
+
+  /** Decode pixel statistics, or None for anything that is not a strict
+    * 8-bit baseline grey / 4:4:4 / 4:2:0 JFIF-style JPEG.
+    */
+  def decode(p: Array[Byte]): Option[Stats] = {
+    if (p == null || p.length < 4 ||
+        u8(p(0)) != 0xff || u8(p(1)) != 0xd8) return None
+    val qt = new Array[Array[Int]](4)
+    val dcT = new Array[HuffTable](4)
+    val acT = new Array[HuffTable](4)
+    var comps: Array[Component] = null
+    var w = 0; var h = 0
+    var dri = 0
+    var i = 2
+    var sosAt = -1
+    while (sosAt < 0) {
+      if (i + 4 > p.length || u8(p(i)) != 0xff) return None
+      val m = u8(p(i + 1))
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd9)) return None // stray SOI/RST/EOI
+      val len = (u8(p(i + 2)) << 8) | u8(p(i + 3))
+      if (len < 2 || i + 2 + len > p.length) return None
+      val seg = i + 4
+      val segEnd = i + 2 + len
+      m match {
+        case 0xdb => // DQT: one or more (PqTq, 64 bytes) entries
+          var j = seg
+          while (j < segEnd) {
+            if (j + 65 > segEnd) return None
+            val pq = u8(p(j)) >> 4; val tq = u8(p(j)) & 15
+            if (pq != 0 || tq > 3) return None // 8-bit tables only
+            qt(tq) = Array.tabulate(64)(k => u8(p(j + 1 + k)))
+            j += 65
+          }
+        case 0xc4 => // DHT: one or more (TcTh, bits, vals) entries
+          var j = seg
+          while (j < segEnd) {
+            if (j + 17 > segEnd) return None
+            val tc = u8(p(j)) >> 4; val th = u8(p(j)) & 15
+            if (tc > 1 || th > 3) return None
+            val bits = Array.tabulate(16)(k => u8(p(j + 1 + k)))
+            val n = bits.sum
+            if (j + 17 + n > segEnd || n > 256) return None
+            val vals = Array.tabulate(n)(k => u8(p(j + 17 + k)))
+            val t = HuffTable(bits, vals)
+            if (tc == 0) dcT(th) = t else acT(th) = t
+            j += 17 + n
+          }
+        case 0xc0 => // SOF0 baseline
+          if (u8(p(seg)) != 8) return None
+          h = (u8(p(seg + 1)) << 8) | u8(p(seg + 2))
+          w = (u8(p(seg + 3)) << 8) | u8(p(seg + 4))
+          val nc = u8(p(seg + 5))
+          if (w == 0 || h == 0 || (nc != 1 && nc != 3) ||
+              seg + 6 + 3 * nc > segEnd) return None
+          comps = Array.tabulate(nc) { c =>
+            val o = seg + 6 + 3 * c
+            Component(u8(p(o)), u8(p(o + 1)) >> 4, u8(p(o + 1)) & 15,
+              u8(p(o + 2)))
+          }
+          // supported grids: grey 1×1; color all-1×1 (4:4:4) or Y 2×2 +
+          // chroma 1×1 (4:2:0)
+          val ok =
+            if (nc == 1) comps(0).hs == 1 && comps(0).vs == 1
+            else {
+              val c444 = comps.forall(c => c.hs == 1 && c.vs == 1)
+              val c420 = comps(0).hs == 2 && comps(0).vs == 2 &&
+                comps.tail.forall(c => c.hs == 1 && c.vs == 1)
+              c444 || c420
+            }
+          if (!ok) return None
+        case x if x >= 0xc1 && x <= 0xcf => // 0xc0/0xc4 matched above
+          return None // any non-baseline SOF (progressive, arithmetic, …)
+        case 0xdd => // DRI
+          if (len != 4) return None
+          dri = (u8(p(seg)) << 8) | u8(p(seg + 1))
+        case 0xda => // SOS
+          if (comps == null) return None
+          val ns = u8(p(seg))
+          if (ns != comps.length || seg + 1 + 2 * ns + 3 > segEnd) return None
+          var c = 0
+          while (c < ns) {
+            val id = u8(p(seg + 1 + 2 * c))
+            val comp = comps.find(_.id == id).getOrElse(return None)
+            comp.td = u8(p(seg + 2 + 2 * c)) >> 4
+            comp.ta = u8(p(seg + 2 + 2 * c)) & 15
+            c += 1
+          }
+          // baseline spectral selection 0..63, no successive approximation
+          if (u8(p(segEnd - 3)) != 0 || u8(p(segEnd - 2)) != 63 ||
+              u8(p(segEnd - 1)) != 0) return None
+          sosAt = segEnd
+        case _ => () // APPn / COM / others: skip
+      }
+      i = segEnd
+    }
+    comps.foreach { c =>
+      if (c.tq > 3 || qt(c.tq) == null) return None
+      if (dcT(c.td) == null || acT(c.ta) == null) return None
+    }
+
+    val hMax = comps.map(_.hs).max
+    val vMax = comps.map(_.vs).max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    // per-component padded plane
+    val planeW = comps.map(c => mcusX * c.hs * 8)
+    val planeH = comps.map(c => mcusY * c.vs * 8)
+    val planes = comps.indices.map(c => new Array[Int](planeW(c) * planeH(c))).toArray
+    val pred = new Array[Int](comps.length)
+    val coef = new Array[Int](64)
+    val r = new BitReader(p, sosAt)
+    var rstN = 0
+    var mcu = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+          if (!r.restart(rstN)) return None
+          rstN += 1
+          java.util.Arrays.fill(pred, 0)
+        }
+        var c = 0
+        while (c < comps.length) {
+          val comp = comps(c)
+          val q = qt(comp.tq)
+          var by = 0
+          while (by < comp.vs) {
+            var bx = 0
+            while (bx < comp.hs) {
+              java.util.Arrays.fill(coef, 0)
+              // DC
+              val s = decodeHuff(r, dcT(comp.td))
+              if (r.bad || s < 0 || s > 11) return None
+              val diff = extend(r.bits(s), s)
+              pred(c) += diff
+              coef(0) = pred(c) * q(0)
+              // AC run-length
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = decodeHuff(r, acT(comp.ta))
+                if (r.bad || rs < 0) return None
+                val run = rs >> 4; val sz = rs & 15
+                if (sz == 0) {
+                  if (run == 15) k += 16 else eob = true
+                } else {
+                  k += run
+                  if (k > 63) return None
+                  coef(Zigzag(k)) = extend(r.bits(sz), sz) * q(k)
+                  k += 1
+                }
+              }
+              if (r.bad) return None
+              // spec IDCT + level shift + clamp, into the padded plane
+              val ox = (mx * comp.hs + bx) * 8
+              val oy = (my * comp.vs + by) * 8
+              var y0 = 0
+              while (y0 < 8) {
+                var x0 = 0
+                while (x0 < 8) {
+                  var acc = 0.0
+                  var u = 0
+                  while (u < 8) {
+                    var v = 0
+                    while (v < 8) {
+                      val f = coef(v * 8 + u)
+                      if (f != 0)
+                        acc += Cn(u) * Cn(v) * f * Cos(x0)(u) * Cos(y0)(v)
+                      v += 1
+                    }
+                    u += 1
+                  }
+                  val px = math.round(acc / 4 + 128).toInt
+                  planes(c)((oy + y0) * planeW(c) + ox + x0) =
+                    if (px < 0) 0 else if (px > 255) 255 else px
+                  x0 += 1
+                }
+                y0 += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          c += 1
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    if (!r.eoi()) return None
+
+    // pixel walk over the CROPPED w×h with JFIF YCbCr→RGB
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    if (comps.length == 1) {
+      var y0 = 0
+      while (y0 < h) {
+        var x0 = 0
+        while (x0 < w) {
+          sumR += planes(0)(y0 * planeW(0) + x0)
+          x0 += 1
+        }
+        y0 += 1
+      }
+      Some(Stats(w, h, 1, w.toLong * h, sumR, sumR, sumR))
+    } else {
+      val sx1 = hMax / comps(1).hs; val sy1 = vMax / comps(1).vs
+      val sx2 = hMax / comps(2).hs; val sy2 = vMax / comps(2).vs
+      var y0 = 0
+      while (y0 < h) {
+        var x0 = 0
+        while (x0 < w) {
+          val yy = planes(0)(y0 * planeW(0) + x0)
+          val cb = planes(1)((y0 / sy1) * planeW(1) + x0 / sx1)
+          val cr = planes(2)((y0 / sy2) * planeW(2) + x0 / sx2)
+          def cl(d: Double): Int = {
+            val v = math.round(d).toInt
+            if (v < 0) 0 else if (v > 255) 255 else v
+          }
+          sumR += cl(yy + 1.402 * (cr - 128))
+          sumG += cl(yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+          sumB += cl(yy + 1.772 * (cb - 128))
+          x0 += 1
+        }
+        y0 += 1
+      }
+      Some(Stats(w, h, 3, w.toLong * h, sumR, sumG, sumB))
+    }
+  }
+
+  // ---------------------------------------------------------------- encode
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var buf = 0
+    private var cnt = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        buf = (buf << 1) | ((code >> i) & 1)
+        cnt += 1
+        if (cnt == 8) {
+          out.write(buf)
+          if (buf == 0xff) out.write(0x00) // byte stuffing
+          buf = 0; cnt = 0
+        }
+        i -= 1
+      }
+    }
+    /** byte-align with 1-fill (the spec's pad) */
+    def flush(): Unit = if (cnt > 0) { put((1 << (8 - cnt)) - 1, 8 - cnt) }
+  }
+
+  private def magnitude(v: Int): Int =
+    if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  private def putCoef(bw: BitWriter, t: HuffTable, v: Int, runSize: Int => Int): Unit = {
+    val s = magnitude(v)
+    val (code, len) = t.enc(runSize(s))
+    bw.put(code, len)
+    if (s > 0) bw.put(if (v < 0) v + (1 << s) - 1 else v, s)
+  }
+
+  /** Synthesize a baseline JPEG whose DECODE is exact (see object docs):
+    * every 8×8 luma block is the constant `yOfBlock(bx, by)` (block
+    * coordinates over the padded grid), chroma is the constant
+    * `(cb, cr)` per image, quantizers have Q(0,0)=8. `grey` emits one
+    * component; otherwise 4:2:0 YCbCr. `restartInterval` > 0 emits DRI +
+    * RSTn markers. Values must be 0..255.
+    */
+  def jpegBytes(w: Int, h: Int, grey: Boolean, yOfBlock: (Int, Int) => Int,
+                cb: Int = 128, cr: Int = 128,
+                restartInterval: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0, "empty image")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Int]): Unit = {
+      marker(m)
+      val len = body.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      body.foreach(out.write)
+    }
+    marker(0xd8) // SOI
+    // JFIF APP0
+    seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    // DQT: Q(0,0)=8 exact-DC quantizer, 16 elsewhere (AC unused by the
+    // fixture but the table must be fully valid)
+    val qtBody = Array.tabulate(64)(k => if (k == 0) 8 else 16)
+    seg(0xdb, 0 +: qtBody)
+    if (!grey) seg(0xdb, 1 +: qtBody)
+    // SOF0
+    val sof =
+      if (grey) Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 1, 1, 0x11, 0)
+      else Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3,
+        1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    seg(0xc0, sof)
+    // DHT (Annex K typical tables)
+    val dcLum = HuffTable(DcLumBits, DcVals)
+    val acLum = HuffTable(AcLumBits, AcLumVals)
+    val dcChr = HuffTable(DcChrBits, DcVals)
+    val acChr = HuffTable(AcChrBits, AcChrVals)
+    seg(0xc4, 0x00 +: (DcLumBits ++ DcVals))
+    seg(0xc4, 0x10 +: (AcLumBits ++ AcLumVals))
+    if (!grey) {
+      seg(0xc4, 0x01 +: (DcChrBits ++ DcVals))
+      seg(0xc4, 0x11 +: (AcChrBits ++ AcChrVals))
+    }
+    if (restartInterval > 0)
+      seg(0xdd, Array(restartInterval >> 8, restartInterval & 0xff))
+    // SOS
+    seg(0xda,
+      if (grey) Array(1, 1, 0x00, 0, 63, 0)
+      else Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+    // entropy data
+    val bw = new BitWriter(out)
+    val mcuPx = if (grey) 8 else 16
+    val mcusX = (w + mcuPx - 1) / mcuPx
+    val mcusY = (h + mcuPx - 1) / mcuPx
+    var predY = 0; var predCb = 0; var predCr = 0
+    var mcu = 0; var rstN = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush()
+          marker(0xd0 + (rstN % 8))
+          rstN += 1
+          predY = 0; predCb = 0; predCr = 0
+        }
+        def yBlock(bx: Int, by: Int): Unit = {
+          val v = yOfBlock(bx, by)
+          require(v >= 0 && v <= 255, s"luma $v out of range")
+          val coded = v - 128 // Q(0,0)=8 makes the coded DC exactly v−128
+          putCoef(bw, dcLum, coded - predY, _ & 15)
+          predY = coded
+          putCoef(bw, acLum, 0, _ => 0x00) // EOB
+        }
+        if (grey) yBlock(mx, my)
+        else {
+          yBlock(mx * 2, my * 2); yBlock(mx * 2 + 1, my * 2)
+          yBlock(mx * 2, my * 2 + 1); yBlock(mx * 2 + 1, my * 2 + 1)
+          putCoef(bw, dcChr, (cb - 128) - predCb, _ & 15); predCb = cb - 128
+          putCoef(bw, acChr, 0, _ => 0x00)
+          putCoef(bw, dcChr, (cr - 128) - predCr, _ & 15); predCr = cr - 128
+          putCoef(bw, acChr, 0, _ => 0x00)
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Spec-formula IDCT of one coefficient block (natural order, already
+    * dequantized) — exposed for JpegSpec's independent AC-path check. */
+  private[graft] def idctReference(coef: Array[Int]): Array[Int] = {
+    val outPx = new Array[Int](64)
+    var y0 = 0
+    while (y0 < 8) {
+      var x0 = 0
+      while (x0 < 8) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            acc += Cn(u) * Cn(v) * coef(v * 8 + u) * Cos(x0)(u) * Cos(y0)(v)
+            v += 1
+          }
+          u += 1
+        }
+        val px = math.round(acc / 4 + 128).toInt
+        outPx(y0 * 8 + x0) = if (px < 0) 0 else if (px > 255) 255 else px
+        x0 += 1
+      }
+      y0 += 1
+    }
+    outPx
+  }
+}

@@ -76,11 +76,13 @@ object Multimodal {
 
   /** REAL pixel decode over a typed Dataset: one `mapPartitions` pass,
     * one linear walk per payload — 24-bpp BI_RGB BMP ([[BmpPixels]], the
-    * uncompressed format) or 8-bit grey/RGB PNG ([[PngPixels]], real
-    * zlib inflate + scanline unfiltering via the JVM's built-in
-    * Inflater). Records whose payload is neither are dropped (the
-    * "decode what you can" profiling semantic); pair with
-    * [[extractFeatures]] when every record must produce a row.
+    * uncompressed format), 8-bit grey/RGB PNG ([[PngPixels]], real zlib
+    * inflate + scanline unfiltering via the JVM's built-in Inflater), or
+    * baseline JPEG ([[JpegPixels]], huffman entropy decode + IDCT +
+    * 4:2:0 upsampling — the web-crawl-dominant codec). Records whose
+    * payload is none of these are dropped (the "decode what you can"
+    * profiling semantic); pair with [[extractFeatures]] when every
+    * record must produce a row.
     * Per-channel sums are exact integers, so downstream
     * means/normalization are deterministic cross-engine.
     */
@@ -93,6 +95,9 @@ object Multimodal {
             s.nPx, s.sumR, s.sumG, s.sumB))
           .orElse(PngPixels.decode(r.payload).map(s =>
             PixelStats(r.media_id, "image/png", s.width, s.height,
+              s.nPx, s.sumR, s.sumG, s.sumB)))
+          .orElse(JpegPixels.decode(r.payload).map(s =>
+            PixelStats(r.media_id, "image/jpeg", s.width, s.height,
               s.nPx, s.sumR, s.sumG, s.sumB)))
       }
     }

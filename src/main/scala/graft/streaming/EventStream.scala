@@ -126,6 +126,107 @@ object EventStream {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_val"))
 
+  /** One buffered event inside [[SessionBufferState]]. */
+  case class SessionEvent(ts_us: Long, event_id: Long, value: Double)
+
+  /** Per-user sessionizer state: sessions closed so far (the batch
+    * query's `session_seq` continuity — kept for the user's lifetime, a
+    * per-user counter, O(users) total) plus the buffered not-yet-closable
+    * events (bounded by the open tail: everything older than
+    * watermark − gap closes and drains).
+    */
+  case class SessionBufferState(closed: Long, buf: Seq[SessionEvent])
+
+  /** One emitted session — schema-matches the batch q35 rollup. */
+  case class SessionOut(user_id: Long, session_seq: Long, n_events: Long,
+                        dur_us: Long, sum_val: Double)
+
+  /** Gap-based sessionization as CUSTOM state — `flatMapGroupsWithState`
+    * with an event-time timeout, the canonical arbitrary-stateful-
+    * streaming workload ([[sessionized]] is the native `session_window`
+    * twin; this one reproduces the batch q35 rollup bit-for-bit,
+    * including each session's per-user ORDINAL `session_seq`, which no
+    * built-in emits).
+    *
+    * Close rule — watermark-only, never in-hand gaps: a session
+    * (maximal run of buffered events with consecutive gaps ≤ `gapUs`)
+    * closes exactly when `end + gap < watermark`. An in-hand gap between
+    * two buffered runs proves nothing: a future event may still land
+    * INSIDE the gap and bridge them (ts ≥ watermark is all the engine
+    * guarantees), so runs wait in the buffer until the watermark passes.
+    * Closing in ts order per user makes `session_seq` equal the batch
+    * ordinal regardless of how arrivals split into micro-batches.
+    *
+    * Sum semantics mirror the batch query's
+    * `round(sum(value::DECIMAL(20,6)), 2)` exactly: each double is
+    * rescaled through the same shortest-repr BigDecimal path Spark's
+    * cast uses, summed exactly, rounded HALF_UP at the end.
+    *
+    * The event-time timeout re-fires the group when the watermark
+    * advances past `min(open end) + gap`, so sessions drain without new
+    * arrivals (StreamingSpec pins the timeout path).
+    */
+  def sessionizedCustom(events: Dataset[Event],
+                        gapUs: Long = 30L * 60 * 1000000L,
+                        lateness: String = "2 hours"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val mc = java.math.MathContext.DECIMAL128
+    def closeSessions(uid: Long, state: GroupState[SessionBufferState],
+                      incoming: Iterator[Event]): Iterator[SessionOut] = {
+      val prev = state.getOption.getOrElse(SessionBufferState(0L, Nil))
+      val all = (prev.buf ++ incoming.map(e =>
+          SessionEvent(e.ts / 1000L, e.event_id, e.value)))
+        .sortBy(e => (e.ts_us, e.event_id))
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      // split the buffer into gap-runs, close the closable prefix
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var closed = prev.closed
+      var open = scala.collection.mutable.ArrayBuffer.empty[SessionEvent]
+      var keep = scala.collection.mutable.ArrayBuffer.empty[SessionEvent]
+      var blocked = false // once one run stays open, all later runs stay
+      def flushRun(): Unit = if (open.nonEmpty) {
+        if (!blocked && open.last.ts_us + gapUs < wmUs) {
+          closed += 1
+          val sum = open.foldLeft(java.math.BigDecimal.ZERO) { (acc, e) =>
+            acc.add(new java.math.BigDecimal(
+              java.lang.Double.toString(e.value), mc)
+              .setScale(6, java.math.RoundingMode.HALF_UP))
+          }
+          out += SessionOut(uid, closed, open.size.toLong,
+            open.last.ts_us - open.head.ts_us,
+            sum.setScale(2, java.math.RoundingMode.HALF_UP).doubleValue)
+        } else {
+          blocked = true
+          keep ++= open
+        }
+        open.clear()
+      }
+      all.foreach { e =>
+        if (open.nonEmpty && e.ts_us - open.last.ts_us > gapUs) flushRun()
+        open += e
+      }
+      flushRun()
+      state.update(SessionBufferState(closed, keep.toSeq))
+      if (keep.nonEmpty) {
+        // re-fire when the watermark can close the earliest open run; +1ms
+        // because the engine requires a strictly-future timestamp
+        val t = (keep.head.ts_us + gapUs) / 1000L + 1L
+        if (t > state.getCurrentWatermarkMs()) state.setTimeoutTimestamp(t)
+      }
+      out.iterator
+    }
+    eventTime(events.toDF())
+      .withWatermark("event_time", lateness)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionBufferState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, evs, state) =>
+          closeSessions(uid, state,
+            if (state.hasTimedOut) Iterator.empty else evs)
+      }
+  }
+
   /** Exactly-once event intake: drop redelivered `event_id`s. State holds
     * only ids younger than the watermark (`dropDuplicatesWithinWatermark`),
     * so dedup state is bounded by the lateness window — at-least-once

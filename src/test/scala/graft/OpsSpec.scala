@@ -690,6 +690,61 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("dedupSpansSaIncremental equals the full recompute, including " +
+      "out-of-order batches that dethrone a prior winner") {
+    val stored = Seq(
+      (10L, "a b c d e x"),          // prior winner of "a b c d e"
+      (12L, "q a b c d e r"),        // prior loser (covered in state)
+      (13L, "a b c d f"),            // 4-gram overlap only at k=5
+      (20L, "m n o p q r s t"))      // unique in prior corpus
+      .toDF("doc_id", "text")
+    // the batch UNDERCUTS prior ids: doc 1 dethrones doc 10 as the
+    // winner of "a b c d e" (old doc 10's output must change), doc 2
+    // duplicates the previously-UNIQUE doc-20 span, and docs 3/4 carry
+    // an in-batch-only duplicate
+    val batch = Seq(
+      (1L, "z a b c d e"),
+      (2L, "m n o p q r s t w"),
+      (3L, "j k l m n p q v"),
+      (4L, "h j k l m n p q"))
+      .toDF("doc_id", "text")
+    for (k <- Seq(5, 6)) {
+      val inc = graft.ops.Dedup.dedupSpansSaIncremental(stored, batch,
+          "text", "doc_id", k,
+          priorIndex = graft.ops.Dedup.spanGramIndex(stored, "text", "doc_id", k),
+          priorCovered = graft.ops.Dedup.spanCovered(stored, "text", "doc_id", k))
+        .orderBy("doc_id").collect().toSeq
+      val full = graft.ops.Dedup.dedupSpansSa(stored.unionByName(batch),
+          "text", "doc_id", k)
+        .orderBy("doc_id").collect().toSeq
+      assert(inc === full, s"k=$k")
+    }
+    // state merge soundness: index(stored ∪ batch) is reproducible from
+    // index(stored) + the batch's gram summary (the production state
+    // update is one merge, never a corpus rescan)
+    val union = stored.unionByName(batch)
+    val mergedIdx = {
+      val bsum = graft.ops.Dedup.spanGramIndex(batch, "text", "doc_id", 5)
+      graft.ops.Dedup.spanGramIndex(stored, "text", "doc_id", 5)
+        .select(col("gram"), col("w_id"), col("w_pos"), col("dup"))
+        .join(bsum.select(col("gram"), col("w_id").as("b_id"),
+          col("w_pos").as("b_pos"), col("dup").as("b_dup")), Seq("gram"), "full")
+        .select(col("gram"),
+          when(col("w_id").isNull, struct(col("b_id").as("w_id"), col("b_pos").as("w_pos")))
+            .when(col("b_id").isNull, struct(col("w_id"), col("w_pos")))
+            .otherwise(least(struct(col("w_id"), col("w_pos")),
+              struct(col("b_id").as("w_id"), col("b_pos").as("w_pos")))).as("_w"),
+          (coalesce(col("dup"), lit(false)) || coalesce(col("b_dup"), lit(false)) ||
+            (col("w_id").isNotNull && col("b_id").isNotNull)).as("dup"))
+        .select(col("gram"), col("_w.w_id").as("w_id"),
+          col("_w.w_pos").as("w_pos"), col("dup"))
+        .orderBy("gram").collect().toSeq
+    }
+    val fullIdx = graft.ops.Dedup.spanGramIndex(union, "text", "doc_id", 5)
+      .orderBy("gram").collect().toSeq
+    assert(mergedIdx === fullIdx)
+  }
+
   test("iterative ops release per-round storage (no block accumulation)") {
     val sc = spark.sparkContext
     def persisted = sc.getPersistentRDDs.size

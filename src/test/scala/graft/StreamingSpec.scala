@@ -119,6 +119,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizedCustom: event-time timeout closes idle sessions without " +
+      "new arrivals; ordinals survive batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val hourUs = 3600L * 1000000L
+    def ns(us: Long): Long = us * 1000L // Event.ts is nanos
+    val q = EventStream.sessionizedCustom(input.toDS(),
+        gapUs = 30L * 60 * 1000000L, lateness = "1 hour")
+      .writeStream.format("memory").queryName("sess_custom_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // session 1 for user 10: two events 1 min apart (offset from epoch
+      // 0 — a row AT the initial watermark is dropped as late)
+      input.addData(Event(1, ns(10 * hourUs), 10, "click", 1.25),
+        Event(2, ns(10 * hourUs + 60L * 1000000L), 10, "click", 2.5))
+      q.processAllAvailable()
+      // nothing closable yet (watermark at 0 - lateness)
+      assert(spark.table("sess_custom_test").count() === 0)
+      // a much later event for ANOTHER user advances the watermark past
+      // user 10's session end + gap (+ lateness): the TIMEOUT path must
+      // close session 1 with no further user-10 arrivals
+      input.addData(Event(3, ns(16 * hourUs), 20, "view", 9.0))
+      q.processAllAvailable()
+      val afterTimeout = spark.table("sess_custom_test")
+        .as[EventStream.SessionOut].collect()
+      assert(afterTimeout.toSeq ===
+        Seq(EventStream.SessionOut(10L, 1L, 2L, 60L * 1000000L, 3.75)))
+      // user 10 returns much later: a NEW session, ordinal 2 — the
+      // per-user counter survives the drained buffer
+      input.addData(Event(4, ns(22 * hourUs), 10, "click", 4.0))
+      input.addData(Event(5, ns(34 * hourUs), 20, "view", 1.0))
+      q.processAllAvailable()
+      val seqs = spark.table("sess_custom_test")
+        .as[EventStream.SessionOut].collect()
+        .filter(_.user_id == 10L).map(_.session_seq).sorted.toSeq
+      assert(seqs === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("FastIngest transforms run unchanged on a streaming source") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
