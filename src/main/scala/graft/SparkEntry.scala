@@ -94,6 +94,36 @@ object SparkEntry {
     s.read.parquet(staged).as[MediaRecord]
   }
 
+  /** The mm_decode_jpeg fixture staged as a parquet media corpus (the
+    * stagedBmpCorpus discipline: encode is scaffolding, the timed path is
+    * scan → decode → hash).
+    */
+  private def stagedJpegCorpus(s: SparkSession,
+      dir: String): org.apache.spark.sql.Dataset[graft.model.MediaRecord] = {
+    import s.implicits._
+    import graft.model.MediaRecord
+    val staged = s"${System.getProperty("java.io.tmpdir")}/graft_jpeg_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      stagingFingerprint(dir, "documents.parquet")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(staged, "_SUCCESS")))
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (id % 21).toInt + 6
+          val h = (id % 17).toInt + 6
+          val base = ((id * 3) % 160).toInt
+          val payload = graft.ops.JpegPixels.jpegBytes(w, h,
+            grey = id % 2 == 0,
+            (bx, by) => 40 + ((bx * 5 + by * 7 + base) % 160),
+            cb = 128 + ((id % 3).toInt - 1) * 10,
+            cr = 128 + ((id % 5).toInt - 2) * 5,
+            restartInterval = if (id % 4 == 0) 2 else 0)
+          MediaRecord(id, "image/jpeg", payload, Map.empty)
+        }
+        .write.mode("overwrite").parquet(staged)
+    s.read.parquet(staged).as[MediaRecord]
+  }
+
   /** Fingerprint of a source table's files (name, size, mtime — no Spark
     * job) for fixture-staging keys: a regenerated table, or two checkouts
     * sharing one tmpdir, can never silently replay stale staging (the
@@ -5516,6 +5546,18 @@ object SparkEntry {
         .select(col("media_id"), col("width"), col("height"), col("phash_hex"))
         .orderBy("media_id")),
 
+    // Perceptual hash over the LOSSY codec (r15): the same 8×8-block
+    // average-hash construction as mm_phash, fed by the full baseline
+    // JPEG decode — image dedup over the codec real crawls are made of.
+    // The oracle rebuilds every bit arithmetically from the DC-exact
+    // generator; the constant per-image color offsets CANCEL in the
+    // block-vs-global threshold (affine-invariance of the average hash),
+    // so one formula covers grey and color.
+    "mm_phash_jpeg" -> ((s, dir) =>
+      graft.ops.Multimodal.perceptualHashes(stagedJpegCorpus(s, dir)).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("phash_hex"))
+        .orderBy("media_id")),
+
     // Image near-dup pairs: collapse the corpus to DISTINCT phash
     // classes first (the dedup_exact shape — the class table is what
     // scales, not the image count), then Manku 4×16-bit banding + exact
@@ -9419,6 +9461,40 @@ object SparkEntry {
 
     "mm_phash" ->
       s"""WITH $duckPhashCte
+        | SELECT p.media_id, p.w::INT AS width, p.h::INT AS height, h.phash_hex
+        | FROM p JOIN hashes h ON h.media_id = p.media_id
+        | ORDER BY p.media_id""".stripMargin.replace("\n", " "),
+
+    // per-pixel luminance = 3·Y + per-image color offset; the offset
+    // cancels in bSum·nPx > total·bCnt (affine invariance), so the bits
+    // derive from Y alone — Y(x,y) = 40 + ((5·(x div 8) + 7·(y div 8) +
+    // base) % 160), the DC-exact JPEG generator
+    "mm_phash_jpeg" ->
+      """WITH p AS (SELECT doc_id::BIGINT AS media_id,
+        |        (doc_id % 21 + 6)::BIGINT AS w,
+        |        (doc_id % 17 + 6)::BIGINT AS h,
+        |        ((doc_id * 3) % 160)::BIGINT AS base
+        |        FROM documents),
+        | xs AS (SELECT media_id, w, h, base, unnest(range(0, w)) AS x FROM p),
+        | xy AS (SELECT media_id, w, h, base, x, unnest(range(0, h)) AS y FROM xs),
+        | px AS (SELECT media_id, w, h,
+        |        40 + ((5 * (x // 8) + 7 * (y // 8) + base) % 160) AS lum,
+        |        (x * 8) // w AS bx, (y * 8) // h AS by FROM xy),
+        | blocks AS (SELECT media_id, w, h, by, bx,
+        |        sum(lum)::BIGINT AS bs, count(*)::BIGINT AS bc
+        |   FROM px GROUP BY media_id, w, h, by, bx),
+        | tot AS (SELECT media_id, sum(lum)::BIGINT AS ts FROM px GROUP BY media_id),
+        | rb AS (SELECT b.media_id, b.by,
+        |     sum(CASE WHEN b.bs * (b.w * b.h) > t.ts * b.bc
+        |              THEN 1 << b.bx ELSE 0 END)::BIGINT AS rbyte
+        |   FROM blocks b JOIN tot t ON t.media_id = b.media_id
+        |   GROUP BY b.media_id, b.by),
+        | grid AS (SELECT media_id, unnest(range(0, 8)) AS by FROM p),
+        | fullrows AS (SELECT g.media_id, g.by, coalesce(rb.rbyte, 0) AS rbyte
+        |   FROM grid g LEFT JOIN rb ON rb.media_id = g.media_id AND rb.by = g.by),
+        | hashes AS (SELECT media_id,
+        |     string_agg(printf('%02x', rbyte), '' ORDER BY by) AS phash_hex
+        |   FROM fullrows GROUP BY media_id)
         | SELECT p.media_id, p.w::INT AS width, p.h::INT AS height, h.phash_hex
         | FROM p JOIN hashes h ON h.media_id = p.media_id
         | ORDER BY p.media_id""".stripMargin.replace("\n", " "),

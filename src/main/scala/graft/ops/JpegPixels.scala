@@ -209,10 +209,92 @@ object JpegPixels {
   private final case class Component(id: Int, hs: Int, vs: Int, tq: Int,
                                      var td: Int = 0, var ta: Int = 0)
 
+  /** A fully-decoded image: cropped dims + exact per-pixel RGB access
+    * (grey replicates the single channel). Internal surface shared by
+    * [[decode]] (whole-image sums) and [[aHashHex]] (block means).
+    */
+  private final case class Parsed(w: Int, h: Int, channels: Int,
+      planes: Array[Array[Int]], planeW: Array[Int],
+      sx1: Int, sy1: Int, sx2: Int, sy2: Int) {
+    def rgb(x: Int, y: Int, out: Array[Int]): Unit = {
+      val yy = planes(0)(y * planeW(0) + x)
+      if (channels == 1) { out(0) = yy; out(1) = yy; out(2) = yy }
+      else {
+        val cb = planes(1)((y / sy1) * planeW(1) + x / sx1)
+        val cr = planes(2)((y / sy2) * planeW(2) + x / sx2)
+        def cl(d: Double): Int = {
+          val v = math.round(d).toInt
+          if (v < 0) 0 else if (v > 255) 255 else v
+        }
+        out(0) = cl(yy + 1.402 * (cr - 128))
+        out(1) = cl(yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+        out(2) = cl(yy + 1.772 * (cb - 128))
+      }
+    }
+  }
+
   /** Decode pixel statistics, or None for anything that is not a strict
     * 8-bit baseline grey / 4:4:4 / 4:2:0 JFIF-style JPEG.
     */
-  def decode(p: Array[Byte]): Option[Stats] = {
+  def decode(p: Array[Byte]): Option[Stats] = parse(p).map { d =>
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    val px = new Array[Int](3)
+    var y0 = 0
+    while (y0 < d.h) {
+      var x0 = 0
+      while (x0 < d.w) {
+        d.rgb(x0, y0, px)
+        sumR += px(0); sumG += px(1); sumB += px(2)
+        x0 += 1
+      }
+      y0 += 1
+    }
+    Stats(d.w, d.h, d.channels, d.w.toLong * d.h, sumR, sumG, sumB)
+  }
+
+  /** Perceptual average-hash over the decoded pixels — the same 8×8
+    * block / integer-cross-multiply construction as
+    * [[BmpPixels.aHashHex]] (luminance proxy R+G+B; grey = 3× the
+    * channel), so a JPEG and a BMP of the SAME pixels land on the SAME
+    * hash — re-encoding an image across formats is exactly the
+    * near-duplicate case the pHash key exists to catch.
+    */
+  def aHashHex(p: Array[Byte]): Option[String] = parse(p).map { d =>
+    val bSum = Array.ofDim[Long](8, 8)
+    val bCnt = Array.ofDim[Long](8, 8)
+    var total = 0L
+    val px = new Array[Int](3)
+    var y0 = 0
+    while (y0 < d.h) {
+      val by = y0 * 8 / d.h
+      var x0 = 0
+      while (x0 < d.w) {
+        d.rgb(x0, y0, px)
+        val lum = px(0) + px(1) + px(2)
+        bSum(by)(x0 * 8 / d.w) += lum
+        bCnt(by)(x0 * 8 / d.w) += 1
+        total += lum
+        x0 += 1
+      }
+      y0 += 1
+    }
+    val nPx = d.w.toLong * d.h
+    val sb = new StringBuilder(16)
+    var by = 0
+    while (by < 8) {
+      var rowByte = 0
+      var bx = 0
+      while (bx < 8) {
+        if (bSum(by)(bx) * nPx > total * bCnt(by)(bx)) rowByte |= 1 << bx
+        bx += 1
+      }
+      sb.append(f"$rowByte%02x")
+      by += 1
+    }
+    sb.toString
+  }
+
+  private def parse(p: Array[Byte]): Option[Parsed] = {
     if (p == null || p.length < 4 ||
         u8(p(0)) != 0xff || u8(p(1)) != 0xd8) return None
     val qt = new Array[Array[Int]](4)
@@ -401,42 +483,12 @@ object JpegPixels {
     }
     if (!r.eoi()) return None
 
-    // pixel walk over the CROPPED w×h with JFIF YCbCr→RGB
-    var sumR = 0L; var sumG = 0L; var sumB = 0L
-    if (comps.length == 1) {
-      var y0 = 0
-      while (y0 < h) {
-        var x0 = 0
-        while (x0 < w) {
-          sumR += planes(0)(y0 * planeW(0) + x0)
-          x0 += 1
-        }
-        y0 += 1
-      }
-      Some(Stats(w, h, 1, w.toLong * h, sumR, sumR, sumR))
-    } else {
-      val sx1 = hMax / comps(1).hs; val sy1 = vMax / comps(1).vs
-      val sx2 = hMax / comps(2).hs; val sy2 = vMax / comps(2).vs
-      var y0 = 0
-      while (y0 < h) {
-        var x0 = 0
-        while (x0 < w) {
-          val yy = planes(0)(y0 * planeW(0) + x0)
-          val cb = planes(1)((y0 / sy1) * planeW(1) + x0 / sx1)
-          val cr = planes(2)((y0 / sy2) * planeW(2) + x0 / sx2)
-          def cl(d: Double): Int = {
-            val v = math.round(d).toInt
-            if (v < 0) 0 else if (v > 255) 255 else v
-          }
-          sumR += cl(yy + 1.402 * (cr - 128))
-          sumG += cl(yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
-          sumB += cl(yy + 1.772 * (cb - 128))
-          x0 += 1
-        }
-        y0 += 1
-      }
-      Some(Stats(w, h, 3, w.toLong * h, sumR, sumG, sumB))
-    }
+    if (comps.length == 1)
+      Some(Parsed(w, h, 1, planes, planeW, 1, 1, 1, 1))
+    else
+      Some(Parsed(w, h, 3, planes, planeW,
+        hMax / comps(1).hs, vMax / comps(1).vs,
+        hMax / comps(2).hs, vMax / comps(2).vs))
   }
 
   // ---------------------------------------------------------------- encode

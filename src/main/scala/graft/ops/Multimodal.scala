@@ -114,10 +114,16 @@ object Multimodal {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
       it.flatMap { r =>
-        for {
+        val bmp = for {
           dims <- BmpPixels.dimensions(r.payload)
           hex <- BmpPixels.aHashHex(r.payload)
         } yield PerceptualHash(r.media_id, dims._1, dims._2, hex)
+        // JPEG shares the identical 8×8-block construction, so the same
+        // pixels hash the same across formats — cross-format re-encodes
+        // land in one bucket (JpegPixels.aHashHex scaladoc)
+        bmp.orElse(JpegPixels.decode(r.payload).flatMap(s =>
+          JpegPixels.aHashHex(r.payload).map(hex =>
+            PerceptualHash(r.media_id, s.width, s.height, hex))))
       }
     }
   }

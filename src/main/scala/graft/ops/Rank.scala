@@ -110,9 +110,14 @@ object Rank {
     * `sortCols` must be a total order (include a unique tiebreaker).
     * The frame materializes once because partition boundaries are
     * sampled per execution — the offset pass and the rank expression
-    * MUST see the same physical partitioning. Result carries `rn`;
-    * caller releases nothing (the materialized input is dropped with
-    * the returned frame's lineage on session cleanup).
+    * MUST see the same physical partitioning. Result carries `rn`.
+    *
+    * STORAGE RETENTION (ADVICE r14): the result reads a checkpoint of
+    * the full carried row set, held until the caller releases it —
+    * `Iterate.releaseCheckpoint(result)` after full consumption,
+    * `GraftSession.releaseAll` between harness queries, or session
+    * cleanup. Long-lived sessions calling this repeatedly should
+    * release explicitly (same contract as `SuffixArray.neighborLcps`).
     */
   def globalRowNumber(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
                       parts: Int = 32): DataFrame = {

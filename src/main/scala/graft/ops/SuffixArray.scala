@@ -407,6 +407,17 @@ object SuffixArray {
     *
     * Output matches [[lcpNeighbors]]: (idCol, pos, nbr_id, nbr_pos, lcp),
     * one row per consecutive SA pair (suffix count − 1 rows).
+    *
+    * STORAGE RETENTION (ADVICE r14): the returned frame reads a
+    * checkpoint carrying full-suffix string keys — O(suffixes ×
+    * longest-doc) bytes — whose handle cannot be released here (the
+    * frame's own scan needs the files). It is reclaimed by
+    * [[graft.ops.Iterate.releaseCheckpoint]](frame) once the caller has
+    * fully consumed the result, by `GraftSession.releaseAll` between
+    * harness queries, or with the checkpoint dir at session end. A
+    * long-lived session making repeated library calls should release
+    * explicitly — same contract as [[build]]'s fast path and
+    * [[graft.ops.Rank.globalRowNumber]].
     */
   def neighborLcps(df: DataFrame, textCol: String, idCol: String,
                    parts: Int = 32, fallbackCap: Int = 128): DataFrame = {

@@ -110,6 +110,30 @@ class JpegSpec extends AnyFunSuite {
     assert(px.distinct.length > 1)
   }
 
+  test("aHashHex: a JPEG and a BMP of the same pixels share one hash " +
+      "(cross-format near-dup key)") {
+    val w = 21; val h = 13; val cb = 138; val cr = 118
+    val jpeg = JpegPixels.jpegBytes(w, h, grey = false, yOf, cb = cb, cr = cr)
+    // the decoded JPEG's exact channels: Y + constant offsets
+    val rOff = math.round(1.402 * (cr - 128)).toInt
+    val gOff = math.round(-0.344136 * (cb - 128) - 0.714136 * (cr - 128)).toInt
+    val bOff = math.round(1.772 * (cb - 128)).toInt
+    val bmp = graft.ops.BmpPixels.bmpBytes(w, h, (x, y) => {
+      val v = yOf(x / 8, y / 8)
+      (v + rOff, v + gOff, v + bOff)
+    })
+    val jh = JpegPixels.aHashHex(jpeg)
+    assert(jh.isDefined)
+    assert(jh === graft.ops.BmpPixels.aHashHex(bmp))
+    // grey path too
+    val jg = JpegPixels.aHashHex(JpegPixels.jpegBytes(16, 9, grey = true, yOf))
+    val bg = graft.ops.BmpPixels.aHashHex(
+      graft.ops.BmpPixels.bmpBytes(16, 9, (x, y) => {
+        val v = yOf(x / 8, y / 8); (v, v, v)
+      }))
+    assert(jg.isDefined && jg === bg)
+  }
+
   test("strictness: malformed payloads return None, never throw") {
     val good = JpegPixels.jpegBytes(16, 16, grey = false, yOf, cb = 130, cr = 120)
     assert(JpegPixels.decode(good).isDefined)
