@@ -53,7 +53,7 @@ object Bench {
   // adding a usable minimum (ADVICE r10)
   private val NeverCleanCutoff = 3
 
-  private def control(spark: org.apache.spark.sql.SparkSession): Double = {
+  private[graft] def control(spark: org.apache.spark.sql.SparkSession): Double = {
     val t0 = System.nanoTime()
     spark.range(64L << 20).selectExpr("max(hash(id)) AS h")
       .write.format("noop").mode("overwrite").save()

@@ -15,11 +15,9 @@ object BenchOne {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       GraftSession.releaseAll(spark)
-      // same fixed-work control as Bench: normalizes host-steal windows
-      val c0 = System.nanoTime()
-      spark.range(64L << 20).selectExpr("max(hash(id)) AS h")
-        .write.format("noop").mode("overwrite").save()
-      val ctl = (System.nanoTime() - c0) / 1e9
+      // Bench's own fixed-work control: normalizes host-steal windows and
+      // stays comparable if the control workload is ever re-tuned there
+      val ctl = Bench.control(spark)
       println(f"RUN$i=$dt%.2f CTL=$ctl%.2f")
     }
     spark.stop()

@@ -94,6 +94,24 @@ object SparkEntry {
     s.read.parquet(staged).as[MediaRecord]
   }
 
+  /** ONE generator for the DC-exact JPEG fixture — mm_decode_jpeg encodes
+    * it inline, [[stagedJpegCorpus]] (mm_phash_jpeg) stages it; both
+    * DuckDB oracles re-derive the same formulas, so the parameters live
+    * in exactly one Scala place (review r15: two drifting copies).
+    */
+  private def jpegFixtureRecord(id: Long): graft.model.MediaRecord = {
+    val w = (id % 21).toInt + 6
+    val h = (id % 17).toInt + 6
+    val base = ((id * 3) % 160).toInt
+    val payload = graft.ops.JpegPixels.jpegBytes(w, h,
+      grey = id % 2 == 0,
+      (bx, by) => 40 + ((bx * 5 + by * 7 + base) % 160),
+      cb = 128 + ((id % 3).toInt - 1) * 10,  // Cb−128 ∈ {−10,0,10}
+      cr = 128 + ((id % 5).toInt - 2) * 5,   // Cr−128 ∈ {−10..10}
+      restartInterval = if (id % 4 == 0) 2 else 0)
+    graft.model.MediaRecord(id, "image/jpeg", payload, Map.empty)
+  }
+
   /** The mm_decode_jpeg fixture staged as a parquet media corpus (the
     * stagedBmpCorpus discipline: encode is scaffolding, the timed path is
     * scan → decode → hash).
@@ -108,18 +126,7 @@ object SparkEntry {
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(staged, "_SUCCESS")))
       t(s, dir, "documents")
         .select(col("doc_id").cast("long")).as[Long]
-        .map { id =>
-          val w = (id % 21).toInt + 6
-          val h = (id % 17).toInt + 6
-          val base = ((id * 3) % 160).toInt
-          val payload = graft.ops.JpegPixels.jpegBytes(w, h,
-            grey = id % 2 == 0,
-            (bx, by) => 40 + ((bx * 5 + by * 7 + base) % 160),
-            cb = 128 + ((id % 3).toInt - 1) * 10,
-            cr = 128 + ((id % 5).toInt - 2) * 5,
-            restartInterval = if (id % 4 == 0) 2 else 0)
-          MediaRecord(id, "image/jpeg", payload, Map.empty)
-        }
+        .map(jpegFixtureRecord)
         .write.mode("overwrite").parquet(staged)
     s.read.parquet(staged).as[MediaRecord]
   }
@@ -5484,23 +5491,10 @@ object SparkEntry {
     // touches every pixel exactly.
     "mm_decode_jpeg" -> ((s, dir) => {
       import s.implicits._
-      import graft.model.MediaRecord
-      import graft.ops.{JpegPixels, Multimodal}
+      import graft.ops.Multimodal
       val recs = t(s, dir, "documents")
         .select(col("doc_id").cast("long")).as[Long]
-        .map { id =>
-          val w = (id % 21).toInt + 6
-          val h = (id % 17).toInt + 6
-          val base = ((id * 3) % 160).toInt
-          val grey = id % 2 == 0
-          val cb = 128 + ((id % 3).toInt - 1) * 10 // Cb−128 ∈ {−10,0,10}
-          val cr = 128 + ((id % 5).toInt - 2) * 5  // Cr−128 ∈ {−10..10}
-          val dri = if (id % 4 == 0) 2 else 0      // restart-marker arm
-          val payload = JpegPixels.jpegBytes(w, h, grey,
-            (bx, by) => 40 + ((bx * 5 + by * 7 + base) % 160),
-            cb = cb, cr = cr, restartInterval = dri)
-          MediaRecord(id, "image/jpeg", payload, Map.empty)
-        }
+        .map(jpegFixtureRecord)
       Multimodal.decodePixels(recs)
         .toDF()
         .select(col("media_id"), col("media_type"),

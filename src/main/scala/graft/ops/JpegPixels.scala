@@ -259,7 +259,13 @@ object JpegPixels {
     * hash — re-encoding an image across formats is exactly the
     * near-duplicate case the pHash key exists to catch.
     */
-  def aHashHex(p: Array[Byte]): Option[String] = parse(p).map { d =>
+  def aHashHex(p: Array[Byte]): Option[String] = aHash(p).map(_._3)
+
+  /** (width, height, aHash hex) from ONE parse + one pixel walk — the
+    * perceptualHashes surface (separate decode-for-dims + aHashHex calls
+    * paid two full decodes per record, r15 review).
+    */
+  def aHash(p: Array[Byte]): Option[(Int, Int, String)] = parse(p).map { d =>
     val bSum = Array.ofDim[Long](8, 8)
     val bCnt = Array.ofDim[Long](8, 8)
     var total = 0L
@@ -291,7 +297,7 @@ object JpegPixels {
       sb.append(f"$rowByte%02x")
       by += 1
     }
-    sb.toString
+    (d.w, d.h, sb.toString)
   }
 
   private def parse(p: Array[Byte]): Option[Parsed] = {
@@ -371,10 +377,13 @@ object JpegPixels {
           if (ns != comps.length || seg + 1 + 2 * ns + 3 > segEnd) return None
           var c = 0
           while (c < ns) {
-            val id = u8(p(seg + 1 + 2 * c))
-            val comp = comps.find(_.id == id).getOrElse(return None)
-            comp.td = u8(p(seg + 2 + 2 * c)) >> 4
-            comp.ta = u8(p(seg + 2 + 2 * c)) & 15
+            // scan components must be the frame components IN FRAME ORDER
+            // (review r15): the MCU loop reads entropy data in SOF order,
+            // so a reordered (or duplicated) SOS silently swaps planes —
+            // out-of-contract streams must return None, not wrong pixels
+            if (u8(p(seg + 1 + 2 * c)) != comps(c).id) return None
+            comps(c).td = u8(p(seg + 2 + 2 * c)) >> 4
+            comps(c).ta = u8(p(seg + 2 + 2 * c)) & 15
             c += 1
           }
           // baseline spectral selection 0..63, no successive approximation
@@ -387,8 +396,17 @@ object JpegPixels {
     }
     comps.foreach { c =>
       if (c.tq > 3 || qt(c.tq) == null) return None
+      // td/ta are 4-bit stream values; baseline only defines slots 0-3
+      // (fuzz-caught: a corrupt SOS byte indexed past the table arrays)
+      if (c.td > 3 || c.ta > 3) return None
       if (dcT(c.td) == null || acT(c.ta) == null) return None
     }
+    // allocation guard: the planes are sized from SOF's CLAIMED geometry
+    // before a single entropy bit validates it — a corrupt (or hostile)
+    // dimension field must not drive a multi-GB allocation. 64 MPx
+    // covers any real crawl image; larger claims fall to the caller's
+    // fallback like every other out-of-contract stream.
+    if (w.toLong * h > (1L << 26)) return None
 
     val hMax = comps.map(_.hs).max
     val vMax = comps.map(_.vs).max

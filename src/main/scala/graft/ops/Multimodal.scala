@@ -120,10 +120,10 @@ object Multimodal {
         } yield PerceptualHash(r.media_id, dims._1, dims._2, hex)
         // JPEG shares the identical 8×8-block construction, so the same
         // pixels hash the same across formats — cross-format re-encodes
-        // land in one bucket (JpegPixels.aHashHex scaladoc)
-        bmp.orElse(JpegPixels.decode(r.payload).flatMap(s =>
-          JpegPixels.aHashHex(r.payload).map(hex =>
-            PerceptualHash(r.media_id, s.width, s.height, hex))))
+        // land in one bucket (JpegPixels.aHashHex scaladoc); one parse +
+        // one pixel walk per record
+        bmp.orElse(JpegPixels.aHash(r.payload).map { case (w, h, hex) =>
+          PerceptualHash(r.media_id, w, h, hex) })
       }
     }
   }

@@ -208,10 +208,22 @@ object EventStream {
       flushRun()
       state.update(SessionBufferState(closed, keep.toSeq))
       if (keep.nonEmpty) {
-        // re-fire when the watermark can close the earliest open run; +1ms
-        // because the engine requires a strictly-future timestamp
-        val t = (keep.head.ts_us + gapUs) / 1000L + 1L
-        if (t > state.getCurrentWatermarkMs()) state.setTimeoutTimestamp(t)
+        // re-fire when the watermark can close the earliest open run —
+        // i.e. at the FIRST KEPT RUN'S END + gap. Using the run's START
+        // stranded sessions (r15 review): with wm ∈ (start+gap, end+gap]
+        // the guard skipped re-arming, and an un-armed EventTimeTimeout
+        // group is never invoked again without new data for that key —
+        // the session (and its state) leaked forever. The first kept run
+        // failed its close test, so end+gap ≥ wm and the timestamp is
+        // always strictly future; the max() keeps the engine's
+        // must-be-past-watermark contract explicit.
+        var e = keep.head.ts_us
+        var i = 1
+        while (i < keep.length && keep(i).ts_us - e <= gapUs) {
+          e = keep(i).ts_us; i += 1
+        }
+        state.setTimeoutTimestamp(
+          math.max((e + gapUs) / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
       }
       out.iterator
     }

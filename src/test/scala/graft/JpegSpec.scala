@@ -162,6 +162,32 @@ class JpegSpec extends AnyFunSuite {
     assert(JpegPixels.decode(null).isEmpty)
   }
 
+  test("fuzz: random mutations of a valid stream never throw") {
+    // deterministic xorshift mutations — corrupt markers, lengths,
+    // huffman tables, entropy bytes; decode must return an Option, never
+    // escape an exception or loop
+    val good = JpegPixels.jpegBytes(24, 17, grey = false, yOf, cb = 118, cr = 135,
+      restartInterval = 2)
+    var s = 0x9e3779b97f4a7c15L
+    def nxt(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s }
+    for (trial <- 0 until 300) {
+      val b = good.clone()
+      val nMut = 1 + (nxt() & 3).toInt
+      for (_ <- 0 until nMut) {
+        val pos = math.floorMod(nxt(), b.length).toInt
+        b(pos) = (nxt() & 0xff).toByte
+      }
+      JpegPixels.decode(b) // value irrelevant; must not throw
+      JpegPixels.aHashHex(b)
+    }
+    // pure-noise payloads of assorted sizes
+    for (n <- Seq(5, 64, 1024)) {
+      val b = Array.tabulate(n)(i => (nxt() & 0xff).toByte)
+      b(0) = 0xff.toByte; b(1) = 0xd8.toByte // force past the signature
+      JpegPixels.decode(b)
+    }
+  }
+
   test("a real-ish payload mix routes by content, not declared type") {
     // the Multimodal chain sniffs payload bytes; a JPEG mislabeled as PNG
     // must still decode as JPEG and a PNG payload must not match here

@@ -159,6 +159,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizedCustom: a timeout that fires before the session is " +
+      "closable re-arms (no stranded session)") {
+    // r15 review regression: with the watermark INSIDE (start+gap,
+    // end+gap], the timeout fires, the run cannot close yet, and the old
+    // re-arm guard (keyed on the run START) skipped setTimeoutTimestamp —
+    // an un-armed EventTimeTimeout group is never invoked again without
+    // new data, so the session never emitted.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val minUs = 60L * 1000000L
+    def ns(us: Long): Long = us * 1000L
+    val t10h = 10L * 3600L * 1000000L
+    val q = EventStream.sessionizedCustom(input.toDS(),
+        gapUs = 30L * minUs, lateness = "1 hour")
+      .writeStream.format("memory").queryName("sess_strand_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // user A: 10:00 and 10:25 — timeout arms off this batch
+      input.addData(Event(1, ns(t10h), 10, "click", 1.0),
+        Event(2, ns(t10h + 25 * minUs), 10, "click", 2.0))
+      q.processAllAvailable()
+      // user B at 11:45 → wm 10:45 ∈ (10:30, 10:55]: A's timeout fires
+      // but the run is NOT yet closable — must re-arm at end+gap
+      input.addData(Event(3, ns(t10h + 105 * minUs), 20, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_strand_test")
+        .where($"user_id" === 10).count() === 0)
+      // user B again at 13:00 → wm 12:00 > 10:55: the RE-ARMED timeout
+      // must now close and emit A's session with no further A arrivals
+      input.addData(Event(4, ns(t10h + 180 * minUs), 20, "view", 1.0))
+      q.processAllAvailable()
+      val a = spark.table("sess_strand_test")
+        .where($"user_id" === 10)
+        .as[EventStream.SessionOut].collect().toSeq
+      assert(a === Seq(EventStream.SessionOut(10L, 1L, 2L, 25 * minUs, 3.0)))
+    } finally q.stop()
+  }
+
   test("FastIngest transforms run unchanged on a streaming source") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
