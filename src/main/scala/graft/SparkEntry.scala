@@ -5490,11 +5490,11 @@ object SparkEntry {
     // arithmetically and a hash match proves the full decode path
     // touches every pixel exactly.
     "mm_decode_jpeg" -> ((s, dir) => {
-      import s.implicits._
       import graft.ops.Multimodal
-      val recs = t(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .map(jpegFixtureRecord)
+      // staged corpus (shared with mm_phash_jpeg): encode is fixture
+      // scaffolding — the timed path is parquet scan → decode, the shape
+      // a real image corpus has
+      val recs = stagedJpegCorpus(s, dir)
       Multimodal.decodePixels(recs)
         .toDF()
         .select(col("media_id"), col("media_type"),
