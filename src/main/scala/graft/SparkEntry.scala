@@ -1210,9 +1210,11 @@ object SparkEntry {
     // Low score = tokens the corpus finds improbable (gibberish/OCR
     // noise); distinct from entropy, which is blind to the corpus.
     "text_lm_score" -> ((s, dir) => {
+      // toks: global model + totals + per-doc counts — one tokenization
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .where(col("term") =!= "")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val global = toks.groupBy("term").agg(count(lit(1)).as("gf"))
       val totals = toks.agg(count(lit(1)).as("n"))
       toks.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
@@ -1246,6 +1248,8 @@ object SparkEntry {
           expr("slice(a, 1, size(a) - 1)").as("l"),
           expr("slice(a, 2, size(a) - 1)").as("r"))).as("z"))
         .select(col("doc_id"), col("z.l").as("w1"), col("z.r").as("w2"))
+        // three aggregations read the bigram explode: cache it
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cnt = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
       val bgf = bg.groupBy("w1", "w2").agg(count(lit(1)).as("bgf"))
       val lcf = bg.groupBy("w1").agg(count(lit(1)).as("lcf"))
@@ -1348,14 +1352,22 @@ object SparkEntry {
     // lower_ok (CMS never undercounts) must ALWAYS hold; upper_ok uses
     // the 3N/w integer bound (≥ eN/w), checked here on real data.
     "sketch_cms" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
+      // ONE tokenization pass: the exact per-term count table is the only
+      // consumer of the raw token explode; the total and the CMS both
+      // derive from it (counters are linear, so a weight-summed build is
+      // bit-identical to the per-occurrence build — Sketch.cmsBuildWeighted).
+      // `exact` is persisted because it feeds three downstream aggregates;
+      // it is the DISTINCT-term frame (vocabulary-sized), not the corpus.
+      val exact = t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("term"))
         .where(col("term") =!= "")
-      val exact = toks.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
-      val tot = toks.agg(count(lit(1)).as("n"))
+        .groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = exact.agg(sum("exact_cnt").as("n"))
       val heavy = exact.crossJoin(broadcast(tot))
         .where(col("exact_cnt") * 51 > col("n"))
-      val cms = graft.ops.Sketch.cmsBuild(toks, "term", w = 16384, d = 4)
+      val cms = graft.ops.Sketch.cmsBuildWeighted(exact, "term", "exact_cnt",
+        w = 16384, d = 4)
       val est = graft.ops.Sketch.cmsEstimate(cms, heavy.select("term"), "term",
         w = 16384, d = 4)
       heavy.join(est, "term")
@@ -1369,9 +1381,15 @@ object SparkEntry {
     // Grouped heavy hitters: per-language frequent terms (per-domain
     // profiling — same lossless two-pass shape, sketches per group).
     "sketch_frequent_by_lang" -> ((s, dir) => {
+      // frequentItemsByGroup is deliberately two-pass (Misra-Gries sketch,
+      // then an exact recount of the lossless candidate superset); persist
+      // the exploded tokens so the second pass reads the cache instead of
+      // re-tokenizing the corpus. MEMORY_AND_DISK: at 100 TB this spills,
+      // which still beats a second parse+split+explode of the raw text.
       val toks = t(s, dir, "documents")
         .select(col("lang"), explode(split(col("text"), " ")).as("term"))
         .where(col("term") =!= "")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.ops.TopK.frequentItemsByGroup(toks, "lang", "term", k = 50)
         .withColumnsRenamed(Map("grp" -> "lang", "item" -> "term"))
     }),
@@ -1776,17 +1794,28 @@ object SparkEntry {
     // an operator with its own green oracle; this proves they COMPOSE.
     "pipeline_pretrain" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // Two cascaded persists kill the r15 audit's x30 documents re-scan:
+      // `gated` (tokenize + stopword hits — the expensive derivation) is
+      // consumed ~6x inside dupGramFractionRelative alone; `clean` is
+      // consumed by both the first-id winner agg and the dedup join. The
+      // clean cache carries md5(text) instead of text, so neither cached
+      // frame holds more than (id, source, n_tok, hash) per row.
       val gated = docs
         .withColumn("n_tok", size(split(col("text"), " ")))
         .withColumn("stop_hits", Functions.wordSetHits(col("text"), stopEn))
         .where(col("n_tok") >= 20 && col("stop_hits") > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val keepIds = graft.ops.Quality
         .dupGramFractionRelative(gated, "text", "doc_id", minPermille = 5)
         .where(col("keep") === 1).select("doc_id")
       val clean = gated.join(keepIds, "doc_id")
-      val firstIds = clean.groupBy(md5(col("text")).as("h"))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          md5(col("text")).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val firstIds = clean.groupBy("h")
         .agg(min("doc_id").as("doc_id")).select("doc_id")
       val deduped = clean.join(firstIds, "doc_id")
+        .select("doc_id", "source", "n_tok")
       val counts = deduped.groupBy("source").agg(count(lit(1)).as("n_s"))
       val rates = counts.crossJoin(broadcast(counts.agg(min("n_s").as("n_min"))))
         .withColumn("keep_bp", least(lit(10000L),
@@ -2003,9 +2032,14 @@ object SparkEntry {
     // exact pairs — both linear shapes; the matrix is ≤ 8×12 cells.
     "dedup_calibration" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // est is consumed twice (as ngramJaccardFor's pair filter AND as the
+      // left side of the final join); persisting the pairs table — bounded
+      // by the LSH candidate count, far smaller than the corpus — runs the
+      // whole minhash signature+banding pipeline once instead of twice.
       val est = Dedup.minhashCandidates(
         Dedup.minhashSignature(docs, "text", "doc_id"), "doc_id",
         threshold = 0.25)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // exact Jaccard scored only for the est pairs (pair-keyed joins) —
       // same values/rows as the full ngramCandidates self-join restricted
       // to them, at |pairs|-bounded cost
@@ -3302,10 +3336,13 @@ object SparkEntry {
     // per-doc fold runs term-sorted so floats are partition-order-free
     // (the text_lm_score pattern). High score = looks like the target.
     "sample_dsir" -> ((s, dir) => {
+      // toks feeds the raw model, the target model, the constants row and
+      // the per-doc fold — four consumers, one tokenization, cached.
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           explode(split(col("text"), " ")).as("term"))
         .where(col("term") =!= "")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val raw = toks.groupBy("term").agg(count(lit(1)).as("rf"))
       val tgt = toks.where(col("source") === "src0")
         .groupBy("term").agg(count(lit(1)).as("tf"))
@@ -3513,10 +3550,16 @@ object SparkEntry {
     // by candidate pairs × shared shingles, linear in the verified set.
     "dedup_containment" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // sh feeds three consumers (both sides of the intersection join and
+      // the per-doc counts) and cand two (intersection probe + final
+      // frame): persist both so the corpus is shingled once and the
+      // signature+banding pipeline runs once.
       val sh = Dedup.shingleRows(docs, "text", "doc_id").select(col("doc_id"), col("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = Dedup.minhashCandidates(
           Dedup.minhashSignature(docs, "text", "doc_id"), "doc_id", threshold = 0.25)
         .select("a_id", "b_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val inter = cand
         .join(sh.withColumnsRenamed(Map("doc_id" -> "a_id")), "a_id")
         .join(sh.withColumnsRenamed(Map("doc_id" -> "b_id")), Seq("b_id", "sh"))
@@ -3610,6 +3653,9 @@ object SparkEntry {
         .groupBy("doc_id")
         .agg(map_from_entries(collect_list(struct(col("g"), col("c")))).as("gm"),
           sum("c").as("n_g"))
+        // joined twice (a side and b side of each pair): one histogram
+        // build, two cache reads
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = Dedup.minhashCandidates(
           Dedup.minhashSignature(docs, "text", "doc_id"), "doc_id",
           threshold = 0.25)
@@ -3684,11 +3730,19 @@ object SparkEntry {
         col("g.max_len") <= 20 && col("stop_hits") >= 2 &&
         col("g.n_uniq") * 2 >= col("g.n_tok") &&
         col("g.top_c") * 5 <= col("g.n_tok")
+      // The quality-gated frame feeds the exact-dedup winner agg, the
+      // dedup join, and the funnel report; the exact-deduped frame feeds
+      // the minhash signature, the final anti-join, and the report. Both
+      // persisted (r16 shared-subframe audit): gopherStats runs once per
+      // doc instead of five times. MEMORY_AND_DISK — these carry text and
+      // spill at scale, which still beats recomputing the stats pass.
       val q = st.where(keepPred).select(col("doc_id"), col("lang"), col("text"),
         col("g.n_tok").as("n_tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val exKeep = q.groupBy(md5(col("text")).as("_h"))
         .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
       val ke = q.join(exKeep, "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = Dedup.minhashCandidates(
         Dedup.minhashSignature(ke, "text", "doc_id"), "doc_id", threshold = 0.25)
       val dropped = pairs.select(col("b_id").as("doc_id")).distinct()
@@ -3984,6 +4038,9 @@ object SparkEntry {
         .withColumn("_q", Similarity.quantizeInt8("embedding", "_ma"))
         .select(col("vec_id"),
           expr("transform(_q, x -> CAST(x AS FLOAT))").as("emb_q"))
+        // consumed by the centroid seed, every PQ training iteration, and
+        // the probe pipeline — quantize once, cache (audit: embeddings x8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cents = qv.where(col("vec_id") < 8)
         .select(col("vec_id").as("c_id"), col("emb_q").as("c_emb"))
       val cb = Similarity.pqTrainCodebooksInt(qv, "vec_id", "emb_q",

@@ -203,6 +203,23 @@ object Sketch {
       .select(col("row"), cmsBucket(col("_v"), col("row"), w).as("bucket"))
       .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
 
+  /** Count-min sketch from PRE-AGGREGATED (item, weight) rows — identical
+    * counters to [[cmsBuild]] over the raw occurrences (the CMS update is
+    * `counter += 1` per occurrence, which sums to `counter += weight`).
+    * Use when an exact per-item count table already exists in the plan:
+    * the expensive raw scan (tokenize + explode) then happens ONCE and
+    * the sketch derives from the small distinct-item frame instead of a
+    * second pass over the corpus.
+    */
+  def cmsBuildWeighted(df: DataFrame, valueCol: String, weightCol: String,
+                       w: Int = 16384, d: Int = 4): DataFrame =
+    df.select(col(valueCol).cast("string").as("_v"),
+        col(weightCol).cast("long").as("_wt"))
+      .where(col("_v").isNotNull)
+      .select(col("_v"), col("_wt"), explode(sequence(lit(0), lit(d - 1))).as("row"))
+      .select(col("row"), cmsBucket(col("_v"), col("row"), w).as("bucket"), col("_wt"))
+      .groupBy("row", "bucket").agg(sum("_wt").as("cnt"))
+
   /** Merge count-min sketches built with the same (w, d): counters add. */
   def cmsMerge(sketches: DataFrame*): DataFrame =
     sketches.reduce(_ unionAll _)
