@@ -225,10 +225,10 @@ object Sinks {
     * to a PARTIAL bucket map and [[readMerged]] would silently serve a
     * table missing buckets — the opposite of the fail-loudly contract.
     * parseManifest throws on a count mismatch or a missing sentinel.
-    * FORMAT NOTE: manifests written before round 15 lack `n`/`eof` and
-    * are rejected the same way (no tables outlive a round in this repo;
-    * a deploy upgrading in place would regenerate the manifest by
-    * re-writing it from the parsed map before trusting new code).
+    * A LEGACY manifest (pre-integrity format: `buckets` present but no
+    * `"n":` key) gets a DISTINCT format-version error rather than the
+    * corruption diagnosis (advice r15) — the operator fix is "rewrite
+    * via writeManifest", not crash forensics.
     */
   private def parseManifest(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Map[Int, String] = {
@@ -238,6 +238,11 @@ object Sinks {
     val declared = "\"n\":([0-9]+)".r.findFirstMatchIn(txt).map(_.group(1).toInt)
     val entries = "\"([0-9]+)\":\"([^\"]+)\"".r.findAllMatchIn(txt)
       .map(m => m.group(1).toInt -> m.group(2)).toMap
+    if (declared.isEmpty && txt.contains("\"buckets\""))
+      throw new java.io.IOException(
+        s"manifest $p uses the pre-integrity format (no \"n\" count / " +
+          "\"eof\" sentinel) — too old for this reader; regenerate it by " +
+          "re-writing the table (writeManifest) before trusting this build")
     if (!txt.trim.endsWith(""","eof":1}""") || !declared.contains(entries.size))
       throw new java.io.IOException(
         s"manifest $p is truncated or corrupt: declared n=$declared, " +

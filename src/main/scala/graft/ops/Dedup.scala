@@ -1026,11 +1026,80 @@ object Dedup {
     */
   def dedupSpansSaIncremental(stored: DataFrame, batch: DataFrame,
       textCol: String, idCol: String, k: Int,
-      priorIndex: DataFrame, priorCovered: DataFrame): DataFrame = {
-    val bg = batch.select(col(idCol),
+      priorIndex: DataFrame, priorCovered: DataFrame): DataFrame =
+    dedupSpansSaIncrementalWithState(stored, batch, textCol, idCol, k,
+      priorIndex, priorCovered).cleaned
+
+  /** Cleaned output PLUS the next round's persisted state — the full
+    * production contract of an append (advice r15): a caller that only
+    * got the cleaned rows had to hand-roll the index merge or rescan the
+    * stored corpus with [[spanGramIndex]] to stay incremental.
+    * `nextIndex` / `nextCovered` are exactly what the next append passes
+    * as `priorIndex` / `priorCovered`, both computed in O(batch grams)
+    * on top of the prior state (`nextCovered` is the materialized union
+    * coverage the rebuild itself consumes — no extra job).
+    */
+  final case class SpanIncrementalResult(cleaned: DataFrame,
+      nextIndex: DataFrame, nextCovered: DataFrame)
+
+  def dedupSpansSaIncrementalWithState(stored: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String, k: Int,
+      priorIndex: DataFrame, priorCovered: DataFrame): SpanIncrementalResult = {
+    val bg = batchGramRows(batch, textCol, idCol, k)
+    val newCovered = spanNewCoveredFromGrams(bg, idCol, k, priorIndex)
+    // union coverage, materialized once — rebuildWithoutCovered consumes
+    // it twice (touched-doc set + kept-token marker join), and it doubles
+    // as the next round's covered state
+    val covered = graft.ops.Iterate.materialize(
+      priorCovered.select(col(idCol), col("pos")).unionByName(newCovered)).df
+    val union = stored.select(col(idCol), col(textCol))
+      .unionByName(batch.select(col(idCol), col(textCol)))
+    SpanIncrementalResult(
+      cleaned = rebuildWithoutCovered(union, textCol, idCol, covered),
+      nextIndex = spanIndexMerge(priorIndex,
+        spanGramIndex(batch, textCol, idCol, k), idCol),
+      nextCovered = covered)
+  }
+
+  /** Merge a prior [[spanGramIndex]] with a BATCH's index (the batch's
+    * own [[spanGramIndex]]) into the union corpus's index — row-equal to
+    * `spanGramIndex(stored ∪ batch)` (OpsSpec pins this), at one
+    * gram-keyed merge instead of a corpus rescan. Winner is the min
+    * (id, pos) across both sides; a gram is `dup` if either side says so
+    * or it appears on both. Scale shape: with the stored index BUCKETED
+    * BY GRAM the merge is a per-bucket join that leaves the stored side
+    * unshuffled, and only buckets containing batch grams change — a
+    * deploy overwrites touched buckets and retains the rest.
+    */
+  def spanIndexMerge(priorIndex: DataFrame, batchIndex: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    priorIndex
+      .join(batchIndex.select(col("gram"), col("w_id").as("_bid"),
+        col("w_pos").as("_bpos"), col("dup").as("_bdup")), Seq("gram"), "full")
+      .select(col("gram"),
+        when(col("w_id").isNull, struct(col("_bid").as("w_id"), col("_bpos").as("w_pos")))
+          .when(col("_bid").isNull, struct(col("w_id"), col("w_pos")))
+          .otherwise(least(struct(col("w_id"), col("w_pos")),
+            struct(col("_bid").as("w_id"), col("_bpos").as("w_pos")))).as("_w"),
+        (coalesce(col("dup"), lit(false)) || coalesce(col("_bdup"), lit(false)) ||
+          (col("w_id").isNotNull && col("_bid").isNotNull)).as("dup"))
+      .select(col("gram"), col("_w.w_id").as("w_id"),
+        col("_w.w_pos").as("w_pos"), col("dup"))
+
+  private def batchGramRows(batch: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame =
+    batch.select(col(idCol),
         posexplode(call_function("word_grams", col(textCol), lit(k)))
           .as(Seq("gpos", "gram")))
       .select(col(idCol), col("gpos").cast("long").as("gpos"), col("gram"))
+
+  /** The coverage DELTA an append adds: batch occurrences of
+    * union-duplicated grams that lose to the union winner, plus
+    * dethroned prior winners (the single way an OLD doc gains coverage).
+    * O(batch grams) against the gram-keyed prior index.
+    */
+  private def spanNewCoveredFromGrams(bg: DataFrame, idCol: String, k: Int,
+      priorIndex: DataFrame): DataFrame = {
     // per-gram batch summary: one partial-aggregable pass over the batch
     val bsum = bg.groupBy("gram")
       .agg(count(lit(1)).as("_bc"), min(struct(col(idCol), col("gpos"))).as("_bm"))
@@ -1058,15 +1127,8 @@ object Dedup {
       .where(col("w_id").isNotNull &&
         !(col("w_id") === col("_uid") && col("w_pos") === col("_upos")))
       .select(col("w_id").as(idCol), col("w_pos").as("gpos"))
-    val newCovered = batchLosers.unionByName(oldLosers)
+    batchLosers.unionByName(oldLosers)
       .select(col(idCol), explode(expr(s"sequence(gpos, gpos + ${k - 1})")).as("pos"))
-    // union coverage, materialized once — rebuildWithoutCovered consumes
-    // it twice (touched-doc set + kept-token marker join)
-    val covered = graft.ops.Iterate.materialize(
-      priorCovered.select(col(idCol), col("pos")).unionByName(newCovered)).df
-    val union = stored.select(col(idCol), col(textCol))
-      .unionByName(batch.select(col(idCol), col(textCol)))
-    rebuildWithoutCovered(union, textCol, idCol, covered)
   }
 
   /** Shared rebuild tail of the span-dedup family: drop every covered

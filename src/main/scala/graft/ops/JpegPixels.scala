@@ -415,6 +415,15 @@ object JpegPixels {
     // per-component padded plane
     val planeW = comps.map(c => mcusX * c.hs * 8)
     val planeH = comps.map(c => mcusY * c.vs * 8)
+    // TOTAL-allocation guard (advice r15): the pixel cap alone still lets
+    // a crafted 4:4:4 header demand three full-resolution Int planes
+    // (~800 MB) before any entropy byte validates — and executor tasks
+    // decode concurrently. Bound the summed PADDED plane elements so one
+    // decode never allocates more than 256 MB of planes; larger claims
+    // fall to the caller's fallback like every other out-of-contract
+    // stream (a legit 3-plane 4:4:4 image stays accepted up to ~21 MPx).
+    val totalPlaneElems = comps.indices.map(c => planeW(c).toLong * planeH(c)).sum
+    if (totalPlaneElems > (1L << 26)) return None
     val planes = comps.indices.map(c => new Array[Int](planeW(c) * planeH(c))).toArray
     val pred = new Array[Int](comps.length)
     val coef = new Array[Int](64)
@@ -453,7 +462,13 @@ object JpegPixels {
                 if (r.bad || rs < 0) return None
                 val run = rs >> 4; val sz = rs & 15
                 if (sz == 0) {
-                  if (run == 15) k += 16 else eob = true
+                  // T.81 F.2.2.2: size 0 is only defined with run 0 (EOB)
+                  // or run 15 (ZRL); run 1-14 is out-of-contract and must
+                  // reject, not silently end the block (strict-recognizer
+                  // rule — advice r15)
+                  if (run == 15) k += 16
+                  else if (run == 0) eob = true
+                  else return None
                 } else {
                   k += run
                   if (k > 63) return None

@@ -719,30 +719,36 @@ class OpsSpec extends SparkSpec {
         .orderBy("doc_id").collect().toSeq
       assert(inc === full, s"k=$k")
     }
-    // state merge soundness: index(stored ∪ batch) is reproducible from
-    // index(stored) + the batch's gram summary (the production state
-    // update is one merge, never a corpus rescan)
+    // state handoff soundness (the production contract, advice r15): the
+    // WithState variant's nextIndex is row-equal to a full index rebuild
+    // of the union, and nextCovered covers exactly the union's covered
+    // set — so chaining appends needs no corpus rescan, ever
     val union = stored.unionByName(batch)
-    val mergedIdx = {
-      val bsum = graft.ops.Dedup.spanGramIndex(batch, "text", "doc_id", 5)
-      graft.ops.Dedup.spanGramIndex(stored, "text", "doc_id", 5)
-        .select(col("gram"), col("w_id"), col("w_pos"), col("dup"))
-        .join(bsum.select(col("gram"), col("w_id").as("b_id"),
-          col("w_pos").as("b_pos"), col("dup").as("b_dup")), Seq("gram"), "full")
-        .select(col("gram"),
-          when(col("w_id").isNull, struct(col("b_id").as("w_id"), col("b_pos").as("w_pos")))
-            .when(col("b_id").isNull, struct(col("w_id"), col("w_pos")))
-            .otherwise(least(struct(col("w_id"), col("w_pos")),
-              struct(col("b_id").as("w_id"), col("b_pos").as("w_pos")))).as("_w"),
-          (coalesce(col("dup"), lit(false)) || coalesce(col("b_dup"), lit(false)) ||
-            (col("w_id").isNotNull && col("b_id").isNotNull)).as("dup"))
-        .select(col("gram"), col("_w.w_id").as("w_id"),
-          col("_w.w_pos").as("w_pos"), col("dup"))
-        .orderBy("gram").collect().toSeq
-    }
+    val res = graft.ops.Dedup.dedupSpansSaIncrementalWithState(stored, batch,
+      "text", "doc_id", 5,
+      priorIndex = graft.ops.Dedup.spanGramIndex(stored, "text", "doc_id", 5),
+      priorCovered = graft.ops.Dedup.spanCovered(stored, "text", "doc_id", 5))
+    val mergedIdx = res.nextIndex.orderBy("gram").collect().toSeq
     val fullIdx = graft.ops.Dedup.spanGramIndex(union, "text", "doc_id", 5)
       .orderBy("gram").collect().toSeq
     assert(mergedIdx === fullIdx)
+    val incCov = res.nextCovered.select("doc_id", "pos")
+      .distinct().orderBy("doc_id", "pos").collect().toSeq
+    val fullCov = graft.ops.Dedup.spanCovered(union, "text", "doc_id", 5)
+      .distinct().orderBy("doc_id", "pos").collect().toSeq
+    assert(incCov === fullCov)
+    // and a SECOND append chained off the returned state still equals the
+    // from-scratch recompute — the closure property a deploy relies on
+    val batch2 = Seq((30L, "a b c d e tail"), (31L, "fresh words only here"))
+      .toDF("doc_id", "text")
+    val inc2 = graft.ops.Dedup.dedupSpansSaIncremental(union, batch2,
+        "text", "doc_id", 5,
+        priorIndex = res.nextIndex, priorCovered = res.nextCovered)
+      .orderBy("doc_id").collect().toSeq
+    val full2 = graft.ops.Dedup.dedupSpansSa(union.unionByName(batch2),
+        "text", "doc_id", 5)
+      .orderBy("doc_id").collect().toSeq
+    assert(inc2 === full2)
   }
 
   test("iterative ops release per-round storage (no block accumulation)") {

@@ -221,6 +221,27 @@ class SinksSpec extends SparkSpec {
     assert(ex2.getMessage.contains("truncated or corrupt"))
   }
 
+  test("a legacy-format manifest gets a format-version error, not a " +
+      "corruption diagnosis") {
+    // advice r15: pre-integrity manifests (buckets map, no "n"/"eof")
+    // used to be rejected with the same 'truncated or corrupt' message
+    // as a crash artifact — a misleading diagnosis for a version skew
+    // whose fix is a rewrite, not forensics
+    val path = java.nio.file.Files.createTempDirectory("graft_legacy").toString + "/t"
+    val base = (1L to 20L).map(k => (k, s"v$k")).toDF("k", "v")
+    Sinks.mergeInto(spark, path, base, "k", numBuckets = 4)
+    val manifest = new java.io.File(path).listFiles()
+      .filter(_.getName.matches("_manifest-[0-9]+\\.json")).maxBy(_.getName)
+    val txt = new String(java.nio.file.Files.readAllBytes(manifest.toPath), "UTF-8")
+    // strip the integrity fields → the exact pre-round-15 shape
+    val legacy = txt.replaceAll(""","eof":1\}""", "}").replaceAll(""""n":[0-9]+,""", "")
+    java.nio.file.Files.write(manifest.toPath, legacy.getBytes("UTF-8"))
+    new java.io.File(manifest.getParent, "." + manifest.getName + ".crc").delete()
+    val ex = intercept[java.io.IOException] { Sinks.readMerged(spark, path) }
+    assert(ex.getMessage.contains("pre-integrity format"), ex.getMessage)
+    assert(!ex.getMessage.contains("truncated or corrupt"))
+  }
+
   test("bucketed tables join without a shuffle") {
     // clean any residue from a previous aborted run (dir without catalog entry)
     Seq("graft_bucket_left", "graft_bucket_right").foreach { tbl =>
