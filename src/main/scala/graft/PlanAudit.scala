@@ -11,13 +11,21 @@ import org.apache.spark.sql.execution.columnar.InMemoryRelation
   *   PlanAudit scans              — shared-subframe audit over ALL queries
   *
   * The `scans` mode counts, per query, how many times each source parquet
-  * table appears as a LEAF of the optimized logical plan. A table counted
-  * N times is scanned N times by the single Verify action — the defect
-  * class behind sketch_cms's triple tokenization (r15 verdict #1). Count
-  * 2 is frequently legitimate (self-joins, set ops against self); count
-  * ≥3 of an EXPENSIVE subframe (tokenize/explode above the scan) is the
-  * smell. InMemoryRelation leaves (persisted frames) are reported
-  * separately: a cached frame consumed k times costs one build, k reads.
+  * table appears as a LEAF of the optimized logical plan. CAVEAT, learned
+  * the hard way (r16): a repeated LOGICAL leaf is a candidate, not a
+  * defect — Spark's ReuseExchange/ReuseSubquery dedups identical physical
+  * subtrees, so most repeated leaves cost one physical scan already. Of
+  * eleven flagged queries persisted in the r16 sweep, nine measured
+  * flat-to-2x-SLOWER with the cache (materialization serializes stages
+  * that otherwise overlap, and the InMemoryRelation round-trip beats
+  * codegen fusion); the two real wins were a RESTRUCTURE (sketch_cms:
+  * build the CMS from the exact count table — strictly less work) and a
+  * frame whose repeated subtrees differ enough that reuse can't fire
+  * (pipeline_curation's gopherStats gate). Use this mode to find
+  * candidates, then A/B each with BenchOne against a same-host control
+  * before keeping a persist. InMemoryRelation leaves (persisted frames)
+  * are reported separately: a cached frame consumed k times costs one
+  * build, k reads.
   *
   * Caveat: EAGER ops (bm25TopTerms — anything wrapped in Iterate.scoped)
   * execute at build time, so their printed plan is the post-checkpoint

@@ -1210,11 +1210,12 @@ object SparkEntry {
     // Low score = tokens the corpus finds improbable (gibberish/OCR
     // noise); distinct from entropy, which is blind to the corpus.
     "text_lm_score" -> ((s, dir) => {
-      // toks: global model + totals + per-doc counts — one tokenization
+      // toks feeds three aggregates, but do NOT persist it: physical
+      // exchange reuse already shares the scan+explode here, and a cache
+      // materialization measured flat-to-slower (r16 A/B)
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .where(col("term") =!= "")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val global = toks.groupBy("term").agg(count(lit(1)).as("gf"))
       val totals = toks.agg(count(lit(1)).as("n"))
       toks.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
@@ -1248,8 +1249,8 @@ object SparkEntry {
           expr("slice(a, 1, size(a) - 1)").as("l"),
           expr("slice(a, 2, size(a) - 1)").as("r"))).as("z"))
         .select(col("doc_id"), col("z.l").as("w1"), col("z.r").as("w2"))
-        // three aggregations read the bigram explode: cache it
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // no persist: the three aggregations share the explode via physical
+      // exchange reuse; caching measured ~20% slower (r16 A/B)
       val cnt = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
       val bgf = bg.groupBy("w1", "w2").agg(count(lit(1)).as("bgf"))
       val lcf = bg.groupBy("w1").agg(count(lit(1)).as("lcf"))
@@ -1382,14 +1383,12 @@ object SparkEntry {
     // profiling — same lossless two-pass shape, sketches per group).
     "sketch_frequent_by_lang" -> ((s, dir) => {
       // frequentItemsByGroup is deliberately two-pass (Misra-Gries sketch,
-      // then an exact recount of the lossless candidate superset); persist
-      // the exploded tokens so the second pass reads the cache instead of
-      // re-tokenizing the corpus. MEMORY_AND_DISK: at 100 TB this spills,
-      // which still beats a second parse+split+explode of the raw text.
+      // then an exact recount of the lossless candidate superset); the
+      // re-scan reads the columnar source — caching the exploded tokens
+      // measured no faster at sf0.1 (r16 A/B) and would spill at scale.
       val toks = t(s, dir, "documents")
         .select(col("lang"), explode(split(col("text"), " ")).as("term"))
         .where(col("term") =!= "")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.ops.TopK.frequentItemsByGroup(toks, "lang", "term", k = 50)
         .withColumnsRenamed(Map("grp" -> "lang", "item" -> "term"))
     }),
@@ -1794,28 +1793,24 @@ object SparkEntry {
     // an operator with its own green oracle; this proves they COMPOSE.
     "pipeline_pretrain" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      // Two cascaded persists kill the r15 audit's x30 documents re-scan:
-      // `gated` (tokenize + stopword hits — the expensive derivation) is
-      // consumed ~6x inside dupGramFractionRelative alone; `clean` is
-      // consumed by both the first-id winner agg and the dedup join. The
-      // clean cache carries md5(text) instead of text, so neither cached
-      // frame holds more than (id, source, n_tok, hash) per row.
+      // The r15 audit counted documents x30 in the LOGICAL plan here, but
+      // the r16 interleaved A/B showed persisting gated/clean is
+      // flat-to-slower: physical exchange reuse already shares the
+      // repeated subtrees, and cache materialization serializes stages
+      // that otherwise overlap. Left uncached deliberately — the audit
+      // lesson is "count physical scans, then measure", not "persist
+      // every repeated leaf".
       val gated = docs
         .withColumn("n_tok", size(split(col("text"), " ")))
         .withColumn("stop_hits", Functions.wordSetHits(col("text"), stopEn))
         .where(col("n_tok") >= 20 && col("stop_hits") > 0)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val keepIds = graft.ops.Quality
         .dupGramFractionRelative(gated, "text", "doc_id", minPermille = 5)
         .where(col("keep") === 1).select("doc_id")
       val clean = gated.join(keepIds, "doc_id")
-        .select(col("doc_id"), col("source"), col("n_tok"),
-          md5(col("text")).as("h"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val firstIds = clean.groupBy("h")
+      val firstIds = clean.groupBy(md5(col("text")).as("h"))
         .agg(min("doc_id").as("doc_id")).select("doc_id")
       val deduped = clean.join(firstIds, "doc_id")
-        .select("doc_id", "source", "n_tok")
       val counts = deduped.groupBy("source").agg(count(lit(1)).as("n_s"))
       val rates = counts.crossJoin(broadcast(counts.agg(min("n_s").as("n_min"))))
         .withColumn("keep_bp", least(lit(10000L),
@@ -2032,14 +2027,12 @@ object SparkEntry {
     // exact pairs — both linear shapes; the matrix is ≤ 8×12 cells.
     "dedup_calibration" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      // est is consumed twice (as ngramJaccardFor's pair filter AND as the
-      // left side of the final join); persisting the pairs table — bounded
-      // by the LSH candidate count, far smaller than the corpus — runs the
-      // whole minhash signature+banding pipeline once instead of twice.
+      // est is consumed twice, but unpersisted on purpose: the two
+      // consumers' identical signature+banding subtrees share physically
+      // (exchange reuse), and caching measured ~50% slower (r16 A/B)
       val est = Dedup.minhashCandidates(
         Dedup.minhashSignature(docs, "text", "doc_id"), "doc_id",
         threshold = 0.25)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // exact Jaccard scored only for the est pairs (pair-keyed joins) —
       // same values/rows as the full ngramCandidates self-join restricted
       // to them, at |pairs|-bounded cost
@@ -3336,13 +3329,12 @@ object SparkEntry {
     // per-doc fold runs term-sorted so floats are partition-order-free
     // (the text_lm_score pattern). High score = looks like the target.
     "sample_dsir" -> ((s, dir) => {
-      // toks feeds the raw model, the target model, the constants row and
-      // the per-doc fold — four consumers, one tokenization, cached.
+      // toks feeds four consumers; left uncached — exchange reuse shares
+      // the tokenization physically and caching measured slower (r16 A/B)
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           explode(split(col("text"), " ")).as("term"))
         .where(col("term") =!= "")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val raw = toks.groupBy("term").agg(count(lit(1)).as("rf"))
       val tgt = toks.where(col("source") === "src0")
         .groupBy("term").agg(count(lit(1)).as("tf"))
@@ -3550,16 +3542,13 @@ object SparkEntry {
     // by candidate pairs × shared shingles, linear in the verified set.
     "dedup_containment" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      // sh feeds three consumers (both sides of the intersection join and
-      // the per-doc counts) and cand two (intersection probe + final
-      // frame): persist both so the corpus is shingled once and the
-      // signature+banding pipeline runs once.
+      // sh/cand feed multiple consumers but stay uncached: persisting both
+      // measured 2x slower (r16 A/B) — the repeated subtrees share
+      // physically and the cache breaks stage overlap
       val sh = Dedup.shingleRows(docs, "text", "doc_id").select(col("doc_id"), col("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = Dedup.minhashCandidates(
           Dedup.minhashSignature(docs, "text", "doc_id"), "doc_id", threshold = 0.25)
         .select("a_id", "b_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val inter = cand
         .join(sh.withColumnsRenamed(Map("doc_id" -> "a_id")), "a_id")
         .join(sh.withColumnsRenamed(Map("doc_id" -> "b_id")), Seq("b_id", "sh"))
@@ -3653,9 +3642,6 @@ object SparkEntry {
         .groupBy("doc_id")
         .agg(map_from_entries(collect_list(struct(col("g"), col("c")))).as("gm"),
           sum("c").as("n_g"))
-        // joined twice (a side and b side of each pair): one histogram
-        // build, two cache reads
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = Dedup.minhashCandidates(
           Dedup.minhashSignature(docs, "text", "doc_id"), "doc_id",
           threshold = 0.25)
@@ -4038,9 +4024,6 @@ object SparkEntry {
         .withColumn("_q", Similarity.quantizeInt8("embedding", "_ma"))
         .select(col("vec_id"),
           expr("transform(_q, x -> CAST(x AS FLOAT))").as("emb_q"))
-        // consumed by the centroid seed, every PQ training iteration, and
-        // the probe pipeline — quantize once, cache (audit: embeddings x8)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cents = qv.where(col("vec_id") < 8)
         .select(col("vec_id").as("c_id"), col("emb_q").as("c_emb"))
       val cb = Similarity.pqTrainCodebooksInt(qv, "vec_id", "emb_q",

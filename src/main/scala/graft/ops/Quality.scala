@@ -121,10 +121,10 @@ object Quality {
     // split ONCE per doc before the lambda — `slice(split(...), i...)`
     // inside transform re-splits per segment (O(len²)/doc, interpreted)
     val nSegExpr = s"int(ceil(size(split($textCol, ' ')) / $segWords.0))"
-    // LAZY persist (the stitchCandidates precedent): segs feeds both the
-    // boilerplate-frequency agg and the rebuild join — one segment explode,
-    // two cache reads, no eager job; lifetime is sweepable via
-    // spark.catalog.clearCache() by callers that run many of these.
+    // segs feeds both the boilerplate-frequency agg and the rebuild join;
+    // uncached on purpose — the identical explode subtrees share via
+    // physical exchange reuse, and a lazy persist measured no faster at
+    // sf0.1 (r16 A/B) while pinning executor storage a caller must sweep.
     val segs = df
       .select(col(idCol), split(col(textCol), " ").as("_ws"))
       .select(col(idCol), posexplode(expr(
@@ -132,7 +132,6 @@ object Quality {
            | i -> array_join(slice(_ws, i * $segWords + 1, $segWords), ' '))"""
           .stripMargin.replace("\n", " ")))
       .as(Seq("seg_idx", "seg")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = df.agg(countDistinct(col(idCol)).as("nd"))
     val boiler = segs.groupBy("seg").agg(countDistinct(col(idCol)).as("seg_df"))
       .crossJoin(broadcast(nDocs))
