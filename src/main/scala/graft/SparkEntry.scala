@@ -1143,12 +1143,16 @@ object SparkEntry {
       val li = t(s, dir, "lineitem")
         .where(col("l_linenumber") <= 4)
         .select(col("l_orderkey").as("k"), col("l_partkey").cast("long").as("p"))
+      // one row per (order, member) carrying the member's in-order
+      // neighbor ARRAY — Σ|ps| rows instead of the Σ|ps|² per-pair
+      // explode (measured 0.84 → 0.66 s at sf0.1); the final
+      // array_distinct(flatten(...)) is the same neighbor-set semantics
+      // collect_set gave (LPA is neighbor-order-independent)
       val adj = li.groupBy("k").agg(collect_set(col("p")).as("ps"))
         .select(explode(expr(
-          "flatten(transform(ps, x -> transform(filter(ps, y -> y != x), y -> struct(x AS src, y AS dst))))"))
-          .as("uv"))
-        .select(col("uv.src"), col("uv.dst"))
-        .groupBy("src").agg(collect_set(col("dst")).as("nbrs"))
+          "transform(ps, x -> struct(x AS src, filter(ps, y -> y != x) AS nb))")).as("u"))
+        .select(col("u.src"), col("u.nb"))
+        .groupBy("src").agg(array_distinct(flatten(collect_list(col("nb")))).as("nbrs"))
       // node set = adjacency keys (src covers every endpoint of the
       // symmetric co-occurrence pairs) — NOT all distinct parts: a part
       // only ever ordered alone has no pairs and the oracle's node CTE

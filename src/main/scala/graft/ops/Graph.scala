@@ -190,7 +190,8 @@ object Graph {
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        iterations: Int = 10,
-                       partialCombine: Boolean = false): DataFrame = {
+                       partialCombine: Boolean = false,
+                       localBound: Long = LocalIterationBound): DataFrame = {
     val pairs = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
@@ -206,7 +207,7 @@ object Graph {
     // output with its own label, not vanish
     val nodes = pairs.select(col("src").as("node"))
       .unionAll(pairs.select(col("dst").as("node"))).distinct()
-    labelPropagationAdj(adj, nodes, iterations, partialCombine)
+    labelPropagationAdj(adj, nodes, iterations, partialCombine, localBound)
   }
 
   /** [[labelPropagation]] over a caller-built adjacency table `(src,
@@ -225,8 +226,10 @@ object Graph {
     */
   def labelPropagationAdj(adjacency: DataFrame, nodeSet: DataFrame,
                           iterations: Int,
-                          partialCombine: Boolean = false): DataFrame =
-    labelPropagationAdjImpl(adjacency, Some(nodeSet), iterations, partialCombine)
+                          partialCombine: Boolean = false,
+                          localBound: Long = LocalIterationBound): DataFrame =
+    labelPropagationAdjImpl(adjacency, Some(nodeSet), iterations, partialCombine,
+      localBound)
 
   /** [[labelPropagationAdj]] when the node set IS the adjacency key set
     * (every node has ≥ 1 neighbor): with symmetric adjacency, every round
@@ -235,16 +238,90 @@ object Graph {
     */
   def labelPropagationAdj(adjacency: DataFrame,
                           iterations: Int): DataFrame =
-    labelPropagationAdjImpl(adjacency, None, iterations, partialCombine = false)
+    labelPropagationAdjImpl(adjacency, None, iterations, partialCombine = false,
+      LocalIterationBound)
+
+  /** Collected-entry bound under which BFS / label propagation finish on
+    * the driver instead of paying per-round exchange scheduling: the
+    * SCC-endgame pattern (threshold-guarded collect, adjudicated r15)
+    * generalized to the other iterative ops. The collected state is flat
+    * longs — 2M entries ≈ 32 MB — so the guard is a DATA bound, not a
+    * recursion-depth bound like SCC's 2^16; above it the distributed
+    * rounds (whose per-round fixed cost amortizes exactly there) run
+    * unchanged. The decision is a limit-guarded BLIND collect — no
+    * persist, no count job (both measured slower than the collect they
+    * would guard, r16). (GraphSmoke's 1.6M-edge fixture keeps its
+    * adjacency above the bound on purpose — the smokes keep exercising
+    * the distributed rounds.)
+    */
+  private[graft] val LocalIterationBound = 1L << 21
+
+  /** Row bound for the limit-guarded adjacency probe: rows are per-node
+    * neighbor ARRAYS, so the row cap bounds the decode count and the
+    * post-collect entry recheck bounds total memory. (A row's array can
+    * in principle be huge, but an adjacency representation with a
+    * 100M-neighbor row breaks in the executor building it long before
+    * this collect — the row cap is the practical guard.)
+    */
+  private val LocalAdjRowBound = 1 << 18
 
   private def labelPropagationAdjImpl(adjacency: DataFrame,
                           nodeSet: Option[DataFrame],
                           iterations: Int,
-                          partialCombine: Boolean): DataFrame = {
+                          partialCombine: Boolean,
+                          localBound: Long): DataFrame = {
+    // BLIND limit-guarded probe, no persist: a cache write of the
+    // array-typed adjacency costs more than the whole local endgame
+    // (measured r16 — persist+stats+collect 1.05 s vs bare collect
+    // 0.8 s at sf0.1), so the local decision collects directly with a
+    // row cap and falls back (re-deriving the adjacency) only when the
+    // graph is big enough that the distributed rounds dominate anyway.
+    val probe =
+      if (localBound <= 0) Array.empty[org.apache.spark.sql.Row]
+      else adjacency.select(col("src"), col("nbrs"))
+        .limit(LocalAdjRowBound + 1).collect()
+    val probeEntries =
+      if (localBound > 0 && probe.length <= LocalAdjRowBound)
+        probe.length.toLong + probe.iterator.map(_.getSeq[Long](1).length.toLong).sum
+      else Long.MaxValue
+    if (probeEntries <= localBound) {
+      val nodesOpt0 = nodeSet
+      val labelsLocal = localLabelProp(adjacency.sparkSession, probe, iterations)
+      val out = Iterate.materialize(nodesOpt0 match {
+        case Some(nodes) => nodes
+          .join(labelsLocal, Seq("node"), "left")
+          .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+        case None => labelsLocal
+      })
+      return out.df
+    }
     val adj = adjacency.persist(StorageLevel.MEMORY_AND_DISK)
     val nodesOpt = nodeSet.map(_.persist(StorageLevel.MEMORY_AND_DISK))
-    // seed from adj itself: co-partitioned with every later round's join;
-    // isolated/self-loop-only nodes are grafted back by the final left join
+    val (labels, pending) =
+      distributedLabelRounds(adj, iterations, partialCombine)
+    // isolated nodes (no non-self-loop neighbors) keep their own label;
+    // materialized so the returned frame stays cheap to re-consume after
+    // the backing caches are dropped (same contract as before: the caller
+    // gets a lineage-cut result, GC reclaims the checkpoint)
+    val out = Iterate.materialize(nodesOpt match {
+      case Some(nodes) => nodes
+        .join(labels, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+      case None => labels
+    })
+    pending.foreach(_.release())
+    adj.unpersist(); nodesOpt.foreach(_.unpersist())
+    out.df
+  }
+
+  /** The distributed synchronous rounds (original shape): one message
+    * exchange + one vote tally per round, lineage-cut every
+    * [[Iterate.LazyRounds]]. Seeded from adj itself — co-partitioned with
+    * every later round's join. Returns the final label frame plus the
+    * last pending lineage cut (released by the caller once consumed).
+    */
+  private def distributedLabelRounds(adj: DataFrame, iterations: Int,
+      partialCombine: Boolean): (DataFrame, Option[Iterate.Materialized]) = {
     var labels: DataFrame = adj.select(col("src").as("node"), col("src").as("label"))
     var pending: Option[Iterate.Materialized] = None
     var i = 0
@@ -268,19 +345,51 @@ object Graph {
         labels = cut.df
       }
     }
-    // isolated nodes (no non-self-loop neighbors) keep their own label;
-    // materialized so the returned frame stays cheap to re-consume after
-    // the backing caches are dropped (same contract as before: the caller
-    // gets a lineage-cut result, GC reclaims the checkpoint)
-    val out = Iterate.materialize(nodesOpt match {
-      case Some(nodes) => nodes
-        .join(labels, Seq("node"), "left")
-        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
-      case None => labels
-    })
-    pending.foreach(_.release())
-    adj.unpersist(); nodesOpt.foreach(_.unpersist())
-    out.df
+    (labels, pending)
+  }
+
+  /** Driver-local synchronous label propagation — bit-identical to
+    * [[distributedLabelRounds]] (same seed, same per-round vote tally,
+    * same (count desc, label asc) tie-break, and the same
+    * drops-nodes-with-no-incoming-votes behavior that the final
+    * graft-back join repairs). Guarded by [[LocalIterationBound]].
+    */
+  private def localLabelProp(sess: org.apache.spark.sql.SparkSession,
+      probe: Array[org.apache.spark.sql.Row], iterations: Int): DataFrame = {
+    import sess.implicits._
+    val rows: Array[(Long, Seq[Long])] =
+      probe.map(r => (r.getLong(0), r.getSeq[Long](1)))
+    var labels = new java.util.HashMap[Long, Long](rows.length * 2)
+    rows.foreach { case (u, _) => labels.put(u, u) }
+    var i = 0
+    while (i < iterations) {
+      val votes = new java.util.HashMap[Long, java.util.HashMap[Long, Long]](rows.length * 2)
+      rows.foreach { case (u, nbrs) =>
+        if (labels.containsKey(u)) {
+          val lu = labels.get(u)
+          nbrs.foreach { v =>
+            votes.computeIfAbsent(v, _ => new java.util.HashMap[Long, Long]())
+              .merge(lu, 1L, (a, b) => a + b)
+          }
+        }
+      }
+      val nl = new java.util.HashMap[Long, Long](rows.length * 2)
+      votes.forEach { (v, m) =>
+        var bestLabel = Long.MaxValue; var bestCnt = -1L
+        m.forEach { (lab, cnt) =>
+          if (cnt > bestCnt || (cnt == bestCnt && lab < bestLabel)) {
+            bestCnt = cnt; bestLabel = lab
+          }
+        }
+        nl.put(v, bestLabel)
+      }
+      labels = nl
+      i += 1
+    }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val it = labels.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+    buf.toSeq.toDF("node", "label")
   }
 
   /** BFS reachability levels over a directed edge list from a source
@@ -301,7 +410,8 @@ object Graph {
   def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
                 sources: DataFrame, sourceCol: String,
                 maxLevels: Int = 10,
-                edgesDistinct: Boolean = false): DataFrame = {
+                edgesDistinct: Boolean = false,
+                localBound: Long = LocalIterationBound): DataFrame = {
     // NULL endpoints carry no reachability and a NULL source would emit a
     // NULL node at level 0 — drop both explicitly (the =!= filter already
     // rejects null-null rows, but null-to-value edges must not survive
@@ -322,6 +432,47 @@ object Graph {
     // exchange (measured twice, rounds 8 and 9: ~1.9s → ~2.9s at sf0.1).
     // On a cluster where frontiers outgrow the broadcast threshold,
     // repartition the edge list on src before calling.
+    // BLIND limit-guarded probe of the RAW (pre-distinct) edges: a
+    // sub-bound graph finishes as a driver-local BFS — identical
+    // first-arrival levels, none of the per-level join/anti-join
+    // scheduling, and duplicate edges are harmless to the level map so
+    // the dedup exchange is skipped entirely. No persist/count: the
+    // cache write + count job cost more than the bare collect (measured
+    // r16). An over-bound graph pays one abandoned bounded collect
+    // (≤ bound+1 flat rows) and re-derives the edges distributed.
+    val sess0 = eRaw.sparkSession
+    import sess0.implicits._
+    val probe =
+      if (localBound <= 0) Array.empty[(Long, Long)]
+      else eRaw.as[(Long, Long)].limit(localBound.toInt + 1).collect()
+    if (localBound > 0 && probe.length <= localBound) {
+      val adjLocal = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      probe.foreach { case (u, v) =>
+        adjLocal.computeIfAbsent(u,
+          _ => scala.collection.mutable.ArrayBuffer.empty) += v
+      }
+      val level = new java.util.HashMap[Long, Long]()
+      var frontier: Seq[Long] = sources
+        .select(col(sourceCol).cast("long").as("node"))
+        .where(col("node").isNotNull).distinct()
+        .as[Long].collect().toSeq
+      frontier.foreach(n => level.put(n, 0L))
+      var lvl = 0L
+      while (lvl < maxLevels && frontier.nonEmpty) {
+        val next = scala.collection.mutable.HashSet.empty[Long]
+        frontier.foreach { u =>
+          val ns = adjLocal.get(u)
+          if (ns != null) ns.foreach { v => if (!level.containsKey(v)) next += v }
+        }
+        lvl += 1
+        frontier = next.toSeq
+        frontier.foreach(n => level.put(n, lvl))
+      }
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val it = level.entrySet().iterator()
+      while (it.hasNext) { val en = it.next(); buf += ((en.getKey, en.getValue)) }
+      return buf.toSeq.toDF("node", "level")
+    }
     val e = (if (edgesDistinct) eRaw else eRaw.distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
     val src0 = sources.select(col(sourceCol).cast("long").as("node"))

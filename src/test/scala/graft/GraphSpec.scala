@@ -167,11 +167,36 @@ class GraphSpec extends SparkSpec {
     val rnd = new Random(11)
     val edges = (1 to 150).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
       .filter(e => e._1 != e._2)
-    val a = Graph.labelPropagation(edges.toDF("s", "d").repartition(1), "s", "d", 8)
+    // localBound = 0 forces the DISTRIBUTED rounds — this test pins
+    // their partitioning-independence, which the driver-local endgame
+    // would make trivially true
+    val a = Graph.labelPropagation(edges.toDF("s", "d").repartition(1), "s", "d", 8,
+        localBound = 0L)
       .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
-    val b = Graph.labelPropagation(edges.toDF("s", "d").repartition(13), "s", "d", 8)
+    val b = Graph.labelPropagation(edges.toDF("s", "d").repartition(13), "s", "d", 8,
+        localBound = 0L)
       .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(a.sameElements(b))
+  }
+
+  test("local iteration endgame matches the distributed rounds (LPA + BFS)") {
+    val rnd = new Random(23)
+    val edges = (1 to 400).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2)
+    val lpLocal = Graph.labelPropagation(edges.toDF("s", "d"), "s", "d", 5)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val lpDist = Graph.labelPropagation(edges.toDF("s", "d"), "s", "d", 5,
+        localBound = 0L)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(lpLocal === lpDist)
+    val srcs = Seq(1L, 7L).toDF("n")
+    val bLocal = Graph.bfsLevels(edges.toDF("s", "d"), "s", "d", srcs, "n",
+        maxLevels = 6)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val bDist = Graph.bfsLevels(edges.toDF("s", "d"), "s", "d", srcs, "n",
+        maxLevels = 6, localBound = 0L)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bLocal === bDist)
   }
 
   // ------------------------------------------------------------- triangles
@@ -203,7 +228,8 @@ class GraphSpec extends SparkSpec {
     val edges = (1L to 30L).map(i => (i, i % 7 + 1)).toDF("s", "d")
     val pr = Graph.pageRank(edges, "s", "d", iterations = 3)
     pr.collect()
-    val lp = Graph.labelPropagation(edges, "s", "d", iterations = 3)
+    val lp = Graph.labelPropagation(edges, "s", "d", iterations = 3,
+      localBound = 0L) // distributed path is where round storage can leak
     lp.collect()
     val tc = Graph.triangleCount(edges, "s", "d")
     tc.collect()
@@ -219,7 +245,8 @@ class GraphSpec extends SparkSpec {
     // plan depth per cut, or analysis time would dominate and this smoke
     // would crawl. Results must match the 3-round lazy path's semantics.
     val edges = (1L to 40L).map(i => (i, i % 9 + 1)).toDF("s", "d")
-    val lp10 = Graph.labelPropagation(edges, "s", "d", iterations = 10)
+    val lp10 = Graph.labelPropagation(edges, "s", "d", iterations = 10,
+      localBound = 0L)
     assert(lp10.count() === 40)
     val pr10 = Graph.pageRank(edges, "s", "d", iterations = 10)
     val mass = pr10.agg(org.apache.spark.sql.functions.sum("rank"))
@@ -230,9 +257,11 @@ class GraphSpec extends SparkSpec {
     // be identical
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
       .toDF("s", "d")
-    val lazyB = Graph.bfsLevels(path, "s", "d", Seq(1L).toDF("n"), "n", maxLevels = 4)
+    val lazyB = Graph.bfsLevels(path, "s", "d", Seq(1L).toDF("n"), "n", maxLevels = 4,
+        localBound = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val eagerB = Graph.bfsLevels(path, "s", "d", Seq(1L).toDF("n"), "n", maxLevels = 10)
+    val eagerB = Graph.bfsLevels(path, "s", "d", Seq(1L).toDF("n"), "n", maxLevels = 10,
+        localBound = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(lazyB === eagerB.filter(_._2 <= 4L))
   }
