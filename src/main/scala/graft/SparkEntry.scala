@@ -3980,6 +3980,23 @@ object SparkEntry {
           "doc_id", k = 5)
         .orderBy("doc_id")),
 
+    // RETRACTION from incremental span-dedup state — the takedown
+    // topology (VERDICT r15 gap #3): the corpus is represented by its
+    // persisted occurrence table + covered set (computed here as fixture
+    // scaffolding), docs with id % 10 == 3 are removed, and surviving
+    // docs whose grams became unique (or whose winner was dethroned)
+    // regain text. The oracle is the FULL RECOMPUTE over the surviving
+    // corpus — hash equality proves retraction soundness the same way
+    // the incremental rows prove append soundness.
+    "dedup_retract" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rem = docs.where(pmod(col("doc_id"), lit(10)) === 3).select("doc_id")
+      graft.ops.Dedup.dedupSpansSaRetract(docs, rem, "text", "doc_id", k = 5,
+          priorOcc = graft.ops.Dedup.spanOccurrences(docs, "text", "doc_id", 5),
+          priorCovered = graft.ops.Dedup.spanCovered(docs, "text", "doc_id", 5))
+        .orderBy("doc_id")
+    }),
+
     // WARM-START span dedup — the daily-append topology: yesterday's
     // corpus (ids % 10 ≠ 9) is represented ONLY by its persisted state
     // (spanGramIndex = the k-bounded SA's run summary, spanCovered = its
@@ -8420,6 +8437,8 @@ object SparkEntry {
     // the SA-run pipeline must land on the identical table — one oracle
     "dedup_spans_sa" -> spanDedupExactOracle,
 
+    "dedup_retract" -> spanDedupExactOracleOver("doc_id % 10 <> 3"),
+
     // the warm-start run must equal the full recompute over the union —
     // the oracle IS the full recompute (same SQL as dedup_spans_sa)
     "dedup_spans_sa_incremental" -> spanDedupExactOracle,
@@ -9596,6 +9615,12 @@ object SparkEntry {
   // one oracle for the whole exact-span-dedup family: the k-gram
   // aggregate (dedup_spans_exact) and the SA-run pipeline
   // (dedup_spans_sa) must land on the identical table
+  /** [[spanDedupExactOracle]] restricted to a doc subset — the retract
+    * oracle IS the full recompute over the survivors. */
+  private def spanDedupExactOracleOver(cond: String): String =
+    spanDedupExactOracle.replace("AS ws FROM documents)",
+      s"AS ws FROM documents WHERE $cond)")
+
   private val spanDedupExactOracle: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       | g AS (SELECT doc_id,

@@ -1086,6 +1086,106 @@ object Dedup {
       .select(col("gram"), col("_w.w_id").as("w_id"),
         col("_w.w_pos").as("w_pos"), col("dup"))
 
+  /** The k-gram OCCURRENCE table `(gram, id, gpos)` — the retraction-
+    * capable persisted state. [[spanGramIndex]] (winner + dup per gram)
+    * is its lossless summary for APPENDS, but a removal can dethrone a
+    * winner whose successor the summary never stored — so a deploy that
+    * must honor takedowns persists the occurrences themselves, BUCKETED
+    * BY GRAM (the retract joins then prune to touched buckets). Size is
+    * O(total grams) — the same order as the corpus — and the index stays
+    * derivable via [[spanIndexFromOccurrences]], so append batches keep
+    * their O(batch) path.
+    */
+  def spanOccurrences(df: DataFrame, textCol: String, idCol: String,
+                      k: Int = 5): DataFrame =
+    batchGramRows(df, textCol, idCol, k)
+      .select(col("gram"), col(idCol), col("gpos"))
+
+  /** [[spanGramIndex]] recomputed from an occurrence table — one
+    * partial-aggregable pass; lets a retract-capable deploy (which
+    * stores occurrences) hand [[dedupSpansSaIncremental]] its
+    * `priorIndex` without touching the raw corpus.
+    */
+  def spanIndexFromOccurrences(occ: DataFrame, idCol: String = "doc_id"): DataFrame =
+    occ.groupBy("gram")
+      .agg(count(lit(1)).as("_c"), min(struct(col(idCol), col("gpos"))).as("_m"))
+      .select(col("gram"), col("_m").getField(idCol).as("w_id"),
+        col("_m.gpos").as("w_pos"), (col("_c") >= 2).as("dup"))
+
+  /** Cleaned output plus next-round state after RETRACTING documents —
+    * the GDPR-takedown twin of [[dedupSpansSaIncrementalWithState]].
+    * Removal is the harder direction: grams can become UNIQUE again
+    * (their surviving docs regain text — appends never uncover), and a
+    * removed winner dethrones to a successor the run summary never
+    * stored, hence the occurrence-table state.
+    *
+    * Derivation, O(removed + touched-docs' grams) against the gram-
+    * bucketed occurrence table:
+    *   - affected grams = grams the removed docs carried (the only grams
+    *     whose count/winner can change);
+    *   - touched docs = surviving docs holding an affected gram — the
+    *     only docs whose coverage can change;
+    *   - their coverage is RECOMPUTED from the surviving occurrences of
+    *     their gram set (bucket-pruned probes; a gram's winner/dup comes
+    *     from ALL surviving occurrences, not just touched docs');
+    *   - everyone else's covered rows carry over; removed docs' rows drop.
+    *
+    * The one non-pruned step is finding the removed docs' grams — an
+    * id-predicate scan of the gram-bucketed table (column-pruned;
+    * a deploy retracting often keeps a second id-bucketed copy).
+    * Oracle-proved: `dedup_retract` hash-equals the full recompute over
+    * the surviving corpus.
+    */
+  final case class SpanRetractResult(cleaned: DataFrame,
+      nextOcc: DataFrame, nextCovered: DataFrame)
+
+  def dedupSpansSaRetractWithState(stored: DataFrame, removeIds: DataFrame,
+      textCol: String, idCol: String, k: Int,
+      priorOcc: DataFrame, priorCovered: DataFrame): SpanRetractResult = {
+    val rem = removeIds.select(col(idCol)).distinct()
+    // re-select to the canonical (gram, id, gpos) order — the USING join
+    // fronts the key column, and nextOcc is persisted state whose layout
+    // must match spanOccurrences
+    val occNext = priorOcc.join(broadcast(rem), Seq(idCol), "left_anti")
+      .select(col("gram"), col(idCol), col("gpos"))
+    val removedGrams = priorOcc.join(broadcast(rem), Seq(idCol), "left_semi")
+      .select(col("gram")).distinct()
+    val touched = graft.ops.Iterate.materialize(
+      occNext.join(removedGrams, Seq("gram"), "left_semi")
+        .select(col(idCol)).distinct())
+    // every gram of every touched doc (coverage is a union over ALL the
+    // doc's grams, so a per-doc rebuild needs the full set)
+    val tg = occNext.join(broadcast(touched.df), Seq(idCol))
+    val g2 = tg.select(col("gram")).distinct()
+    val idx2 = occNext.join(g2, Seq("gram"), "left_semi")
+      .groupBy("gram")
+      .agg(count(lit(1)).as("_c"), min(struct(col(idCol), col("gpos"))).as("_m"))
+    val coveredTouched = tg
+      .join(idx2.where(col("_c") >= 2)
+        .select(col("gram"), col("_m").getField(idCol).as("_mid"),
+          col("_m.gpos").as("_mpos")), Seq("gram"))
+      .where(!(col(idCol) === col("_mid") && col("gpos") === col("_mpos")))
+      .select(col(idCol), explode(expr(s"sequence(gpos, gpos + ${k - 1})")).as("pos"))
+    val coveredNext = graft.ops.Iterate.materialize(
+      priorCovered.select(col(idCol), col("pos"))
+        .join(broadcast(rem), Seq(idCol), "left_anti")
+        .join(broadcast(touched.df), Seq(idCol), "left_anti")
+        .unionByName(coveredTouched))
+    touched.release()
+    val remaining = stored.select(col(idCol), col(textCol))
+      .join(broadcast(rem), Seq(idCol), "left_anti")
+    SpanRetractResult(
+      cleaned = rebuildWithoutCovered(remaining, textCol, idCol, coveredNext.df),
+      nextOcc = occNext,
+      nextCovered = coveredNext.df)
+  }
+
+  def dedupSpansSaRetract(stored: DataFrame, removeIds: DataFrame,
+      textCol: String, idCol: String, k: Int,
+      priorOcc: DataFrame, priorCovered: DataFrame): DataFrame =
+    dedupSpansSaRetractWithState(stored, removeIds, textCol, idCol, k,
+      priorOcc, priorCovered).cleaned
+
   private def batchGramRows(batch: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame =
     batch.select(col(idCol),

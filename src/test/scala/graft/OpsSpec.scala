@@ -751,6 +751,50 @@ class OpsSpec extends SparkSpec {
     assert(inc2 === full2)
   }
 
+  test("dedupSpansSaRetract equals the full recompute over the survivors, " +
+      "restores text for grams that became unique, and chains with appends") {
+    val corpus = Seq(
+      (1L, "a b c d e x"),          // winner of "a b c d e" — will be REMOVED
+      (2L, "q a b c d e r"),        // covered loser; dethroned-to-winner after retract
+      (3L, "p a b c d e s"),        // second loser; must STAY covered (2 survives as winner)
+      (4L, "m n o p q r s t"),      // duplicated only with doc 5
+      (5L, "m n o p q r s t w"),    // REMOVED: doc 4's span becomes unique -> full restore
+      (6L, "u v w x y z a1 b1"))    // untouched
+      .toDF("doc_id", "text")
+    val rem = Seq(1L, 5L).toDF("doc_id")
+    val res = graft.ops.Dedup.dedupSpansSaRetractWithState(corpus, rem,
+      "text", "doc_id", 5,
+      priorOcc = graft.ops.Dedup.spanOccurrences(corpus, "text", "doc_id", 5),
+      priorCovered = graft.ops.Dedup.spanCovered(corpus, "text", "doc_id", 5))
+    val survivors = corpus.where(!col("doc_id").isin(1L, 5L))
+    val inc = res.cleaned.orderBy("doc_id").collect().toSeq
+    val full = graft.ops.Dedup.dedupSpansSa(survivors, "text", "doc_id", 5)
+      .orderBy("doc_id").collect().toSeq
+    assert(inc === full)
+    // doc 4 regained everything; doc 2 is the new winner (kept); doc 3 lost
+    val byId = inc.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byId(4L) === 8L, "span became unique but text not restored")
+    assert(byId(2L) === 7L, "dethroned successor should keep its text")
+    assert(byId(3L) < 7L, "second loser must stay covered")
+    // returned state is CLOSED under a further append
+    val batch = Seq((10L, "a b c d e tail"), (11L, "fresh words only here"))
+      .toDF("doc_id", "text")
+    val inc2 = graft.ops.Dedup.dedupSpansSaIncremental(survivors, batch,
+        "text", "doc_id", 5,
+        priorIndex = graft.ops.Dedup.spanIndexFromOccurrences(res.nextOcc),
+        priorCovered = res.nextCovered)
+      .orderBy("doc_id").collect().toSeq
+    val full2 = graft.ops.Dedup.dedupSpansSa(survivors.unionByName(batch),
+        "text", "doc_id", 5)
+      .orderBy("doc_id").collect().toSeq
+    assert(inc2 === full2)
+    // and the occurrence state matches a from-scratch rebuild
+    val occNext = res.nextOcc.orderBy("gram", "doc_id", "gpos").collect().toSeq
+    val occFull = graft.ops.Dedup.spanOccurrences(survivors, "text", "doc_id", 5)
+      .orderBy("gram", "doc_id", "gpos").collect().toSeq
+    assert(occNext === occFull)
+  }
+
   test("iterative ops release per-round storage (no block accumulation)") {
     val sc = spark.sparkContext
     def persisted = sc.getPersistentRDDs.size
