@@ -5604,6 +5604,49 @@ object SparkEntry {
         .orderBy("media_id", "window_id")
     }),
 
+    // COMPRESSED audio decode (FlacPcm): synthesize closed-form PCM, FLAC-
+    // encode it (fixture scaffolding that cycles every subframe strategy
+    // and stereo assignment — ops/FlacPcm.scala), decode the compressed
+    // bytes back, and report exact per-64-sample-window sums per channel.
+    // FLAC is lossless, so the decoded samples equal the generator formula
+    // bit-for-bit and the oracle recomputes every window arithmetically —
+    // a hash match proves the full bitstream walk (rice partitions, CRCs,
+    // fixed/LPC predictors, mid/side reconstruction) sample-exactly.
+    "mm_decode_flac" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ops.FlacPcm
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .flatMap { id =>
+          val n = (id % 300).toInt + 50
+          val ch0 = Array.tabulate(n)(i => (((i.toLong * 37 + id) % 2001) - 1000).toInt)
+          val chans =
+            if (id % 2 == 1)
+              Array(ch0, Array.tabulate(n)(i =>
+                (((i.toLong * 53 + 2 * id) % 1801) - 900).toInt))
+            else Array(ch0)
+          val dec = FlacPcm.decode(FlacPcm.flacEncode16(8000, chans))
+            .getOrElse(throw new IllegalStateException(s"flac roundtrip failed id=$id"))
+          for {
+            c <- dec.samples.indices
+            w <- 0 until (n + 63) / 64
+          } yield {
+            val from = w * 64
+            val until = math.min(from + 64, n)
+            var sumS = 0L; var sumSq = 0L
+            var i2 = from
+            while (i2 < until) {
+              val v = dec.samples(c)(i2)
+              sumS += v; sumSq += v.toLong * v
+              i2 += 1
+            }
+            (id, c.toLong, w.toLong, (until - from).toLong, sumS, sumSq)
+          }
+        }
+        .toDF("media_id", "ch", "window_id", "n_s", "sum_s", "sum_sq")
+        .orderBy("media_id", "ch", "window_id")
+    }),
+
     // Perceptual average-hash over REAL decoded pixels: 8×8 block grid,
     // bit = block mean luminance > global mean via exact integer
     // cross-multiply — the near-duplicate IMAGE key (image dedup becomes
@@ -9531,6 +9574,23 @@ object SparkEntry {
         | SELECT media_id, window_id, n_s, sum_s, sum_sq,
         |   CAST(sum_sq < n_s * 10000 AS INT) AS silent
         | FROM w ORDER BY media_id, window_id""".stripMargin.replace("\n", " "),
+
+    // lossless codec → the decoded samples ARE the generator formula;
+    // channel 1 exists only for odd ids (stereo fixtures)
+    "mm_decode_flac" ->
+      """WITH p AS (SELECT doc_id::BIGINT AS media_id,
+        |        ((doc_id % 300) + 50)::BIGINT AS n,
+        |        (doc_id % 2)::BIGINT AS stereo FROM documents),
+        | s AS (SELECT media_id, stereo, unnest(range(0, n)) AS i FROM p),
+        | v0 AS (SELECT media_id, 0::BIGINT AS ch, (i // 64)::BIGINT AS window_id,
+        |        ((i * 37 + media_id) % 2001) - 1000 AS smp FROM s),
+        | v1 AS (SELECT media_id, 1::BIGINT AS ch, (i // 64)::BIGINT AS window_id,
+        |        ((i * 53 + 2 * media_id) % 1801) - 900 AS smp FROM s WHERE stereo = 1),
+        | v AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
+        | SELECT media_id, ch, window_id, count(*)::BIGINT AS n_s,
+        |        sum(smp)::BIGINT AS sum_s, sum(smp * smp)::BIGINT AS sum_sq
+        | FROM v GROUP BY media_id, ch, window_id
+        | ORDER BY media_id, ch, window_id""".stripMargin.replace("\n", " "),
 
     "mm_phash" ->
       s"""WITH $duckPhashCte

@@ -57,6 +57,16 @@ class MediaFuzzSpec extends AnyFunSuite {
         (b: Array[Byte]) => graft.ops.WavPcm.pcm16WindowStats(b, 64)))
   }
 
+  test("FLAC: decode survives mutation + truncation") {
+    val mono = Array.tabulate(150)(i => ((i * 37) % 2001 - 1000))
+    fuzz("flac-mono", graft.ops.FlacPcm.flacEncode16(8000, Array(mono)),
+      Seq(graft.ops.FlacPcm.decode))
+    val l = Array.tabulate(200)(i => ((i * 37 + 5) % 2001 - 1000))
+    val r = Array.tabulate(200)(i => ((i * 53 + 10) % 1801 - 900))
+    fuzz("flac-stereo", graft.ops.FlacPcm.flacEncode16(16000, Array(l, r)),
+      Seq(graft.ops.FlacPcm.decode))
+  }
+
   test("MP4: box walk survives mutation + truncation") {
     fuzz("mp4", graft.ops.Mp4Headers.mp4Bytes("isom", 1000L, 42000L),
       Seq(graft.ops.Mp4Headers.parse))
