@@ -5581,6 +5581,76 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // PROGRESSIVE (SOF2) twin of mm_decode_jpeg: the same DC-exact
+    // generator laid out as a real multi-scan progression (DC first pass
+    // at Al=1 + DC refinement + per-component AC scans as spanning EOB
+    // runs — ops/JpegPixels.scala jpegProgressiveBytes), so the closed-
+    // form oracle is IDENTICAL and a hash match proves the successive-
+    // approximation machinery reconstructs every pixel exactly.
+    "mm_decode_jpeg_progressive" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ops.Multimodal
+      val recs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (id % 21).toInt + 6
+          val h = (id % 17).toInt + 6
+          val base = ((id * 3) % 160).toInt
+          graft.model.MediaRecord(id, "image/jpeg",
+            graft.ops.JpegPixels.jpegProgressiveBytes(w, h,
+              grey = id % 2 == 0,
+              (bx, by) => 40 + ((bx * 5 + by * 7 + base) % 160),
+              cb = 128 + ((id % 3).toInt - 1) * 10,
+              cr = 128 + ((id % 5).toInt - 2) * 5), Map.empty)
+        }
+      Multimodal.decodePixels(recs)
+        .toDF()
+        .select(col("media_id"), col("media_type"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_px"), col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("media_id")
+    }),
+
+    // Corpus-coverage measurement (r15 verdict #6): a mixed JPEG corpus
+    // — baseline, progressive, and deliberately-truncated progressions —
+    // classified by SOF marker and by whether the strict decoder accepts
+    // it. This is the operational report an engineer reads before
+    // trusting pixel stats over a crawl shard: what fraction decodes,
+    // what fraction falls to the header/metadata fallback, by kind.
+    "mm_jpeg_coverage" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ops.JpegPixels
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (id % 21).toInt + 6
+          val h = (id % 17).toInt + 6
+          val base = ((id * 3) % 160).toInt
+          val yOf = (bx: Int, by: Int) => 40 + ((bx * 5 + by * 7 + base) % 160)
+          val payload =
+            if (id % 7 == 6) // stranded progression: AC band left at Al=1
+              JpegPixels.jpegProgressiveGreyFromCoefs(w, h,
+                (bx, by) => { val c = new Array[Int](64)
+                  c(0) = yOf(bx, by) - 128; c(5) = 6; c },
+                omitAcRefine = true)
+            else if (id % 3 == 2)
+              JpegPixels.jpegProgressiveBytes(w, h, grey = id % 2 == 0, yOf,
+                cb = 128 + ((id % 3).toInt - 1) * 10,
+                cr = 128 + ((id % 5).toInt - 2) * 5)
+            else
+              JpegPixels.jpegBytes(w, h, grey = id % 2 == 0, yOf,
+                cb = 128 + ((id % 3).toInt - 1) * 10,
+                cr = 128 + ((id % 5).toInt - 2) * 5)
+          (JpegPixels.sofKind(payload).getOrElse("not-jpeg"),
+            if (JpegPixels.decode(payload).isDefined) 1L else 0L)
+        }
+        .toDF("kind", "ok")
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"), sum("ok").as("n_decoded"))
+        .orderBy("kind")
+    }),
+
     // REAL audio sample walk (WavPcm): synthesize mono 16-bit PCM whose
     // sample i follows a closed-form integer formula, decode the bytes
     // back, and report exact per-64-sample-window sums / energy / silence
@@ -9534,33 +9604,23 @@ object SparkEntry {
     // blocks clip). Constant chroma (cbd, crd) adds per-channel offsets
     // floor(c+0.5) — the same floor(x+0.5) rounding as the decoder's
     // math.round, exact because luma is integer.
-    "mm_decode_jpeg" ->
-      """WITH p AS (SELECT doc_id::BIGINT AS id,
-        |        (doc_id % 21 + 6)::BIGINT AS w, (doc_id % 17 + 6)::BIGINT AS h,
-        |        ((doc_id * 3) % 160)::BIGINT AS base,
-        |        (doc_id % 2 = 0) AS grey,
-        |        ((doc_id % 3) - 1) * 10 AS cbd,
-        |        ((doc_id % 5) - 2) * 5 AS crd
-        |        FROM documents),
-        | bxs AS (SELECT id, unnest(range((w + 7) // 8)) AS bx FROM p),
-        | b AS (SELECT bxs.id, bxs.bx, unnest(range((p.h + 7) // 8)) AS by
-        |       FROM bxs JOIN p ON p.id = bxs.id),
-        | y AS (SELECT b.id,
-        |        sum((40 + ((b.bx * 5 + b.by * 7 + p.base) % 160))
-        |            * least(8, p.w - b.bx * 8)
-        |            * least(8, p.h - b.by * 8))::BIGINT AS sum_y
-        |       FROM b JOIN p ON p.id = b.id GROUP BY b.id),
-        | o AS (SELECT id,
-        |        floor(1.402 * crd + 0.5)::BIGINT AS roff,
-        |        floor(-0.344136 * cbd - 0.714136 * crd + 0.5)::BIGINT AS goff,
-        |        floor(1.772 * cbd + 0.5)::BIGINT AS boff FROM p)
-        | SELECT p.id AS media_id, 'image/jpeg' AS media_type,
-        |        p.w AS width, p.h AS height, p.w * p.h AS n_px,
-        |        sum_y + CASE WHEN grey THEN 0 ELSE o.roff * p.w * p.h END AS sum_r,
-        |        sum_y + CASE WHEN grey THEN 0 ELSE o.goff * p.w * p.h END AS sum_g,
-        |        sum_y + CASE WHEN grey THEN 0 ELSE o.boff * p.w * p.h END AS sum_b
-        | FROM p JOIN y ON y.id = p.id JOIN o ON o.id = p.id
-        | ORDER BY media_id""".stripMargin.replace("\n", " "),
+    "mm_decode_jpeg" -> jpegDcOracle,
+
+    // IDENTICAL oracle: the progressive layout carries the same pixels
+    "mm_decode_jpeg_progressive" -> jpegDcOracle,
+
+    // mixed-corpus coverage report: kinds and accept fractions are
+    // closed-form in the id (baseline 2/3 minus the stranded slice,
+    // progressive 1/3 plus it; only the stranded progressions reject)
+    "mm_jpeg_coverage" ->
+      """WITH p AS (SELECT
+        |   CASE WHEN doc_id % 7 = 6 OR doc_id % 3 = 2 THEN 'progressive'
+        |        ELSE 'baseline' END AS kind,
+        |   CASE WHEN doc_id % 7 = 6 THEN 0 ELSE 1 END AS ok
+        |   FROM documents)
+        | SELECT kind, count(*)::BIGINT AS n, sum(ok)::BIGINT AS n_decoded
+        | FROM p GROUP BY kind ORDER BY kind""".stripMargin.replace("\n", " "),
+
 
     "mm_audio_energy" ->
       """WITH p AS (SELECT doc_id::BIGINT AS media_id,
@@ -9680,6 +9740,37 @@ object SparkEntry {
   private def spanDedupExactOracleOver(cond: String): String =
     spanDedupExactOracle.replace("AS ws FROM documents)",
       s"AS ws FROM documents WHERE $cond)")
+
+  /** Closed-form oracle for the DC-exact JPEG fixture family — shared by
+    * the baseline and progressive decode rows (same pixels, different
+    * bitstream layout). */
+  private val jpegDcOracle: String =
+      """WITH p AS (SELECT doc_id::BIGINT AS id,
+        |        (doc_id % 21 + 6)::BIGINT AS w, (doc_id % 17 + 6)::BIGINT AS h,
+        |        ((doc_id * 3) % 160)::BIGINT AS base,
+        |        (doc_id % 2 = 0) AS grey,
+        |        ((doc_id % 3) - 1) * 10 AS cbd,
+        |        ((doc_id % 5) - 2) * 5 AS crd
+        |        FROM documents),
+        | bxs AS (SELECT id, unnest(range((w + 7) // 8)) AS bx FROM p),
+        | b AS (SELECT bxs.id, bxs.bx, unnest(range((p.h + 7) // 8)) AS by
+        |       FROM bxs JOIN p ON p.id = bxs.id),
+        | y AS (SELECT b.id,
+        |        sum((40 + ((b.bx * 5 + b.by * 7 + p.base) % 160))
+        |            * least(8, p.w - b.bx * 8)
+        |            * least(8, p.h - b.by * 8))::BIGINT AS sum_y
+        |       FROM b JOIN p ON p.id = b.id GROUP BY b.id),
+        | o AS (SELECT id,
+        |        floor(1.402 * crd + 0.5)::BIGINT AS roff,
+        |        floor(-0.344136 * cbd - 0.714136 * crd + 0.5)::BIGINT AS goff,
+        |        floor(1.772 * cbd + 0.5)::BIGINT AS boff FROM p)
+        | SELECT p.id AS media_id, 'image/jpeg' AS media_type,
+        |        p.w AS width, p.h AS height, p.w * p.h AS n_px,
+        |        sum_y + CASE WHEN grey THEN 0 ELSE o.roff * p.w * p.h END AS sum_r,
+        |        sum_y + CASE WHEN grey THEN 0 ELSE o.goff * p.w * p.h END AS sum_g,
+        |        sum_y + CASE WHEN grey THEN 0 ELSE o.boff * p.w * p.h END AS sum_b
+        | FROM p JOIN y ON y.id = p.id JOIN o ON o.id = p.id
+        | ORDER BY media_id""".stripMargin.replace("\n", " ")
 
   private val spanDedupExactOracle: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

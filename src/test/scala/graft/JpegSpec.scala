@@ -197,6 +197,94 @@ class JpegSpec extends AnyFunSuite {
     assert(JpegPixels.decode(png).isEmpty)
   }
 
+  // ------------------------------------------------------- progressive
+
+  test("progressive DC fixtures decode identically to their baseline twins") {
+    // same generator parameters, SOF0 vs SOF2 multi-scan layout — the
+    // pixels (hence Stats and aHash) must agree exactly
+    for ((w, h, grey, cb, cr) <- Seq((9, 9, true, 128, 128),
+        (24, 17, false, 118, 133), (16, 16, false, 138, 123),
+        (6, 31, true, 128, 128), (33, 6, false, 128, 118))) {
+      val base = JpegPixels.jpegBytes(w, h, grey, yOf, cb, cr)
+      val prog = JpegPixels.jpegProgressiveBytes(w, h, grey, yOf, cb, cr)
+      val a = JpegPixels.decode(base)
+      val b = JpegPixels.decode(prog)
+      assert(a.isDefined && b.isDefined, s"($w,$h,$grey) failed")
+      assert(a === b, s"($w,$h,$grey) stats differ")
+      assert(JpegPixels.aHashHex(base) === JpegPixels.aHashHex(prog))
+    }
+  }
+
+  test("progressive AC refinement reconstructs nonzero spectra exactly") {
+    // coefficient-level fixtures drive the refinement branches the
+    // all-zero oracle corpus can't reach: nonzero history correction
+    // bits, newly-significant ±1 (odd |coef| = 1 after >>1), ZRL over
+    // mixed history. Expected pixels come from the independent
+    // spec-formula IDCT of the same coefficients.
+    def coefAt(bx: Int, by: Int): Array[Int] = {
+      val c = new Array[Int](64)
+      c(0) = (bx * 11 + by * 7) % 64 - 32   // DC with both parities
+      c(1) = 5                              // history (5>>1=2) + corr bit 1
+      c(9) = -4                             // history, corr bit 0
+      c(2 + (bx % 3)) = 1                   // newly significant +1
+      c(40 + (by % 3)) = -1                 // newly significant -1, far band
+      if ((bx + by) % 2 == 0) c(63) = 3     // tail history coef
+      c
+    }
+    val w = 40; val h = 24
+    val bytes = JpegPixels.jpegProgressiveGreyFromCoefs(w, h, coefAt)
+    val got = JpegPixels.decode(bytes)
+    assert(got.isDefined, "coef-level progressive stream rejected")
+    var sum = 0L
+    var by = 0
+    while (by < (h + 7) / 8) {
+      var bx = 0
+      while (bx < (w + 7) / 8) {
+        val px = JpegPixels.idctReference(coefAt(bx, by))
+        var y0 = 0
+        while (y0 < 8) {
+          var x0 = 0
+          while (x0 < 8) {
+            if (bx * 8 + x0 < w && by * 8 + y0 < h) sum += px(y0 * 8 + x0)
+            x0 += 1
+          }
+          y0 += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    assert(got.get.sumR === sum, "progressive AC decode diverged from reference IDCT")
+    assert(got.get.nPx === w.toLong * h)
+  }
+
+  test("a truncated progression (band stranded above Al=0) is rejected") {
+    def coefAt(bx: Int, by: Int): Array[Int] = {
+      val c = new Array[Int](64); c(0) = 10; c(5) = 6; c
+    }
+    val full = JpegPixels.jpegProgressiveGreyFromCoefs(16, 16, coefAt)
+    assert(JpegPixels.decode(full).isDefined)
+    val stranded = JpegPixels.jpegProgressiveGreyFromCoefs(16, 16, coefAt,
+      omitAcRefine = true)
+    // the AC band sits at Al=1 — an APPROXIMATE image; strictness says
+    // None, never almost-right pixels
+    assert(JpegPixels.decode(stranded).isEmpty)
+  }
+
+  test("progressive streams survive mutation + truncation (local fuzz)") {
+    var s = 0xdeadbeefL
+    def nxt2(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s }
+    val valid = JpegPixels.jpegProgressiveBytes(18, 14, grey = false, yOf, 120, 135)
+    for (_ <- 0 until 300) {
+      val b = valid.clone()
+      b(math.floorMod(nxt2(), b.length).toInt) = (nxt2() & 0xff).toByte
+      JpegPixels.decode(b) // must not throw
+    }
+    for (n <- 0 until valid.length) {
+      JpegPixels.decode(java.util.Arrays.copyOf(valid, n))
+    }
+  }
+
   private def findMarker(p: Array[Byte], m: Int): Int = {
     var i = 2
     while (i + 1 < p.length) {
