@@ -3874,6 +3874,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // RETRACTION from the cluster state — the takedown twin of the
+    // warm-start row, and the direction star-shaped prior state cannot
+    // express: removing a doc can SPLIT its cluster (articulation node)
+    // or change its label (component minimum). Prior labels survive for
+    // untouched clusters; affected clusters re-pair from the stored
+    // signature table restricted to their survivors and re-run CC. The
+    // oracle is the FULL recompute over the surviving corpus — hash
+    // equality proves both the split and relabel paths.
+    "dedup_retract_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sig = Dedup.minhashSignature(docs, "text", "doc_id")
+      val prior = Dedup.connectedComponents(
+        Dedup.minhashCandidates(sig, "doc_id", threshold = 0.25), "a_id", "b_id")
+      val rem = docs.where(pmod(col("doc_id"), lit(10)) === 3).select("doc_id")
+      Dedup.dedupClustersRetract(sig, rem, "doc_id", prior, threshold = 0.25)
+        .withColumnsRenamed(Map("node" -> "doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // WARM-START clustering — the daily-ingest topology: yesterday's
     // clusters (docs with id % 10 ≠ 9) + today's batch (the 9s) banded
     // against the stored corpus (incrementalMinhashDups' broadcast band
@@ -8230,6 +8249,28 @@ object SparkEntry {
       val bandsMatch = (0 until 4).map(b =>
         s"(a.s${2 * b} = b.s${2 * b} AND a.s${2 * b + 1} = b.s${2 * b + 1})").mkString(" OR ")
       s"""WITH RECURSIVE $minhashSigCte,
+         | pairs AS (
+         |   SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |   FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandsMatch)
+         |   WHERE round(($matches) / 8.0, 4) >= 0.25),
+         | edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+         |           UNION SELECT b_id, a_id FROM pairs),
+         | reach(s, d) AS (
+         |   SELECT s, d FROM edges
+         |   UNION
+         |   SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+         | SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+         | FROM reach GROUP BY s ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+
+    // retraction must land on the full recompute over SURVIVORS — same
+    // CC oracle, signature CTE restricted to the surviving corpus
+    "dedup_retract_clusters" -> {
+      val matches = (0 until 8).map(i => s"(a.s$i = b.s$i)::INT").mkString(" + ")
+      val bandsMatch = (0 until 4).map(b =>
+        s"(a.s${2 * b} = b.s${2 * b} AND a.s${2 * b + 1} = b.s${2 * b + 1})").mkString(" OR ")
+      s"""WITH RECURSIVE ${minhashSigCteFrom(
+          "(SELECT * FROM documents WHERE doc_id % 10 <> 3) docs_r")},
          | pairs AS (
          |   SELECT a.doc_id AS a_id, b.doc_id AS b_id
          |   FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandsMatch)

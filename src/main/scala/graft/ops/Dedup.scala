@@ -326,6 +326,50 @@ object Dedup {
     connectedComponents(edges, "a", "b", maxIterations)
   }
 
+  /** Cluster labels for the SURVIVORS after removing documents — the
+    * takedown twin of [[connectedComponentsIncremental]], and the harder
+    * direction: removal can SPLIT a cluster (the removed doc may be its
+    * articulation point) and can change labels (the removed doc may be
+    * the component minimum), neither of which the star-shaped prior
+    * state can express. Prior labels therefore survive verbatim only for
+    * clusters containing NO removed doc; each affected cluster re-derives
+    * its candidate pairs from the stored SIGNATURE table restricted to
+    * its survivors and re-runs CC on that subgraph — cost bounded by the
+    * affected-cluster mass, never the corpus. Sound because banded
+    * candidate pairs never cross prior cluster boundaries (a pair implies
+    * same cluster), so the subgraph recompute and the untouched remainder
+    * partition the full recompute exactly (`dedup_retract_clusters`'s
+    * oracle IS that full recompute over the survivors).
+    *
+    * `priorClusters`: (node, cluster_id) as [[connectedComponents]]
+    * emits; `storedSig`: the persisted signature table (id + s0..s7) —
+    * the same state [[incrementalMinhashDups]] probes for appends, so one
+    * stored table serves both directions.
+    */
+  def dedupClustersRetract(storedSig: DataFrame, removeIds: DataFrame,
+      idCol: String, priorClusters: DataFrame,
+      numHashes: Int = 8, bandSize: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val rem = removeIds.select(col(idCol)).distinct()
+    val affected = priorClusters
+      .join(broadcast(rem), priorClusters("node") === rem(idCol), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val affSurvivors = priorClusters
+      .join(broadcast(affected), Seq("cluster_id"), "left_semi")
+      .join(broadcast(rem), priorClusters("node") === rem(idCol), "left_anti")
+      .select(col("node"))
+    val subSig = storedSig
+      .join(broadcast(affSurvivors), storedSig(idCol) === affSurvivors("node"),
+        "left_semi")
+    val recomputed = connectedComponents(
+      minhashCandidates(subSig, idCol, numHashes, bandSize, threshold),
+      "a_id", "b_id")
+    priorClusters
+      .join(broadcast(affected), Seq("cluster_id"), "left_anti")
+      .select(col("node"), col("cluster_id"))
+      .unionByName(recomputed.select(col("node"), col("cluster_id")))
+  }
+
   /** Edge-count bound for the CC endgame's single-task union-find: 2M
     * (src, dst) longs ≈ 32 MB — one task's working set. Above it, rounds
     * stay distributed; contraction shrinks every graph toward the bound.

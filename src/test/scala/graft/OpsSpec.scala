@@ -795,6 +795,47 @@ class OpsSpec extends SparkSpec {
     assert(occNext === occFull)
   }
 
+  test("dedupClustersRetract: splits at articulation nodes, relabels on " +
+      "minimum removal, leaves untouched clusters verbatim") {
+    // synthetic signature table (8 components, band size 2 → bands are
+    // component pairs; est jaccard = matches/8, threshold 0.25 needs one
+    // full band). Cluster A chained 1-2-3 (2 is the articulation node),
+    // cluster B {20,21,22} fully banded, cluster C {30,31} untouched.
+    def sig(id: Long, s: Seq[Int]) =
+      (id, s(0), s(1), s(2), s(3), s(4), s(5), s(6), s(7))
+    // unused components are id-unique (1000*id + i) so only the
+    // deliberately-shared bands collide
+    def pad(id: Long, pairs: Map[Int, Int]): Seq[Int] =
+      (0 until 8).map(i => pairs.getOrElse(i, (1000 * id + i).toInt))
+    val rows = Seq(
+      sig(1L, pad(1L, Map(0 -> 10, 1 -> 11))),
+      sig(2L, pad(2L, Map(0 -> 10, 1 -> 11, 2 -> 20, 3 -> 21))), // band0 w/ 1, band1 w/ 3
+      sig(3L, pad(3L, Map(2 -> 20, 3 -> 21))),
+      sig(20L, pad(20L, Map(0 -> 40, 1 -> 41, 4 -> 7, 5 -> 8))),
+      sig(21L, pad(21L, Map(0 -> 40, 1 -> 41, 6 -> 2, 7 -> 3))),
+      sig(22L, pad(22L, Map(4 -> 7, 5 -> 8, 6 -> 2, 7 -> 3))),
+      sig(30L, pad(30L, Map(0 -> 60, 1 -> 61))),
+      sig(31L, pad(31L, Map(0 -> 60, 1 -> 61))))
+    val sigDf = rows.toDF("doc_id", "s0", "s1", "s2", "s3", "s4", "s5", "s6", "s7")
+    val prior = Dedup.connectedComponents(
+      Dedup.minhashCandidates(sigDf, "doc_id", threshold = 0.25), "a_id", "b_id")
+    assert(prior.orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (20L, 20L), (21L, 20L), (22L, 20L),
+        (30L, 30L), (31L, 30L)))
+    // remove 2 (splits A into singletons → both drop: no surviving pair)
+    // and 20 (B relabels to 21)
+    val rem = Seq(2L, 20L).toDF("doc_id")
+    val got = Dedup.dedupClustersRetract(sigDf, rem, "doc_id", prior,
+        threshold = 0.25)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val full = Dedup.connectedComponents(
+      Dedup.minhashCandidates(sigDf.where(!col("doc_id").isin(2L, 20L)),
+        "doc_id", threshold = 0.25), "a_id", "b_id")
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === full)
+    assert(got === Seq((21L, 21L), (22L, 21L), (30L, 30L), (31L, 30L)))
+  }
+
   test("iterative ops release per-round storage (no block accumulation)") {
     val sc = spark.sparkContext
     def persisted = sc.getPersistentRDDs.size
