@@ -5261,6 +5261,26 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // RETRACTION from semantic-dedup state (vec_id ≡ 3 mod 10 removed):
+    // survivors can be REINSTATED — a drop whose every better same-cell
+    // duplicate was removed loses its flag. Centroids are the trained
+    // index and do not move on takedown, so stored cluster/cent_cos stay
+    // valid and only affected cells re-run the pair semi-join. Oracle =
+    // full recompute over survivors with the ORIGINAL centroid set.
+    "dedup_retract_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val state = Similarity.semanticDedupState(emb, cents, "vec_id",
+        "embedding", "c_id", "c_emb", threshold = 0.35)
+      val rem = emb.where(pmod(col("vec_id"), lit(10)) === 3).select("vec_id")
+      Similarity.semanticDedupRetract(state, rem, "vec_id", "embedding",
+          threshold = 0.35)
+        .select(col("vec_id"), col("cluster"),
+          round(col("cent_cos"), 4).as("cent_cos"), col("drop").as("is_dup"))
+        .orderBy("vec_id")
+    }),
+
     // Incremental SemDeDup: a 10% incoming batch (vec_id ≡ 9 mod 10)
     // against the stored 90% — broadcast batch vs cluster-assigned
     // stored side (stored corpus touched only on the batch's clusters,
@@ -9467,6 +9487,30 @@ object SparkEntry {
          |          row_number() OVER (PARTITION BY e.vec_id
          |            ORDER BY ${duckCosine("c.c_emb", "e.embedding")} DESC, c.c_id) AS rk
          |   FROM embeddings e CROSS JOIN cents c),
+         | a2 AS (SELECT vec_id, embedding, c_id AS cluster,
+         |               ${duckCosine("c_emb", "embedding")} AS cent_cos
+         |        FROM assign WHERE rk = 1),
+         | drops AS (
+         |   SELECT DISTINCT a.vec_id
+         |   FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+         |   WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.35
+         |     AND (b.cent_cos < a.cent_cos
+         |          OR (b.cent_cos = a.cent_cos AND b.vec_id < a.vec_id)))
+         | SELECT a2.vec_id, a2.cluster, round(a2.cent_cos, 4) AS cent_cos,
+         |        CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
+         | FROM a2 LEFT JOIN drops d ON a2.vec_id = d.vec_id
+         | ORDER BY a2.vec_id""".stripMargin.replace("\n", " "),
+
+    // full recompute over survivors, centroids from the ORIGINAL corpus
+    // (the trained index does not move on takedown)
+    "dedup_retract_semantic" ->
+      s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+         | surv AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 3),
+         | assign AS (
+         |   SELECT e.vec_id, e.embedding, c.c_id, c.c_emb,
+         |          row_number() OVER (PARTITION BY e.vec_id
+         |            ORDER BY ${duckCosine("c.c_emb", "e.embedding")} DESC, c.c_id) AS rk
+         |   FROM surv e CROSS JOIN cents c),
          | a2 AS (SELECT vec_id, embedding, c_id AS cluster,
          |               ${duckCosine("c_emb", "embedding")} AS cent_cos
          |        FROM assign WHERE rk = 1),

@@ -705,6 +705,71 @@ object Similarity {
         coalesce(col("_d"), lit(0)).as("drop"))
   }
 
+  /** Drop flags for the SURVIVORS after removing vectors — the takedown
+    * twin of [[semanticDedupIncremental]], completing the retraction
+    * story across the dedup families (span grams, minhash clusters,
+    * semantic cells). Removal can REINSTATE a survivor: a row dropped
+    * only because of better same-cell duplicates loses its drop flag
+    * once every such better partner is removed. Centroids are part of
+    * the trained index and do NOT move on takedown, so stored cluster /
+    * cent_cos columns stay valid; only cells containing a removed vector
+    * re-run the pair semi-join, restricted to their survivors — cost
+    * bounded by affected-cell mass (cell-partitioned state prunes the
+    * rest).
+    *
+    * `storedState`: `(idCol, cluster, cent_cos, drop, embCol)` — the
+    * [[semanticDedup]] verdict plus the embedding, i.e. the same
+    * cell-partitioned store the incremental probe reads
+    * ([[semanticDedupState]] builds it from scratch as scaffolding).
+    * Returns the updated `(idCol, cluster, cent_cos, drop)` over
+    * survivors.
+    */
+  def semanticDedupRetract(storedState: DataFrame, removeIds: DataFrame,
+                           idCol: String, embCol: String,
+                           threshold: Double): DataFrame = {
+    val rem = removeIds.select(col(idCol)).distinct()
+    val affected = storedState
+      .join(broadcast(rem), Seq(idCol), "left_semi")
+      .select(col("cluster")).distinct()
+    val survivors = storedState.join(broadcast(rem), Seq(idCol), "left_anti")
+    val affRows = survivors
+      .join(broadcast(affected), Seq("cluster"), "left_semi")
+      .withColumn("_nrm", sqrt(dotFixed(embCol, embCol)))
+    val a = affRows.select(col("cluster").as("_a_cl"), col(idCol).as("_a_id"),
+      col(embCol).as("_a_emb"), col("_nrm").as("_a_nrm"),
+      col("cent_cos").as("_a_cc"))
+    val b = affRows.select(col("cluster").as("_b_cl"), col(idCol).as("_b_id"),
+      col(embCol).as("_b_emb"), col("_nrm").as("_b_nrm"),
+      col("cent_cos").as("_b_cc"))
+    val dropped = a.join(b,
+        col("_a_cl") === col("_b_cl") &&
+          col("_a_id") =!= col("_b_id") &&
+          (dotFixed("_a_emb", "_b_emb") / (col("_a_nrm") * col("_b_nrm"))
+            >= threshold) &&
+          (col("_b_cc") < col("_a_cc") ||
+            (col("_b_cc") === col("_a_cc") && col("_b_id") < col("_a_id"))),
+        "left_semi")
+      .select(col("_a_id").as(idCol))
+    val recomputed = affRows
+      .join(dropped.withColumn("_d", lit(1)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"), col("cent_cos"),
+        coalesce(col("_d"), lit(0)).as("drop"))
+    survivors
+      .join(broadcast(affected), Seq("cluster"), "left_anti")
+      .select(col(idCol), col("cluster"), col("cent_cos"), col("drop"))
+      .unionByName(recomputed)
+  }
+
+  /** The retraction-capable persisted state: [[semanticDedup]]'s verdict
+    * joined with the embeddings — fixture scaffolding for the oracle row;
+    * a deploy persists this directly, partitioned by cluster.
+    */
+  def semanticDedupState(corpus: DataFrame, centroids: DataFrame,
+                         idCol: String, embCol: String, cIdCol: String,
+                         cEmbCol: String, threshold: Double): DataFrame =
+    semanticDedup(corpus, centroids, idCol, embCol, cIdCol, cEmbCol, threshold)
+      .join(corpus.select(col(idCol), col(embCol)), Seq(idCol))
+
   /** Incremental [[semanticDedup]]: which vectors of an incoming BATCH
     * semantically duplicate the stored corpus (or an earlier batch row)?
     * The batch — tiny next to the corpus — is explicitly `broadcast`

@@ -138,6 +138,35 @@ class SemanticDedupSpec extends SparkSpec {
     }
   }
 
+  test("retract: removing every better duplicate REINSTATES a dropped row; " +
+      "untouched cells pass through verbatim") {
+    // cluster 0: 10 (cent_cos 1.0, dropped by 11), 11 (kept), 12 (below τ)
+    // cluster 1: 20/21 near-dups (20 dropped by 21 — id tie-break domain)
+    val rows = Seq(
+      10L -> Array(1f, 0f),
+      11L -> Array(0.9f, 0.1f),
+      12L -> Array(0.6f, 0.5f),
+      20L -> Array(0f, 1f),
+      21L -> Array(0.1f, 0.9f))
+    val df = rows.toDF("vec_id", "embedding")
+    val state = Similarity.semanticDedupState(df, cents2d, "vec_id",
+      "embedding", "c_id", "c_emb", threshold = 0.95)
+    assert(state.where(col("vec_id") === 10L).head().getInt(3) === 1,
+      "fixture precondition: 10 starts dropped")
+    // remove 11 — 10's only better duplicate — 10 must be reinstated;
+    // cluster 1 contains no removed id and must pass through verbatim
+    val got = Similarity.semanticDedupRetract(state, Seq(11L).toDF("vec_id"),
+        "vec_id", "embedding", threshold = 0.95)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toSeq
+    val full = Similarity.semanticDedup(df.where(col("vec_id") =!= 11L),
+        cents2d, "vec_id", "embedding", "c_id", "c_emb", threshold = 0.95)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toSeq
+    assert(got === full)
+    assert(got === Seq(10L -> 0, 12L -> 0, 20L -> 1, 21L -> 0))
+  }
+
   test("an identical clique collapses to its minimum-id member") {
     val out = run(Seq(
       40L -> Array(1f, 0f),
