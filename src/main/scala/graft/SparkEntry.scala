@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.IntegerType
 
 import graft.ingest.FastIngest
 import graft.ops.{Dedup, Similarity, Urls, Validate}
+import graft.sources.WarcReader
 
 /** Driver contract (see SURVEY.md §7 + the builder prompt): one `queries`
   * entry per implemented operator from SURVEY.md §2, each with a DuckDB
@@ -129,6 +130,59 @@ object SparkEntry {
         .map(jpegFixtureRecord)
         .write.mode("overwrite").parquet(staged)
     s.read.parquet(staged).as[MediaRecord]
+  }
+
+  /** WARC fixture shards for source_warc / source_wet, staged once per
+    * (sfDir, source fingerprint) — the stagedBmpCorpus discipline:
+    * encode is scaffolding, the timed path is binaryFile scan →
+    * member inflate → framing walk. 8 shards of the Common Crawl
+    * member-per-record layout; every third response chunked, every
+    * fifth document also gets a WET conversion record.
+    */
+  private def stagedWarcCorpus(s: SparkSession, dir: String): String = {
+    val staged = s"${System.getProperty("java.io.tmpdir")}/graft_warc_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      stagingFingerprint(dir, "documents.parquet")
+    val stagedPath = java.nio.file.Paths.get(staged)
+    if (!java.nio.file.Files.exists(stagedPath)) {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text"))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val tmp = java.nio.file.Files.createTempDirectory(
+        stagedPath.getParent, ".warc_staging")
+      (0 until 8).foreach { shard =>
+        val recs = Seq(WarcReader.WriteRec("warcinfo", "",
+          "2026-01-01T00:00:00Z", 0, "",
+          s"software: graft\r\nshard: $shard\r\n"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))) ++
+          docs.filter(_._1 % 8 == shard).flatMap { case (id, text) =>
+            val body = Option(text).getOrElse("")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val uri = s"http://corpus.example/doc/$id"
+            val resp = WarcReader.WriteRec("response", uri,
+              "2026-01-01T00:00:00Z", 200, "text/html; charset=utf-8",
+              body, chunked = id % 3 == 0)
+            val wet =
+              if (id % 5 == 0)
+                Seq(WarcReader.WriteRec("conversion", uri,
+                  "2026-01-01T00:00:00Z", 0, "", body))
+              else Seq.empty
+            resp +: wet
+          }
+        java.nio.file.Files.write(
+          tmp.resolve(f"crawl-shard-$shard%02d.warc.gz"),
+          WarcReader.writeShardGz(recs))
+      }
+      try java.nio.file.Files.move(tmp, stagedPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { // a concurrent run staged it first — theirs is identical
+        case _: java.nio.file.FileAlreadyExistsException =>
+          tmp.toFile.listFiles().foreach(_.delete())
+          java.nio.file.Files.deleteIfExists(tmp)
+      }
+    }
+    staged
   }
 
   /** Fingerprint of a source table's files (name, size, mtime — no Spark
@@ -5222,6 +5276,43 @@ object SparkEntry {
         .orderBy("subject", "predicate", "obj")
     }),
 
+    // WARC crawl-shard ingest (sources/WarcReader): the format a 100 TB
+    // text corpus actually arrives in (ISO 28500, Common Crawl's gzip-
+    // member-per-record shard convention). The fixture corpus is staged
+    // once per (sfDir, source fingerprint) as 8 multi-record .warc.gz
+    // shards — one warcinfo + one HTTP response record per document
+    // (every third response chunked-transfer-coded to exercise that
+    // decode), plus a conversion (WET) record for every fifth doc — so
+    // only the binaryFile scan + member inflate + framing walk + HTTP
+    // parse are timed. The oracle is the documents table itself: a hash
+    // match proves the full round trip (gzip members, CRLF framing,
+    // Content-Length blocks, chunked decode, UTF-8 body) byte-exactly.
+    "source_warc" -> ((s, dir) => {
+      WarcReader.records(s, stagedWarcCorpus(s, dir))
+        .where(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("http_status").as("status"),
+          octet_length(col("body")).cast("long").as("n_bytes"),
+          decode(col("body"), "UTF-8").as("text"))
+        .orderBy("doc_id")
+    }),
+
+    // WET extracted-text records from the SAME staged shards: the
+    // conversion-record path (text/plain block, no HTTP envelope) —
+    // what a text-only pipeline reads instead of the raw responses.
+    "source_wet" -> ((s, dir) => {
+      WarcReader.records(s, stagedWarcCorpus(s, dir))
+        .where(col("warc_type") === "conversion")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          octet_length(col("body")).cast("long").as("n_bytes"),
+          decode(col("body"), "UTF-8").as("text"))
+        .orderBy("doc_id")
+    }),
+
     // Semantic dedup end-to-end: embedding-cosine near-dup pairs →
     // connected components → per-cluster size and a keep/drop verdict
     // (keep = the minimum-id member, which IS the component label).
@@ -9456,6 +9547,19 @@ object SparkEntry {
     "source_gzip" ->
       """SELECT i::BIGINT AS id, 'line-' || i || ':' || (i * i) AS line
         | FROM range(0, 60) t(i) ORDER BY id""".stripMargin.replace("\n", " "),
+
+    // the staged WARC shards round-trip the documents table byte-exactly:
+    // n_bytes is the UTF-8 length (DuckDB strlen = bytes, length = chars)
+    "source_warc" ->
+      """SELECT doc_id::BIGINT AS doc_id, 200 AS status,
+        |        strlen(text)::BIGINT AS n_bytes, text
+        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "source_wet" ->
+      """SELECT doc_id::BIGINT AS doc_id,
+        |        strlen(text)::BIGINT AS n_bytes, text
+        | FROM documents WHERE doc_id % 5 = 0
+        | ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "source_evolution" ->
       """SELECT doc_id, text,
