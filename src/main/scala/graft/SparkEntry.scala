@@ -132,6 +132,47 @@ object SparkEntry {
     s.read.parquet(staged).as[MediaRecord]
   }
 
+  /** The 16-entry GIF fixture palette — formulas the DuckDB oracles
+    * re-derive: entry i = (i·17, i·29 mod 256, i·41 mod 256).
+    */
+  private val gifPal16: IndexedSeq[(Int, Int, Int)] =
+    IndexedSeq.tabulate(16)(i => (i * 17, (i * 29) % 256, (i * 41) % 256))
+
+  /** ONE generator for the static GIF fixture (the jpegFixtureRecord
+    * discipline): full-canvas frame, pixel (x,y) = palette index
+    * (x·3 + y·7 + id) mod 16, every even id interlaced — same pixels,
+    * different bitstream, so one oracle covers both scan orders.
+    */
+  private def gifFixtureRecord(id: Long): graft.model.MediaRecord = {
+    val w = (id % 14).toInt + 2
+    val h = (id % 11).toInt + 2
+    val payload = graft.ops.GifPixels.gifBytes(w, h, gifPal16, 0,
+      Seq(graft.ops.GifPixels.FrameSpec(0, 0, w, h,
+        (x, y) => ((x * 3 + y * 7 + id) % 16).toInt,
+        interlace = id % 2 == 0)),
+      clearEvery = if (id % 3 == 0) 11 else 0)
+    graft.model.MediaRecord(id, "image/gif", payload, Map.empty)
+  }
+
+  /** The mm_decode_gif fixture staged as a parquet media corpus (the
+    * stagedBmpCorpus discipline: encode is scaffolding, the timed path
+    * is scan → decode).
+    */
+  private def stagedGifCorpus(s: SparkSession,
+      dir: String): org.apache.spark.sql.Dataset[graft.model.MediaRecord] = {
+    import s.implicits._
+    import graft.model.MediaRecord
+    val staged = s"${System.getProperty("java.io.tmpdir")}/graft_gif_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      stagingFingerprint(dir, "documents.parquet")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(staged, "_SUCCESS")))
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map(gifFixtureRecord)
+        .write.mode("overwrite").parquet(staged)
+    s.read.parquet(staged).as[MediaRecord]
+  }
+
   /** WARC fixture shards for source_warc / source_wet, staged once per
     * (sfDir, source fingerprint) — the stagedBmpCorpus discipline:
     * encode is scaffolding, the timed path is binaryFile scan →
@@ -5847,6 +5888,54 @@ object SparkEntry {
         .orderBy("media_id", "ch", "window_id")
     }),
 
+    // REAL LZW-codec decode (GifPixels): the third compressed image
+    // format, staged like BMP/JPEG — scan → full GIF decode (variable-
+    // width LZW incl. interior clears on every third id, interlace
+    // reorder on every even id). GIF is lossless, so decoded pixels
+    // equal the generator formula and the oracle recomputes every
+    // channel sum arithmetically — a hash match proves the LZW walk,
+    // palette mapping, and both scan orders pixel-exactly.
+    "mm_decode_gif" -> ((s, dir) =>
+      graft.ops.Multimodal.decodePixels(stagedGifCorpus(s, dir)).toDF()
+        .select(col("media_id"), col("media_type"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_px"), col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("media_id")),
+
+    // FRAME SAMPLING over animated media (Multimodal.gifFrameSamples):
+    // the video-pipeline operation — decode a multi-frame stream, keep
+    // every 2nd frame, emit per-kept-frame composited stats — on the one
+    // codec pure-JVM decodes exactly (H.264 stays documented-out,
+    // Mp4Headers scaladoc). Frames are nested shrinking rects drawn over
+    // prior frames (odd frames interlaced), so the composited pixel at
+    // (x,y) after frame f comes from frame least(f,x,y) — a closed form
+    // the oracle evaluates directly, proving LZW + interlace +
+    // compositing across frame boundaries.
+    "mm_gif_frames" -> ((s, dir) => {
+      import s.implicits._
+      import graft.model.MediaRecord
+      import graft.ops.GifPixels
+      val recs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .filter(_ % 10 == 0)
+        .map { id =>
+          val w = (id % 9).toInt + 6
+          val h = (id % 7).toInt + 5
+          val nf = (id % 4).toInt + 2
+          val frames = (0 until nf).map(f =>
+            GifPixels.FrameSpec(f, f, w - f, h - f,
+              (x, y) => ((x * 3 + y * 7 + f * 13 + id) % 16).toInt,
+              delayCs = f * 4 + 2, interlace = f % 2 == 1))
+          MediaRecord(id, "image/gif",
+            GifPixels.gifBytes(w, h, gifPal16, 0, frames), Map.empty)
+        }
+      graft.ops.Multimodal.gifFrameSamples(recs, every = 2).toDF()
+        .select(col("media_id"), col("frame_id"), col("delay_cs"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("media_id", "frame_id")
+    }),
+
     // Perceptual average-hash over REAL decoded pixels: 8×8 block grid,
     // bit = block mean luminance > global mean via exact integer
     // cross-multiply — the near-duplicate IMAGE key (image dedup becomes
@@ -9840,6 +9929,48 @@ object SparkEntry {
         |        sum(smp)::BIGINT AS sum_s, sum(smp * smp)::BIGINT AS sum_sq
         | FROM v GROUP BY media_id, ch, window_id
         | ORDER BY media_id, ch, window_id""".stripMargin.replace("\n", " "),
+
+    // lossless codec → decoded pixels ARE the generator formula;
+    // palette entry i = (i·17, i·29 mod 256, i·41 mod 256)
+    "mm_decode_gif" ->
+      """WITH p AS (SELECT doc_id::BIGINT AS media_id,
+        |        (doc_id % 14 + 2)::BIGINT AS w,
+        |        (doc_id % 11 + 2)::BIGINT AS h FROM documents),
+        | xs AS (SELECT media_id, w, h, unnest(range(0, w)) AS x FROM p),
+        | xy AS (SELECT media_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        | px AS (SELECT media_id, w, h,
+        |        ((x * 3 + y * 7 + media_id) % 16) AS i FROM xy),
+        | s AS (SELECT media_id, w, h, count(*)::BIGINT AS n_px,
+        |        sum(i * 17)::BIGINT AS sum_r,
+        |        sum((i * 29) % 256)::BIGINT AS sum_g,
+        |        sum((i * 41) % 256)::BIGINT AS sum_b
+        |   FROM px GROUP BY media_id, w, h)
+        | SELECT media_id, 'image/gif' AS media_type, w AS width,
+        |        h AS height, n_px, sum_r, sum_g, sum_b
+        | FROM s ORDER BY media_id""".stripMargin.replace("\n", " "),
+
+    // composited pixel (x,y) after frame f comes from frame
+    // least(f, x, y) — the nested-rect design makes compositing a
+    // closed form; sampled frames are the even ones
+    "mm_gif_frames" ->
+      """WITH p AS (SELECT doc_id::BIGINT AS media_id,
+        |        (doc_id % 9 + 6)::BIGINT AS w, (doc_id % 7 + 5)::BIGINT AS h,
+        |        (doc_id % 4 + 2)::BIGINT AS nf
+        |   FROM documents WHERE doc_id % 10 = 0),
+        | fr AS (SELECT media_id, w, h, unnest(range(0, nf)) AS f FROM p),
+        | sf AS (SELECT * FROM fr WHERE f % 2 = 0),
+        | xs AS (SELECT media_id, w, h, f, unnest(range(0, w)) AS x FROM sf),
+        | xy AS (SELECT media_id, w, h, f, x, unnest(range(0, h)) AS y FROM xs),
+        | px AS (SELECT media_id, f,
+        |        ((x * 3 + y * 7 + least(f, x, y) * 13 + media_id) % 16) AS i
+        |   FROM xy),
+        | s AS (SELECT media_id, f, sum(i * 17)::BIGINT AS sum_r,
+        |        sum((i * 29) % 256)::BIGINT AS sum_g,
+        |        sum((i * 41) % 256)::BIGINT AS sum_b
+        |   FROM px GROUP BY media_id, f)
+        | SELECT media_id, f::INT AS frame_id, (f * 4 + 2)::INT AS delay_cs,
+        |        sum_r, sum_g, sum_b
+        | FROM s ORDER BY media_id, frame_id""".stripMargin.replace("\n", " "),
 
     "mm_phash" ->
       s"""WITH $duckPhashCte

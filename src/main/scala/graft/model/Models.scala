@@ -51,6 +51,18 @@ case class PixelStats(
     sum_g: Long,
     sum_b: Long)
 
+/** One sampled animation frame (graft.ops.Multimodal.gifFrameSamples):
+  * whole-canvas composited channel sums after the frame draws — the
+  * frame-sample row a video pipeline emits per kept frame.
+  */
+case class FrameSample(
+    media_id: Long,
+    frame_id: Int,
+    delay_cs: Int,
+    sum_r: Long,
+    sum_g: Long,
+    sum_b: Long)
+
 /** Output of the perceptual average-hash (graft.ops.BmpPixels.aHashHex):
   * 16 hex chars, one byte per 8×8 block row, bits by integer
   * cross-multiplied block-vs-global mean luminance.

@@ -99,6 +99,35 @@ object Multimodal {
           .orElse(JpegPixels.decode(r.payload).map(s =>
             PixelStats(r.media_id, "image/jpeg", s.width, s.height,
               s.nPx, s.sumR, s.sumG, s.sumB)))
+          .orElse(GifPixels.decode(r.payload).map { g =>
+            // a GIF's first-frame composited canvas is its still image
+            val f = g.frames.head
+            PixelStats(r.media_id, "image/gif", g.width, g.height,
+              g.width.toLong * g.height, f.sumR, f.sumG, f.sumB)
+          })
+      }
+    }
+  }
+
+  /** Frame sampling over animated GIFs ([[GifPixels]]) — the video
+    * pipeline's frame-extract shape on the one codec pure-JVM decodes
+    * exactly: every `every`-th frame's whole-canvas composited stats,
+    * one row per kept frame. Decode is per-record sequential (frames
+    * share LZW/composite state), so parallelism comes from record count
+    * — exactly how a video corpus distributes (shard by file, never by
+    * frame). Records that don't decode are dropped (profiling
+    * semantics, as [[decodePixels]]).
+    */
+  def gifFrameSamples(records: Dataset[MediaRecord],
+      every: Int): Dataset[graft.model.FrameSample] = {
+    import records.sparkSession.implicits._
+    require(every >= 1, s"sample period $every")
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        GifPixels.decode(r.payload).toSeq.flatMap(_.frames)
+          .filter(_.idx % every == 0)
+          .map(f => graft.model.FrameSample(r.media_id, f.idx, f.delayCs,
+            f.sumR, f.sumG, f.sumB))
       }
     }
   }

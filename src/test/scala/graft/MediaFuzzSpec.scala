@@ -67,6 +67,15 @@ class MediaFuzzSpec extends AnyFunSuite {
       Seq(graft.ops.FlacPcm.decode))
   }
 
+  test("GIF: decode survives mutation + truncation") {
+    val pal = IndexedSeq.tabulate(16)(i => (i * 17, (i * 29) % 256, (i * 41) % 256))
+    fuzz("gif", graft.ops.GifPixels.gifBytes(11, 8, pal, 0, Seq(
+        graft.ops.GifPixels.FrameSpec(0, 0, 11, 8, (x, y) => (x + y * 3) % 16),
+        graft.ops.GifPixels.FrameSpec(2, 1, 7, 5, (x, y) => (x * 5 + y) % 16,
+          interlace = true, transparentIndex = 3))),
+      Seq(graft.ops.GifPixels.decode, graft.ops.ImageHeaders.parse))
+  }
+
   test("MP4: box walk survives mutation + truncation") {
     fuzz("mp4", graft.ops.Mp4Headers.mp4Bytes("isom", 1000L, 42000L),
       Seq(graft.ops.Mp4Headers.parse))
