@@ -173,6 +173,36 @@ object SparkEntry {
     s.read.parquet(staged).as[MediaRecord]
   }
 
+  /** ONE generator for the HTML fixture page (the jpegFixtureRecord
+    * discipline — text_html_extract and pipeline_warc_html share it, and
+    * both oracles re-derive the same block structure): title and h1 carry
+    * "Doc id", the document text rides one escaped `<p>`, two links and a
+    * footer paragraph follow, and the head carries markup-shaped script /
+    * style / comment content that must stay dead.
+    */
+  private def htmlFixturePage(id: Long, text: String): String = {
+    val body = graft.ops.Html.escapeText(Option(text).getOrElse(""))
+    s"""<!DOCTYPE html><html><head><title>Doc $id</title>
+       |<style>p { content: "</p> not text"; }</style>
+       |<script type="text/js">var s = "<p>fake</p>"; if (a<b && c>d) {}</script>
+       |</head><body><!-- <div>hidden</div> -->
+       |<h1 class="t" data-x="a>b">Doc $id</h1>
+       |<p>$body</p>
+       |<p><a href="/doc/${id + 1}">next</a> <a href='https://ex.com/${id % 7}'>more</a></p>
+       |<p>footer &amp; fin</p></body></html>""".stripMargin
+  }
+
+  /** DuckDB spelling of the text [[htmlFixturePage]] must extract to:
+    * title block, h1 block, collapsed document text (dropped when
+    * empty), the link-anchor block, the footer block. RE2 `\s` is
+    * exactly the extractor's `[ \t\n\r\f]` collapse class.
+    */
+  private val duckHtmlText: String =
+    "'Doc ' || doc_id || chr(10) || 'Doc ' || doc_id || chr(10) || " +
+      "(CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = '' THEN '' " +
+      "ELSE trim(regexp_replace(text, '\\s+', ' ', 'g')) || chr(10) END) || " +
+      "'next more' || chr(10) || 'footer & fin'"
+
   /** WARC fixture shards for source_warc / source_wet, staged once per
     * (sfDir, source fingerprint) — the stagedBmpCorpus discipline:
     * encode is scaffolding, the timed path is binaryFile scan →
@@ -5354,6 +5384,56 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // HTML text extraction (ops/Html): the step between a crawl response
+    // and the documents table (the C4/CCNet "extract" stage) — lenient
+    // tokenizer (quoted '>', raw-text script/style, comments), entity
+    // decode, block-structured text, title + link harvesting. The
+    // fixture page embeds the document text escaped; the oracle
+    // reconstructs the exact block structure, so a hash match proves
+    // tokenizer + entities + whitespace contract end to end.
+    "text_html_extract" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ops.Html
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) => (id, htmlFixturePage(id, text)) }
+        .toDF("doc_id", "page")
+        .select(col("doc_id"),
+          Html.htmlTitle(col("page")).as("title"),
+          Html.htmlText(col("page")).as("text"),
+          array_join(Html.htmlLinks(col("page")), ",").as("links_csv"))
+        .orderBy("doc_id")
+    }),
+
+    // The crawl pipeline composed end to end: WARC bytes → framing walk
+    // → HTTP split (every even id chunked) → HTML extraction — what a
+    // 100 TB Common Crawl ingestion actually runs, per-record with no
+    // shuffle until the downstream aggregations.
+    "pipeline_warc_html" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ops.Html
+      import graft.sources.WarcReader
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val shard = WarcReader.writeShardGz(Seq(WarcReader.WriteRec(
+            "response", s"http://corpus.example/doc/$id",
+            "2026-01-01T00:00:00Z", 200, "text/html; charset=utf-8",
+            htmlFixturePage(id, text).getBytes("UTF-8"),
+            chunked = id % 2 == 0)))
+          val inflated = WarcReader.inflateShard(shard).get
+          WarcReader.parseShard(s"doc$id", inflated)._1.map { r =>
+            val html = new String(r.body, "UTF-8")
+            (id, r.http_status.getOrElse(-1),
+              Html.extractTitle(html), Html.extractText(html))
+          }
+        }
+        .toDF("doc_id", "status", "title", "text")
+        .orderBy("doc_id")
+    }),
+
     // Semantic dedup end-to-end: embedding-cosine near-dup pairs →
     // connected components → per-cluster size and a keep/drop verdict
     // (keep = the minimum-id member, which IS the component label).
@@ -9649,6 +9729,17 @@ object SparkEntry {
         |        strlen(text)::BIGINT AS n_bytes, text
         | FROM documents WHERE doc_id % 5 = 0
         | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "text_html_extract" ->
+      s"""SELECT doc_id::BIGINT AS doc_id, 'Doc ' || doc_id AS title,
+         |        $duckHtmlText AS text,
+         |        '/doc/' || (doc_id + 1) || ',https://ex.com/' || (doc_id % 7) AS links_csv
+         | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "pipeline_warc_html" ->
+      s"""SELECT doc_id::BIGINT AS doc_id, 200 AS status,
+         |        'Doc ' || doc_id AS title, $duckHtmlText AS text
+         | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "source_evolution" ->
       """SELECT doc_id, text,
