@@ -5384,6 +5384,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CONTINUOUS crawl ingestion: the same staged WARC shards replayed
+    // as a binaryFile STREAM (2 shards per micro-batch) through the
+    // identical parse stage (WarcReader.recordsOf is the shared
+    // stateless flatMap) — proving the crawl source works as a live
+    // feed, against the batch row's own oracle. No stateful operator,
+    // so no state-store tuning: pure append at shard granularity.
+    "streaming_replay_warc" -> ((s, dir) => {
+      val staged = stagedWarcCorpus(s, dir)
+      val q = WarcReader.recordsStream(s, staged, maxFilesPerTrigger = 2)
+        .where(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("http_status").as("status"),
+          octet_length(col("body")).cast("long").as("n_bytes"),
+          decode(col("body"), "UTF-8").as("text"))
+        .writeStream.format("memory").queryName("streaming_replay_warc_sink")
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("streaming_replay_warc_sink").orderBy("doc_id")
+    }),
+
     // HTML text extraction (ops/Html): the step between a crawl response
     // and the documents table (the C4/CCNet "extract" stage) — lenient
     // tokenizer (quoted '>', raw-text script/style, comments), entity
@@ -9737,6 +9760,12 @@ object SparkEntry {
         |        strlen(text)::BIGINT AS n_bytes, text
         | FROM documents WHERE doc_id % 5 = 0
         | ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // the stream replays the batch corpus exactly → the batch oracle
+    "streaming_replay_warc" ->
+      """SELECT doc_id::BIGINT AS doc_id, 200 AS status,
+        |        strlen(text)::BIGINT AS n_bytes, text
+        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "text_html_extract" ->
       s"""SELECT doc_id::BIGINT AS doc_id, 'Doc ' || doc_id AS title,

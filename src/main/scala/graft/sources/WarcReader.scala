@@ -248,16 +248,14 @@ object WarcReader {
     }
   }
 
-  /** All records of every `*.warc` / `*.warc.gz` shard under `path`.
-    * Columns: shard, offset, warc_type, record_id, target_uri,
-    * warc_date, content_type, http_status, http_content_type, body.
+  /** Per-shard record explosion over any (path, content) frame — the
+    * one parse stage batch and streaming share (stateless flatMap, so
+    * Structured Streaming runs it unchanged).
     */
-  def records(spark: SparkSession, path: String): DataFrame = {
+  def recordsOf(shards: DataFrame): DataFrame = {
+    val spark = shards.sparkSession
     import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc*")
-      .load(path)
-      .select("path", "content")
+    shards.select("path", "content")
       .as[(String, Array[Byte])]
       .flatMap { case (shard, bytes) =>
         inflateShard(bytes) match {
@@ -266,6 +264,38 @@ object WarcReader {
         }
       }
       .toDF()
+  }
+
+  /** All records of every `*.warc` / `*.warc.gz` shard under `path`.
+    * Columns: shard, offset, warc_type, record_id, target_uri,
+    * warc_date, content_type, http_status, http_content_type, body.
+    */
+  def records(spark: SparkSession, path: String): DataFrame =
+    recordsOf(spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*")
+      .load(path))
+
+  /** Continuous crawl ingestion: the same parse over a binaryFile
+    * STREAM — new shards appearing under `path` become record
+    * micro-batches (the shape a live crawler feeds the pipeline;
+    * `maxFilesPerTrigger` bounds per-batch memory at shard granularity,
+    * matching the one-shard-one-task contract).
+    */
+  def recordsStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 2): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    recordsOf(spark.readStream.format("binaryFile").schema(schema)
+      .option("pathGlobFilter", "*.warc*")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .load(path))
   }
 
   /** Quarantine side channel (the nt_quarantine pattern): one row per

@@ -151,4 +151,28 @@ class WarcReaderSpec extends SparkSpec {
     val bad = WarcReader.quarantine(spark, dir.toString).collect()
     assert(bad.length === 1 && bad.head.getString(0).endsWith("c.warc.gz"))
   }
+
+  test("streaming surface: shards arriving later become new micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_stream_")
+    def shard(name: String, uri: String, body: String): Unit =
+      java.nio.file.Files.write(dir.resolve(name),
+        WarcReader.writeShardGz(Seq(WriteRec("response", uri, "", 200, "t/p",
+          body.getBytes(UTF_8)))))
+    shard("s0.warc.gz", "http://x/doc/0", "zero")
+    val q = WarcReader.recordsStream(spark, dir.toString, maxFilesPerTrigger = 1)
+      .where(col("warc_type") === "response")
+      .select("target_uri")
+      .writeStream.format("memory").queryName("warc_stream_spec_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("warc_stream_spec_sink").count() === 1)
+      shard("s1.warc.gz", "http://x/doc/1", "one")
+      shard("s2.warc.gz", "http://x/doc/2", "two")
+      q.processAllAvailable()
+      assert(spark.table("warc_stream_spec_sink")
+        .collect().map(_.getString(0)).sorted
+        === Array("http://x/doc/0", "http://x/doc/1", "http://x/doc/2"))
+    } finally q.stop()
+  }
 }
