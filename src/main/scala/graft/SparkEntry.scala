@@ -4420,6 +4420,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Crawl governance: RFC 9309 robots.txt decisions over the frontier
+    // (ops/Robots). The per-host robots table is tiny next to the URL
+    // table, so the rule lookup is a BROADCAST join — the decision runs
+    // map-side, no shuffle of the frontier at any scale. The fixture
+    // exercises group selection (graftbot's own group vs *), longest-
+    // match precedence (/private/open over /private), and the
+    // wildcard-$ rule; the oracle hand-evaluates the RFC per the
+    // deterministic (agent, path) menu.
+    "governance_robots" -> ((s, dir) => {
+      import graft.ops.Robots
+      val robotsBody =
+        "# corpus fixture\r\nUser-agent: *\nDisallow: /private\n" +
+          "Allow: /private/open\nDisallow: /tmp*.log$\n\n" +
+          "User-agent: graftbot\nCrawl-delay: 2\nDisallow: /doc/\n"
+      val urls = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .withColumn("host", concat(lit("h"), pmod(col("doc_id"), lit(5))))
+        .withColumn("agent", when(pmod(col("doc_id"), lit(2)) === 0,
+          lit("graftbot")).otherwise(lit("otherbot")))
+        .withColumn("path",
+          when(expr("(doc_id div 2) % 4 = 0"),
+            concat(lit("/doc/"), col("doc_id")))
+          .when(expr("(doc_id div 2) % 4 = 1"),
+            concat(lit("/private/"), col("doc_id")))
+          .when(expr("(doc_id div 2) % 4 = 2"),
+            concat(lit("/private/open/"), col("doc_id")))
+          .otherwise(concat(lit("/tmp"), col("doc_id"), lit(".log"))))
+      val robots = s.range(0, 5)
+        .select(concat(lit("h"), col("id")).as("host"),
+          lit(robotsBody).as("robots_body"))
+      urls.join(broadcast(robots), "host")
+        .select(col("doc_id"), col("agent"), col("path"),
+          Robots.robotsAllowed(col("robots_body"), col("agent"), col("path"))
+            .cast("int").as("allowed"))
+        .orderBy("doc_id")
+    }),
+
     // Training-data governance: k-anonymity profile across a
     // generalization lattice. Each rollup level drops the rightmost
     // quasi-identifier (nation > segment > balance band); per level the
@@ -9047,6 +9084,23 @@ object SparkEntry {
          |   -30000 + 8 * stop_bp + len_band - 5 * punct_bp AS margin,
          |   (-30000 + 8 * stop_bp + len_band - 5 * punct_bp) > 0 AS keep
          | FROM f ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // hand-evaluated RFC 9309: graftbot sees only its own group
+    // (Disallow /doc/), otherbot falls to * (Disallow /private + the
+    // /private/open carve-out + the anchored /tmp*.log$)
+    "governance_robots" ->
+      """SELECT doc_id::BIGINT AS doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'graftbot' ELSE 'otherbot' END AS agent,
+        |  CASE (doc_id // 2) % 4
+        |    WHEN 0 THEN '/doc/' || doc_id
+        |    WHEN 1 THEN '/private/' || doc_id
+        |    WHEN 2 THEN '/private/open/' || doc_id
+        |    ELSE '/tmp' || doc_id || '.log' END AS path,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN CASE WHEN (doc_id // 2) % 4 = 0 THEN 0 ELSE 1 END
+        |    ELSE CASE WHEN (doc_id // 2) % 4 IN (1, 3) THEN 0 ELSE 1 END
+        |  END AS allowed
+        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "governance_kanon" ->
       """WITH q AS (SELECT c_nationkey AS nation, c_mktsegment AS segment,
