@@ -5494,6 +5494,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The crawl FRONTIER: harvested links (Html.extractLinks) resolved
+    // against their page's base URL, minus everything already crawled —
+    // the fetch list a crawler derives each cycle. Shapes: link
+    // explosion is map-side; the anti-join shuffles on the url hash
+    // (both sides huge at crawl scale — the one shuffle the operation
+    // fundamentally needs); the count aggregation is partial-aggregable.
+    // Oracle: every page links /doc/(id+1) (internal — crawled unless
+    // id+1 is past the corpus edge) and https://ex.com/(id%7)
+    // (external — never crawled), so the frontier is derivable in SQL.
+    "pipeline_crawl_frontier" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ops.Html
+      val pages = t(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          (id, s"http://corpus.example/doc/$id", htmlFixturePage(id, text))
+        }
+        .toDF("doc_id", "base_url", "page")
+      val links = pages.select(col("base_url"),
+          explode(Html.htmlLinks(col("page"))).as("href"))
+        .select(when(col("href").startsWith("http"), col("href"))
+          .otherwise(concat(Urls.scheme(col("base_url")), lit("://"),
+            Urls.host(col("base_url")), col("href"))).as("url"))
+      val crawled = pages.select(col("base_url").as("url"))
+      links.join(crawled, Seq("url"), "left_anti")
+        .groupBy("url").agg(count(lit(1)).as("n_refs"))
+        .orderBy("url")
+    }),
+
     // Semantic dedup end-to-end: embedding-cosine near-dup pairs →
     // connected components → per-cluster size and a keep/drop verdict
     // (keep = the minimum-id member, which IS the component label).
@@ -9831,6 +9860,15 @@ object SparkEntry {
       s"""SELECT doc_id::BIGINT AS doc_id, 200 AS status,
          |        'Doc ' || doc_id AS title, $duckHtmlText AS text
          | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "pipeline_crawl_frontier" ->
+      """WITH ext AS (SELECT 'https://ex.com/' || (doc_id % 7) AS url FROM documents),
+        | intl AS (SELECT 'http://corpus.example/doc/' || (doc_id + 1) AS url
+        |          FROM documents
+        |          WHERE doc_id + 1 NOT IN (SELECT doc_id FROM documents)),
+        | a AS (SELECT url FROM ext UNION ALL SELECT url FROM intl)
+        | SELECT url, count(*)::BIGINT AS n_refs
+        | FROM a GROUP BY url ORDER BY url""".stripMargin.replace("\n", " "),
 
     "source_evolution" ->
       """SELECT doc_id, text,
