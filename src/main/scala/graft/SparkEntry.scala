@@ -5466,6 +5466,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // PDF text extraction (ops/PdfText): the second big document-corpus
+    // "extract" format next to HTML — object scan, /FlateDecode inflate
+    // (every even id compressed), content tokenizer, BT/ET text-operator
+    // walk with Tj/TJ (every third line a kerned TJ split) and literal /
+    // UTF-16BE-hex strings (non-Latin-1 corpus languages). The fixture
+    // paginates the document text (8 words/line, 5 lines/page) and the
+    // oracle re-joins lines with spaces, so a hash match proves the
+    // whole chain recovers the text exactly across pages, filters, and
+    // scripts.
+    "text_pdf_extract" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ops.PdfText
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val collapsed = Option(text).getOrElse("")
+            .replaceAll("[ \t\n\r\f]+", " ").trim
+          val words =
+            if (collapsed.isEmpty) Array.empty[String] else collapsed.split(" ")
+          val lines = s"Doc $id" +: words.grouped(8).map(_.mkString(" ")).toSeq
+          val pages = lines.grouped(5).map(_.toSeq).toSeq
+          (id, PdfText.pdfBytes(pages, flate = id % 2 == 0))
+        }
+        .toDF("doc_id", "payload")
+        .select(col("doc_id"),
+          regexp_replace(graft.ops.PdfText.pdfText(col("payload")),
+            "\n", " ").as("text"))
+        .orderBy("doc_id")
+    }),
+
     // The crawl pipeline composed end to end: WARC bytes → framing walk
     // → HTTP split (every even id chunked) → HTML extraction — what a
     // 100 TB Common Crawl ingestion actually runs, per-record with no
@@ -9860,6 +9891,14 @@ object SparkEntry {
       s"""SELECT doc_id::BIGINT AS doc_id, 200 AS status,
          |        'Doc ' || doc_id AS title, $duckHtmlText AS text
          | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // PDF pagination re-joined with spaces = the collapsed source text
+    "text_pdf_extract" ->
+      """WITH p AS (SELECT doc_id::BIGINT AS doc_id,
+        |        trim(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents)
+        | SELECT doc_id, 'Doc ' || doc_id ||
+        |   (CASE WHEN t = '' THEN '' ELSE ' ' || t END) AS text
+        | FROM p ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "pipeline_crawl_frontier" ->
       """WITH ext AS (SELECT 'https://ex.com/' || (doc_id % 7) AS url FROM documents),
