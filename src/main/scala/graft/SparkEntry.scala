@@ -5466,6 +5466,44 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Charset sniff + decode (ops/CharsetSniff): the step between raw
+    // HTTP bodies and text — BOM beats header beats meta beats UTF-8
+    // validation beats the windows-1252 browser fallback. Five delivery
+    // modes rotate by id: labeled UTF-8, BOM'd UTF-8 under a LYING
+    // header (BOM must win), BOM'd UTF-16LE with no header, unlabeled
+    // UTF-8 (validation path), BOM'd UTF-16BE under a lying header.
+    // Every mode recovers the text exactly, so the oracle is the
+    // documents table + the expected label; the cp1252 mojibake
+    // fallback is spec-pinned (CharsetSniffSpec) — it cannot be
+    // SQL-reproduced byte-for-byte.
+    "text_charset_sniff" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ops.CharsetSniff
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text0) =>
+          val text = Option(text0).getOrElse("")
+          val (payload, ct) = (id % 5) match {
+            case 0 => (text.getBytes("UTF-8"), "text/html; charset=utf-8")
+            case 1 => (Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+              text.getBytes("UTF-8"), "text/html; charset=utf-16le")
+            case 2 => (Array(0xff.toByte, 0xfe.toByte) ++
+              text.getBytes("UTF-16LE"), null)
+            case 3 => (text.getBytes("UTF-8"), "text/html")
+            case _ => (Array(0xfe.toByte, 0xff.toByte) ++
+              text.getBytes("UTF-16BE"), "text/plain; charset=utf-8")
+          }
+          (id, payload, ct)
+        }
+        .toDF("doc_id", "payload", "ct")
+        .select(col("doc_id"),
+          CharsetSniff.sniffDecoded(col("payload"), col("ct")).as("s"))
+        .select(col("doc_id"), col("s.charset").as("charset"),
+          col("s.text").as("text"))
+        .orderBy("doc_id")
+    }),
+
     // PDF text extraction (ops/PdfText): the second big document-corpus
     // "extract" format next to HTML — object scan, /FlateDecode inflate
     // (every even id compressed), content tokenizer, BT/ET text-operator
@@ -9891,6 +9929,16 @@ object SparkEntry {
       s"""SELECT doc_id::BIGINT AS doc_id, 200 AS status,
          |        'Doc ' || doc_id AS title, $duckHtmlText AS text
          | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // every mode recovers the exact text; the label replays the
+    // resolution order
+    "text_charset_sniff" ->
+      """SELECT doc_id::BIGINT AS doc_id,
+        |  CASE doc_id % 5 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-bom'
+        |    WHEN 2 THEN 'utf-16le-bom' WHEN 3 THEN 'utf-8'
+        |    ELSE 'utf-16be-bom' END AS charset,
+        |  text
+        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // PDF pagination re-joined with spaces = the collapsed source text
     "text_pdf_extract" ->
