@@ -94,6 +94,38 @@ object ScaleCurveSmoke {
         .agg(count(lit(1)).as("n_events"))
     }
 
+    def warcHtml(docs: DataFrame): DataFrame = {
+      import spark.implicits._
+      import graft.sources.WarcReader
+      docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val shard = WarcReader.writeShardGz(Seq(WarcReader.WriteRec(
+            "response", s"http://c.example/doc/$id", "", 200, "text/html",
+            SparkEntry.htmlFixturePage(id, text).getBytes("UTF-8"),
+            chunked = id % 2 == 0)))
+          WarcReader.parseShard(s"d$id",
+              WarcReader.inflateShard(shard).get)._1
+            .map(r => (id,
+              graft.ops.Html.extractText(new String(r.body, "UTF-8"))))
+        }
+        .toDF("doc_id", "text")
+    }
+
+    def pdfExtract(docs: DataFrame): DataFrame = {
+      import spark.implicits._
+      docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val collapsed = Option(text).getOrElse("")
+            .replaceAll("[ \t\n\r\f]+", " ").trim
+          val words =
+            if (collapsed.isEmpty) Array.empty[String] else collapsed.split(" ")
+          val lines = s"Doc $id" +: words.grouped(8).map(_.mkString(" ")).toSeq
+          (id, graft.ops.PdfText.extractText(graft.ops.PdfText.pdfBytes(
+            lines.grouped(5).map(_.toSeq).toSeq, flate = id % 2 == 0)))
+        }
+        .toDF("doc_id", "text")
+    }
+
     // op name -> (1x frame, Nx frame) builders; each op consumed via a
     // noop write (the Bench action)
     val ops: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
@@ -141,7 +173,16 @@ object ScaleCurveSmoke {
         () => graft.ops.Rank.bm25TopTerms(docsN, "text", "doc_id")),
       ("q35_sessionize",
         () => sessionize(events1),
-        () => sessionize(eventsN)))
+        () => sessionize(eventsN)),
+      // the r16 crawl stack: per-row work dominates (encode is fixture
+      // scaffolding, decode is the op), zero shuffles — the ratio IS the
+      // per-row-linearity proof for the WARC/HTML/PDF chain
+      ("crawl_warc_html",
+        () => warcHtml(docs1),
+        () => warcHtml(docsN)),
+      ("text_pdf_extract",
+        () => pdfExtract(docs1),
+        () => pdfExtract(docsN)))
 
     var failed = List.empty[String]
     val rows = ops.filter(o => only.isEmpty || only(o._1)).map {

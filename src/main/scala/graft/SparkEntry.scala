@@ -180,7 +180,7 @@ object SparkEntry {
     * footer paragraph follow, and the head carries markup-shaped script /
     * style / comment content that must stay dead.
     */
-  private def htmlFixturePage(id: Long, text: String): String = {
+  private[graft] def htmlFixturePage(id: Long, text: String): String = {
     val body = graft.ops.Html.escapeText(Option(text).getOrElse(""))
     s"""<!DOCTYPE html><html><head><title>Doc $id</title>
        |<style>p { content: "</p> not text"; }</style>
