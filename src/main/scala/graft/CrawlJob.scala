@@ -45,7 +45,7 @@ object CrawlJob {
       .as[(String, Option[String], Array[Byte])]
       .map { case (uri, ctOpt, body) =>
         val ct = ctOpt.getOrElse("")
-        val isPdf = ct.toLowerCase.contains("application/pdf") ||
+        val isPdf = ct.toLowerCase(java.util.Locale.ROOT).contains("application/pdf") ||
           (body.length >= 5 &&
             new String(body, 0, 5, "US-ASCII").startsWith("%PDF-"))
         if (isPdf) {

@@ -63,7 +63,7 @@ object CharsetSniff {
       .compile("charset\\s*=\\s*\"?([A-Za-z0-9_.:-]+)\"?",
         java.util.regex.Pattern.CASE_INSENSITIVE)
       .matcher(ct)
-    if (m.find()) Some(m.group(1).toLowerCase) else None
+    if (m.find()) Some(m.group(1).toLowerCase(java.util.Locale.ROOT)) else None
   }
 
   /** charset from a `<meta>` in the first 1024 bytes (ASCII-compatible
@@ -72,7 +72,7 @@ object CharsetSniff {
     */
   private[ops] def metaCharset(payload: Array[Byte]): Option[String] = {
     val head = new String(payload, 0, math.min(payload.length, 1024),
-      StandardCharsets.ISO_8859_1).toLowerCase
+      StandardCharsets.ISO_8859_1).toLowerCase(java.util.Locale.ROOT)
     val meta = java.util.regex.Pattern
       .compile("<meta[^>]*charset\\s*=\\s*['\"]?\\s*([a-z0-9_.:-]+)")
       .matcher(head)

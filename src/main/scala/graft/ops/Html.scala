@@ -124,7 +124,7 @@ object Html {
     if (closing) j += 1
     val nameStart = j
     while (j < end && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '-')) j += 1
-    val name = s.substring(nameStart, j).toLowerCase
+    val name = s.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
     var attrs = List.empty[(String, String)]
     while (j < end) {
       while (j < end && s.charAt(j).isWhitespace) j += 1
@@ -132,7 +132,7 @@ object Html {
       while (j < end && !s.charAt(j).isWhitespace && s.charAt(j) != '=' &&
         s.charAt(j) != '/') j += 1
       if (j > aStart) {
-        val aName = s.substring(aStart, j).toLowerCase
+        val aName = s.substring(aStart, j).toLowerCase(java.util.Locale.ROOT)
         while (j < end && s.charAt(j).isWhitespace) j += 1
         if (j < end && s.charAt(j) == '=') {
           j += 1

@@ -64,12 +64,12 @@ object Robots {
       val line = raw.takeWhile(_ != '#').trim.stripSuffix("\r").trim
       val c = line.indexOf(':')
       if (c > 0) {
-        val key = line.substring(0, c).trim.toLowerCase
+        val key = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
         val value = line.substring(c + 1).trim
         key match {
           case "user-agent" =>
             if (inRules) flush()
-            agents = agents :+ value.toLowerCase
+            agents = agents :+ value.toLowerCase(java.util.Locale.ROOT)
           case "allow" | "disallow" =>
             inRules = true
             if (value.isEmpty) {
@@ -90,7 +90,7 @@ object Robots {
     * exact matches the first group wins; no match → None (allowed).
     */
   def groupFor(groups: Seq[Group], agent: String): Option[Group] = {
-    val a = agent.toLowerCase
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
     groups.find(_.agents.contains(a))
       .orElse(groups.find(_.agents.contains("*")))
   }

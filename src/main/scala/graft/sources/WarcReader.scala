@@ -113,7 +113,7 @@ object WarcReader {
       } else if (line.nonEmpty) {
         val c = line.indexOf(':')
         if (c <= 0) return None
-        out = out :+ (line.substring(0, c).trim.toLowerCase ->
+        out = out :+ (line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT) ->
           line.substring(c + 1).trim)
       }
     }
@@ -198,7 +198,7 @@ object WarcReader {
               } else {
                 val cType = header(hs, "content-type")
                 val isHttpResponse = wType == "response" &&
-                  cType.exists(_.toLowerCase.startsWith("application/http"))
+                  cType.exists(_.toLowerCase(java.util.Locale.ROOT).startsWith("application/http"))
                 val rec0 = WarcRec(shard, off.toLong, wType,
                   header(hs, "warc-record-id").getOrElse(""),
                   header(hs, "warc-target-uri"), header(hs, "warc-date"),
@@ -240,7 +240,7 @@ object WarcReader {
     if (status < 100 || status > 599) return None
     parseHeaders(if (nl < 0) "" else head.substring(nl + 2)).flatMap { hs =>
       val chunked = header(hs, "transfer-encoding")
-        .exists(_.toLowerCase.contains("chunked"))
+        .exists(_.toLowerCase(java.util.Locale.ROOT).contains("chunked"))
       val bodyOpt =
         if (chunked) unchunk(p, he + 4, until)
         else Some(java.util.Arrays.copyOfRange(p, he + 4, until))
