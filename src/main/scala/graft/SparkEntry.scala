@@ -5586,7 +5586,13 @@ object SparkEntry {
         .select(when(col("href").startsWith("http"), col("href"))
           .otherwise(concat(Urls.scheme(col("base_url")), lit("://"),
             Urls.host(col("base_url")), col("href"))).as("url"))
-      val crawled = pages.select(col("base_url").as("url"))
+      // the crawled set is the URL scheme itself — derive it from
+      // doc_id directly instead of re-running the opaque page-building
+      // map a second time (typed maps block column pruning, so a
+      // `pages`-derived branch would rebuild every page string)
+      val crawled = t(s, dir, "documents")
+        .select(concat(lit("http://corpus.example/doc/"),
+          col("doc_id").cast("long")).as("url"))
       links.join(crawled, Seq("url"), "left_anti")
         .groupBy("url").agg(count(lit(1)).as("n_refs"))
         .orderBy("url")
