@@ -5647,22 +5647,22 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val cents = emb.where(col("vec_id") < 8)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-      // persisted: in a real deploy the state is a TABLE on disk; here
-      // the scaffolding rebuild is expensive (assign + pair join) and
-      // the retract plan reads it four times (affected semi, survivor
-      // anti ×2, re-pair) — measured 2.15 → a/b'd below before keeping,
-      // per the persist-vs-exchange-reuse rule. Scoped checkpoint so the
-      // cache releases at query-build exit (the mm_phash_pairs
-      // discipline).
+      // NO persist on the state frame, deliberately: a cross-window
+      // BenchOne first suggested one helped (2.15 → ~1.5), but the
+      // rigorous interleaved same-JVM A/B (4 alternating reps) showed
+      // the persist SLOWER (1.64-1.99 unpersisted vs 1.81-2.31
+      // persisted) — ReuseExchange already shares the assign+pair
+      // subtree across the retract plan's four reads, and the
+      // InMemoryRelation round-trip loses to codegen fusion (the
+      // persist-vs-exchange-reuse rule, confirmed again).
       val state = Similarity.semanticDedupState(emb, cents, "vec_id",
-        "embedding", "c_id", "c_emb", threshold = 0.35).persist()
+        "embedding", "c_id", "c_emb", threshold = 0.35)
       val rem = emb.where(pmod(col("vec_id"), lit(10)) === 3).select("vec_id")
-      val out = Similarity.semanticDedupRetract(state, rem, "vec_id",
-          "embedding", threshold = 0.35)
+      Similarity.semanticDedupRetract(state, rem, "vec_id", "embedding",
+          threshold = 0.35)
         .select(col("vec_id"), col("cluster"),
           round(col("cent_cos"), 4).as("cent_cos"), col("drop").as("is_dup"))
         .orderBy("vec_id")
-      graft.ops.Iterate.scoped(out, state)
     }),
 
     // Incremental SemDeDup: a 10% incoming batch (vec_id ≡ 9 mod 10)
