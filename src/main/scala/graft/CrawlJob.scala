@@ -35,6 +35,23 @@ object CrawlJob {
   final case class RunReport(records: Long, quarantined: Long, docs: Long,
       kept: Long, frontier: Long)
 
+  /** Stopword-dictionary language guess (the text_langid heuristic as a
+    * reusable column): most-hit wins with the en > es > de > fr
+    * precedence on ties, `und` when nothing hits.
+    */
+  private[graft] def langGuess(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def hits(ws: Seq[String]) = Functions.wordSetHits(lower(text), ws)
+    val en = hits(Seq("the", "and", "of", "to", "in"))
+    val es = hits(Seq("el", "la", "de", "y", "que"))
+    val de = hits(Seq("der", "die", "und", "das", "ist"))
+    val fr = hits(Seq("le", "et", "les", "des", "une"))
+    when(en > 0 && en >= es && en >= de && en >= fr, "en")
+      .when(es > 0 && es >= de && es >= fr, "es")
+      .when(de > 0 && de >= fr, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
   /** Extracted-but-unfiltered rows for a records frame (stage 2). */
   private[graft] def extracted(records: DataFrame): DataFrame = {
     val spark = records.sparkSession
@@ -65,12 +82,24 @@ object CrawlJob {
     * parquet and returns the counts.
     */
   def run(spark: SparkSession, warcDir: String, outDir: String,
-          minTokens: Long = 5): RunReport = {
+          minTokens: Long = 5, agent: String = "graftbot"): RunReport = {
     val records = WarcReader.records(spark, warcDir)
     val quarantine = WarcReader.quarantine(spark, warcDir)
+    // robots.txt responses captured by the crawl become the per-host
+    // rule table (ops/Robots): tiny next to the frontier → broadcast,
+    // decision map-side. min() picks a deterministic body should a
+    // host's robots appear in several shards.
+    val robotsRx = "^[a-z]+://[^/]+/robots\\.txt$"
+    val robots = records
+      .where(col("warc_type") === "response" && col("http_status") === 200 &&
+        col("target_uri").rlike(robotsRx))
+      .select(graft.ops.Urls.host(col("target_uri")).as("host"),
+        decode(col("body"), "UTF-8").as("robots_body"))
+      .groupBy("host").agg(min("robots_body").as("robots_body"))
     // one pass over shard bytes feeds docs AND frontier — persist the
     // extracted frame (small: text, not payloads), release before return
-    val ex = extracted(records).persist()
+    val ex = extracted(records
+      .where(!coalesce(col("target_uri"), lit("")).rlike(robotsRx))).persist()
     try {
       val scored = ex
         .withColumn("g", Functions.gopherStats(col("text")))
@@ -78,14 +107,16 @@ object CrawlJob {
           col("g.n_tok") >= minTokens &&
             col("g.n_uniq") * 4 >= col("g.n_tok"))
         .withColumn("text_md5", md5(col("text")))
+        .withColumn("lang", langGuess(col("text")))
       // exact dedup: keep the minimum URL per text hash (deterministic
       // canonical member — the dedup_exact/dedup_canonical shape)
       val canon = scored.groupBy("text_md5").agg(min("url").as("canon_url"))
       val docs = scored.join(canon, "text_md5")
         .withColumn("is_dup", col("url") =!= col("canon_url"))
         .select(col("url"), col("format"), col("charset"), col("title"),
-          col("text"), col("g.n_tok").as("n_tok"), col("keep_quality"),
-          col("is_dup"), when(col("is_dup"), col("canon_url")).as("dup_of"))
+          col("text"), col("lang"), col("g.n_tok").as("n_tok"),
+          col("keep_quality"), col("is_dup"),
+          when(col("is_dup"), col("canon_url")).as("dup_of"))
       docs.write.mode("overwrite").parquet(s"$outDir/documents")
       val crawled = ex.select(col("url"))
       val frontier = ex
@@ -96,6 +127,14 @@ object CrawlJob {
             col("href"))).as("url"))
         .join(crawled, Seq("url"), "left_anti")
         .groupBy("url").agg(count(lit(1)).as("n_refs"))
+        // RFC 9309 gate on the NEXT fetch list: annotated, not dropped —
+        // the fetch policy decision belongs to the crawler, the report
+        // shows what compliance costs
+        .withColumn("host", graft.ops.Urls.host(col("url")))
+        .join(broadcast(robots), Seq("host"), "left")
+        .withColumn("allowed", graft.ops.Robots.robotsAllowed(
+          col("robots_body"), lit(agent), graft.ops.Urls.path(col("url"))))
+        .select("url", "n_refs", "allowed")
       frontier.write.mode("overwrite").parquet(s"$outDir/frontier")
       quarantine.write.mode("overwrite").parquet(s"$outDir/quarantine")
       val outDocs = spark.read.parquet(s"$outDir/documents")

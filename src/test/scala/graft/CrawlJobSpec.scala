@@ -34,14 +34,18 @@ class CrawlJobSpec extends SparkSpec {
         "text/html", "<p>hi</p>".getBytes(UTF_8)),
       // an exact mirror of doc 0's body under another URL → dup
       html(0, "alpha beta gamma delta epsilon zeta")
-        .copy(targetUri = "http://mirror.example/doc/0"))
+        .copy(targetUri = "http://mirror.example/doc/0"),
+      // the crawl captured mirror.example's robots.txt → gates the frontier
+      WarcReader.WriteRec("response", "http://mirror.example/robots.txt", "",
+        200, "text/plain",
+        "User-agent: *\nDisallow: /doc\n".getBytes(UTF_8)))
     java.nio.file.Files.write(dir.resolve("a.warc.gz"),
       WarcReader.writeShardGz(recs))
     java.nio.file.Files.write(dir.resolve("bad.warc.gz"),
       "garbage".getBytes(UTF_8))
     val out = java.nio.file.Files.createTempDirectory("crawljob_out_").toString
     val r = CrawlJob.run(spark, dir.toString, out)
-    assert(r.records === 7, "404 row still parses; conversion counts as a record")
+    assert(r.records === 8, "404 + conversion + robots.txt all parse as records")
     assert(r.quarantined === 1)
     assert(r.docs === 5, "response-200 rows only")
     val docs = spark.read.parquet(s"$out/documents").collect()
@@ -61,10 +65,17 @@ class CrawlJobSpec extends SparkSpec {
     assert(r.kept === 3, "mirror, 1, and the pdf; tiny fails quality, doc 0 is dup")
     // doc0→/doc/1 and doc1→/doc/2 both resolve to CRAWLED urls; the
     // mirror's relative /doc/1 resolves against ITS host (uncrawled) —
-    // plus the two external refs
+    // plus the two external refs. The captured robots.txt gates the
+    // mirror host: its /doc path is disallowed; hosts with no robots
+    // default to allowed.
     val frontier = spark.read.parquet(s"$out/frontier")
-      .collect().map(_.getAs[String]("url")).toSet
-    assert(frontier === Set("https://ex.com/0", "https://ex.com/1",
-      "http://mirror.example/doc/1"))
+      .collect().map(x => x.getAs[String]("url") -> x.getAs[Boolean]("allowed"))
+      .toMap
+    assert(frontier === Map("https://ex.com/0" -> true,
+      "https://ex.com/1" -> true, "http://mirror.example/doc/1" -> false))
+    assert(!docs.contains("http://mirror.example/robots.txt"),
+      "robots payloads are rules, not documents")
+    assert(docs("http://site.example/doc/0").getAs[String]("lang") === "und",
+      "no stopwords in the fixture text")
   }
 }
