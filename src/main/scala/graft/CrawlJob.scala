@@ -121,10 +121,12 @@ object CrawlJob {
       val crawled = ex.select(col("url"))
       val frontier = ex
         .select(col("url").as("base_url"), explode(col("links")).as("href"))
-        .select(when(col("href").startsWith("http"), col("href"))
-          .otherwise(concat(graft.ops.Urls.scheme(col("base_url")),
-            lit("://"), graft.ops.Urls.host(col("base_url")),
-            col("href"))).as("url"))
+        // full reference resolution (plain-relative, ../, protocol-
+        // relative); mailto:/javascript:/fragment links resolve to null
+        // and are not enqueued
+        .select(graft.ops.Urls.resolveUrl(col("base_url"), col("href"))
+          .as("url"))
+        .where(col("url").isNotNull)
         .join(crawled, Seq("url"), "left_anti")
         .groupBy("url").agg(count(lit(1)).as("n_refs"))
         // RFC 9309 gate on the NEXT fetch list: annotated, not dropped —

@@ -5583,9 +5583,8 @@ object SparkEntry {
         .toDF("doc_id", "base_url", "page")
       val links = pages.select(col("base_url"),
           explode(Html.htmlLinks(col("page"))).as("href"))
-        .select(when(col("href").startsWith("http"), col("href"))
-          .otherwise(concat(Urls.scheme(col("base_url")), lit("://"),
-            Urls.host(col("base_url")), col("href"))).as("url"))
+        .select(Urls.resolveUrl(col("base_url"), col("href")).as("url"))
+        .where(col("url").isNotNull)
       // the crawled set is the URL scheme itself — derive it from
       // doc_id directly instead of re-running the opaque page-building
       // map a second time (typed maps block column pruning, so a

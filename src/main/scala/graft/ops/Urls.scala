@@ -53,6 +53,70 @@ object Urls {
   def registeredDomain(u: Column): Column =
     regexp_extract(host(u), "([^.]+\\.[^.]+)$", 1)
 
+  /** RFC 3986-lite reference resolution for link harvesting
+    * ([[Html.extractLinks]] → the crawl frontier): absolute URLs pass
+    * through, protocol-relative take the base scheme, path-absolute take
+    * the base authority, plain-relative resolve against the base
+    * DIRECTORY with `.`/`..` segment normalization (`..` at the root
+    * clamps, per the RFC's remove_dot_segments). Fragment-only and
+    * non-fetchable schemes (`mailto:`, `javascript:`, `data:`, …)
+    * return None — a frontier must not enqueue them. Pure function +
+    * [[resolveUrl]] Column form.
+    */
+  def resolveRelative(base: String, href0: String): Option[String] = {
+    if (base == null || href0 == null) return None
+    val href = href0.trim
+    val schemeRx = "^([A-Za-z][A-Za-z0-9+.-]*):".r
+    def isHttp(s: String) = s.equalsIgnoreCase("http") || s.equalsIgnoreCase("https")
+    def normalize(p: String): String = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (seg <- p.split("/", -1)) seg match {
+        case "." =>
+        case ".." => if (out.nonEmpty) out.remove(out.length - 1)
+        case s => out += s
+      }
+      val joined = out.mkString("/")
+      val trail = if (p.endsWith("/..") || p.endsWith("/.") || p.endsWith("/")) "/" else ""
+      val body = if (joined.startsWith("/")) joined else "/" + joined
+      if (body == "/") "/" else body.stripSuffix("/") + trail match {
+        case "" => "/"
+        case x => x
+      }
+    }
+    val baseScheme = schemeRx.findFirstMatchIn(base).map(_.group(1)).getOrElse("")
+    val authority = // scheme://host[:port]
+      base.replaceAll("^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+).*$", "$1")
+    val basePath = {
+      val p = base.replaceAll("^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+", "")
+        .takeWhile(c => c != '?' && c != '#')
+      if (p.isEmpty) "/" else p
+    }
+    schemeRx.findFirstMatchIn(href) match {
+      case Some(m) => if (isHttp(m.group(1))) Some(href) else None
+      case None =>
+        if (!isHttp(baseScheme) || !authority.contains("://")) None
+        else if (href.isEmpty || href.startsWith("#")) None // same document
+        else if (href.startsWith("//")) Some(s"$baseScheme:$href")
+        else if (href.startsWith("/")) Some(authority + normalize(href))
+        else if (href.startsWith("?")) Some(authority + basePath + href)
+        else {
+          val dir = basePath.substring(0, basePath.lastIndexOf('/') + 1)
+          // keep any query on the relative target, normalize only the path
+          val cut = href.indexWhere(c => c == '?' || c == '#')
+          val (pathPart, rest0) =
+            if (cut < 0) (href, "") else (href.take(cut), href.drop(cut))
+          val rest = if (rest0.startsWith("#")) "" else rest0
+          Some(authority + normalize(dir + pathPart) + rest)
+        }
+    }
+  }
+
+  private val resolveUdf = udf((b: String, h: String) =>
+    resolveRelative(b, h).orNull)
+
+  /** Column form of [[resolveRelative]] (null = not fetchable). */
+  def resolveUrl(base: Column, href: Column): Column = resolveUdf(base, href)
+
   /** The canonical URL string (see object doc for the exact rules). */
   def canonicalize(u: Column): Column = {
     val sch = scheme(u)

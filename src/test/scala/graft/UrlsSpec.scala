@@ -102,4 +102,36 @@ class UrlsSpec extends SparkSpec {
       .where(Urls.canonicalize(col("u")) =!= col("u"))
     assert(df.count() == 0L)
   }
+
+  test("resolveRelative: the RFC 3986-lite reference-resolution laws") {
+    import graft.ops.Urls.resolveRelative
+    val base = "http://www.Ex.com/a/b/page.html?q=1#frag"
+    assert(resolveRelative(base, "http://other.com/x") === Some("http://other.com/x"))
+    assert(resolveRelative(base, "HTTPS://caps.com/x") === Some("HTTPS://caps.com/x"))
+    assert(resolveRelative(base, "//cdn.com/lib.js") === Some("http://cdn.com/lib.js"))
+    assert(resolveRelative(base, "/root.html") === Some("http://www.Ex.com/root.html"))
+    assert(resolveRelative(base, "sib.html") === Some("http://www.Ex.com/a/b/sib.html"))
+    assert(resolveRelative(base, "../up.html") === Some("http://www.Ex.com/a/up.html"))
+    assert(resolveRelative(base, "../../../clamp.html") ===
+      Some("http://www.Ex.com/clamp.html"), ".. clamps at the root")
+    assert(resolveRelative(base, "./same.html") === Some("http://www.Ex.com/a/b/same.html"))
+    assert(resolveRelative(base, "d/") === Some("http://www.Ex.com/a/b/d/"),
+      "trailing slash survives normalization")
+    assert(resolveRelative(base, "x.html?k=v") ===
+      Some("http://www.Ex.com/a/b/x.html?k=v"), "query rides the target")
+    assert(resolveRelative(base, "?only=q") ===
+      Some("http://www.Ex.com/a/b/page.html?only=q"))
+    assert(resolveRelative(base, "x.html#sec") ===
+      Some("http://www.Ex.com/a/b/x.html"), "fragment dropped")
+    assert(resolveRelative(base, "#sec").isEmpty, "same-document link")
+    assert(resolveRelative(base, "").isEmpty)
+    assert(resolveRelative(base, "mailto:a@b.c").isEmpty)
+    assert(resolveRelative(base, "javascript:void(0)").isEmpty)
+    assert(resolveRelative(base, "data:text/plain,x").isEmpty)
+    assert(resolveRelative("http://host", "p.html") === Some("http://host/p.html"),
+      "authority-only base acts as /")
+    assert(resolveRelative("ftp://host/a", "x").isEmpty, "non-http base")
+    assert(resolveRelative(null, "x").isEmpty)
+    assert(resolveRelative("http://h/", null).isEmpty)
+  }
 }
