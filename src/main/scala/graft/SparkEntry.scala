@@ -5535,6 +5535,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // MAIN-content extraction (Html.extractMainText): the trafilatura-
+    // style step past tag stripping — chrome containers (nav/header/
+    // aside/footer), majority-link blocks (menus, read-more rows), and
+    // head metadata all drop; content blocks survive. The fixture
+    // surrounds the document text with all three boilerplate kinds; the
+    // oracle keeps exactly the heading, the text, and the one plain
+    // closing paragraph — proving the drops are surgical, not greedy.
+    "text_html_main" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ops.Html
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val body = Html.escapeText(Option(text).getOrElse(""))
+          (id,
+            s"""<html><head><title>Doc $id</title><style>p{}</style></head><body>
+               |<nav><a href="/">Home</a> | <a href="/about">About</a></nav>
+               |<header><p>Site $id banner</p></header>
+               |<h1>Doc $id</h1>
+               |<p>$body</p>
+               |<p><a href="/more/$id">continue reading</a></p>
+               |<aside>Related: <a href="/r1">one</a> <a href="/r2">two</a></aside>
+               |<p>closing remarks stay</p>
+               |<footer>&copy; 2026 corpus.example</footer>
+               |</body></html>""".stripMargin)
+        }
+        .toDF("doc_id", "page")
+        .select(col("doc_id"),
+          Html.htmlMainText(col("page")).as("text"))
+        .orderBy("doc_id")
+    }),
+
     // The crawl pipeline composed end to end: WARC bytes → framing walk
     // → HTTP split (every even id chunked) → HTML extraction — what a
     // 100 TB Common Crawl ingestion actually runs, per-record with no
@@ -9934,6 +9967,16 @@ object SparkEntry {
       s"""SELECT doc_id::BIGINT AS doc_id, 200 AS status,
          |        'Doc ' || doc_id AS title, $duckHtmlText AS text
          | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // chrome/link-dense/head blocks drop; what survives is the heading,
+    // the document text, and the one plain closing paragraph
+    "text_html_main" ->
+      """WITH p AS (SELECT doc_id::BIGINT AS doc_id,
+        |        trim(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents)
+        | SELECT doc_id, 'Doc ' || doc_id || chr(10) ||
+        |   (CASE WHEN t = '' THEN '' ELSE t || chr(10) END) ||
+        |   'closing remarks stay' AS text
+        | FROM p ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     // every mode recovers the exact text; the label replays the
     // resolution order

@@ -240,6 +240,63 @@ object Html {
     blocks.result().mkString("\n")
   }
 
+  /** Structural containers whose content is navigation chrome, not
+    * document content — [[extractMainText]] drops everything inside.
+    */
+  private val ChromeTags: Set[String] = Set("nav", "footer", "header", "aside")
+
+  /** MAIN-content extraction (the trafilatura/jusText-style step beyond
+    * tag stripping — boilerplate chrome hurts training corpora more
+    * than tags do). Same block walk as [[extractText]], with three
+    * drops, each deterministic so the oracle can reproduce the result:
+    *   - `<head>` content never contributes (the title is metadata, not
+    *     body text — [[extractTitle]] carries it);
+    *   - blocks whose raw characters are majority inside
+    *     `nav`/`footer`/`header`/`aside` drop (structural chrome);
+    *   - blocks whose raw characters are majority inside `<a>` drop
+    *     (link lists, read-more rows, menus — the link-density rule).
+    */
+  def extractMainText(html: String): String = {
+    if (html == null) return null
+    val blocks = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var rawChars = 0L
+    var anchorChars = 0L
+    var chromeChars = 0L
+    var headDepth = 0
+    var anchorDepth = 0
+    var chromeDepth = 0
+    def flush(): Unit = {
+      val b = collapse(decodeEntities(cur.toString))
+      if (b.nonEmpty && chromeChars * 2 <= rawChars &&
+          anchorChars * 2 <= rawChars) blocks += b
+      cur.clear(); rawChars = 0; anchorChars = 0; chromeChars = 0
+    }
+    tokens(html).foreach {
+      case Text(s) =>
+        if (headDepth == 0) {
+          cur.append(s)
+          rawChars += s.length
+          if (anchorDepth > 0) anchorChars += s.length
+          if (chromeDepth > 0) chromeChars += s.length
+        }
+      case Tag("head", closing, _) =>
+        headDepth = math.max(0, headDepth + (if (closing) -1 else 1))
+        flush()
+      case Tag("a", closing, _) =>
+        anchorDepth = math.max(0, anchorDepth + (if (closing) -1 else 1))
+      case Tag(name, closing, _) if ChromeTags(name) =>
+        chromeDepth = math.max(0, chromeDepth + (if (closing) -1 else 1))
+        flush()
+      case Tag(name, _, _) if BlockTags(name) => flush()
+      case Tag(name, _, _) if CellTags(name) =>
+        if (headDepth == 0) { cur.append(' '); rawChars += 1 }
+      case _ =>
+    }
+    flush()
+    blocks.result().mkString("\n")
+  }
+
   /** `<title>` content (collapsed, entity-decoded), or null. */
   def extractTitle(html: String): String = {
     if (html == null) return null
@@ -279,10 +336,12 @@ object Html {
   // ---- Column surface ----
 
   private val textUdf = udf((s: String) => extractText(s))
+  private val mainTextUdf = udf((s: String) => extractMainText(s))
   private val titleUdf = udf((s: String) => extractTitle(s))
   private val linksUdf = udf((s: String) => extractLinks(s))
 
   def htmlText(c: Column): Column = textUdf(c)
+  def htmlMainText(c: Column): Column = mainTextUdf(c)
   def htmlTitle(c: Column): Column = titleUdf(c)
   def htmlLinks(c: Column): Column = linksUdf(c)
 }

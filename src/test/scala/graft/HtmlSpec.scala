@@ -86,6 +86,35 @@ class HtmlSpec extends AnyFunSuite {
     assert(Html.extractLinks(null) === Seq.empty)
   }
 
+  test("main-content: chrome containers, link-dense blocks, and head drop; " +
+      "content blocks survive") {
+    val page = """<html><head><title>T</title></head><body>
+      |<nav><a href="/">Home</a> | <a href="/x">About</a></nav>
+      |<header><p>banner text</p></header>
+      |<h1>Heading</h1>
+      |<p>real content paragraph</p>
+      |<p><a href="/more">continue reading</a></p>
+      |<aside>Related: <a href="/r1">one</a> <a href="/r2">two</a></aside>
+      |<p>closing remarks stay</p>
+      |<footer>© corp</footer>
+      |</body></html>""".stripMargin
+    assert(Html.extractMainText(page) ===
+      "Heading\nreal content paragraph\nclosing remarks stay")
+    // extractText keeps everything by contrast
+    assert(Html.extractText(page).contains("Home"))
+    assert(Html.extractText(page).contains("T"))
+  }
+
+  test("main-content link-density boundary: exactly half link chars keeps") {
+    // raw 8 chars, 4 inside the anchor: 4*2 <= 8 → kept
+    assert(Html.extractMainText("<body><p>abcd<a href='/'>wxyz</a></p></body>")
+      === "abcdwxyz")
+    // 5 of 9 inside the anchor → dropped
+    assert(Html.extractMainText("<body><p>abcd<a href='/'>vwxyz</a></p></body>")
+      === "")
+    assert(Html.extractMainText(null) === null)
+  }
+
   test("extraction is total on hostile input (fuzz: never throws)") {
     val base = "<html><head><title>t</title><script>s</script></head>" +
       "<body><p>a &amp; b</p><a href=\"/x\">l</a><!-- c --></body></html>"
@@ -97,7 +126,8 @@ class HtmlSpec extends AnyFunSuite {
           "<>&;\"'/= abc!#x".charAt(rnd.nextInt(15))
       }
       val m = new String(chars)
-      Html.extractText(m); Html.extractTitle(m); Html.extractLinks(m)
+      Html.extractText(m); Html.extractMainText(m)
+      Html.extractTitle(m); Html.extractLinks(m)
     }
   }
 }
