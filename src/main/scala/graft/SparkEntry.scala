@@ -6106,6 +6106,62 @@ object SparkEntry {
         .orderBy("kind")
     }),
 
+    // Whole-image-stack corpus coverage (generalizing mm_jpeg_coverage):
+    // classify every payload by its SNIFFED container kind (signature +
+    // SOF walk — never by what the fixture intended) and whether the
+    // full decode chain accepts it — the report to read before trusting
+    // pixel statistics on a mixed crawl shard. One kind (png) carries
+    // deliberately truncated members, so its n_decoded < n proves the
+    // count separates sniffability from decodability.
+    "mm_image_coverage" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ops.{BmpPixels, GifPixels, JpegPixels, PngPixels}
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (id % 13).toInt + 6
+          val h = (id % 9).toInt + 6
+          val base = (id % 7).toInt
+          val px3 = (x: Int, y: Int) => {
+            val v = (x * 5 + y * 13 + base) % 252
+            (v, (v + 2) % 256, (v + 4) % 256)
+          }
+          val yOf = (bx: Int, by: Int) => 40 + ((bx * 5 + by * 7 + base) % 160)
+          val payload = (id % 6) match {
+            case 0 => BmpPixels.bmpBytes(w, h, px3)
+            case 1 => PngPixels.pngBytes(w, h, px3)
+            case 2 => JpegPixels.jpegBytes(w, h, grey = id % 2 == 0, yOf,
+              cb = 128, cr = 128)
+            case 3 => GifPixels.gifBytes(w, h, gifPal16, 0,
+              Seq(GifPixels.FrameSpec(0, 0, w, h,
+                (x, y) => ((x * 3 + y * 7 + id) % 16).toInt)))
+            case 4 => JpegPixels.jpegProgressiveBytes(w, h,
+              grey = id % 2 == 0, yOf, cb = 128, cr = 128)
+            case _ => PngPixels.pngBytes(w, h, px3).dropRight(9) // truncated
+          }
+          val kind =
+            if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M')
+              "bmp"
+            else if (payload.length >= 4 && (payload(0) & 0xff) == 0x89 &&
+              payload(1) == 'P') "png"
+            else if (payload.length >= 2 && (payload(0) & 0xff) == 0xff &&
+              (payload(1) & 0xff) == 0xd8)
+              "jpeg-" + JpegPixels.sofKind(payload).getOrElse("unknown")
+            else if (payload.length >= 4 &&
+              new String(payload, 0, 4, "US-ASCII") == "GIF8") "gif"
+            else "unknown"
+          val ok = BmpPixels.decode(payload).isDefined ||
+            PngPixels.decode(payload).isDefined ||
+            JpegPixels.decode(payload).isDefined ||
+            GifPixels.decode(payload).isDefined
+          (kind, if (ok) 1L else 0L)
+        }
+        .toDF("kind", "ok")
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"), sum("ok").as("n_decoded"))
+        .orderBy("kind")
+    }),
+
     // REAL audio sample walk (WavPcm): synthesize mono 16-bit PCM whose
     // sample i follows a closed-form integer formula, decode the bytes
     // back, and report exact per-64-sample-window sums / energy / silence
@@ -10284,6 +10340,18 @@ object SparkEntry {
         |        sum(smp)::BIGINT AS sum_s, sum(smp * smp)::BIGINT AS sum_sq
         | FROM v GROUP BY media_id, ch, window_id
         | ORDER BY media_id, ch, window_id""".stripMargin.replace("\n", " "),
+
+    // counts follow doc_id arithmetic; truncated members keep the png
+    // signature but fail decode
+    "mm_image_coverage" ->
+      """WITH k AS (SELECT doc_id,
+        |   CASE doc_id % 6 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+        |     WHEN 2 THEN 'jpeg-baseline' WHEN 3 THEN 'gif'
+        |     WHEN 4 THEN 'jpeg-progressive' ELSE 'png' END AS kind,
+        |   CASE WHEN doc_id % 6 = 5 THEN 0 ELSE 1 END AS ok
+        |   FROM documents)
+        | SELECT kind, count(*)::BIGINT AS n, sum(ok)::BIGINT AS n_decoded
+        | FROM k GROUP BY kind ORDER BY kind""".stripMargin.replace("\n", " "),
 
     // lossless codec → decoded pixels ARE the generator formula;
     // palette entry i = (i·17, i·29 mod 256, i·41 mod 256)
