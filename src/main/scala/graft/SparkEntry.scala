@@ -6106,6 +6106,41 @@ object SparkEntry {
         .orderBy("kind")
     }),
 
+    // REAL TIFF decode (TiffPixels): the scanned-document codec pairing
+    // with text_pdf_extract — IFD walk, strips, TIFF-variant LZW
+    // (MSB-first, EARLY width change) with horizontal predictor 2.
+    // Variants rotate by id: uncompressed / LZW / LZW+predictor, grey /
+    // RGB, single- / multi-strip. Lossless ⇒ decoded bytes equal the
+    // generator formula and the oracle recomputes every channel sum.
+    "mm_decode_tiff" -> ((s, dir) => {
+      import s.implicits._
+      import graft.model.MediaRecord
+      import graft.ops.{Multimodal, TiffPixels}
+      val recs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (id % 12).toInt + 2
+          val h = (id % 8).toInt + 2
+          val base = (id % 9).toInt
+          val grey = id % 2 == 0
+          val payload = TiffPixels.tiffBytes(w, h, if (grey) 1 else 3,
+            (x, y) => {
+              val v = (x * 7 + y * 3 + base) % 256
+              (v, (x * 5 + y * 11 + base) % 256, (x * 13 + y + base) % 256)
+            },
+            lzw = id % 3 != 0,
+            predictor2 = id % 3 == 2,
+            rowsPerStrip = if (id % 5 == 0) 3 else Int.MaxValue)
+          MediaRecord(id, "image/tiff", payload, Map.empty)
+        }
+      Multimodal.decodePixels(recs).toDF()
+        .select(col("media_id"), col("media_type"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_px"), col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("media_id")
+    }),
+
     // Whole-image-stack corpus coverage (generalizing mm_jpeg_coverage):
     // classify every payload by its SNIFFED container kind (signature +
     // SOF walk — never by what the fixture intended) and whether the
@@ -10340,6 +10375,28 @@ object SparkEntry {
         |        sum(smp)::BIGINT AS sum_s, sum(smp * smp)::BIGINT AS sum_sq
         | FROM v GROUP BY media_id, ch, window_id
         | ORDER BY media_id, ch, window_id""".stripMargin.replace("\n", " "),
+
+    // lossless codec → decoded bytes ARE the generator formula; grey
+    // fills all three channel sums with the single channel
+    "mm_decode_tiff" ->
+      """WITH p AS (SELECT doc_id::BIGINT AS media_id,
+        |        (doc_id % 12 + 2)::BIGINT AS w, (doc_id % 8 + 2)::BIGINT AS h,
+        |        (doc_id % 9)::BIGINT AS base, (doc_id % 2)::BIGINT AS grey
+        |   FROM documents),
+        | xs AS (SELECT media_id, w, h, base, grey, unnest(range(0, w)) AS x FROM p),
+        | xy AS (SELECT media_id, w, h, base, grey, x, unnest(range(0, h)) AS y FROM xs),
+        | px AS (SELECT media_id, w, h, grey,
+        |        (x * 7 + y * 3 + base) % 256 AS r,
+        |        (x * 5 + y * 11 + base) % 256 AS g,
+        |        (x * 13 + y + base) % 256 AS b FROM xy),
+        | s AS (SELECT media_id, w, h, count(*)::BIGINT AS n_px,
+        |        sum(r)::BIGINT AS sum_r,
+        |        sum(CASE WHEN grey = 0 THEN r ELSE g END)::BIGINT AS sum_g,
+        |        sum(CASE WHEN grey = 0 THEN r ELSE b END)::BIGINT AS sum_b
+        |   FROM px GROUP BY media_id, w, h)
+        | SELECT media_id, 'image/tiff' AS media_type, w AS width,
+        |        h AS height, n_px, sum_r, sum_g, sum_b
+        | FROM s ORDER BY media_id""".stripMargin.replace("\n", " "),
 
     // counts follow doc_id arithmetic; truncated members keep the png
     // signature but fail decode

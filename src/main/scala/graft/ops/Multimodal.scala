@@ -105,6 +105,9 @@ object Multimodal {
             PixelStats(r.media_id, "image/gif", g.width, g.height,
               g.width.toLong * g.height, f.sumR, f.sumG, f.sumB)
           })
+          .orElse(TiffPixels.decode(r.payload).map(s =>
+            PixelStats(r.media_id, "image/tiff", s.width, s.height,
+              s.nPx, s.sumR, s.sumG, s.sumB)))
       }
     }
   }

@@ -17,10 +17,13 @@ import org.apache.spark.sql.functions.udf
   *
   * Scope (documented subset, lenient like [[Html]] — an extractor must
   * produce SOMETHING for every payload, and [[Quality]] filters
-  * downstream): classic (non-object-stream) PDFs; objects located by a
-  * direct `N G obj` scan rather than the xref table (robust to the
-  * mild xref corruption real crawls carry; PDF 1.5+ compressed object
-  * streams fall out of scope and yield empty text); `/FlateDecode` or
+  * downstream): objects located by a direct `N G obj` scan rather than
+  * the xref table — robust to the mild xref corruption real crawls
+  * carry, and unaffected by PDF 1.5+ COMPRESSED XREF/OBJECT streams:
+  * the spec confines object streams to NON-stream objects, so content
+  * streams stay top-level and their text extracts from 1.5+ files too
+  * (only a hypothetical text operator inside an ObjStm-packed dict
+  * could hide — there is none); `/FlateDecode` or
   * unfiltered streams; text via `BT…ET` blocks — `Tj`, `'`, `"`, `TJ`
   * (TJ kern numbers are NOT turned into spaces — concatenation only),
   * line breaks on `Td`/`TD`/`T*`/`Tm`; literal strings with nesting +

@@ -76,6 +76,12 @@ class MediaFuzzSpec extends AnyFunSuite {
       Seq(graft.ops.GifPixels.decode, graft.ops.ImageHeaders.parse))
   }
 
+  test("TIFF: decode survives mutation + truncation") {
+    fuzz("tiff", graft.ops.TiffPixels.tiffBytes(10, 8, 3,
+      (x, y) => (x * 7, y * 5, (x + y) % 256), lzw = true, predictor2 = true),
+      Seq(graft.ops.TiffPixels.decode))
+  }
+
   test("MP4: box walk survives mutation + truncation") {
     fuzz("mp4", graft.ops.Mp4Headers.mp4Bytes("isom", 1000L, 42000L),
       Seq(graft.ops.Mp4Headers.parse))
