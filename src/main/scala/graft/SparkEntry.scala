@@ -6106,6 +6106,35 @@ object SparkEntry {
         .orderBy("kind")
     }),
 
+    // MP3 frame-header walk (Mp3Headers): the lossy-audio metadata path
+    // — VBR frame lengths (padding-aware), exact duration as the
+    // (n_samples, sample_rate) rational, ID3v2/v1 framing — everything
+    // a pipeline asks before shipping a payload to a real decoder. The
+    // fixture rotates rate/channel/VBR/tag shapes by id; every reported
+    // field is closed-form so the oracle replays the whole walk.
+    "mm_decode_mp3" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ops.Mp3Headers
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .flatMap { id =>
+          val nf = (id % 40).toInt + 3
+          val bis = (0 until nf).map(f => ((id + f * 7) % 14).toInt + 1)
+          val pads = (0 until nf).map(f => (id + f) % 3 == 0)
+          val payload = Mp3Headers.mp3Bytes((id % 3).toInt, bis, pads,
+            mono = id % 2 == 0,
+            id3v2Size = if (id % 4 == 0) 50 + (id % 20).toInt else -1,
+            id3v1 = id % 5 == 0)
+          Mp3Headers.parse(payload).map(i =>
+            (id, i.version, i.layer, i.sampleRate, i.channels, i.nFrames,
+              i.nSamples, i.sumBitrateKbps,
+              if (i.id3v2) 1 else 0, if (i.id3v1) 1 else 0))
+        }
+        .toDF("media_id", "version", "layer", "sample_rate", "channels",
+          "n_frames", "n_samples", "sum_kbps", "has_id3v2", "has_id3v1")
+        .orderBy("media_id")
+    }),
+
     // REAL TIFF decode (TiffPixels): the scanned-document codec pairing
     // with text_pdf_extract — IFD walk, strips, TIFF-variant LZW
     // (MSB-first, EARLY width change) with horizontal predictor 2.
@@ -10375,6 +10404,26 @@ object SparkEntry {
         |        sum(smp)::BIGINT AS sum_s, sum(smp * smp)::BIGINT AS sum_sq
         | FROM v GROUP BY media_id, ch, window_id
         | ORDER BY media_id, ch, window_id""".stripMargin.replace("\n", " "),
+
+    // the whole frame walk replayed in SQL: the MPEG1-LIII bitrate
+    // table indexed per frame, 1152 samples/frame, tag flags by id
+    "mm_decode_mp3" ->
+      """WITH p AS (SELECT doc_id::BIGINT AS media_id,
+        |        (doc_id % 40 + 3)::BIGINT AS nf FROM documents),
+        | fr AS (SELECT media_id, nf, unnest(range(0, nf)) AS f FROM p),
+        | kb AS (SELECT media_id, nf,
+        |        list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+        |          (((media_id + f * 7) % 14) + 1)::INT) AS kbps FROM fr),
+        | s AS (SELECT media_id, nf, sum(kbps)::BIGINT AS sum_kbps
+        |   FROM kb GROUP BY media_id, nf)
+        | SELECT media_id, 'mpeg1' AS version, 3 AS layer,
+        |   CASE media_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |     ELSE 32000 END AS sample_rate,
+        |   CASE WHEN media_id % 2 = 0 THEN 1 ELSE 2 END AS channels,
+        |   nf AS n_frames, (nf * 1152)::BIGINT AS n_samples, sum_kbps,
+        |   CASE WHEN media_id % 4 = 0 THEN 1 ELSE 0 END AS has_id3v2,
+        |   CASE WHEN media_id % 5 = 0 THEN 1 ELSE 0 END AS has_id3v1
+        | FROM s ORDER BY media_id""".stripMargin.replace("\n", " "),
 
     // lossless codec → decoded bytes ARE the generator formula; grey
     // fills all three channel sums with the single channel
