@@ -3762,6 +3762,15 @@ object SparkEntry {
       // histogram lambda (O(distinct·len) per doc and ~2× slower measured):
       // (doc, gram) counts combine map-side, then one doc-key regroup
       // folds them into the map column
+      // NOT candidate-filtered, by measurement (r16 opt round): building
+      // the histograms only for pair members (semi-join on the pair ids,
+      // the prefixJaccardJoin verify discipline) is strictly less total
+      // work, but it chains the bigram aggregation BEHIND the minhash
+      // pipeline — the two subtrees run concurrently in this one-job
+      // shape, and both the unpersisted (re-planned 3×) and persisted
+      // (barrier-serialized) variants measured ~1.7× SLOWER at sf0.1
+      // under interleaved same-host A/B. At a corpus scale where
+      // candidates ≪ docs the filter wins on bytes; re-evaluate there.
       val gmaps = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
         .select(col("doc_id"), explode(expr(
           """zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),

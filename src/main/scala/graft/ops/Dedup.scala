@@ -110,6 +110,27 @@ object Dedup {
       .map(i => when(col(s"a_s$i") === col(s"b_s$i"), 1).otherwise(0))
       .reduce(_ + _).cast("double") / numHashes, 4)
 
+  /** `band === <index of the FIRST band whose components all match>`.
+    * A pair matching in k bands appears k times in the band join; since
+    * the full signatures ride both sides, "this row's band is the
+    * minimal matching band" is a pure post-join predicate that keeps
+    * exactly one row per pair — replacing the `.distinct()` the join
+    * used to need (an exchange + hash aggregation over every candidate
+    * row; guide-§2.4 shuffle removal, r16). The current row's band
+    * always matches (the join key was equal), so the coalesce is total.
+    */
+  private def firstMatchingBand(numHashes: Int, bandSize: Int): Column = {
+    val nBands = numHashes / bandSize
+    val bandMatches = (0 until nBands).map { b =>
+      (0 until bandSize)
+        .map(j => col(s"a_s${b * bandSize + j}") === col(s"b_s${b * bandSize + j}"))
+        .reduce(_ && _)
+    }
+    val first = coalesce(bandMatches.zipWithIndex.map {
+      case (m, b) => when(m, lit(b)) }: _*)
+    col("band") === first
+  }
+
   def minhashCandidates(sigIn: DataFrame, idCol: String,
                         numHashes: Int = 8, bandSize: Int = 2,
                         threshold: Double = 0.5): DataFrame = {
@@ -122,11 +143,9 @@ object Dedup {
     left.join(right,
         col("band") === col("band_r") && col("key") === col("key_r") &&
           col("a_id") < col("b_id"))
+      .where(firstMatchingBand(numHashes, bandSize))
       .select(col("a_id"), col("b_id"), estJaccard(numHashes).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
-      .distinct() // a pair matching in k bands appears k times; est_jaccard
-                  // is pair-deterministic so the wider distinct is the same
-                  // cardinality as distinct(a_id, b_id)
   }
 
   /** Incremental near-dup check — which INCOMING docs near-duplicate the
@@ -154,10 +173,10 @@ object Dedup {
         (0 until numHashes).map(i => col(s"s$i").as(s"a_s$i")): _*)
     stored.join(broadcast(incoming),
         col("band") === col("band_r") && col("key") === col("key_r"))
+      .where(firstMatchingBand(numHashes, bandSize))
       .select(col("a_id").as("in_id"), col("b_id").as("stored_id"),
         estJaccard(numHashes).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
-      .distinct()
   }
 
   /** Connected components over candidate-pair edges → duplicate clusters:
@@ -790,10 +809,18 @@ object Dedup {
       .select(col("_id"), col("simhash"), col("z.band").as("band"), col("z.key").as("key"))
     val a = banded.select(col("band"), col("key"), col("_id").as("a"), col("simhash").as("sa"))
     val b = banded.select(col("band"), col("key"), col("_id").as("b"), col("simhash").as("sb"))
+    // a pair may agree on several bands; both signatures ride the joined
+    // row, so "this is the FIRST agreeing band" is a pure predicate and
+    // each pair survives exactly once — no dedup exchange needed (the
+    // minhashCandidates firstMatchingBand trick, r16)
+    val firstBand = coalesce((0 until bands).map { bb =>
+      when(expr(s"shiftright(sa, ${bb * width}) % ${mask + 1} = " +
+        s"shiftright(sb, ${bb * width}) % ${mask + 1}"), lit(bb))
+    }: _*)
     val result = a.join(b, Seq("band", "key")).where(col("a") < col("b"))
+      .where(col("band") === firstBand)
       .select(col("a"), col("b"), expr("cast(bit_count(sa ^ sb) as int)").as("hamming"))
-      .where(col("hamming") <= maxHamming) // before the dedup exchange
-      .distinct() // a pair may agree on several bands; hamming is pair-determined
+      .where(col("hamming") <= maxHamming)
     Iterate.scoped(result, sig)
   }
 
