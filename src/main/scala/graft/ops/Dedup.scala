@@ -1001,7 +1001,7 @@ object Dedup {
     * dedup_spans_sa ⇔ dedup_spans_exact oracle identity pins it.
     */
   def dedupSpansSa(df: DataFrame, textCol: String, idCol: String,
-                   k: Int = 5, parts: Int = 32): DataFrame = {
+                   k: Int = 5, parts: Int = 0): DataFrame = {
     // run members straight off the k-bounded sorted ranking (see
     // SuffixArray.boundedRunMembers for why SA-adjacency membership is
     // a per-row neighbor-key test there) — the bounded build's seed IS

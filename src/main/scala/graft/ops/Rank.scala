@@ -81,7 +81,7 @@ object Rank {
     */
   def globalNtile(df: DataFrame, groupCol: String,
                   sortCols: Seq[org.apache.spark.sql.Column], k: Int,
-                  parts: Int = 32): DataFrame = {
+                  parts: Int = 0): DataFrame = {
     val ranked = globalRowNumber(df, col(groupCol) +: sortCols, parts)
     val offsets = df.groupBy(groupCol).agg(count(lit(1)).as("_n_g"))
       .withColumn("_off",
@@ -120,9 +120,11 @@ object Rank {
     * release explicitly (same contract as `SuffixArray.neighborLcps`).
     */
   def globalRowNumber(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
-                      parts: Int = 32): DataFrame = {
+                      parts: Int = 0): DataFrame = {
+    // parts = 0 derives from spark.sql.shuffle.partitions — see
+    // SuffixArray.defaultParts (scale-adaptive, local plans unchanged)
     val (_, rn) = SuffixArray.sortedRanking(df, sortCols,
-      df.columns.map(col).toSeq, parts)
+      df.columns.map(col).toSeq, SuffixArray.defaultParts(df, parts))
     rn.drop("_mid")
   }
 
@@ -137,9 +139,9 @@ object Rank {
 
   def globalCumSum(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
                    valCol: String, cumCol: String,
-                   parts: Int = 32): DataFrame = {
+                   parts: Int = 0): DataFrame = {
     val ranged = Iterate.materialize(
-      df.repartitionByRange(parts, sortCols: _*)
+      df.repartitionByRange(SuffixArray.defaultParts(df, parts), sortCols: _*)
         .withColumn("_pid", spark_partition_id())).df
     val offsets = ranged.groupBy("_pid").agg(sum(col(valCol)).as("_s"))
       .withColumn("_offset",

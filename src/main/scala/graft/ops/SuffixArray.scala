@@ -216,14 +216,30 @@ object SuffixArray {
     * the checkpoint handle — the caller releases it once members are
     * consumed.
     */
+  /** Scale-adaptive default for the ranking width: `parts = 0` (the
+    * public defaults) derives it from `spark.sql.shuffle.partitions` —
+    * the knob a cluster deploy already sizes to its data volume, with
+    * AQE coalescing the tail. Local sessions set it to the core count
+    * (GraftSession: 32), so local plans are bit-identical to the former
+    * hard-coded 32; on a real deploy the rankings now scale with the
+    * configured shuffle width instead of being pinned to a local-mode
+    * constant (optimization guide §2 — scale-adaptive partitioning).
+    * Results are partitioning-independent by construction (the global
+    * row number is exact for any width), so this is cost-only.
+    */
+  private[ops] def defaultParts(df: DataFrame, parts: Int): Int =
+    if (parts > 0) parts
+    else df.sparkSession.sessionState.conf.numShufflePartitions
+
   private[ops] def boundedRunMembers(df: DataFrame, textCol: String,
-      idCol: String, k: Int, parts: Int = 32)
+      idCol: String, k: Int, parts: Int = 0)
       : (Iterate.Materialized, DataFrame) = {
     require(k >= 1, s"k must be >= 1, got $k")
+    val nParts = defaultParts(df, parts)
     val sfx = suffixes(df, textCol, idCol, k, withRem = true)
     val keys = Seq(col("_p0"), col("_id"), col("pos"))
     val sorted = Iterate.materialize(
-      sfx.repartitionByRange(parts, keys: _*)
+      sfx.repartitionByRange(nParts, keys: _*)
         .sortWithinPartitions(keys: _*)
         .select(col("_id"), col("pos"), col("_p0"), col("_rem"),
           monotonically_increasing_id().as("_mid")))
@@ -306,9 +322,10 @@ object SuffixArray {
   val BoundSeed: Int = 64
 
   def build(df: DataFrame, textCol: String, idCol: String,
-            startPrefix: Int = AdaptiveSeed, parts: Int = 32,
+            startPrefix: Int = AdaptiveSeed, parts: Int = 0,
             maxRounds: Int = 16, refineTo: Int = Int.MaxValue): DataFrame = {
     require(refineTo >= 1, s"refineTo must be >= 1, got $refineTo")
+    val nParts = defaultParts(df, parts)
     val adaptive = startPrefix == AdaptiveSeed
     val maxLen: Option[Int] =
       if (!adaptive) None
@@ -341,12 +358,12 @@ object SuffixArray {
     // expression-only rank assignment.
     if (maxLen.exists(m => seedLen >= m) || seedLen >= refineTo) {
       val (_, rn) = sortedRanking(sfx, seedKeys,
-        Seq(col("_id"), col("pos")), parts)
+        Seq(col("_id"), col("pos")), nParts)
       return rn.select(col("_id").as(idCol), col("pos"),
         col("rn").as("sa_rank"))
     }
     var (state, s0, _, srn0, unres0) = rankRound(sfx, seedKeys, Seq("_p0"),
-      parts, "sa_seed", None, seedLen.toLong)
+      nParts, "sa_seed", None, seedLen.toLong)
     var h = seedLen.toLong
     var round = 1
     // every seed prefix unique, every tied group already an
@@ -366,7 +383,7 @@ object SuffixArray {
       val tR = System.nanoTime()
       val (next, sG, sPrev, sRn, unres) = rankRound(paired,
         Seq(col("_r1"), col("_r2"), col("_id"), col("pos")),
-        Seq("_r1", "_r2"), parts, s"sa_round_$round", Some("_r1"), h * 2)
+        Seq("_r1", "_r2"), nParts, s"sa_round_$round", Some("_r1"), h * 2)
       state.release() // consumed into the new round's checkpoint
       state = next
       if (sys.env.contains("GRAFT_SA_DEBUG"))
@@ -420,8 +437,9 @@ object SuffixArray {
     * [[graft.ops.Rank.globalRowNumber]].
     */
   def neighborLcps(df: DataFrame, textCol: String, idCol: String,
-                   parts: Int = 32, fallbackCap: Int = 128): DataFrame = {
+                   parts: Int = 0, fallbackCap: Int = 128): DataFrame = {
     val spark = df.sparkSession
+    val nParts = defaultParts(df, parts)
     val obs = new Observation()
     df.select(size(split(col(textCol), " ")).as("_n"))
       .observe(obs, coalesce(max(col("_n")), lit(0)).as("mx"))
@@ -439,7 +457,7 @@ object SuffixArray {
     val sfx = suffixes(df, textCol, idCol, seedLen, withRem = false)
     val keys = Seq(col("_p0"), col("_id"), col("pos"))
     val sorted = Iterate.materialize(
-      sfx.repartitionByRange(parts, keys: _*)
+      sfx.repartitionByRange(nParts, keys: _*)
         .sortWithinPartitions(keys: _*)
         .select(col("_id"), col("pos"), col("_p0"),
           monotonically_increasing_id().as("_mid")))
