@@ -236,14 +236,19 @@ object Multimodal {
       col("_hi").as("ha"), col("_lo").as("la"))
     val b = banded.select(col("band"), col("key"), col("_ph").as("pb"),
       col("_hi").as("hb"), col("_lo").as("lb"))
+    // a pair may collide on several bands; both hex hashes ride the
+    // joined row, so "this is the FIRST colliding band" is a pure
+    // predicate and each pair survives exactly once — the Dedup
+    // firstMatchingBand trick (r16), no dedup exchange
+    val firstBand = coalesce((0 until 4).map { bb =>
+      when(expr(s"substring(pa, ${bb * 4 + 1}, 4) = " +
+        s"substring(pb, ${bb * 4 + 1}, 4)"), lit(bb))
+    }: _*)
     a.join(b, Seq("band", "key")).where(col("pa") < col("pb"))
+      .where(col("band") === firstBand)
       .select(col("pa"), col("pb"),
         expr("cast(bit_count(ha ^ hb) + bit_count(la ^ lb) AS int)").as("hamming"))
-      // filter BEFORE the dedup exchange: hamming is pair-determined, so
-      // the order is free, and most band collisions are 4..64-bit pairs
-      // about to be dropped — no reason to shuffle them into distinct()
       .where(col("hamming") <= maxHamming)
-      .distinct() // a pair may collide on several bands
   }
 
   /** Deterministic frame sampling for (pseudo) video payloads: split the
