@@ -1294,4 +1294,41 @@ class OpsSpec extends SparkSpec {
     assert(frames.map(_._2).toSeq === Seq(0, 2, 4, 6))
     assert(frames.last._3 === 4) // trailing partial frame
   }
+
+  test("band joins emit each pair exactly ONCE without a distinct (first-matching-band)") {
+    // identical docs match in ALL bands — the multi-emission case the
+    // removed .distinct() used to absorb; the first-matching-band
+    // predicate must keep exactly one row per pair (r16 optimization)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "unrelated words that share nothing with the others at all"))
+      .toDF("doc_id", "text")
+    val cand = Dedup.minhashCandidates(
+        Dedup.minhashSignature(docs, "text", "doc_id"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cand.length === cand.distinct.length, s"duplicate pairs: ${cand.toSeq}")
+    assert(cand.toSet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+
+    val sig = Dedup.minhashSignature(docs, "text", "doc_id")
+    val inc = Dedup.incrementalMinhashDups(
+        sig.where(col("doc_id") =!= 2L), sig.where(col("doc_id") === 2L), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(inc.length === inc.distinct.length, s"duplicate inc pairs: ${inc.toSeq}")
+    assert(inc.toSet === Set((2L, 1L), (2L, 3L)))
+
+    val sp = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sp.length === sp.distinct.length, s"duplicate simhash pairs: ${sp.toSeq}")
+    assert(sp.toSet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+
+    // near-equal 64-bit pHashes collide in three of four 16-bit bands
+    val pp = Multimodal.phashPairs(
+        Seq(("00ff00ff00ff00fe", 1L), ("00ff00ff00ff00ff", 2L))
+          .toDF("phash_hex", "n"), "phash_hex", maxHamming = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(pp.length === pp.distinct.length, s"duplicate phash pairs: ${pp.toSeq}")
+    assert(pp.toSet === Set(("00ff00ff00ff00fe", "00ff00ff00ff00ff")))
+  }
 }
