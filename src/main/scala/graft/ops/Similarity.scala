@@ -122,15 +122,32 @@ object Similarity {
     // whole-stage-codegen plan with NO exchange of the corpus at any
     // replication, scoring with the exact cosine expression tree of the
     // scored-join form so selections are bit-identical.
-    val centArr = centroids.agg(
+    ivfAssignCells(corpus, centroids, idCol, embCol, cIdCol, cEmbCol,
+        replication)
+      .select(col(idCol), col(embCol), explode(col("_vcells")).as("cluster"))
+  }
+
+  /** One broadcast row holding the sorted (id, emb, norm) centroid array —
+    * the shared build for every vec_top_cells consumer.
+    */
+  private def centArray(centroids: DataFrame, cIdCol: String,
+                        cEmbCol: String): DataFrame =
+    centroids.agg(
       array_sort(collect_list(struct(
         col(cIdCol).cast("long").as("_cid"), col(cEmbCol).as("_cemb"),
         sqrt(dotFixed(cEmbCol, cEmbCol)).as("_cnrm")))).as("_cents"))
-    corpus.crossJoin(broadcast(centArr))
+
+  /** [[ivfAssign]] pre-explode: the corpus plus its full `_vcells`
+    * assignment array (rank order). Keeping the array on the row lets a
+    * downstream cell join decide "is this the first cell this pair can
+    * meet in" as a codegen predicate instead of a pair `distinct()`.
+    */
+  private def ivfAssignCells(corpus: DataFrame, centroids: DataFrame,
+                             idCol: String, embCol: String, cIdCol: String,
+                             cEmbCol: String, replication: Int): DataFrame =
+    corpus.crossJoin(broadcast(centArray(centroids, cIdCol, cEmbCol)))
       .select(col(idCol), col(embCol),
-        explode(expr(s"vec_top_cells(_cents, $embCol, $replication)"))
-          .as("cluster"))
-  }
+        expr(s"vec_top_cells(_cents, $embCol, $replication)").as("_vcells"))
 
   /** IVF-pruned top-k: each query searches the inverted lists of its
     * `nprobe` nearest centroids (nprobe=1 ⇒ only its own cluster).
@@ -146,8 +163,16 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queryIds: DataFrame => DataFrame, idCol: String,
               embCol: String, centroids: DataFrame, cIdCol: String, cEmbCol: String,
               k: Int, nprobe: Int = 1, replication: Int = 1): DataFrame = {
-    val assigned = ivfAssign(corpus, centroids, idCol, embCol, cIdCol, cEmbCol,
-        replication)
+    // under replication the full `_vcells` array rides each index row so
+    // the cell join can keep each (query, neighbor) pair exactly once by
+    // predicate (below) — at replication 1 the array is pruned away and
+    // the plan is the classic one-cell-per-row index
+    val assigned0 = ivfAssignCells(corpus, centroids, idCol, embCol, cIdCol,
+      cEmbCol, replication)
+    val assigned = assigned0.withColumn("cluster", explode(col("_vcells")))
+      .select((if (replication > 1)
+          Seq(col(idCol), col(embCol), col("_vcells"), col("cluster"))
+        else Seq(col(idCol), col(embCol), col("cluster"))): _*)
       .withColumn("_nrm", sqrt(dotFixed(embCol, embCol)))
     val qBase0 = queryIds(assigned)
       .select(col(idCol).as("q_id"), col(embCol).as("q_emb"),
@@ -159,22 +184,33 @@ object Similarity {
     // top-`nprobe` centroids per query — the same fused vec_top_cells
     // kernel as ivfAssign (identical scoring and tiebreak, so probe 1 is
     // exactly the query's own storage cluster), with no window in the
-    // probe sub-plan either
-    val qCentArr = centroids.agg(
-      array_sort(collect_list(struct(
-        col(cIdCol).cast("long").as("_cid"), col(cEmbCol).as("_cemb"),
-        sqrt(dotFixed(cEmbCol, cEmbCol)).as("_cnrm")))).as("_cents"))
-    val qProbes = qBase.crossJoin(broadcast(qCentArr))
+    // probe sub-plan either; under replication the probe list `_qcells`
+    // rides the broadcast rows for the first-shared-cell predicate
+    val qCells = qBase.crossJoin(broadcast(
+        centArray(centroids, cIdCol, cEmbCol)))
       .select(col("q_id"), col("q_emb"), col("_qnrm"),
-        explode(expr(s"vec_top_cells(_cents, q_emb, $nprobe)")).as("cluster"))
-    val scored0 = assigned.join(broadcast(qProbes), "cluster")
+        expr(s"vec_top_cells(_cents, q_emb, $nprobe)").as("_qcells"))
+    val qProbes = qCells.withColumn("cluster", explode(col("_qcells")))
+      .select((if (replication > 1)
+          Seq(col("q_id"), col("q_emb"), col("_qnrm"), col("_qcells"),
+            col("cluster"))
+        else Seq(col("q_id"), col("q_emb"), col("_qnrm"), col("cluster"))): _*)
+    val joined0 = assigned.join(broadcast(qProbes), "cluster")
       .where(col(idCol) =!= col("q_id"))
-      .select(col("q_id"), col(idCol).as("neighbor_id"),
-        (dotFixed("q_emb", embCol) / (col("_qnrm") * col("_nrm"))).as("cos"))
-    // under replication a (query, neighbor) pair can meet in more than one
-    // probed cell; the duplicate rows are bit-identical (same inputs, same
-    // expression), so distinct removes them exactly
-    val scored = if (replication > 1) scored0.distinct() else scored0
+    // under replication a (query, neighbor) pair can meet in every probed
+    // cell the neighbor is also assigned to; "this cell is the FIRST
+    // probe-order cell the pair shares" holds for exactly one of those
+    // joined rows, so the pair survives once by construction — a pure
+    // codegen predicate where this shape previously paid a full
+    // `distinct()` exchange over the scored candidate stream (the band-
+    // join first-matching-band lesson applied to IVF replication)
+    val joined = if (replication > 1)
+      joined0.where(element_at(
+        filter(col("_qcells"), c => array_contains(col("_vcells"), c)), 1)
+        === col("cluster"))
+    else joined0
+    val scored = joined.select(col("q_id"), col(idCol).as("neighbor_id"),
+      (dotFixed("q_emb", embCol) / (col("_qnrm") * col("_nrm"))).as("cos"))
     rankTopK(scored, "q_id", "cos", k)
   }
 
@@ -575,31 +611,43 @@ object Similarity {
                 rerank: Int = 0, dim: Int = 0, m: Int = 0): DataFrame = {
     val d = inferDim(corpus, embCol, dim)
     val mm = inferM(codebooks, m)
-    val assigned = ivfAssign(corpus, centroids, idCol, embCol, cIdCol, cEmbCol,
-      replication)
+    val assigned0 = ivfAssignCells(corpus, centroids, idCol, embCol, cIdCol,
+      cEmbCol, replication)
+    val assigned = assigned0.withColumn("cluster", explode(col("_vcells")))
     val codes = pqEncode(corpus, codebooks, idCol, embCol, d, mm)
     val sub = d / mm
     val qBase0 = queryIds(assigned)
       .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
     val qBase = if (replication > 1) qBase0.dropDuplicates("q_id") else qBase0
     // probe selection through the same fused vec_top_cells kernel as
-    // ivfAssign/ivfTopK — no per-query window anywhere in this plan
-    val pqCentArr = centroids.agg(
-      array_sort(collect_list(struct(
-        col(cIdCol).cast("long").as("_cid"), col(cEmbCol).as("_cemb"),
-        sqrt(dotFixed(cEmbCol, cEmbCol)).as("_cnrm")))).as("_cents"))
-    val qProbes = qBase.crossJoin(broadcast(pqCentArr))
+    // ivfAssign/ivfTopK — no per-query window anywhere in this plan;
+    // under replication the probe list rides the broadcast rows so the
+    // cell join keeps each pair once by predicate, not by `distinct()`
+    val qCells = qBase.crossJoin(broadcast(
+        centArray(centroids, cIdCol, cEmbCol)))
       .select(col("q_id"),
-        explode(expr(s"vec_top_cells(_cents, q_emb, $nprobe)")).as("cluster"))
+        expr(s"vec_top_cells(_cents, q_emb, $nprobe)").as("_qcells"))
+    val qProbes = qCells.withColumn("cluster", explode(col("_qcells")))
+      .select((if (replication > 1) Seq(col("q_id"), col("_qcells"), col("cluster"))
+        else Seq(col("q_id"), col("cluster"))): _*)
     val qsubs = qBase.select(col("q_id"), posexplode(expr(
         s"transform(sequence(0, ${mm - 1}), i -> slice(q_emb, i * $sub + 1, $sub))")))
       .select(col("q_id"), col("pos").as("m"), col("col").as("qv"))
-    // candidates = codes of ids inside each query's probed cells
-    val cand0 = assigned.select(col(idCol), col("cluster"))
+    // candidates = codes of ids inside each query's probed cells; under
+    // replication a (query, id) pair meets once per shared cell — the
+    // first-shared-cell predicate keeps it exactly once (see ivfTopK)
+    val candCols = if (replication > 1)
+      Seq(col(idCol), col("_vcells"), col("cluster"))
+    else Seq(col(idCol), col("cluster"))
+    val cand0 = assigned.select(candCols: _*)
       .join(broadcast(qProbes), "cluster")
       .where(col(idCol) =!= col("q_id"))
+    val cand = (if (replication > 1)
+      cand0.where(element_at(
+        filter(col("_qcells"), c => array_contains(col("_vcells"), c)), 1)
+        === col("cluster"))
+    else cand0)
       .select(col("q_id"), col(idCol))
-    val cand = if (replication > 1) cand0.distinct() else cand0
     val adc = cand.join(codes, idCol)
       .join(broadcast(codebooks), Seq("m", "code"))
       .join(broadcast(qsubs), Seq("q_id", "m"))
